@@ -1,0 +1,38 @@
+"""Local mirror of the driver's t2 gate: every declared query vs its DuckDB
+oracle at sf0.01 (row count + column names + order-insensitive exact values).
+Queries without an oracle get a rows-run check (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_T2
+from wikidata2pg_spark.oracle import compare
+from wikidata2pg_spark.registry import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("key", sorted(QUERIES))
+def test_query_matches_oracle(key, spark, duck):
+    df = QUERIES[key](spark, SF_T2)
+    if key in ORACLES:
+        errors = compare(key, df, duck, ORACLES[key])
+        assert not errors, "\n".join(e[:500] for e in errors)
+    else:
+        assert df.count() >= 0
+
+
+def test_every_oracle_key_is_declared():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"

@@ -1,0 +1,161 @@
+"""Scalar function packs (§2.8 F1-F5): string, regexp, date, math,
+conditional. One query per pack exercising the whole pack, row-level (no
+aggregation), so values are deterministic and hash-exact.
+
+Cross-engine parity pitfalls handled here:
+  * computed integers → BIGINT on both sides (Spark length() is int32,
+    DuckDB's is int64);
+  * DuckDB regexp_replace is first-match-only by default → 'g' flag to
+    match Spark's replace-all;
+  * DuckDB ceil(double)→double vs Spark ceil→long → cast oracle side;
+  * transcendentals (ln/log10/pow) rounded to 4 decimals — libm vs JVM may
+    differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT p_partkey,
+       concat(p_brand, '|', p_type) AS brand_type,
+       substring(p_name, 1, 8) AS name8,
+       upper(p_type) AS up,
+       lower(p_brand) AS lo,
+       trim(concat('  ', p_name, '  ')) AS trimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       replace(p_brand, 'Brand#', 'B') AS brand_short,
+       string_split(p_name, ' ')[1] AS first_word
+FROM part
+""",
+)
+def q_fn_string(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.upper("p_type").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+@query(
+    "q_fn_regexp",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap
+FROM part
+""",
+)
+def q_fn_regexp(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dy,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+       o_orderdate::DATE + 30 AS due_date,
+       CAST(date_diff('day', o_orderdate::DATE, DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+       o_orderdate + INTERVAL 90 DAY AS plus_90d
+FROM orders
+""",
+)
+def q_fn_date(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        (F.col("o_orderdate") + F.make_interval(days=F.lit(90))).alias("plus_90d"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS r1,
+       abs(l_discount - 0.05) AS adiff,
+       CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ceil_h,
+       CAST(floor(l_extendedprice / 100) AS BIGINT) AS floor_h,
+       sqrt(l_quantity) AS sq,
+       round(ln(l_extendedprice), 4) AS lnp,
+       round(log10(l_extendedprice), 4) AS lgp,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       l_partkey % 7 AS pk_mod,
+       CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
+FROM lineitem
+""",
+)
+def q_fn_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("adiff"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_h"),
+        F.floor(F.col("l_extendedprice") / 100).alias("floor_h"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("lnp"),
+        F.round(F.log10(F.col("l_extendedprice")), 4).alias("lgp"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        (F.col("l_partkey") % 7).alias("pk_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("sgn"),
+    )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       nullif(c_nationkey, 0) AS nk_nullable,
+       greatest(c_acctbal, 0.0) AS bal_floor,
+       least(c_acctbal, 5000.0) AS bal_cap
+FROM customer
+""",
+)
+def q_fn_conditional(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nullable"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+    )

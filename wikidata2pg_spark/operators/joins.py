@@ -1,0 +1,291 @@
+"""Join family (§2.3 J1-J12): equi (shuffle + broadcast), all outer shapes,
+semi/anti, cross, theta/band, interval-overlap, as-of, multi-key self join.
+
+Scale notes:
+  * J2 pins ``F.broadcast`` on dimension tables — at 100 TB the fact side
+    never shuffles for dim joins; AQE would do this for small sides anyway,
+    the hint makes it deterministic.
+  * J9/J10 (non-equi) broadcast the *small interval* side so the physical
+    plan is BroadcastNestedLoop with a bounded build side — never NLJ over
+    two big inputs.
+  * J11 (as-of) is the union+window formulation: sort-once within user
+    partitions, no pandas round-trip, scales with the shuffle. (The
+    ``ps.merge_asof`` alternative exists but crosses into pandas-on-Spark;
+    see SURVEY.md §2.3 J11.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_join_inner_shuffle",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+       round(l.l_extendedprice, 2) AS price, round(o.o_totalprice, 2) AS total
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def q_join_inner_shuffle(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT c.c_custkey, n.n_name, r.r_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def q_join_broadcast(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+       ON c.c_custkey = o.o_custkey
+""",
+)
+def q_join_left_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "q_join_right_outer",
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_right_outer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+SELECT coalesce(cu.nk, su.nk) AS nationkey, cu.n_cust, su.n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) cu
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+           FROM supplier WHERE s_acctbal < -500 GROUP BY s_nationkey) su
+       ON cu.nk = su.nk
+""",
+)
+def q_join_full_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    cu = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        s.filter(F.col("s_acctbal") < -500)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cu.join(su, "nk", "full").select(
+        F.col("nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_join_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def q_join_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta_band",
+    oracle="""
+SELECT b.band, count(*) AS n_cust, round(sum(c.c_acctbal), 2) AS sum_bal
+FROM customer c
+JOIN (VALUES ('neg', -100000.0, 0.0), ('low', 0.0, 3000.0),
+             ('mid', 3000.0, 7000.0), ('high', 7000.0, 100000.0)) b(band, lo, hi)
+  ON c.c_acctbal >= b.lo AND c.c_acctbal < b.hi
+GROUP BY b.band
+""",
+)
+def q_join_theta_band(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(
+        [("neg", -100000.0, 0.0), ("low", 0.0, 3000.0), ("mid", 3000.0, 7000.0), ("high", 7000.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    # broadcast the tiny band table: BroadcastNestedLoop with 4-row build side
+    return (
+        c.join(F.broadcast(bands), (c.c_acctbal >= bands.lo) & (c.c_acctbal < bands.hi))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+SELECT iv.i AS interval_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM (SELECT i, TIMESTAMP '2024-01-01' + i * INTERVAL 1 DAY AS lo,
+             TIMESTAMP '2024-01-01' + (i + 3) * INTERVAL 1 DAY AS hi
+      FROM range(30) t(i)) iv
+JOIN events e ON e.ts::TIMESTAMP >= iv.lo AND e.ts::TIMESTAMP < iv.hi
+GROUP BY iv.i
+""",
+)
+def q_join_interval_overlap(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    iv = spark.range(30).select(
+        F.col("id").alias("i"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(days=F.col("id").cast("int"))).alias("lo"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(days=(F.col("id") + 3).cast("int"))).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(iv), (e.ts >= iv.lo) & (e.ts < iv.hi))
+        .groupBy(F.col("i").alias("interval_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS err_ts, p.ts::TIMESTAMP AS last_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: for each error event, the latest purchase by the same
+    user at-or-before its timestamp.
+
+    Spark-first formulation: tag both sides, union, and take
+    ``last(purchase_ts) IGNORE NULLS`` over a per-user window ordered by
+    (ts, side) — one shuffle on user_id, no pandas round-trip, scales to
+    arbitrary input (vs. DuckDB's native ASOF JOIN in the oracle).
+    """
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.lit(None).cast("timestamp").alias("p_ts")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.col("ts").alias("p_ts")
+    )
+    # purchases sort BEFORE errors at equal ts (is_p desc) so ts-ties match,
+    # mirroring ASOF's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = err.unionByName(pur).withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+    return u.filter(F.col("is_p") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("last_p_ts").alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "q_join_multikey_self",
+    oracle="""
+SELECT a.o_custkey, a.o_orderstatus, a.o_orderkey AS k1, b.o_orderkey AS k2
+FROM orders a
+JOIN orders b ON a.o_custkey = b.o_custkey
+            AND a.o_orderstatus = b.o_orderstatus
+            AND a.o_orderkey < b.o_orderkey
+""",
+)
+def q_join_multikey_self(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderstatus") == F.col("b.o_orderstatus"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderstatus").alias("o_orderstatus"),
+            F.col("a.o_orderkey").alias("k1"),
+            F.col("b.o_orderkey").alias("k2"),
+        )
+    )

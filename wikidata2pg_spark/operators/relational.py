@@ -1,0 +1,507 @@
+"""Relational core: projections/filters (§2.2 P1-P6), aggregations
+(§2.4 A1-A12), sorts/limits/top-k (§2.6 O1-O4), set ops (§2.7 U1-U4).
+
+All pure built-in DataFrame ops — Catalyst handles pushdown/pruning; hash
+aggregation is automatically partial+final (map-side combine), so these
+scale by shuffle width alone. Floating aggregates are rounded to 2 decimals
+on both sides per FIXTURES.md oracle-stability rule 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+# --------------------------------------------------------------------------
+# §2.2 Projections / filters
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_project_alias_expr",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+       l_quantity * 2.0 AS double_qty
+FROM lineitem
+""",
+)
+def q_project_alias_expr(spark, sf_dir):
+    # round at 4 decimals, not 2: price(2dp) * (1-discount)(2dp) has exactly
+    # <=4 decimal digits, so 2dp rounding hits TRUE .xx5 ties, which Spark
+    # (HALF_UP on decimal expansion) and DuckDB (scale-multiply + C round)
+    # resolve differently (observed 116 flips at sf0.01). At 4dp the decimal
+    # is exact -> both engines return the nearest double of the same decimal.
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        (F.col("l_quantity") * 2.0).alias("double_qty"),
+    )
+
+
+@query(
+    "q_filter_compound",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity > 30 AND (l_discount < 0.02 OR NOT (l_returnflag = 'A'))
+""",
+)
+def q_filter_compound(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 30)
+        & ((F.col("l_discount") < 0.02) | ~(F.col("l_returnflag") == "A"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "q_filter_in_between_like",
+    oracle="""
+SELECT p_partkey, p_brand, p_type, p_size
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+  AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+  AND p_type LIKE '%M%'
+""",
+)
+def q_filter_in_between_like(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+        & F.col("p_type").like("%M%")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       nullif(o_orderstatus, 'P') AS st_nullable,
+       (nullif(o_orderstatus, 'P') IS NULL) AS is_null_p,
+       (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM o_orderstatus) AS nse_same
+FROM orders
+""",
+)
+def q_null_semantics(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        st.alias("st_nullable"),
+        st.isNull().alias("is_null_p"),
+        st.eqNullSafe(F.col("o_orderstatus")).alias("nse_same"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity < 10 THEN 'low'
+            WHEN l_quantity < 30 THEN 'mid'
+            WHEN l_quantity < 45 THEN 'high'
+            ELSE 'max' END AS qty_bucket
+FROM lineitem
+""",
+)
+def q_case_when(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .when(F.col("l_quantity") < 45, "high")
+        .otherwise("max")
+        .alias("qty_bucket"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def q_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.4 Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_basic(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_count_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("q_agg_approx_cd", oracle=None)  # HLL++ differs from DuckDB's HLL → rows-only
+def q_agg_approx_cd(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "q_agg_sum_distinct",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(DISTINCT l_quantity), 2) AS sum_dq
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_sum_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_dq")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders
+GROUP BY o_custkey
+HAVING sum(o_totalprice) > 1500000
+""",
+)
+def q_agg_having(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("_raw_total"),
+        )
+        .filter(F.col("_raw_total") > 1500000)
+        .drop("_raw_total")
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS sum_a,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0 END), 2) AS disc_rev,
+       count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_heavy
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_agg_conditional(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice"))), 2).alias("sum_a"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice") * F.col("l_discount")).otherwise(0.0)
+            ),
+            2,
+        ).alias("disc_rev"),
+        F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_heavy"),
+    )
+
+
+@query(
+    "q_agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@query("q_agg_percentile_approx", oracle=None)  # GK-sketch differs from DuckDB → rows-only
+def q_agg_percentile_approx(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_quantity", F.lit(0.5), F.lit(1000)), 2).alias("ap50_qty")
+    )
+
+
+@query(
+    "q_agg_collect_sorted",
+    oracle="""
+SELECT l_orderkey,
+       list(l_quantity::BIGINT ORDER BY l_quantity, l_linenumber) AS qtys
+FROM lineitem
+WHERE l_orderkey < 500
+GROUP BY l_orderkey
+""",
+)
+def q_agg_collect_sorted(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_multikey",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+""",
+)
+def q_sort_multikey(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment").orderBy(
+        F.col("c_mktsegment").asc_nulls_first(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey").asc(),
+    )
+
+
+@query(
+    "q_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100
+""",
+)
+def q_limit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_topk_global",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_topk_global(spark, sf_dir):
+    # Physically TakeOrderedAndProject: per-partition top-k then merge —
+    # no full sort, no full shuffle; survives any scale.
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 Set operations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+SELECT o_orderkey AS k, 'F' AS src FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey AS k, 'O' AS src FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_union_all(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderkey").alias("k"), F.lit("F").alias("src"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderkey").alias("k"), F.lit("O").alias("src"))
+    return a.unionByName(b)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+def q_union_distinct(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+SELECT l_suppkey AS sk FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT
+SELECT l_suppkey AS sk FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def q_intersect(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("sk"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("sk"))
+    return a.intersect(r)
+
+
+@query(
+    "q_except",
+    oracle="""
+SELECT p_brand AS b FROM part WHERE p_size > 25
+EXCEPT
+SELECT p_brand AS b FROM part WHERE p_size <= 5
+""",
+)
+def q_except(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") > 25).select(F.col("p_brand").alias("b"))
+    small = p.filter(F.col("p_size") <= 5).select(F.col("p_brand").alias("b"))
+    return big.subtract(small)

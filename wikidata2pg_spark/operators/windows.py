@@ -1,0 +1,195 @@
+"""Window functions (§2.5 W1-W8): ranking, offsets, moving/range frames.
+
+Determinism rule (FIXTURES.md rule 2): every ORDER BY inside a window ends
+with a unique tiebreaker so ranking/offset results are stable across engines
+and partitionings. Computed integer ranks are cast to BIGINT on both sides
+(Spark emits int32, DuckDB int64 — schema must agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_win_row_number",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+FROM orders
+""",
+)
+def q_win_row_number(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+    )
+
+
+@query(
+    "q_win_rank_dense",
+    oracle="""
+SELECT p_brand, p_partkey,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS BIGINT) AS rk,
+       CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS drk
+FROM part
+""",
+)
+def q_win_rank_dense(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    w_rk = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    w_drk = Window.partitionBy("p_brand").orderBy("p_size")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w_rk).cast("long").alias("rk"),
+        F.dense_rank().over(w_drk).cast("long").alias("drk"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+""",
+)
+def q_win_ntile(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(lag(o_totalprice, 1, -1.0) OVER w, 2) AS prev_total,
+       round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_win_lag_lead(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_total"),
+        F.round(F.lead("o_totalprice", 1, -1.0).over(w), 2).alias("next_total"),
+    )
+
+
+@query(
+    "q_win_moving_rows",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(avg(l_quantity) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+FROM lineitem
+""",
+)
+def q_win_moving_rows(spark, sf_dir):
+    # avg over the integer-valued l_quantity: the frame sum is exact in both
+    # engines regardless of association order, so round(..,2) is hash-stable
+    # (avg(l_extendedprice) hit round-boundary flips from sliding-sum vs
+    # segment-tree accumulation — observed ~60402.495 rounding both ways).
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 2).alias("mov_avg"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM orders
+""",
+)
+def q_win_range_frame(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running"),
+    )
+
+
+@query(
+    "q_win_cumsum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
+FROM orders
+""",
+)
+def q_win_cumsum(spark, sf_dir):
+    # orders, not lineitem: (l_orderkey, l_linenumber) is NOT unique in the
+    # fixture (11,785 dup pairs) so a lineitem cumsum has no deterministic
+    # ordering; (o_orderdate, o_orderkey) is unique.
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_total"),
+    )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey) OVER w AS last_ok
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_win_first_last(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+    )

@@ -1,0 +1,159 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs ``queries()[k](spark, sf_dir)`` and ``oracle_sql()[k]`` (DuckDB views
+over the same parquet), then compares row count, column-name set, and an
+order-insensitive canonical value comparison. Stricter than the driver can
+possibly be on values (exact equality after canonicalization), so passing
+here should imply passing t2.
+
+Also usable as a CLI for fast iteration:
+    python -m wikidata2pg_spark.oracle [--sf DIR] [key ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from typing import Any
+
+import duckdb
+
+from wikidata2pg_spark.tables import TABLE_NAMES
+
+
+def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v: Any) -> Any:
+    """Canonicalize a cell so Spark and DuckDB representations compare equal."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("a",) + tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return ("m",) + tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return ("by", v)
+    if isinstance(v, str):
+        return ("s", v)
+    # Decimal, numpy scalars, etc.
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return _canon(v.item())
+    except Exception:
+        pass
+    return ("o", str(v))
+
+
+def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(name: str, spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errors: list[str] = []
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    d_rel = con.sql(sql)
+    d_cols = list(d_rel.columns)
+    d_rows = d_rel.fetchall()
+
+    if sorted(s_cols) != sorted(d_cols):
+        errors.append(f"{name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return errors
+    if len(s_rows) != len(d_rows):
+        errors.append(f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+    sc = _rows_canonical(s_cols, s_rows)
+    dc = _rows_canonical(d_cols, d_rows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
+        d_set, s_set = set(dc), set(sc)
+        only_s = [r for r in sc if r not in d_set][:max_diff_show]
+        only_d = [r for r in dc if r not in s_set][:max_diff_show]
+        errors.append(
+            f"{name}: values differ ({len(diffs)} aligned diffs); "
+            f"spark-only sample={only_s}; duck-only sample={only_d}; "
+            f"cols(sorted)={sorted(s_cols)}"
+        )
+    return errors
+
+
+def run_mirror(spark, sf_dir: str, keys: list[str] | None = None) -> dict[str, list[str]]:
+    from wikidata2pg_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    os_ = all_oracles()
+    con = duck_connection(sf_dir)
+    results: dict[str, list[str]] = {}
+    for k, fn in qs.items():
+        if keys and k not in keys:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            if k in os_:
+                results[k] = compare(k, df, con, os_[k])
+            else:
+                n = df.count()
+                results[k] = [] if n >= 0 else [f"{k}: negative count?"]
+        except Exception as e:  # noqa: BLE001
+            results[k] = [f"{k}: EXCEPTION {type(e).__name__}: {e}"]
+    return results
+
+
+def main() -> int:
+    import argparse
+    import time
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from wikidata2pg_spark.session import get_session
+
+    spark = get_session("oracle-mirror")
+    t0 = time.time()
+    results = run_mirror(spark, args.sf, args.keys or None)
+    n_fail = 0
+    for k in sorted(results):
+        errs = results[k]
+        if errs:
+            n_fail += 1
+            print(f"FAIL {k}")
+            for e in errs:
+                print(f"     {e}")
+        else:
+            print(f"ok   {k}")
+    print(f"-- {len(results)} queries, {n_fail} failed, {time.time()-t0:.1f}s")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

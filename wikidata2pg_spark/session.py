@@ -1,0 +1,70 @@
+"""Shared SparkSession construction and runtime configuration.
+
+Two entry shapes matter:
+  * the driver hands us an already-built SparkSession (t1/t2) — we may only
+    set RUNTIME confs on it (``configure_session``);
+  * our own tests/bench build the session (``get_session``) — there we also
+    set builder-time confs.
+
+Scale posture (SURVEY.md §4): AQE on (runtime re-planning, skew-join
+splitting), UTC timestamps, the parquet TIMESTAMP(NANOS) legacy flag
+(FIXTURES.md ⚠ — Spark 4.1.2 hard-errors on the events table without it),
+and shuffle partitions sized to the scale factor under test (the 200-part
+default dominates ms-scale benchmarks; on a real cluster AQE coalesces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs, safe to apply to a session we did not build.
+# Verified this session: nanosAsLong takes effect when set post-construction.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # nested-schema pruning matters for the wikidata wide-struct layer (K1-K8)
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Arrow for every Python<->JVM hop (pandas UDFs, toPandas)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — builder path covers it
+    return spark
+
+
+def get_session(
+    app_name: str = "wikidata2pg_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local session sized for this box.
+
+    local[N] with N from $SPARK_GRAFT_CPUS (default 32); shuffle partitions
+    default to min(2*cpus, 32) — small SFs shouldn't pay 200-partition
+    scheduling overhead, and AQE coalesces further at runtime.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = min(2 * cpus, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    return configure_session(b.getOrCreate())
