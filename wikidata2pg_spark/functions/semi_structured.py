@@ -1,1 +1,155 @@
-"""Placeholder — operators land in a later milestone."""
+"""Semi-structured scalar packs (§2.8 F6-F9): arrays + higher-order
+functions, maps, JSON (path + typed + Variant), hashes.
+
+These are the building blocks the Wikidata surface (§2.11) reuses: the
+entity dump is open-schema JSON, so array/map/json kernels must be exact.
+All higher-order work stays in Catalyst expressions (transform/aggregate/
+zip_with/filter are codegen'd JVM lambdas, not Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_toks,
+       list_contains(t, 'the') AS has_the,
+       t[1:3] AS first3,
+       list_sort(list_distinct(t[1:5])) AS head_vocab,
+       CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
+       list_filter(t[1:10], x -> x LIKE 'a%') AS head_a_words,
+       list_transform(t[1:4], x -> CAST(2 * length(x) AS BIGINT)) AS doubled_lens
+FROM toks
+""",
+)
+def q_fn_array(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_toks"),
+        F.array_contains(t, "the").alias("has_the"),
+        F.slice(t, 1, 3).alias("first3"),
+        F.array_sort(F.array_distinct(F.slice(t, 1, 5))).alias("head_vocab"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.filter(F.slice(t, 1, 10), lambda x: x.like("a%")).alias("head_a_words"),
+        F.zip_with(
+            F.slice(t, 1, 4), F.slice(t, 1, 4), lambda x, y: (F.length(x) + F.length(y)).cast("long")
+        ).alias("doubled_lens"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+FROM (SELECT doc_id, string_split(text, ' ')[1:5] AS t FROM documents), range(1, 6) r(i)
+WHERE i <= len(t)
+""",
+)
+def q_fn_explode(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    t = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return d.select("doc_id", F.posexplode(t).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+SELECT doc_id,
+       ['lang', 'src'] AS keys_sorted,
+       lang AS v_lang,
+       CAST(2 AS BIGINT) AS n_entries,
+       list_sort([lang, source]) AS vals_sorted,
+       source AS v_src_from_entries
+FROM documents
+""",
+)
+def q_fn_map(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source"))
+    m2 = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("lang").alias("k"), F.col("lang").alias("v")),
+            F.struct(F.lit("src").alias("k"), F.col("source").alias("v")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "lang").alias("v_lang"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+        F.element_at(m2, "src").alias("v_src_from_entries"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract(props, '$.k')::BIGINT AS k_typed,
+       json(props)::VARCHAR AS compact,
+       json_extract(props, '$.k')::BIGINT AS k_variant
+FROM events
+""",
+)
+def q_fn_json(spark, sf_dir):
+    # Four access paths over the same JSON column: string path extraction,
+    # typed from_json, to_json round-trip, and the Variant kernel
+    # (parse_json/variant_get) — the schema-flexible path the wikidata raw
+    # layer uses when a field isn't in the fixed schema.
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").alias("k_str"),
+        parsed.getField("k").cast("long").alias("k_typed"),
+        F.to_json(parsed).alias("compact"),
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long").alias("k_variant"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256
+FROM part
+""",
+)
+def q_fn_hash(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name")).alias("h_md5"),
+        F.sha2(F.col("p_name"), 256).alias("h_sha256"),
+    )
+
+
+@query("q_fn_hash_spark_native", oracle=None)  # crc32/xxhash64 have no DuckDB twin
+def q_fn_hash_spark_native(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.crc32(F.col("p_name")).alias("h_crc32"),
+        F.xxhash64(F.col("p_name")).alias("h_xxhash64"),
+        F.hash(F.col("p_name")).alias("h_murmur3"),
+    )

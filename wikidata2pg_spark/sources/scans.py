@@ -1,1 +1,278 @@
-"""Placeholder — operators land in a later milestone."""
+"""Scans / sources / sinks (§2.1 S1-S10).
+
+Roundtrip queries (CSV/ORC/partitioned-parquet) write under a per-SF temp
+dir then read back — the *read* path with explicit schemas is what's under
+test; at 100 TB these writers become the bronze→silver materialization and
+the readers the silver scans (partition pruning audited in tests).
+
+JDBC (S6/S7) runs against the Spark-bundled Derby engine (file-based DB) —
+same DataFrame API surface as the reference's Postgres load
+(``df.write.jdbc`` / ``spark.read.jdbc``), no external server needed.
+S10 is a from-scratch Python DataSource emitting Wikidata-style entity
+lines — the shape of a dump-chunk source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+def _tmpdir(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 25
+GROUP BY l_returnflag
+""",
+)
+def q_scan_parquet(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 25)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )
+
+
+_JSONL_LINES = [
+    '{"id": "Q1", "type": "item", "n": 1}',
+    '{"id": "Q2", "type": "item", "n": 2}',
+    '{"id": "P10", "type": "property", "n": 3}',
+    "{this is not json",
+    '{"id": "Q4", "type": "item", "n": 4}',
+]
+
+
+@query(
+    "q_scan_jsonl",
+    oracle="""
+SELECT * FROM (VALUES
+  ('Q1', 'item', CAST(1 AS BIGINT), false),
+  ('Q2', 'item', CAST(2 AS BIGINT), false),
+  ('P10', 'property', CAST(3 AS BIGINT), false),
+  (NULL, NULL, NULL, true),
+  ('Q4', 'item', CAST(4 AS BIGINT), false)
+) t(id, type, n, bad)
+""",
+)
+def q_scan_jsonl(spark, sf_dir):
+    """JSON-lines scan with explicit schema + PERMISSIVE corrupt-record —
+    exactly the dump-parsing posture of §1.2 (one malformed line must not
+    flip a column type or kill the job)."""
+    lines = spark.createDataFrame([(l,) for l in _JSONL_LINES], "line string")
+    parsed = F.from_json(
+        F.col("line"),
+        "id STRING, type STRING, n BIGINT",
+        {"mode": "PERMISSIVE"},
+    )
+    # PERMISSIVE mode yields an all-null struct (not a NULL struct) for a
+    # corrupt line; "bad" = the required id field failed to parse.
+    return lines.select(
+        parsed.getField("id").alias("id"),
+        parsed.getField("type").alias("type"),
+        parsed.getField("n").alias("n"),
+        parsed.getField("id").isNull().alias("bad"),
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_scan_csv(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    path = _tmpdir(sf_dir, "csv_orders")
+    o.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE").option(
+        "header", True
+    ).csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_scan_orc(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    path = _tmpdir(sf_dir, "orc_customer")
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+
+
+@query(
+    "q_sink_parquet_partitioned",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_sink_parquet_partitioned(spark, sf_dir):
+    """partitionBy write + partition-pruned readback: the filter on the
+    partition column prunes directories, not rows (verified in plan tests)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_linestatus")
+    path = _tmpdir(sf_dir, "parquet_part")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "R"))
+    return back.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _derby_url(sf_dir: str) -> str:
+    return f"jdbc:derby:{_tmpdir(sf_dir, 'derbydb')}/db;create=true"
+
+
+@query("q_sink_jdbc_pg", oracle=None)  # no PG/Derby twin in the DuckDB oracle → rows-only
+def q_sink_jdbc_pg(spark, sf_dir):
+    """The reference's sink shape [R]: batched JDBC bulk load
+    (``df.write.jdbc`` with batchsize, mode=overwrite for idempotence).
+    Runs against Spark's bundled Derby; against Postgres only the URL/driver
+    change. Returns the written rows read back."""
+    n = load(spark, sf_dir, "nation")
+    url = _derby_url(sf_dir)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver", "batchsize": "1000"}
+    n.write.jdbc(url, "nation_sink", mode="overwrite", properties=props)
+    return spark.read.jdbc(url, "nation_sink", properties=props)
+
+
+@query("q_source_jdbc", oracle=None)  # rows-only (same reason as S6)
+def q_source_jdbc(spark, sf_dir):
+    """Parallel JDBC read: partitionColumn/lowerBound/upperBound/numPartitions
+    → 4 concurrent connections each reading a key range."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    url = _derby_url(sf_dir)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    c.write.jdbc(url, "customer_src", mode="overwrite", properties=props)
+    back = spark.read.jdbc(
+        url,
+        "customer_src",
+        column="c_custkey",
+        lowerBound=0,
+        upperBound=10000,
+        numPartitions=4,
+        properties=props,
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")
+    )
+
+
+@query("q_stream_file_source", oracle=None)  # arrival-order semantics → rows-only
+def q_stream_file_source(spark, sf_dir):
+    """File stream source + availableNow trigger + memory sink: the batch
+    parquet is replayed as a bounded stream and aggregated per event_type."""
+    from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_available_now(spark, agg, output_mode="complete")
+
+
+@query("q_sink_console_memory", oracle=None)  # memory sink surface → rows-only
+def q_sink_console_memory(spark, sf_dir):
+    from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(spark, stream.select("event_id", "user_id", "event_type"), output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# S10: custom Python DataSource — a Wikidata dump-chunk source.
+# ---------------------------------------------------------------------------
+
+_DUMP_ENTITIES = [
+    '{"id":"Q42","type":"item","labels":{"en":{"language":"en","value":"Douglas Adams"}}}',
+    '{"id":"Q64","type":"item","labels":{"en":{"language":"en","value":"Berlin"}}}',
+    '{"id":"P31","type":"property","labels":{"en":{"language":"en","value":"instance of"}}}',
+    '{"id":"Q5","type":"item","labels":{"en":{"language":"en","value":"human"}}}',
+]
+
+
+class _DumpChunkPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _DumpChunkReader(DataSourceReader):
+    def partitions(self):
+        # two chunks, like two byte-ranges of latest-all.json
+        mid = len(_DUMP_ENTITIES) // 2
+        return [_DumpChunkPartition(0, mid), _DumpChunkPartition(mid, len(_DUMP_ENTITIES))]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield (i, _DUMP_ENTITIES[i])
+
+
+class WikidataDumpChunkSource(DataSource):
+    """Python DataSource emitting (line_no, entity_json) pairs — the shape a
+    real dump-chunk source would have (byte-range partitions over a
+    decompressed JSON-lines dump)."""
+
+    @classmethod
+    def name(cls):
+        return "wikidata_dump_chunks"
+
+    def schema(self):
+        return "line_no BIGINT, entity_json STRING"
+
+    def reader(self, schema):
+        return _DumpChunkReader()
+
+
+@query(
+    "q_custom_datasource",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'Q42', 'item', 'Douglas Adams'),
+  (CAST(1 AS BIGINT), 'Q64', 'item', 'Berlin'),
+  (CAST(2 AS BIGINT), 'P31', 'property', 'instance of'),
+  (CAST(3 AS BIGINT), 'Q5', 'item', 'human')
+) t(line_no, id, type, label_en)
+""",
+)
+def q_custom_datasource(spark, sf_dir):
+    try:
+        spark.dataSource.register(WikidataDumpChunkSource)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("wikidata_dump_chunks").load()
+    return df.select(
+        "line_no",
+        F.get_json_object("entity_json", "$.id").alias("id"),
+        F.get_json_object("entity_json", "$.type").alias("type"),
+        F.get_json_object("entity_json", "$.labels.en.value").alias("label_en"),
+    )

@@ -1,1 +1,111 @@
-"""Placeholder — operators land in a later milestone."""
+"""UDF / UDAF / UDTF surface (§2.10 D1-D4).
+
+UDFs are the slow path (SURVEY §4): D1 exists to prove the row-UDF surface,
+but D2/D3 are Arrow-batched pandas UDFs — the only Python execution shape
+acceptable in a hot path — and D4 is the table-function surface. Every
+query here has a pure-SQL oracle so the Python results are value-checked
+against a JVM-free reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'ok'
+            ELSE 'rich' END AS bal_class
+FROM customer
+""",
+)
+def q_udf_python(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+
+    @udf("string")
+    def bal_class(b: float) -> str:
+        if b < 0:
+            return "debt"
+        if b < 5000:
+            return "ok"
+        return "rich"
+
+    return c.select("c_custkey", bal_class("c_acctbal").alias("bal_class"))
+
+
+@query(
+    "q_udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+FROM lineitem
+""",
+)
+def q_udf_pandas_scalar(spark, sf_dir):
+    # Arrow-vectorized: one pandas batch per Arrow batch, ~100x a row UDF.
+    # round at 6: the product of 2dp*2dp*2dp values has <=6 exact decimals,
+    # so 6dp rounding is the identity on the decimal — no true .5 ties for
+    # the engines to break differently (4dp DID tie: 73 flips at sf0.01).
+    li = load(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+@query(
+    "q_udaf_pandas_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_udaf_pandas_agg(spark, sf_dir):
+    """Custom UDAF (quantity-weighted mean price) as a grouped-agg pandas UDF."""
+    li = load(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price")
+    )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+SELECT r_regionkey, CAST(i - 1 AS BIGINT) AS pos, t[i] AS word
+FROM (SELECT r_regionkey, string_split(r_name, ' ') AS t FROM region), range(1, 3) r(i)
+WHERE i <= len(t)
+""",
+)
+def q_udtf_python(spark, sf_dir):
+    """Python UDTF: one region row in → one row per name word out (lateral)."""
+
+    @udtf(returnType="pos BIGINT, word STRING")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield i, w
+
+    r = load(spark, sf_dir, "region")
+    return r.lateralJoin(SplitWords(F.col("r_name").outer())).select("r_regionkey", "pos", "word")
