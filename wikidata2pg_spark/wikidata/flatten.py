@@ -1,0 +1,193 @@
+"""Wikidata entity parsing and flattening — the engine's version of the
+reference's normalize step [R]: dump lines → typed entities → relational
+tables (labels / claims triples / qualifiers / sitelinks / edges).
+
+Two-layer schema (SURVEY §1.2): the raw layer keeps the full line (nothing
+is lost); the typed layer is an explicit StructType — per-language and
+per-property keys are MAPs (open schema), the datavalue tagged union is a
+VARIANT (heterogeneous JSON: object for entityid/time/quantity/coordinate/
+monolingualtext, bare string for string datavalues).
+
+Scale posture: every flattener is explode + projection — narrow columns,
+no shuffles until the caller aggregates; nested-schema pruning keeps
+untouched branches of the entity struct out of the scan. At 100 TB the
+dump parse is one pass, and each normalized table partitions by its own
+key (id / property) for downstream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Typed entity schema. VARIANT for datavalue: the `value` field's JSON type
+# depends on datavalue.type, which no static struct can hold losslessly.
+ENTITY_SCHEMA = (
+    "id STRING, type STRING, lastrevid BIGINT, "
+    "labels MAP<STRING, STRUCT<language: STRING, value: STRING>>, "
+    "descriptions MAP<STRING, STRUCT<language: STRING, value: STRING>>, "
+    "aliases MAP<STRING, ARRAY<STRUCT<language: STRING, value: STRING>>>, "
+    "claims MAP<STRING, ARRAY<STRUCT<"
+    "mainsnak: STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>, "
+    "type: STRING, rank: STRING, "
+    "qualifiers: MAP<STRING, ARRAY<STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>>>"
+    ">>>, "
+    "sitelinks MAP<STRING, STRUCT<site: STRING, title: STRING, badges: ARRAY<STRING>>>"
+)
+
+
+def clean_dump_lines(raw: DataFrame, line_col: str = "line") -> DataFrame:
+    """Dump-format normalization: drop the enclosing '['/']' lines, strip the
+    trailing comma each entity line carries inside the array."""
+    c = F.col(line_col)
+    return raw.filter(~c.isin("[", "]")).select(
+        F.rtrim(F.regexp_replace(c, ",$", "")).alias(line_col)
+    )
+
+
+def parse_entities(cleaned: DataFrame, line_col: str = "line") -> DataFrame:
+    """Typed layer + raw layer side by side (PERMISSIVE: a bad line yields a
+    null id, it never kills the pass)."""
+    return cleaned.select(
+        F.col(line_col).alias("raw_line"),
+        F.from_json(F.col(line_col), ENTITY_SCHEMA, {"mode": "PERMISSIVE"}).alias("e"),
+    )
+
+
+def latest_revisions(parsed: DataFrame) -> DataFrame:
+    """K11: keep the max-lastrevid version of each id (idempotent re-import)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("e.id")).orderBy(F.col("e.lastrevid").desc())
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def labels_table(parsed: DataFrame) -> DataFrame:
+    """K2: (id, lang, label)."""
+    return parsed.select(
+        F.col("e.id").alias("id"), F.explode("e.labels").alias("lang", "l")
+    ).select("id", "lang", F.col("l.value").alias("label"))
+
+
+def sitelinks_table(parsed: DataFrame) -> DataFrame:
+    """K8: (id, site, title, n_badges)."""
+    return parsed.select(
+        F.col("e.id").alias("id"), F.explode("e.sitelinks").alias("site", "s")
+    ).select(
+        "id",
+        "site",
+        F.col("s.title").alias("title"),
+        F.coalesce(F.size("s.badges"), F.lit(0)).cast("long").alias("n_badges"),
+    )
+
+
+def statements(parsed: DataFrame) -> DataFrame:
+    """Exploded statement stream: (id, property, stmt_idx, rank, snaktype,
+    datavalue VARIANT, qualifiers). The spine of K4-K10."""
+    return (
+        parsed.select(F.col("e.id").alias("id"), F.explode("e.claims").alias("property", "stmts"))
+        .select("id", "property", F.posexplode("stmts").alias("stmt_idx", "st"))
+        .select(
+            "id",
+            "property",
+            F.col("stmt_idx").cast("long").alias("stmt_idx"),
+            F.col("st.rank").alias("rank"),
+            F.col("st.mainsnak.snaktype").alias("snaktype"),
+            F.col("st.mainsnak.datavalue").alias("dv"),
+            F.col("st.qualifiers").alias("qualifiers"),
+        )
+    )
+
+
+def datavalue_type(dv: Column) -> Column:
+    return F.variant_get(dv, "$.type", "string")
+
+
+def datavalue_str(dv: Column) -> Column:
+    """Dispatch the tagged union to one canonical string (K4's value column)."""
+    t = datavalue_type(dv)
+    return (
+        F.when(t == "wikibase-entityid", F.variant_get(dv, "$.value.id", "string"))
+        .when(t == "string", F.variant_get(dv, "$.value", "string"))
+        .when(t == "time", F.variant_get(dv, "$.value.time", "string"))
+        .when(t == "quantity", F.variant_get(dv, "$.value.amount", "string"))
+        .when(
+            t == "globecoordinate",
+            F.concat_ws(
+                ",",
+                F.variant_get(dv, "$.value.latitude", "double").cast("string"),
+                F.variant_get(dv, "$.value.longitude", "double").cast("string"),
+            ),
+        )
+        .when(t == "monolingualtext", F.variant_get(dv, "$.value.text", "string"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def claims_triples(parsed: DataFrame) -> DataFrame:
+    """K4: (subject, property, stmt_idx, rank, snaktype, value_type, value)."""
+    st = statements(parsed)
+    return st.select(
+        F.col("id").alias("subject"),
+        "property",
+        "stmt_idx",
+        "rank",
+        "snaktype",
+        datavalue_type(F.col("dv")).alias("value_type"),
+        datavalue_str(F.col("dv")).alias("value"),
+    )
+
+
+def truthy_statements(parsed: DataFrame) -> DataFrame:
+    """K6: Wikibase truthy selection — per (subject, property): preferred
+    statements if any exist, else normal; deprecated never."""
+    from pyspark.sql import Window
+
+    st = statements(parsed).filter(F.col("rank") != "deprecated")
+    w = Window.partitionBy("id", "property")
+    has_pref = F.max(F.when(F.col("rank") == "preferred", 1).otherwise(0)).over(w)
+    return (
+        st.withColumn("_hp", has_pref)
+        .filter((F.col("_hp") == 0) | (F.col("rank") == "preferred"))
+        .drop("_hp")
+    )
+
+
+def qualifiers_table(parsed: DataFrame) -> DataFrame:
+    """K7: (subject, property, stmt_idx, qual_property, qual_idx, qual_snaktype,
+    qual_value)."""
+    st = statements(parsed).filter(F.col("qualifiers").isNotNull())
+    q = st.select(
+        F.col("id").alias("subject"),
+        "property",
+        "stmt_idx",
+        F.explode("qualifiers").alias("qual_property", "qsnaks"),
+    ).select(
+        "subject",
+        "property",
+        "stmt_idx",
+        "qual_property",
+        F.posexplode("qsnaks").alias("qual_idx", "qs"),
+    )
+    return q.select(
+        "subject",
+        "property",
+        "stmt_idx",
+        "qual_property",
+        F.col("qual_idx").cast("long").alias("qual_idx"),
+        F.col("qs.snaktype").alias("qual_snaktype"),
+        datavalue_str(F.col("qs.datavalue")).alias("qual_value"),
+    )
+
+
+def item_edges(parsed: DataFrame) -> DataFrame:
+    """K10 input: item→item claims as an edge list (src, property, dst)."""
+    st = statements(parsed)
+    return st.filter(datavalue_type(F.col("dv")) == "wikibase-entityid").select(
+        F.col("id").alias("src"),
+        "property",
+        F.variant_get(F.col("dv"), "$.value.id", "string").alias("dst"),
+    )

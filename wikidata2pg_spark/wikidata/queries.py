@@ -1,1 +1,359 @@
-"""Placeholder — operators land in a later milestone."""
+"""Wikidata-surface operators (§2.11 K1-K12) — the reference's own domain:
+parse `latest-all.json` dump lines, flatten to normalized tables, load a
+JDBC sink. Spark side uses the typed two-layer schema (flatten.py); DuckDB
+oracles iterate the SAME literals (fixture.py) with json_keys/json_extract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.wikidata import flatten
+from wikidata2pg_spark.wikidata.fixture import DUMP_LINES, entities_cte
+
+
+def _raw_df(spark):
+    return spark.createDataFrame([(l,) for l in DUMP_LINES], "line string")
+
+
+def _parsed(spark):
+    return flatten.parse_entities(flatten.clean_dump_lines(_raw_df(spark)))
+
+
+def _latest(spark):
+    return flatten.latest_revisions(_parsed(spark))
+
+
+# Shared oracle CTE prefixes ------------------------------------------------
+
+_LATEST_CTE = (
+    "latest(line) AS (SELECT line FROM (SELECT line, row_number() OVER ("
+    "PARTITION BY json_extract_string(line, '$.id') "
+    "ORDER BY json_extract(line, '$.lastrevid')::BIGINT DESC) AS rn FROM ent) WHERE rn = 1)"
+)
+
+_STMTS_CTE = """stmts AS (
+    SELECT json_extract_string(l.line, '$.id') AS subject,
+           u.prop AS property,
+           g.i AS stmt_idx,
+           json_extract(l.line, '$.claims.' || u.prop || '[' || g.i::VARCHAR || ']') AS stmt
+    FROM latest l,
+         unnest(coalesce(json_keys(l.line, '$.claims'), [])) AS u(prop),
+         LATERAL (SELECT unnest(range(json_array_length(
+             json_extract(l.line, '$.claims.' || u.prop))::BIGINT))) AS g(i)
+)"""
+
+_VALUE_CASE = """CASE json_extract_string(stmt, '$.mainsnak.datavalue.type')
+      WHEN 'wikibase-entityid' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.id')
+      WHEN 'string' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value')
+      WHEN 'time' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.time')
+      WHEN 'quantity' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.amount')
+      WHEN 'globecoordinate' THEN
+           json_extract(stmt, '$.mainsnak.datavalue.value.latitude')::DOUBLE::VARCHAR
+           || ',' ||
+           json_extract(stmt, '$.mainsnak.datavalue.value.longitude')::DOUBLE::VARCHAR
+      WHEN 'monolingualtext' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.text')
+      END"""
+
+
+@query(
+    "q_wd_parse_entity",
+    oracle=f"""
+WITH {entities_cte()}
+SELECT json_extract_string(line, '$.id') AS id,
+       json_extract_string(line, '$.type') AS type,
+       json_extract(line, '$.lastrevid')::BIGINT AS lastrevid,
+       coalesce(len(json_keys(line, '$.labels')), 0) AS n_labels,
+       coalesce(len(json_keys(line, '$.claims')), 0) AS n_claim_props,
+       coalesce(json_array_length(json_extract(line, '$.aliases.en')), 0) AS n_aliases_en,
+       json_keys(line, '$.sitelinks') IS NOT NULL AS has_sitelinks
+FROM ent
+""",
+)
+def q_wd_parse_entity(spark, sf_dir):
+    """K1: dump line → typed entity (brackets/commas stripped, PERMISSIVE).
+
+    Covers the reference's line-oriented parse loop [R] — but as one
+    declarative pass over all lines instead of row-at-a-time Python."""
+    p = _parsed(spark)
+    return p.select(
+        F.col("e.id").alias("id"),
+        F.col("e.type").alias("type"),
+        F.col("e.lastrevid").alias("lastrevid"),
+        F.coalesce(F.size("e.labels"), F.lit(0)).cast("long").alias("n_labels"),
+        F.coalesce(F.size("e.claims"), F.lit(0)).cast("long").alias("n_claim_props"),
+        F.coalesce(F.size(F.col("e.aliases")["en"]), F.lit(0)).cast("long").alias("n_aliases_en"),
+        F.col("e.sitelinks").isNotNull().alias("has_sitelinks"),
+    )
+
+
+@query(
+    "q_wd_labels",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(l.line, '$.id') AS id,
+       u.lang AS lang,
+       json_extract_string(l.line, '$.labels.' || u.lang || '.value') AS label
+FROM latest l, unnest(coalesce(json_keys(l.line, '$.labels'), [])) AS u(lang)
+""",
+)
+def q_wd_labels(spark, sf_dir):
+    """K2: flatten the open per-language labels map → (id, lang, label)."""
+    return flatten.labels_table(_latest(spark))
+
+
+@query(
+    "q_wd_label_lookup",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(line, '$.id') AS id,
+       coalesce(json_extract_string(line, '$.labels.en.value'),
+                json_extract_string(line, '$.labels.de.value'),
+                json_extract_string(line, '$.labels.es.value'),
+                json_extract_string(line, '$.labels.fr.value')) AS best_label,
+       json_extract_string(line, '$.descriptions.en.value') AS desc_en
+FROM latest
+""",
+)
+def q_wd_label_lookup(spark, sf_dir):
+    """K3: best-label resolution with a language fallback chain."""
+    p = _latest(spark)
+    lbl = F.col("e.labels")
+    return p.select(
+        F.col("e.id").alias("id"),
+        F.coalesce(
+            lbl["en"]["value"], lbl["de"]["value"], lbl["es"]["value"], lbl["fr"]["value"]
+        ).alias("best_label"),
+        F.col("e.descriptions")["en"]["value"].alias("desc_en"),
+    )
+
+
+@query(
+    "q_wd_claims_triples",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE}
+SELECT subject, property, stmt_idx,
+       json_extract_string(stmt, '$.rank') AS rank,
+       json_extract_string(stmt, '$.mainsnak.snaktype') AS snaktype,
+       json_extract_string(stmt, '$.mainsnak.datavalue.type') AS value_type,
+       {_VALUE_CASE} AS value
+FROM stmts
+""",
+)
+def q_wd_claims_triples(spark, sf_dir):
+    """K4: claims → (subject, property, stmt_idx, rank, snaktype, value_type,
+    value) triple table with full datavalue-union dispatch."""
+    return flatten.claims_triples(_latest(spark))
+
+
+@query(
+    "q_wd_snaktype_nulls",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE}
+SELECT subject, property, stmt_idx,
+       json_extract_string(stmt, '$.mainsnak.snaktype') AS snaktype,
+       json_extract_string(stmt, '$.mainsnak.snaktype') = 'somevalue' AS is_unknown,
+       json_extract_string(stmt, '$.mainsnak.snaktype') = 'novalue' AS is_none,
+       CASE WHEN json_extract_string(stmt, '$.mainsnak.snaktype') = 'value'
+            THEN {_VALUE_CASE} END AS value
+FROM stmts
+""",
+)
+def q_wd_snaktype_nulls(spark, sf_dir):
+    """K5: somevalue/novalue → typed NULL semantics (unknown-vs-no-value)."""
+    st = flatten.statements(_latest(spark))
+    return st.select(
+        F.col("id").alias("subject"),
+        "property",
+        "stmt_idx",
+        "snaktype",
+        (F.col("snaktype") == "somevalue").alias("is_unknown"),
+        (F.col("snaktype") == "novalue").alias("is_none"),
+        F.when(F.col("snaktype") == "value", flatten.datavalue_str(F.col("dv"))).alias("value"),
+    )
+
+
+@query(
+    "q_wd_truthy_rank",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  ranked AS (
+    SELECT subject, property, stmt_idx,
+           json_extract_string(stmt, '$.rank') AS rank,
+           {_VALUE_CASE} AS value,
+           max(CASE WHEN json_extract_string(stmt, '$.rank') = 'preferred' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY subject, property) AS has_pref
+    FROM stmts
+    WHERE json_extract_string(stmt, '$.rank') != 'deprecated'
+  )
+SELECT subject, property, stmt_idx, rank, value
+FROM ranked
+WHERE has_pref = 0 OR rank = 'preferred'
+""",
+)
+def q_wd_truthy_rank(spark, sf_dir):
+    """K6: truthy selection — preferred-if-any-else-normal, never deprecated
+    (standard Wikibase semantics)."""
+    t = flatten.truthy_statements(_latest(spark))
+    return t.select(
+        F.col("id").alias("subject"),
+        "property",
+        "stmt_idx",
+        "rank",
+        flatten.datavalue_str(F.col("dv")).alias("value"),
+    )
+
+
+@query(
+    "q_wd_qualifiers",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  quals AS (
+    SELECT subject, property, stmt_idx,
+           q.qp AS qual_property,
+           h.i AS qual_idx,
+           json_extract(stmt, '$.qualifiers.' || q.qp || '[' || h.i::VARCHAR || ']') AS qsnak
+    FROM stmts,
+         unnest(coalesce(json_keys(stmt, '$.qualifiers'), [])) AS q(qp),
+         LATERAL (SELECT unnest(range(json_array_length(
+             json_extract(stmt, '$.qualifiers.' || q.qp))::BIGINT))) AS h(i)
+  )
+SELECT subject, property, stmt_idx, qual_property, qual_idx,
+       json_extract_string(qsnak, '$.snaktype') AS qual_snaktype,
+       CASE json_extract_string(qsnak, '$.datavalue.type')
+            WHEN 'time' THEN json_extract_string(qsnak, '$.datavalue.value.time')
+            WHEN 'wikibase-entityid' THEN json_extract_string(qsnak, '$.datavalue.value.id')
+            WHEN 'string' THEN json_extract_string(qsnak, '$.datavalue.value')
+            END AS qual_value
+FROM quals
+""",
+)
+def q_wd_qualifiers(spark, sf_dir):
+    """K7: qualifier flattening (stmt → qualifier snaks, position-indexed)."""
+    return flatten.qualifiers_table(_latest(spark))
+
+
+@query(
+    "q_wd_sitelinks",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(l.line, '$.id') AS id,
+       u.site AS site,
+       json_extract_string(l.line, '$.sitelinks.' || u.site || '.title') AS title,
+       coalesce(json_array_length(json_extract(l.line, '$.sitelinks.' || u.site || '.badges')), 0) AS n_badges
+FROM latest l, unnest(coalesce(json_keys(l.line, '$.sitelinks'), [])) AS u(site)
+""",
+)
+def q_wd_sitelinks(spark, sf_dir):
+    """K8: sitelinks → (id, site, title, n_badges)."""
+    return flatten.sitelinks_table(_latest(spark))
+
+
+@query(
+    "q_wd_coordinates",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE}
+SELECT subject AS id,
+       json_extract(stmt, '$.mainsnak.datavalue.value.latitude')::DOUBLE AS lat,
+       json_extract(stmt, '$.mainsnak.datavalue.value.longitude')::DOUBLE AS lon
+FROM stmts
+WHERE property = 'P625'
+  AND json_extract_string(stmt, '$.mainsnak.snaktype') = 'value'
+""",
+)
+def q_wd_coordinates(spark, sf_dir):
+    """K9: P625 globecoordinate → (id, lat, lon) — the geo use-case of a
+    wikidata→PG loader [R]."""
+    st = flatten.statements(_latest(spark))
+    return st.filter((F.col("property") == "P625") & (F.col("snaktype") == "value")).select(
+        F.col("id"),
+        F.variant_get(F.col("dv"), "$.value.latitude", "double").alias("lat"),
+        F.variant_get(F.col("dv"), "$.value.longitude", "double").alias("lon"),
+    )
+
+
+@query(
+    "q_wd_edge_degree",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  edges AS (
+    SELECT subject AS src, property,
+           json_extract_string(stmt, '$.mainsnak.datavalue.value.id') AS dst
+    FROM stmts
+    WHERE json_extract_string(stmt, '$.mainsnak.datavalue.type') = 'wikibase-entityid'
+  )
+SELECT src, count(*) AS out_deg, count(DISTINCT property) AS n_props,
+       count(DISTINCT dst) AS n_targets
+FROM edges
+GROUP BY src
+""",
+)
+def q_wd_edge_degree(spark, sf_dir):
+    """K10: item→item claims as an edge list + per-source degree — the graph
+    surface the reference exposes via SQL joins [R]."""
+    e = flatten.item_edges(_latest(spark))
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.countDistinct("property").alias("n_props"),
+        F.countDistinct("dst").alias("n_targets"),
+    )
+
+
+@query(
+    "q_wd_latest_revision",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(line, '$.id') AS id,
+       json_extract(line, '$.lastrevid')::BIGINT AS lastrevid,
+       json_extract_string(line, '$.labels.en.value') AS label_en
+FROM latest
+""",
+)
+def q_wd_latest_revision(spark, sf_dir):
+    """K11: keep max-lastrevid version per id (idempotent re-import)."""
+    p = _latest(spark)
+    return p.select(
+        F.col("e.id").alias("id"),
+        F.col("e.lastrevid").alias("lastrevid"),
+        F.col("e.labels")["en"]["value"].alias("label_en"),
+    )
+
+
+@query("q_wd_load_postgres", oracle=None)  # JDBC sink → rows-only
+def q_wd_load_postgres(spark, sf_dir):
+    """K12: the reference end-to-end [R] — parse dump, flatten to normalized
+    tables (labels / claims / sitelinks), bulk-load each via batched JDBC
+    (bundled Derby here; Postgres differs only in URL/driver), read back.
+    Returns (table_name, n_rows) per loaded table."""
+    from wikidata2pg_spark.sources.scans import _derby_url
+
+    p = _latest(spark)
+    url = _derby_url(sf_dir)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver", "batchsize": "5000"}
+    tables = {
+        "wd_labels": flatten.labels_table(p),
+        "wd_claims": flatten.claims_triples(p),
+        "wd_sitelinks": flatten.sitelinks_table(p),
+    }
+    counts = []
+    for name, df in tables.items():
+        df.write.jdbc(url, name, mode="overwrite", properties=props)
+        counts.append((name, spark.read.jdbc(url, name, properties=props).count()))
+    return spark.createDataFrame(counts, "table_name string, n_rows long")
