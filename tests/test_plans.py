@@ -1,0 +1,109 @@
+"""Physical-plan audits (SURVEY §4): the scale story is only real if the
+plans show it. Pushdown reaches the scan, dimension joins broadcast,
+partition filters prune directories, global top-k avoids a full sort, and
+hot-path kernels stay out of Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_T2
+from wikidata2pg_spark.tables import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load(spark, SF_T2, "lineitem").filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    s = li._jdf.queryExecution().toString()
+    assert "PushedFilters" in s and "GreaterThanOrEqual(l_quantity,25" in s
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    li = load(spark, SF_T2, "lineitem").select("l_orderkey", "l_quantity")
+    s = li._jdf.queryExecution().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in s
+
+
+def test_broadcast_join_for_dimensions(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_broadcast"](spark, SF_T2)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_small_join_auto_broadcasts_under_aqe(spark):
+    # no explicit hint: nation is far below the broadcast threshold
+    c = load(spark, SF_T2, "customer")
+    n = load(spark, SF_T2, "nation")
+    df = c.join(n, c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_global_is_take_ordered(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_topk_global"](spark, SF_T2)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_topk_per_group"](spark, SF_T2)
+    # rank-pushdown: per-partition top-k before the full window sort
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    import hashlib
+    import os
+    import tempfile
+
+    li = load(spark, SF_T2, "lineitem").select("l_orderkey", "l_returnflag")
+    h = hashlib.md5(SF_T2.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "prune_audit")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "A")
+    s = back._jdf.queryExecution().toString()
+    assert "PartitionFilters" in s and "l_returnflag" in s.split("PartitionFilters")[1][:200]
+
+
+def test_agg_is_two_phase_hash(spark):
+    li = load(spark, SF_T2, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(df)
+    # partial + final HashAggregate pair = map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_semi"](spark, SF_T2)
+    assert "LeftSemi" in _plan(df)
+
+
+def test_cosine_kernel_has_no_python_udf(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sim_cosine_topk"](spark, SF_T2)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    from wikidata2pg_spark.flagship import pricing_summary
+
+    df = pricing_summary(spark, SF_T2)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
+    assert "*(1)" in plan and "partial_sum" in plan

@@ -1,0 +1,85 @@
+"""Streaming semantics beyond the driver's rows-only checks:
+stream == batch equivalence for every windowed op (SURVEY §5.3.3),
+watermark late-drop accounting, and stateful-operator final state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_T2
+from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
+from wikidata2pg_spark.tables import load
+
+
+def _sorted_rows(df):
+    return sorted([tuple(str(x) for x in r) for r in df.collect()])
+
+
+def test_stream_equals_batch_sliding(spark):
+    s = read_events_stream(spark, SF_T2)
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+        )
+    )
+    stream_out = run_available_now(spark, agg(s), output_mode="complete")
+    batch_out = agg(load(spark, SF_T2, "events"))
+    assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
+
+
+def test_stream_equals_batch_session(spark):
+    s = read_events_stream(spark, SF_T2).withWatermark("ts", "1 minute")
+    agg_s = s.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stream_out = run_available_now(spark, agg_s, output_mode="complete").select(
+        "user_id", F.col("session_window.start").alias("st"), "n"
+    )
+    e = load(spark, SF_T2, "events")
+    batch_out = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("session_window.start").alias("st"), "n")
+    )
+    assert _sorted_rows(stream_out) == _sorted_rows(batch_out)
+
+
+def test_stream_dedup_within_watermark(spark):
+    s = read_events_stream(spark, SF_T2).withWatermark("ts", "1 hour")
+    out = run_available_now(
+        spark, s.dropDuplicatesWithinWatermark(["user_id", "event_type"]), output_mode="append"
+    )
+    batch = load(spark, SF_T2, "events").select("user_id", "event_type").distinct()
+    # within-watermark dedup can keep extra rows across distant-in-time batches,
+    # but on a single availableNow pass over one file it equals exact dedup
+    assert out.select("user_id", "event_type").distinct().count() == batch.count()
+
+
+def test_watermark_drops_late_slice(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_stream_watermark_late"](spark, SF_T2)
+    emitted = df.agg(F.sum("n")).collect()[0][0]
+    e = load(spark, SF_T2, "events")
+    total = e.count()
+    # rows in the final (never-finalized) window of the full timeline
+    last_window_rows = (
+        e.groupBy(F.window("ts", "1 hour"))
+        .count()
+        .orderBy(F.col("window.start").desc())
+        .limit(1)
+        .collect()[0]["count"]
+    )
+    assert emitted == total - 50 - last_window_rows  # 50 = crafted late slice
+
+
+def test_stateful_final_counts_match_batch(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    trail = all_queries()["q_stream_stateful_count"](spark, SF_T2)
+    # the memory sink keeps one emission per (user, batch); the max n per
+    # user is the final state
+    final = trail.groupBy("user_id").agg(F.max("n").alias("n"))
+    batch = load(spark, SF_T2, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _sorted_rows(final) == _sorted_rows(batch)

@@ -1,1 +1,158 @@
-"""Placeholder — operators land in a later milestone."""
+"""Deduplication operators (§2.12 L1/L2 + task-mandated SimHash and n-gram
+Jaccard): the training-data-pipeline workhorses.
+
+Scale posture: exact dedup is one hash-shuffle (group by digest, map-side
+combine); MinHash-LSH turns the O(n²) pair space into per-band bucket joins
+(`approxSimilarityJoin` shuffles on band-hash, not on pairs); SimHash is a
+linear scan producing a 16-bit signature groupable/bucketable at any scale;
+Jaccard is expressed as a token-postings self-join — the classic
+inverted-index formulation — so it shuffles on token, never materializing
+the full pair matrix for dissimilar docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT sha256(lower(trim(text))) AS text_sha,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """L1: exact text dedup on a normalized digest. keeper = min(doc_id),
+    so the result is deterministic no matter which physical row wins."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("q_dedup_minhash", oracle=None)  # randomized hash family → rows-only
+def q_dedup_minhash(spark, sf_dir):
+    """L2: near-dup detection via MinHash-LSH over binary token vectors
+    (shingle→minhash→band→bucket-join inside approxSimilarityJoin)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="toks").transform(d)
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
+    feat = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=5, seed=42)
+    model = mh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, b.i AS bit,
+         CASE WHEN sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS v
+  FROM th, range(16) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id, sum(v * (1::BIGINT << bit)) AS simhash16
+FROM bits GROUP BY doc_id
+""",
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash: 16-bit signature = per-bit majority vote of md5-derived
+    token hashes. Near-dups differ in few bits; at scale, group/bucket on
+    the signature (or hamming-ball probes) instead of pairwise compare."""
+    d = load(spark, sf_dir, "documents")
+    th = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    bits = spark.range(16).select(F.col("id").cast("int").alias("bit"))
+    # shiftright/shiftleft builtins take literal shift amounts; the
+    # column-amount form goes through expr()
+    votes = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.when(
+                F.sum(F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)) > 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("v")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.col("v").cast("long") * F.expr("shiftleft(1L, bit)")).alias("simhash16")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id < 100
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.5
+""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup via the inverted-index (postings) self-join
+    — shuffles on token, so the pair space is only materialized where overlap
+    exists. doc_id<100 bounds the fixture's dense-vocabulary blowup."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jac",
+            F.col("n_shared") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared")),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+    )

@@ -1,1 +1,96 @@
-"""Placeholder — operators land in a later milestone."""
+"""Multimodal column handling (§2.12 L11 + task-mandated decode plumbing).
+
+Images/audio/video are opaque BINARY columns with typed metadata. The
+decode/feature-extract step runs as Arrow-batched ``mapInPandas`` — the
+correct Spark shape for per-blob Python work (batch in, batch out, no
+per-row overhead). The actual codec is STUBBED with a deterministic fake
+(no image libs in this container — see decode_stub); the schema, batching,
+partitioning, and UDF signature are the real, tested plumbing: swapping in
+PIL/librosa changes only the body of ``_decode_batch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_multimodal_binary",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       octet_length(text::BLOB) AS n_bytes,
+       upper(hex(text::BLOB)[1:16]) AS head_hex
+FROM documents
+""",
+)
+def q_multimodal_binary(spark, sf_dir):
+    """L11: binary payload handling — bytes from the text column stand in
+    for an image blob; digest + length + head bytes as typed metadata."""
+    d = load(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.md5(bin_col).alias("content_md5"),
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.upper(F.substring(F.hex(bin_col), 1, 16)).alias("head_hex"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB codec: a real implementation would do
+    ``PIL.Image.open(io.BytesIO(blob))`` here. The deterministic fake reads
+    "dimensions" from the first bytes so results are verifiable end-to-end."""
+    blobs = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": blobs.map(lambda b: int(b[0]) if len(b) > 0 else 0),
+            "height": blobs.map(lambda b: int(b[1]) if len(b) > 1 else 0),
+            "n_bytes": blobs.map(len),
+        }
+    )
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """mapInPandas plumbing: (doc_id, payload BINARY) → typed image metadata.
+    Arrow batches keep the Python boundary amortized; partitioning is
+    inherited, so a repartition(N) upstream controls decode parallelism."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return df.mapInPandas(gen, "doc_id BIGINT, width BIGINT, height BIGINT, n_bytes BIGINT")
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       ascii(text[1:1]) AS width,
+       ascii(text[2:2]) AS height,
+       octet_length(text::BLOB) AS n_bytes
+FROM documents
+""",
+)
+def q_multimodal_decode(spark, sf_dir):
+    """Decode pipeline end-to-end: binary payload → mapInPandas decode stub →
+    typed metadata. Hash-checked because the stub is deterministic (first
+    two bytes as WxH) — the oracle replicates it with ascii()."""
+    d = load(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    out = decode_images(payload)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "n_bytes",
+    )

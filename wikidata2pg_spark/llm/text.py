@@ -1,1 +1,236 @@
-"""Placeholder — operators land in a later milestone."""
+"""Text-analysis operators (§2.12 L5-L8 + task-mandated language-ID,
+quality scoring, token counting, fingerprinting).
+
+Everything stays in built-in expressions (split/explode/higher-order/
+regexp) — tokenization of 100 TB of text is exactly the workload where a
+Python UDF would dominate the runtime; these all run inside whole-stage
+codegen. Aggregations are hash-aggs on (doc_id|word) keys with map-side
+combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+_STOPWORDS = ["the", "a"]
+
+
+@query(
+    "q_text_tokens_wordcount",
+    oracle="""
+SELECT u.word AS word, count(*) AS cnt
+FROM documents, unnest(string_split(text, ' ')) AS u(word)
+GROUP BY u.word
+""",
+)
+def q_text_tokens_wordcount(spark, sf_dir):
+    """L5: tokenize + corpus word count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, u.word AS word, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+  GROUP BY doc_id, u.word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.word, tf.tf,
+       round(tf.tf * ln(n.n / df.df), 4) AS tfidf
+FROM tf, df, n
+WHERE tf.word = df.word
+""",
+)
+def q_text_tfidf(spark, sf_dir):
+    """L6: exact TF-IDF per (doc, word) via tf⋈df joins — hash-checkable,
+    unlike the hashed-feature ML variant. df is tiny (vocab) → broadcast."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale: a broadcast 1-row agg instead
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT t[p.i + 1] || ' ' || t[p.i + 2] AS bigram, count(*) AS cnt
+FROM toks, LATERAL (SELECT unnest(range(len(t) - 1)) ) p(i)
+GROUP BY 1
+""",
+)
+def q_text_ngrams(spark, sf_dir):
+    """L7: bigram generation via aligned-slice zip (no UDF) + corpus count."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "q_text_lang_stats",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       count(DISTINCT sha256(text)) AS n_distinct_texts
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_text_lang_stats(spark, sf_dir):
+    """L8: per-(lang, source) corpus stats incl. distinct-text (dup-rate)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_distinct_texts"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0.05
+            THEN 'en' ELSE 'und' END AS lang_guess
+FROM t
+""",
+)
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker density (the real thing swaps
+    in per-language n-gram profiles; the Spark plumbing — filter/ratio/
+    threshold over token arrays — is identical)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stop"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.when(n_stop * 1.0 / F.size(toks) > 0.05, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_toks,
+       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks), 4) AS avg_tok_len,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS type_token_ratio,
+       round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 4) AS stopword_ratio,
+       len(toks) BETWEEN 10 AND 1000
+         AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2 AS passes_quality
+FROM t
+""",
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length bounds, lexical diversity (type/token),
+    stopword ratio — the standard pre-training corpus filters."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / n
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_toks"),
+        F.round(
+            F.aggregate(F.transform(toks, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x)
+            * 1.0
+            / n,
+            4,
+        ).alias("avg_tok_len"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))) * 1.0 / n, 4).alias("stopword_ratio"),
+        (n.between(10, 1000) & (ttr > 0.2)).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_text_tokencount",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_split_to_array(text, '[^a-z0-9]+')) AS BIGINT) AS bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+""",
+)
+def q_text_tokencount(spark, sf_dir):
+    """Token counting: whitespace split, BPE-ish regex split, and the
+    chars/4 LLM-token approximation."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.split("text", "[^a-z0-9]+")).cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, p.i AS pos, t[p.i + 1] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(len(t))) ) p(i)
+)
+SELECT doc_id,
+       sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007) * (pos + 1) % 1000000007)
+         % 1000000007 AS fingerprint
+FROM toks GROUP BY doc_id
+""",
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: position-weighted hash Σ (h(tok) mod M)·(pos+1)
+    mod M — order-sensitive (unlike a bag-of-words hash), pure integer math
+    so it is engine-exact, and computable as one hash-agg at any scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    m = F.lit(1000000007).cast("long")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % m
+    return toks.groupBy("doc_id").agg(
+        (F.sum((h * (F.col("pos") + 1)) % m) % m).alias("fingerprint")
+    )

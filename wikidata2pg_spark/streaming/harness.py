@@ -42,6 +42,61 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
 
 
+def late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file arrival sequence for the watermark test (T4).
+
+    Spark's late filter uses the START-of-batch watermark (it lags eviction
+    by one batch — verified empirically: a late row merging into still-held
+    state is NOT dropped; numRowsDroppedByWatermark fires only once the
+    prior batch advanced the filter watermark). So the sequence is:
+      01 base       — everything except a mid-timeline slice + the tail
+      02 advancer   — the global-max rows: their batch ends with the filter
+                      watermark at max-10min for the NEXT batch
+      03 late       — the mid-timeline slice, now far below the watermark,
+                      dropped (windows were already emitted+evicted)
+    File mtimes force processing order (the file source orders by mtime)."""
+    import hashlib
+    import tempfile
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.tables import load
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "late_seq")
+    done = os.path.join(path, ".done")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    ev = load(spark, sf_dir, "events")
+    import pyarrow as pa
+
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    # pandas defaults to ns precision; the stream schema declares µs TIMESTAMP
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # "late" slice: 50 rows from the middle of the timeline;
+    # "advancer": the 5 newest rows (kept out of base so their batch is the
+    # one that pushes the filter watermark forward for the late batch)
+    mid = len(pdf) // 2
+    late = pdf.iloc[mid : mid + 50]
+    adv = pdf.iloc[len(pdf) - 5 :]
+    base = pdf.drop(late.index.union(adv.index))
+    f1 = os.path.join(path, "01_base.parquet")
+    f2 = os.path.join(path, "02_advance.parquet")
+    f3 = os.path.join(path, "03_late.parquet")
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), f1)
+    pq.write_table(pa.Table.from_pandas(adv, preserve_index=False), f2)
+    pq.write_table(pa.Table.from_pandas(late, preserve_index=False), f3)
+    now = _time.time()
+    os.utime(f1, (now - 120, now - 120))
+    os.utime(f2, (now - 60, now - 60))
+    os.utime(f3, (now, now))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return path
+
+
 def run_available_now(
     spark: SparkSession,
     stream_df: DataFrame,

@@ -1,1 +1,206 @@
-"""Placeholder — operators land in a later milestone."""
+"""Streaming operators (§2.9 T1-T7) over the events table.
+
+T1 and T7 run as REAL Structured Streaming queries (readStream →
+availableNow → memory sink, complete mode) whose terminal results are
+deterministic, so they are hash-checked against the DuckDB oracle like any
+batch query. T2/T3/T5 are declared in their batch window form (same
+operator, same semantics — `window`/`session_window` work on static frames)
+with stream==batch equivalence asserted in tests/test_streaming.py.
+T4 (watermark late-drop) and T6 (arbitrary stateful) depend on arrival
+order / state machinery with no SQL twin → rows-only.
+
+Scale posture: windowed aggs shuffle on (window, key) — at 100 TB the state
+store (RocksDB) holds only open windows; watermarks bound state growth;
+session windows merge within the key partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
+from wikidata2pg_spark.tables import load
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def q_stream_tumbling(spark, sf_dir):
+    """T1: tumbling 1h window agg as a REAL stream (availableNow → memory,
+    complete mode) — result at termination equals the batch computation, so
+    it hash-checks."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return run_available_now(spark, out, output_mode="complete")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+SELECT time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP) - k.i * INTERVAL 30 MINUTE AS window_start,
+       time_bucket(INTERVAL 30 MINUTE, ts::TIMESTAMP) - k.i * INTERVAL 30 MINUTE + INTERVAL 1 HOUR AS window_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events, range(2) k(i)
+GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark, sf_dir):
+    """T2: sliding window (1h size, 30m slide) — every event lands in exactly
+    two windows; oracle replicates via a 2-way bucket-offset cross join."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(F.window("ts", "1 hour", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        "sum_value",
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts::TIMESTAMP AS t, value,
+         CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), sessions AS (
+  SELECT user_id, t, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+)
+SELECT user_id,
+       min(t) AS session_start,
+       max(t) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark, sf_dir):
+    """T3: session windows (30m inactivity gap) per user. Oracle is the
+    classic gaps-and-islands rewrite; Spark's session_window end = last
+    event + gap."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "sum_value",
+    )
+
+
+@query("q_stream_watermark_late", oracle=None)  # arrival-order semantics → rows-only
+def q_stream_watermark_late(spark, sf_dir):
+    """T4: watermark + append-mode late-data drop. Two files arrive as
+    separate micro-batches (maxFilesPerTrigger=1); batch 1 advances the
+    watermark past the crafted late rows in batch 2, which are dropped.
+    Deterministic semantics asserted in tests/test_streaming.py."""
+    from wikidata2pg_spark.streaming.harness import EVENTS_STREAM_SCHEMA, late_arrival_dir
+
+    path = late_arrival_dir(spark, sf_dir)
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    return run_available_now(spark, agg, output_mode="append")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """T5 (batch form): dropDuplicates on the dedup key — projected to the
+    key columns so the result is deterministic regardless of which row each
+    engine keeps. Streaming dropDuplicatesWithinWatermark runs in tests."""
+    e = load(spark, sf_dir, "events")
+    return e.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
+
+
+@query("q_stream_stateful_count", oracle=None)  # custom state machine → rows-only
+def q_stream_stateful_count(spark, sf_dir):
+    """T6: arbitrary stateful op — running per-user (count, sum) via
+    applyInPandasWithState; state persists across micro-batches, each batch
+    emits the updated totals, the memory sink keeps the trail."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "sum_value": [round(total, 2)]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n BIGINT, sum_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(spark, out, output_mode="update")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_stream_static_join(spark, sf_dir):
+    """T7: stream-static dimension join as a REAL stream — the static side
+    is broadcast into every micro-batch; complete-mode result equals the
+    batch join, so it hash-checks."""
+    s = read_events_stream(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    joined = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_available_now(spark, agg, output_mode="complete")
