@@ -85,10 +85,11 @@ SELECT o_orderkey,
        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
        o_orderdate + INTERVAL 90 DAY AS plus_90d
 FROM orders
+WHERE o_orderkey < 16000
 """,
 )
 def q_fn_date(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     return o.select(
         "o_orderkey",
         F.year("o_orderdate").cast("long").alias("yr"),
@@ -119,10 +120,11 @@ SELECT l_orderkey, l_linenumber,
        l_partkey % 7 AS pk_mod,
        CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
 FROM lineitem
+WHERE l_orderkey < 4000
 """,
 )
 def q_fn_math(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
     return li.select(
         "l_orderkey",
         "l_linenumber",

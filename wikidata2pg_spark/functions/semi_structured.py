@@ -25,31 +25,43 @@ WITH toks AS (
 SELECT doc_id,
        CAST(len(t) AS BIGINT) AS n_toks,
        list_contains(t, 'the') AS has_the,
-       t[1:3] AS first3,
-       list_sort(list_distinct(t[1:5])) AS head_vocab,
+       coalesce(array_to_string(t[1:3], ','), '') AS first3,
+       coalesce(array_to_string(list_sort(list_distinct(t[1:5])), ','), '') AS head_vocab,
        CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS total_chars,
-       list_filter(t[1:10], x -> x LIKE 'a%') AS head_a_words,
-       list_transform(t[1:4], x -> CAST(2 * length(x) AS BIGINT)) AS doubled_lens
+       coalesce(array_to_string(list_filter(t[1:10], x -> x LIKE 'a%'), ','), '') AS head_a_words,
+       coalesce(array_to_string(list_transform(t[1:4], x -> CAST(2 * length(x) AS BIGINT)), ','), '') AS doubled_lens
 FROM toks
 """,
 )
 def q_fn_array(spark, sf_dir):
+    # Array results are projected to joined STRINGs: the driver's comparator
+    # cannot canonicalize array cells (r1 A12 lesson — no array/map/struct
+    # columns in any hash-checked output). The array kernels under test are
+    # unchanged; only the final projection flattens. DuckDB's
+    # array_to_string([]) is NULL where Spark's array_join is '' → coalesce.
     d = load(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
         F.size(t).cast("long").alias("n_toks"),
         F.array_contains(t, "the").alias("has_the"),
-        F.slice(t, 1, 3).alias("first3"),
-        F.array_sort(F.array_distinct(F.slice(t, 1, 5))).alias("head_vocab"),
+        F.array_join(F.slice(t, 1, 3), ",").alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct(F.slice(t, 1, 5))), ",").alias("head_vocab"),
         F.aggregate(
             F.transform(t, lambda x: F.length(x).cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("total_chars"),
-        F.filter(F.slice(t, 1, 10), lambda x: x.like("a%")).alias("head_a_words"),
-        F.zip_with(
-            F.slice(t, 1, 4), F.slice(t, 1, 4), lambda x, y: (F.length(x) + F.length(y)).cast("long")
+        F.array_join(F.filter(F.slice(t, 1, 10), lambda x: x.like("a%")), ",").alias(
+            "head_a_words"
+        ),
+        F.array_join(
+            F.zip_with(
+                F.slice(t, 1, 4),
+                F.slice(t, 1, 4),
+                lambda x, y: (F.length(x) + F.length(y)).cast("long").cast("string"),
+            ),
+            ",",
         ).alias("doubled_lens"),
     )
 
@@ -74,10 +86,10 @@ def q_fn_explode(spark, sf_dir):
     "q_fn_map",
     oracle="""
 SELECT doc_id,
-       ['lang', 'src'] AS keys_sorted,
+       'lang,src' AS keys_sorted,
        lang AS v_lang,
        CAST(2 AS BIGINT) AS n_entries,
-       list_sort([lang, source]) AS vals_sorted,
+       array_to_string(list_sort([lang, source]), ',') AS vals_sorted,
        source AS v_src_from_entries
 FROM documents
 """,
@@ -93,10 +105,10 @@ def q_fn_map(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "lang").alias("v_lang"),
         F.size(m).cast("long").alias("n_entries"),
-        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("vals_sorted"),
         F.element_at(m2, "src").alias("v_src_from_entries"),
     )
 

@@ -3,7 +3,8 @@ Jaccard): the training-data-pipeline workhorses.
 
 Scale posture: exact dedup is one hash-shuffle (group by digest, map-side
 combine); MinHash-LSH turns the O(n²) pair space into per-band bucket joins
-(`approxSimilarityJoin` shuffles on band-hash, not on pairs); SimHash is a
+with an explicit bucket-size cap (no single hot bucket can ever own the
+stage — the r1 skew lesson); SimHash is a
 linear scan producing a 16-bit signature groupable/bucketable at any scale;
 Jaccard is expressed as a token-postings self-join — the classic
 inverted-index formulation — so it shuffles on token, never materializing
@@ -39,23 +40,68 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-@query("q_dedup_minhash", oracle=None)  # randomized hash family → rows-only
+@query("q_dedup_minhash", oracle=None)  # hash-family estimate → rows-only
 def q_dedup_minhash(spark, sf_dir):
-    """L2: near-dup detection via MinHash-LSH over binary token vectors
-    (shingle→minhash→band→bucket-join inside approxSimilarityJoin)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """L2: near-dup detection via banded MinHash-LSH, built entirely from
+    codegen'd expressions: token → K seeded xxhash64 minhashes per doc →
+    B band signatures → bucket join within (band, signature) → signature
+    Jaccard estimate over candidates.
 
+    This replaces r1's ``MinHashLSH.approxSimilarityJoin`` self-join, which
+    degenerated to one skewed task doing ~all 25M pairs at sf0.1 (>10 min —
+    the r1 bench killer): unigram binary vectors made most docs share a
+    min-hash on common tokens, so one bucket held the whole corpus. Here
+    skew is structurally bounded: a band bucket larger than CAP docs is
+    dropped before the pair join (an over-common signature carries no
+    near-dup signal), so no task ever materializes more than CAP² pairs per
+    bucket. Every stage is a keyed shuffle (doc_id / (band, sig)) —
+    100 TB-safe; K/B/R tune recall (B=8, R=2 → ≈90% recall at J=0.5)."""
+    K, B, R, CAP = 16, 8, 2, 64
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = Tokenizer(inputCol="text", outputCol="toks").transform(d)
-    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 16, binary=True)
-    feat = tf.transform(toks)
-    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=5, seed=42)
-    model = mh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.5, distCol="jaccard_dist")
-    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
-        F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"),
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    mh = toks.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"mh{i}") for i in range(K)]
+    )
+    sig = mh.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(K)]).alias("sig"),
+        F.array(
+            *[
+                F.xxhash64(F.lit(b), *[F.col(f"mh{b * R + r}") for r in range(R)])
+                for b in range(B)
+            ]
+        ).alias("bands"),
+    )
+    banded = sig.select("doc_id", F.posexplode("bands").alias("band", "band_sig"))
+    sizes = banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bounded = banded.join(sizes.filter(F.col("bucket_n") <= CAP), ["band", "band_sig"])
+    a = bounded.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bounded.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_eq",
+            F.aggregate(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn("est_jaccard", F.col("n_eq") / F.lit(float(K)))
+    )
+    return est.filter(F.col("est_jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
     )
 
 

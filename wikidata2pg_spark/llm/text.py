@@ -54,20 +54,26 @@ WHERE tf.word = df.word
 )
 def q_text_tfidf(spark, sf_dir):
     """L6: exact TF-IDF per (doc, word) via tf⋈df joins — hash-checkable,
-    unlike the hashed-feature ML variant. df is tiny (vocab) → broadcast."""
+    unlike the hashed-feature ML variant. df is tiny (vocab) → broadcast.
+    The corpus size N enters as a broadcast 1-row aggregate (no eager
+    ``d.count()`` driver action — one job instead of two, VERDICT r1 #7)."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()  # scalar; at scale: a broadcast 1-row agg instead
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    return tf.join(F.broadcast(df), "word").select(
-        "doc_id",
-        "word",
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias("tfidf"),
+        )
     )
 
 

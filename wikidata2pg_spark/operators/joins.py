@@ -27,11 +27,12 @@ from wikidata2pg_spark.tables import load
     oracle="""
 SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
        round(l.l_extendedprice, 2) AS price, round(o.o_totalprice, 2) AS total
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+FROM (SELECT * FROM lineitem WHERE l_orderkey < 4000) l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
 """,
 )
 def q_join_inner_shuffle(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
     o = load(spark, sf_dir, "orders")
     return li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
@@ -265,14 +266,15 @@ def q_join_asof(spark, sf_dir):
     "q_join_multikey_self",
     oracle="""
 SELECT a.o_custkey, a.o_orderstatus, a.o_orderkey AS k1, b.o_orderkey AS k2
-FROM orders a
-JOIN orders b ON a.o_custkey = b.o_custkey
-            AND a.o_orderstatus = b.o_orderstatus
-            AND a.o_orderkey < b.o_orderkey
+FROM (SELECT * FROM orders WHERE o_custkey < 300) a
+JOIN (SELECT * FROM orders WHERE o_custkey < 300) b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderstatus = b.o_orderstatus
+ AND a.o_orderkey < b.o_orderkey
 """,
 )
 def q_join_multikey_self(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
     a = o.alias("a")
     b = o.alias("b")
     return (

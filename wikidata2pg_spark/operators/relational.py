@@ -26,6 +26,7 @@ SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount), 4) AS revenue,
        l_quantity * 2.0 AS double_qty
 FROM lineitem
+WHERE l_orderkey < 4000
 """,
 )
 def q_project_alias_expr(spark, sf_dir):
@@ -34,7 +35,9 @@ def q_project_alias_expr(spark, sf_dir):
     # (HALF_UP on decimal expansion) and DuckDB (scale-multiply + C round)
     # resolve differently (observed 116 flips at sf0.01). At 4dp the decimal
     # is exact -> both engines return the nearest double of the same decimal.
-    li = load(spark, sf_dir, "lineitem")
+    # l_orderkey < 4000 bounds the hash-checked result (~4k rows) so the
+    # driver's per-key canonicalization stays cheap (VERDICT r1 #1b).
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -49,6 +52,7 @@ def q_project_alias_expr(spark, sf_dir):
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem
 WHERE l_quantity > 30 AND (l_discount < 0.02 OR NOT (l_returnflag = 'A'))
+  AND l_orderkey < 20000
 """,
 )
 def q_filter_compound(spark, sf_dir):
@@ -56,6 +60,7 @@ def q_filter_compound(spark, sf_dir):
     return li.filter(
         (F.col("l_quantity") > 30)
         & ((F.col("l_discount") < 0.02) | ~(F.col("l_returnflag") == "A"))
+        & (F.col("l_orderkey") < 20000)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
@@ -86,10 +91,11 @@ SELECT o_orderkey,
        (nullif(o_orderstatus, 'P') IS NULL) AS is_null_p,
        (nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM o_orderstatus) AS nse_same
 FROM orders
+WHERE o_orderkey < 16000
 """,
 )
 def q_null_semantics(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
     return o.select(
         "o_orderkey",
@@ -108,10 +114,11 @@ SELECT l_orderkey, l_linenumber,
             WHEN l_quantity < 45 THEN 'high'
             ELSE 'max' END AS qty_bucket
 FROM lineitem
+WHERE l_orderkey < 4000
 """,
 )
 def q_case_when(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -342,18 +349,25 @@ def q_agg_percentile_approx(spark, sf_dir):
     "q_agg_collect_sorted",
     oracle="""
 SELECT l_orderkey,
-       list(l_quantity::BIGINT ORDER BY l_quantity, l_linenumber) AS qtys
+       array_to_string(list(l_quantity::BIGINT ORDER BY l_quantity, l_linenumber), ',') AS qtys
 FROM lineitem
 WHERE l_orderkey < 500
 GROUP BY l_orderkey
 """,
 )
 def q_agg_collect_sorted(spark, sf_dir):
+    # The compared column is STRING, not ARRAY: the driver's canonicalizer
+    # (pandas sort_values) cannot hash ndarray cells (CORRECTNESS_r01 A12
+    # failure). Same semantics — the list is sorted before joining.
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") < 500)
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))), ","
+            ).alias("qtys")
+        )
     )
 
 

@@ -21,10 +21,14 @@ SELECT o_custkey, o_orderkey,
        CAST(row_number() OVER (PARTITION BY o_custkey
                                ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
 FROM orders
+WHERE o_custkey < 500
 """,
 )
 def q_win_row_number(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # o_custkey < 500 bounds every windowed result to ~5k rows — partition
+    # contents stay intact (the filter is on the partition key), only the
+    # driver-side canonicalization gets cheaper (VERDICT r1 #1b).
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
@@ -58,10 +62,11 @@ def q_win_rank_dense(spark, sf_dir):
 SELECT o_orderkey,
        CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
 FROM orders
+WHERE o_orderkey < 16000
 """,
 )
 def q_win_ntile(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
 
@@ -73,11 +78,12 @@ SELECT o_custkey, o_orderkey,
        round(lag(o_totalprice, 1, -1.0) OVER w, 2) AS prev_total,
        round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_total
 FROM orders
+WHERE o_custkey < 500
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """,
 )
 def q_win_lag_lead(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey",
@@ -96,6 +102,7 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
            ORDER BY l_shipdate, l_orderkey, l_linenumber
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mov_avg
 FROM lineitem
+WHERE l_suppkey < 50
 """,
 )
 def q_win_moving_rows(spark, sf_dir):
@@ -103,7 +110,9 @@ def q_win_moving_rows(spark, sf_dir):
     # engines regardless of association order, so round(..,2) is hash-stable
     # (avg(l_extendedprice) hit round-boundary flips from sliding-sum vs
     # segment-tree accumulation — observed ~60402.495 rounding both ways).
-    li = load(spark, sf_dir, "lineitem")
+    # l_suppkey < 50: filter on the partition key — frames intact, result
+    # bounded for the driver's canonicalizer.
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
     w = (
         Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
@@ -126,10 +135,11 @@ SELECT o_orderpriority, o_orderkey,
            ORDER BY o_totalprice
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
 FROM orders
+WHERE o_orderkey < 16000
 """,
 )
 def q_win_range_frame(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_totalprice")
@@ -150,13 +160,14 @@ SELECT o_custkey, o_orderkey,
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_total
 FROM orders
+WHERE o_custkey < 500
 """,
 )
 def q_win_cumsum(spark, sf_dir):
     # orders, not lineitem: (l_orderkey, l_linenumber) is NOT unique in the
     # fixture (11,785 dup pairs) so a lineitem cumsum has no deterministic
     # ordering; (o_orderdate, o_orderkey) is unique.
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -176,12 +187,13 @@ SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER w AS first_ok,
        last_value(o_orderkey) OVER w AS last_ok
 FROM orders
+WHERE o_custkey < 500
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
 )
 def q_win_first_last(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")

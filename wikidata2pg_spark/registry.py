@@ -41,20 +41,26 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def _load_modules() -> None:
-    """Import every module that registers queries (idempotent)."""
-    import wikidata2pg_spark.operators.relational  # noqa: F401
-    import wikidata2pg_spark.operators.joins  # noqa: F401
-    import wikidata2pg_spark.operators.windows  # noqa: F401
-    import wikidata2pg_spark.functions.scalar  # noqa: F401
-    import wikidata2pg_spark.functions.semi_structured  # noqa: F401
-    import wikidata2pg_spark.sources.scans  # noqa: F401
+    """Import every module that registers queries (idempotent).
+
+    Registration order IS the driver's t2 execution order: the families
+    that had no CORRECTNESS_r01 rows (wikidata, llm, streaming, udf,
+    sources — the r1 run timed out before reaching them) register FIRST so
+    a truncated run proves the unproven keys before re-proving the ones
+    that already passed."""
     import wikidata2pg_spark.wikidata.queries  # noqa: F401
-    import wikidata2pg_spark.streaming.queries  # noqa: F401
-    import wikidata2pg_spark.udf.queries  # noqa: F401
     import wikidata2pg_spark.llm.dedup  # noqa: F401
     import wikidata2pg_spark.llm.similarity  # noqa: F401
     import wikidata2pg_spark.llm.text  # noqa: F401
     import wikidata2pg_spark.llm.multimodal  # noqa: F401
+    import wikidata2pg_spark.streaming.queries  # noqa: F401
+    import wikidata2pg_spark.udf.queries  # noqa: F401
+    import wikidata2pg_spark.sources.scans  # noqa: F401
+    import wikidata2pg_spark.functions.scalar  # noqa: F401
+    import wikidata2pg_spark.functions.semi_structured  # noqa: F401
+    import wikidata2pg_spark.operators.relational  # noqa: F401
+    import wikidata2pg_spark.operators.joins  # noqa: F401
+    import wikidata2pg_spark.operators.windows  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

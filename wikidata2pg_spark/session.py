@@ -31,6 +31,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     # Arrow for every Python<->JVM hop (pandas UDFs, toPandas)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Runtime-settable: the driver's t2 session otherwise pays the
+    # 200-partition default on every tiny shuffle (VERDICT r1 #6). AQE
+    # coalesces upward workloads at real scale; 16 fits sf0.01-0.1.
+    "spark.sql.shuffle.partitions": "16",
 }
 
 
@@ -67,4 +71,7 @@ def get_session(
     )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
-    return configure_session(b.getOrCreate())
+    spark = configure_session(b.getOrCreate())
+    # our own sessions size shuffles to the box, overriding the t2 default
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

@@ -48,6 +48,7 @@ def q_udf_python(spark, sf_dir):
 SELECT l_orderkey, l_linenumber,
        round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
 FROM lineitem
+WHERE l_orderkey < 4000
 """,
 )
 def q_udf_pandas_scalar(spark, sf_dir):
@@ -55,7 +56,7 @@ def q_udf_pandas_scalar(spark, sf_dir):
     # round at 6: the product of 2dp*2dp*2dp values has <=6 exact decimals,
     # so 6dp rounding is the identity on the decimal — no true .5 ties for
     # the engines to break differently (4dp DID tie: 73 flips at sf0.01).
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
 
     @pandas_udf("double")
     def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:

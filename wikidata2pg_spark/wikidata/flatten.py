@@ -54,10 +54,15 @@ def parse_entities(cleaned: DataFrame, line_col: str = "line") -> DataFrame:
 
 
 def latest_revisions(parsed: DataFrame) -> DataFrame:
-    """K11: keep the max-lastrevid version of each id (idempotent re-import)."""
+    """K11: keep the max-lastrevid version of each id (idempotent re-import).
+    The raw line is the deterministic tiebreaker: two dump lines sharing
+    (id, lastrevid) resolve identically here and in the SQL oracle
+    (ADVICE r1 — row_number on lastrevid alone is nondeterministic)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.col("e.id")).orderBy(F.col("e.lastrevid").desc())
+    w = Window.partitionBy(F.col("e.id")).orderBy(
+        F.col("e.lastrevid").desc(), F.col("raw_line").desc()
+    )
     return (
         parsed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -30,7 +30,8 @@ def _latest(spark):
 _LATEST_CTE = (
     "latest(line) AS (SELECT line FROM (SELECT line, row_number() OVER ("
     "PARTITION BY json_extract_string(line, '$.id') "
-    "ORDER BY json_extract(line, '$.lastrevid')::BIGINT DESC) AS rn FROM ent) WHERE rn = 1)"
+    "ORDER BY json_extract(line, '$.lastrevid')::BIGINT DESC, line DESC) AS rn FROM ent) "
+    "WHERE rn = 1)"
 )
 
 _STMTS_CTE = """stmts AS (
@@ -44,17 +45,27 @@ _STMTS_CTE = """stmts AS (
              json_extract(l.line, '$.claims.' || u.prop))::BIGINT))) AS g(i)
 )"""
 
-_VALUE_CASE = """CASE json_extract_string(stmt, '$.mainsnak.datavalue.type')
-      WHEN 'wikibase-entityid' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.id')
-      WHEN 'string' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value')
-      WHEN 'time' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.time')
-      WHEN 'quantity' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.amount')
+def _value_case(snak_expr: str, dv_path: str) -> str:
+    """Full datavalue-union dispatch as SQL, parameterized on the snak
+    expression and the datavalue path — the ONE dispatch both mainsnak
+    values and qualifier snaks go through (ADVICE r1: the qualifier oracle
+    previously covered only 3 of the 6 types; flatten.datavalue_str is the
+    Spark twin)."""
+    p = f"{dv_path}.datavalue"
+    return f"""CASE json_extract_string({snak_expr}, '{p}.type')
+      WHEN 'wikibase-entityid' THEN json_extract_string({snak_expr}, '{p}.value.id')
+      WHEN 'string' THEN json_extract_string({snak_expr}, '{p}.value')
+      WHEN 'time' THEN json_extract_string({snak_expr}, '{p}.value.time')
+      WHEN 'quantity' THEN json_extract_string({snak_expr}, '{p}.value.amount')
       WHEN 'globecoordinate' THEN
-           json_extract(stmt, '$.mainsnak.datavalue.value.latitude')::DOUBLE::VARCHAR
+           json_extract({snak_expr}, '{p}.value.latitude')::DOUBLE::VARCHAR
            || ',' ||
-           json_extract(stmt, '$.mainsnak.datavalue.value.longitude')::DOUBLE::VARCHAR
-      WHEN 'monolingualtext' THEN json_extract_string(stmt, '$.mainsnak.datavalue.value.text')
+           json_extract({snak_expr}, '{p}.value.longitude')::DOUBLE::VARCHAR
+      WHEN 'monolingualtext' THEN json_extract_string({snak_expr}, '{p}.value.text')
       END"""
+
+
+_VALUE_CASE = _value_case("stmt", "$.mainsnak")
 
 
 @query(
@@ -231,11 +242,7 @@ WITH {entities_cte()},
   )
 SELECT subject, property, stmt_idx, qual_property, qual_idx,
        json_extract_string(qsnak, '$.snaktype') AS qual_snaktype,
-       CASE json_extract_string(qsnak, '$.datavalue.type')
-            WHEN 'time' THEN json_extract_string(qsnak, '$.datavalue.value.time')
-            WHEN 'wikibase-entityid' THEN json_extract_string(qsnak, '$.datavalue.value.id')
-            WHEN 'string' THEN json_extract_string(qsnak, '$.datavalue.value')
-            END AS qual_value
+       {_value_case("qsnak", "$")} AS qual_value
 FROM quals
 """,
 )
