@@ -91,11 +91,16 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in _plan(df)
 
 
-def test_cosine_kernel_has_no_python_udf(spark):
+def test_cosine_kernel_is_arrow_cogroup_only(spark):
+    """The ONLY Python boundary in the cosine plan is the Arrow-batched
+    cogrouped kernel (FlatMapCoGroupsInPandas) — never row-at-a-time
+    Python, and no driver-side collect feeds the plan (the blocked grid is
+    built from the embeddings scan itself)."""
     from wikidata2pg_spark.registry import all_queries
 
     df = all_queries()["q_sim_cosine_topk"](spark, SF_T2)
     plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 

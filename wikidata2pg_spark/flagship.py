@@ -29,6 +29,50 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg in BATCH form — the 1:1 twin of the
+    BASELINE.md "tumbling 1 h window agg" row (which is a batch DuckDB
+    time_bucket agg). The registry's q_stream_tumbling computes the same
+    result through a real Structured Streaming query (availableNow → memory
+    sink) — right for the t2 semantics check, wrong as a bench headline:
+    the ~1.7s stream machinery spin-up is not the operator under test
+    (VERDICT r1)."""
+    from wikidata2pg_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-path JSON extraction + agg — the 1:1 twin of the BASELINE.md
+    "JSON extract + agg over events.props" row. The registry's q_fn_json
+    deliberately parses the same column four ways (coverage, not speed);
+    benching that against a single-extraction baseline compared 4 parses to
+    1 (VERDICT r1). One variant_get is the engine's fastest JSON path."""
+    from wikidata2pg_spark.tables import load
+
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
 def join3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem → revenue per customer → top-10."""
     c = load(spark, sf_dir, "customer")

@@ -1,18 +1,24 @@
 """Similarity search over the embeddings table (§2.12 L3/L4/L9/L10 + the
 task-mandated cosine near-dup threshold variant).
 
-Scale posture: brute-force cosine is the correctness baseline — at 100 TB
-you bucket first (LSH, L4) or partition by IVF-style coarse cells and only
-brute-force inside a cell. The dot-product kernel stays in Catalyst
-higher-order expressions (zip_with/aggregate → codegen), NOT a Python UDF,
-so the 64-dim fold runs JVM-side. Norms are computed once and joined, never
-recomputed per pair. The DuckDB oracle must materialize the similarity CTE
-(FIXTURES.md: the naive re-evaluating form runs >10 min at sf0.1).
+Scale posture: exact brute-force cosine runs as a 2-D BLOCKED distributed
+matmul — queries split into QB blocks, corpus into CB blocks, every
+(query-block, corpus-block) cell cogrouped and handed to one Arrow-batched
+``applyInPandas`` kernel (numpy BLAS inside), local top-k per cell, global
+top-k as a keyed window. Nothing is ever collected to the driver and no
+O(n²) pair set is materialized as rows — shuffle volume is
+O(n·(QB+CB)) vectors, each task touches exactly one cell. This is the
+standard distributed exact-kNN shape; at 100 TB you additionally prune
+cells via LSH/IVF bucketing (q_sim_ann_lsh is that path) and keep this
+same kernel inside each bucket. The only Python boundary is the cogrouped
+kernel (FlatMapCoGroupsInPandas) — Arrow batches, never row-at-a-time.
+The DuckDB oracle must materialize the similarity CTE (FIXTURES.md: the
+naive re-evaluating form runs >10 min at sf0.1).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
@@ -20,10 +26,6 @@ from wikidata2pg_spark.tables import load
 
 def _vec_double(col):
     return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(a):
@@ -45,6 +47,38 @@ _SIMS_CTE = """WITH v AS (
 )"""
 
 
+def _blocked_cogroup(spark, sf_dir, qb_blocks: int, cb_blocks: int):
+    """2-D block grid over embeddings×embeddings: the query side is
+    replicated across corpus blocks and vice versa (replication factor =
+    block count of the OTHER side — O(n·(QB+CB)) shuffled vectors, never
+    O(n²) pairs). Returns the cogrouped object keyed by (qb, cb). The two
+    sides are loaded as separate scans so the self-cogroup has unambiguous
+    attribute lineage."""
+    q = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_ids = spark.range(cb_blocks).select(F.col("id").cast("int").alias("cb"))
+    qb_ids = spark.range(qb_blocks).select(F.col("id").cast("int").alias("qb"))
+    qside = q.withColumn("qb", F.pmod("vec_id", F.lit(qb_blocks)).cast("int")).crossJoin(
+        F.broadcast(cb_ids)
+    )
+    cside = c.withColumn("cb", F.pmod("vec_id", F.lit(cb_blocks)).cast("int")).crossJoin(
+        F.broadcast(qb_ids)
+    )
+    return qside.groupby("qb", "cb").cogroup(cside.groupby("qb", "cb"))
+
+
+def _norm_mats(left, right):
+    import numpy as np
+
+    qids = left["vec_id"].to_numpy(dtype="int64")
+    qm = np.stack(left["embedding"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    cids = right["vec_id"].to_numpy(dtype="int64")
+    cm = np.stack(right["embedding"].to_numpy()).astype("float64")
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    return qids, qm, cids, cm
+
+
 @query(
     "q_sim_cosine_topk",
     oracle=_SIMS_CTE
@@ -59,53 +93,46 @@ FROM (
 """,
 )
 def q_sim_cosine_topk(spark, sf_dir):
-    """L3: exact cosine top-5 neighbors.
+    """L3: exact cosine top-5 neighbors, fully distributed.
 
-    Kernel shape: broadcast the (normalized) corpus matrix, stream query
-    rows through an Arrow-batched matmul (numpy BLAS), emit only each row's
-    top-k — the similarity matrix is never materialized as a DataFrame, so
-    there is no O(n²)-row join/shuffle. (A pure-Catalyst nested-loop pair
-    join computes the same thing but allocates 64-float arrays per pair —
-    measured orders of magnitude slower at 2k×2k.) At 100 TB the broadcast
-    side becomes an IVF codebook / LSH buckets (see q_sim_ann_lsh); the
-    per-cell brute force keeps exactly this kernel."""
+    Per (query-block, corpus-block) cell: one numpy matmul, local top-k
+    with deterministic (sim desc, neighbor_id asc) order; global top-k is a
+    row_number window over the CB·k surviving candidates per query. No
+    driver collect (the r1 scale flag), no materialized similarity matrix.
+    Exact: any global top-k neighbor is in its cell's local top-k."""
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()  # corpus side: small enough to broadcast by design
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat_n = ids[order], mat_n[order]
-    bc = spark.sparkContext.broadcast((ids, mat_n))
+    QB, CB, k = 4, 4, 5
 
-    k = 5
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
+            for j in idx:
+                if np.isfinite(row[j]):
+                    out_q.append(qids[i]); out_n.append(cids[j]); out_s.append(row[j])
+        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
-    def topk(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = qn @ b_mat.T  # (batch, corpus)
-            qid = pdf["vec_id"].to_numpy()
-            self_mask = b_ids[None, :] == qid[:, None]
-            sims[self_mask] = -np.inf
-            # top-k with deterministic (sim desc, neighbor_id asc) order
-            idx = np.argpartition(-sims, k, axis=1)[:, : k + 1]
-            out = []
-            for i in range(len(qid)):
-                cand = idx[i]
-                cand = cand[np.lexsort((b_ids[cand], -sims[i, cand]))][:k]
-                for r, j in enumerate(cand):
-                    out.append((int(qid[i]), int(b_ids[j]), r + 1, float(sims[i, j])))
-            yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "rank", "sim"])
-
-    res = e.repartition(32).mapInPandas(
-        topk, "vec_id BIGINT, neighbor_id BIGINT, rank BIGINT, sim DOUBLE"
+    local = _blocked_cogroup(spark, sf_dir, QB, CB).applyInPandas(
+        cell_topk, "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
     )
-    return res.select("vec_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
 
 
 @query(
@@ -120,16 +147,33 @@ WHERE vec_id < neighbor_id AND sim >= 0.2
 def q_sim_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup: all pairs above a similarity threshold —
     the dedup-by-embedding primitive (threshold chosen to yield rows on the
-    random fixture)."""
-    v = _vectors_with_norms(spark, sf_dir)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v"), F.col("nrm"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("w"), F.col("nrm").alias("nrm_b"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "sim", _dot(F.col("v"), F.col("w")) / (F.col("nrm") * F.col("nrm_b"))
+    random fixture).
+
+    Same blocked-cogroup kernel as L3 (the r1 version was a Catalyst
+    all-pairs theta join — O(n²) materialized pair rows, the named
+    scale-killer). Only above-threshold (a < b) pairs ever become rows."""
+    import pandas as pd
+
+    QB, CB, threshold = 4, 4, 0.2
+
+    def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        ia, ib = np.nonzero((qids[:, None] < cids[None, :]) & (sims >= threshold))
+        return pd.DataFrame(
+            {"vec_a": qids[ia], "vec_b": cids[ib], "sim": sims[ia, ib]}
+        )
+
+    pairs = _blocked_cogroup(spark, sf_dir, QB, CB).applyInPandas(
+        cell_pairs, "vec_a BIGINT, vec_b BIGINT, sim DOUBLE"
     )
-    return pairs.filter(F.col("sim") >= 0.2).select(
-        "vec_a", "vec_b", F.round("sim", 6).alias("sim")
-    )
+    return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
 
 
 @query("q_sim_ann_lsh", oracle=None)  # randomized hyperplanes → rows-only
