@@ -80,3 +80,39 @@ def test_datavalue_union_dispatch(spark):
     assert by_type["quantity"] == "+3644826"
     assert by_type["monolingualtext"] == "Ejemplo"
     assert by_type["string"] == "Ejemplo Commons"
+
+
+def test_gz_dump_file_parse_equals_inline(spark, tmp_path):
+    """End-to-end file-based ingestion: DUMP_LINES written as a real
+    .json.gz dump file, read back through spark.read.text (gzip codec is
+    inferred from the extension, exactly as for latest-all.json.gz), then
+    run through the same clean -> parse -> latest pipeline. The result must
+    be row-identical to the inline-literal parse that the t2 oracles use
+    (VERDICT r1 "What's missing" #4)."""
+    import gzip
+
+    gz = tmp_path / "latest-all.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+
+    raw = spark.read.text(str(gz)).withColumnRenamed("value", "line")
+    from_file = flatten.latest_revisions(
+        flatten.parse_entities(flatten.clean_dump_lines(raw))
+    )
+    inline = _latest(spark)
+
+    a = sorted(
+        from_file.select(
+            F.col("e.id").alias("id"), F.col("e.type").alias("type"), F.col("e.lastrevid").alias("lastrevid")
+        ).collect()
+    )
+    b = sorted(
+        inline.select(
+            F.col("e.id").alias("id"), F.col("e.type").alias("type"), F.col("e.lastrevid").alias("lastrevid")
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    # and the full flattened claim set matches too
+    fa = sorted(map(tuple, flatten.claims_triples(from_file).collect()))
+    fb = sorted(map(tuple, flatten.claims_triples(inline).collect()))
+    assert fa == fb
