@@ -8,6 +8,13 @@ Queries mirror the BASELINE.md rows 1:1 so the judge can compare directly
 BASELINE rows measure those shapes; the streaming/4-way-parse variants stay
 in the t2 registry where semantics, not wall-clock, are under test).
 
+Known floor: every sf0.1 fixture parquet is a SINGLE row group (checked
+with pyarrow), and Spark assigns row groups whole to scan tasks — so each
+scan is one task no matter what maxPartitionBytes says, while DuckDB
+parallelizes inside the row group. That puts a ~0.3-0.5s single-threaded
+scan+overhead floor under every query here; at real scale (many row
+groups per file) the same plans parallelize freely.
+
 Resilience (r1 lesson — one hung query erased all nine good timings):
 each query's timing is flushed to stderr the moment it completes, a
 per-query wall-clock budget skips anything pathological, and the final
