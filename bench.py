@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-RUNS = 3
+RUNS = 5  # median of 5: per-query noise on this box is ~±0.2s, 3 was jumpy
 PER_QUERY_BUDGET_S = 120.0  # skip remaining reps if one query eats the bench
 
 

@@ -197,6 +197,89 @@ def q_sim_ann_lsh(spark, sf_dir):
     )
 
 
+@query("q_sim_ann_ivf", oracle=None)  # approximate recall → rows-only
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN — the second scale-path candidate generator next to
+    LSH (L4): assign every vector to its nearest coarse cell, then run the
+    SAME exact blocked-cogroup matmul kernel as L3 *within* each cell.
+
+    Codebook: the C lowest-vec_id vectors (deterministic, no training run —
+    a k-means codebook drops in without changing the plan shape). Cell
+    assignment is a broadcast cross join + one Catalyst max_by over C dot
+    products — codegen'd, no Python. The per-cell search is cogrouped
+    applyInPandas keyed by cell id: at 100 TB each cell is a bounded
+    partition and a query touches one (or nprobe) cells instead of the
+    whole corpus — this cell keying is exactly what replaces the full 2-D
+    grid of the exact kernel."""
+    import pandas as pd
+
+    C, k, NPROBE = 8, 5, 3
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    def assigned(probes: int):
+        """Each vector joined to its `probes` nearest coarse cells (corpus:
+        1 — every vector lives in one cell; queries: NPROBE — the recall
+        knob; on the uniform-random fixture nprobe=3/8 measures ~0.6
+        recall@5 vs exact L3, the expected IVF behavior for unclustered
+        data — real embedding corpora cluster far better)."""
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = (
+            load(spark, sf_dir, "embeddings")
+            .orderBy("vec_id")
+            .limit(C)
+            .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        )
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "score",
+            dot(_vec_double(F.col("embedding")), _vec_double(F.col("cent")))
+            / (_norm(_vec_double(F.col("embedding"))) * _norm(_vec_double(F.col("cent")))),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cent_id").asc())
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= probes)
+            .select("vec_id", F.col("cent_id").cast("int").alias("cell"))
+            .join(e, "vec_id")
+        )
+
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        sims[qids[:, None] == cids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        out = {"vec_id": [], "neighbor_id": [], "sim": []}
+        for i in range(len(qids)):
+            row = sims[i]
+            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
+            for j in idx:
+                if np.isfinite(row[j]):
+                    out["vec_id"].append(qids[i])
+                    out["neighbor_id"].append(cids[j])
+                    out["sim"].append(row[j])
+        return pd.DataFrame(out)
+
+    q = assigned(NPROBE)
+    c = assigned(1)
+    local = q.groupby("cell").cogroup(c.groupby("cell")).applyInPandas(
+        cell_topk, "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 @query(
     "q_vec_centroid",
     oracle="""

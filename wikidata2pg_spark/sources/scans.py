@@ -162,23 +162,41 @@ def _derby_url(sf_dir: str) -> str:
     return f"jdbc:derby:{_tmpdir(sf_dir, 'derbydb')}/db;create=true"
 
 
-@query("q_sink_jdbc_pg", oracle=None)  # no PG/Derby twin in the DuckDB oracle → rows-only
+@query(
+    "q_sink_jdbc_pg",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
 def q_sink_jdbc_pg(spark, sf_dir):
     """The reference's sink shape [R]: batched JDBC bulk load
     (``df.write.jdbc`` with batchsize, mode=overwrite for idempotence).
     Runs against Spark's bundled Derby; against Postgres only the URL/driver
-    change. Returns the written rows read back."""
+    change. Returns the written rows read back — a full write→read JDBC
+    roundtrip is value-preserving, so it hash-checks against the source
+    table (upgraded from rows-only in r2)."""
     n = load(spark, sf_dir, "nation")
     url = _derby_url(sf_dir)
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver", "batchsize": "1000"}
     n.write.jdbc(url, "nation_sink", mode="overwrite", properties=props)
-    return spark.read.jdbc(url, "nation_sink", properties=props)
+    return spark.read.jdbc(url, "nation_sink", properties=props).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
 
 
-@query("q_source_jdbc", oracle=None)  # rows-only (same reason as S6)
+@query(
+    "q_source_jdbc",
+    oracle="""
+SELECT c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+GROUP BY c_nationkey
+""",
+)
 def q_source_jdbc(spark, sf_dir):
     """Parallel JDBC read: partitionColumn/lowerBound/upperBound/numPartitions
-    → 4 concurrent connections each reading a key range."""
+    → 4 concurrent connections each reading a key range. The roundtripped
+    aggregate is value-identical to aggregating the source directly, so it
+    hash-checks (upgraded from rows-only in r2)."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
     url = _derby_url(sf_dir)
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
@@ -197,10 +215,20 @@ def q_source_jdbc(spark, sf_dir):
     )
 
 
-@query("q_stream_file_source", oracle=None)  # arrival-order semantics → rows-only
+@query(
+    "q_stream_file_source",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
 def q_stream_file_source(spark, sf_dir):
     """File stream source + availableNow trigger + memory sink: the batch
-    parquet is replayed as a bounded stream and aggregated per event_type."""
+    parquet is replayed as a bounded stream and aggregated per event_type.
+    Complete-mode terminal state equals the batch aggregate regardless of
+    micro-batch boundaries → hash-checkable (upgraded in r2, same argument
+    as T1)."""
     from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
@@ -210,8 +238,16 @@ def q_stream_file_source(spark, sf_dir):
     return run_available_now(spark, agg, output_mode="complete")
 
 
-@query("q_sink_console_memory", oracle=None)  # memory sink surface → rows-only
+@query(
+    "q_sink_console_memory",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
 def q_sink_console_memory(spark, sf_dir):
+    """Memory-sink surface: an append-mode stateless projection replays
+    every input row exactly once by termination, so the sink contents
+    hash-check against the batch projection (upgraded in r2)."""
     from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)

@@ -343,12 +343,27 @@ def q_wd_latest_revision(spark, sf_dir):
     )
 
 
-@query("q_wd_load_postgres", oracle=None)  # JDBC sink → rows-only
+@query(
+    "q_wd_load_postgres",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE}
+SELECT 'wd_claims' AS table_name, (SELECT count(*) FROM stmts)::BIGINT AS n_rows
+UNION ALL
+SELECT 'wd_labels', (SELECT count(*) FROM latest l,
+        unnest(coalesce(json_keys(l.line, '$.labels'), [])) AS u(lang))::BIGINT
+UNION ALL
+SELECT 'wd_sitelinks', (SELECT count(*) FROM latest l,
+        unnest(coalesce(json_keys(l.line, '$.sitelinks'), [])) AS u(site))::BIGINT
+""",
+)
 def q_wd_load_postgres(spark, sf_dir):
     """K12: the reference end-to-end [R] — parse dump, flatten to normalized
     tables (labels / claims / sitelinks), bulk-load each via batched JDBC
     (bundled Derby here; Postgres differs only in URL/driver), read back.
-    Returns (table_name, n_rows) per loaded table."""
+    Returns (table_name, n_rows) per loaded table — deterministic given the
+    fixture, so hash-checked against CTE counts (upgraded in r2)."""
     from wikidata2pg_spark.sources.scans import _derby_url
 
     p = _latest(spark)
