@@ -119,6 +119,47 @@ def q_stream_session(spark, sf_dir):
     )
 
 
+@query(
+    "q_stream_foreach_batch",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_foreach_batch(spark, sf_dir):
+    """Sink-surface extra (r2): ``foreachBatch`` — the production sink
+    pattern (arbitrary batch writer per micro-batch, keyed by batchId for
+    exactly-once upsert). Each micro-batch lands as a parquet subdir; the
+    union of batches is the full input replayed once, so the read-back
+    aggregate hash-checks against the batch aggregate."""
+    import tempfile
+    import uuid
+
+    out_dir = tempfile.mkdtemp(prefix="foreach_batch_", suffix=uuid.uuid4().hex[:6])
+
+    def write_batch(batch_df, batch_id: int):
+        # idempotence shape: one dir per batchId, overwrite on retry
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    s = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
 @query("q_stream_watermark_late", oracle=None)  # arrival-order semantics → rows-only
 def q_stream_watermark_late(spark, sf_dir):
     """T4: watermark + append-mode late-data drop. Two files arrive as
@@ -183,6 +224,55 @@ def q_stream_stateful_count(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(spark, out, output_mode="update")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+SELECT e.event_id AS err_id, p.event_id AS purchase_id, e.user_id,
+       e.ts::TIMESTAMP AS err_ts, p.ts::TIMESTAMP AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts::TIMESTAMP >= e.ts::TIMESTAMP - INTERVAL 1 HOUR
+ AND p.ts::TIMESTAMP <= e.ts::TIMESTAMP
+""",
+)
+def q_stream_stream_join(spark, sf_dir):
+    """T-family extra (r2): stream-stream inner join with watermarks and a
+    time-range condition — each error event joined to same-user purchases
+    in the preceding hour. Both sides are watermarked so the state store
+    only holds the range window (the condition bounds state eviction at
+    scale); the terminal availableNow inner-join result equals the batch
+    time-range join, so it hash-checks."""
+    err = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    pur = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("err_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("purchase_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("err_id", "purchase_id", "user_id", "err_ts", "purchase_ts")
+    return run_available_now(spark, joined, output_mode="append")
 
 
 @query(
