@@ -104,6 +104,30 @@ def test_cosine_kernel_is_arrow_cogroup_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key: the SortMergeJoin AND the
+    join-key aggregation run without any shuffle — the write-once
+    pre-partitioning story for repeated big joins."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_bucketed"](spark, SF_T2)
+    df.collect()  # AQE finalizes the plan on execution
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
+def test_minhash_plan_is_pure_jvm(spark):
+    """The banded MinHash pipeline is built entirely from codegen'd
+    expressions — no Python evaluation node anywhere in the plan."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_dedup_minhash"](spark, SF_T2)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapCoGroupsInPandas"):
+        assert marker not in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     from wikidata2pg_spark.flagship import pricing_summary
 

@@ -263,6 +263,105 @@ def q_join_asof(spark, sf_dir):
 
 
 @query(
+    "q_join_salted_skew",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 1 ELSE o_custkey END AS key,
+         o_totalprice
+  FROM orders
+)
+SELECT f.key, c.c_mktsegment, count(*) AS n, round(sum(f.o_totalprice), 2) AS total
+FROM f JOIN customer c ON f.key = c.c_custkey
+GROUP BY f.key, c.c_mktsegment
+""",
+)
+def q_join_salted_skew(spark, sf_dir):
+    """Salted join (r2 extra): the manual skew cure the task brief names.
+
+    The fact side is deliberately skewed — ~70% of rows share key 1 — so a
+    plain shuffle join puts 70% of the data in ONE task. Salting: the fact
+    side gets salt = hash%S, the dimension side is replicated S ways with
+    every salt, and the join key becomes (key, salt) — the hot key's rows
+    spread across S tasks. Results are identical to the unsalted join
+    (oracle is the plain SQL join). AQE skew-join handles this adaptively;
+    salting is the deterministic form that also works mid-pipeline where
+    AQE cannot split (e.g. before a window)."""
+    S = 8
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    fact = o.select(
+        F.when(F.col("o_orderkey") % 10 < 7, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("key"),
+        "o_totalprice",
+    ).withColumn("salt", F.pmod(F.xxhash64("o_totalprice", "key"), F.lit(S)).cast("int"))
+    salts = spark.range(S).select(F.col("id").cast("int").alias("salt"))
+    dim = c.select(F.col("c_custkey").alias("key"), "c_mktsegment").crossJoin(
+        F.broadcast(salts)
+    )
+    return (
+        fact.join(dim, ["key", "salt"])
+        .groupBy("key", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+SELECT l.l_orderkey, count(*) AS n_lines, round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_orderkey < 4000
+GROUP BY l.l_orderkey
+""",
+)
+def q_join_bucketed(spark, sf_dir):
+    """Bucketed co-located join (r2 extra): both sides saved with
+    ``bucketBy(8, join_key)`` — the join and the join-key aggregation then
+    run with ZERO exchanges (bucketed scans already satisfy the required
+    distribution; asserted in tests/test_plans.py). This is the
+    pre-partitioning story for repeated 100 TB fact-fact joins: pay the
+    shuffle once at write time, never again per query. The merge hint pins
+    SortMergeJoin so the co-location (not a broadcast) is what's proven."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    li_t, o_t = f"li_bucketed_{h}", f"o_bucketed_{h}"
+    # external-table locations: the warehouse dir outlives the in-memory
+    # catalog, so a fresh session must clear an orphaned location before
+    # re-creating the table there
+    wh = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "bucketed")
+    if not spark.catalog.tableExists(li_t):
+        shutil.rmtree(os.path.join(wh, li_t), ignore_errors=True)
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).filter(F.col("l_orderkey") < 4000)
+        li.write.mode("overwrite").option("path", os.path.join(wh, li_t)).bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable(li_t)
+    if not spark.catalog.tableExists(o_t):
+        shutil.rmtree(os.path.join(wh, o_t), ignore_errors=True)
+        o = load(spark, sf_dir, "orders").select("o_orderkey")
+        o.write.mode("overwrite").option("path", os.path.join(wh, o_t)).bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable(o_t)
+    li_b = spark.table(li_t)
+    o_b = spark.table(o_t)
+    return (
+        li_b.hint("merge")
+        .join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
     "q_join_multikey_self",
     oracle="""
 SELECT a.o_custkey, a.o_orderstatus, a.o_orderkey AS k1, b.o_orderkey AS k2
