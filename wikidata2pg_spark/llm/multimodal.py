@@ -72,6 +72,56 @@ def decode_images(df: DataFrame) -> DataFrame:
 
 
 @query(
+    "q_multimodal_framesample",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id, f.i AS frame_idx,
+         substring(text, (f.i * 16)::INT + 1, 16) AS frame
+  FROM documents,
+       LATERAL (SELECT unnest(range(octet_length(text::BLOB) // 16))) f(i)
+)
+SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+       CAST(length(frame) AS BIGINT) AS frame_bytes
+FROM frames
+WHERE frame_idx % 4 = 0
+""",
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Frame sampling (r2 extra): the video path of the multimodal brief —
+    a binary payload split into fixed-size "frames", keeping every Nth
+    (sample-rate decimation before expensive per-frame work). The 1→N
+    mapInPandas expansion IS the real plumbing (a real codec yields frames
+    from a container; the deterministic fake slices 16-byte windows so the
+    result hash-checks end-to-end). Sampling happens inside the kernel —
+    skipped frames are never materialized as rows, which is the point at
+    100 TB of video."""
+    import pandas as pd
+
+    FRAME, EVERY = 16, 4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(blob) // FRAME
+                for i in range(0, n_frames, EVERY):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(bytes(blob[i * FRAME : (i + 1) * FRAME]))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    frames = payload.mapInPandas(gen, "doc_id BIGINT, frame_idx BIGINT, frame BINARY")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+@query(
     "q_multimodal_decode",
     oracle="""
 SELECT doc_id,
