@@ -1,0 +1,94 @@
+"""Independent-oracle checks for the r2 distributed kernels: each one is
+verified against a plain numpy / plain-DataFrame recomputation, so the
+blocked/salted/banded machinery is proven equivalent to the naive form it
+replaces (the DuckDB mirror already checks SQL-expressible semantics;
+these pin the kernels that have no SQL twin or whose point is the plan
+shape, not the values).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wikidata2pg_spark.registry import all_queries
+from wikidata2pg_spark.tables import load
+
+QUERIES = all_queries()
+
+
+def test_blocked_cosine_topk_equals_numpy_bruteforce(spark):
+    rows = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    expected = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:5]
+        for rank, j in enumerate(order):
+            expected.add((int(ids[i]), int(ids[j]), rank + 1))
+    got = {
+        (r.vec_id, r.neighbor_id, r.rank)
+        for r in QUERIES["q_sim_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = load(spark, SF_SMOKE, "orders")
+    c = load(spark, SF_SMOKE, "customer")
+    plain = (
+        o.select(
+            F.when(F.col("o_orderkey") % 10 < 7, F.lit(1))
+            .otherwise(F.col("o_custkey"))
+            .alias("key"),
+            "o_totalprice",
+        )
+        .join(c.select(F.col("c_custkey").alias("key"), "c_mktsegment"), "key")
+        .groupBy("key", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    salted = QUERIES["q_join_salted_skew"](spark, SF_SMOKE)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_estimates_bounded_and_find_exact_dups(spark):
+    pairs = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0.5 <= r.est_jaccard <= 1.0
+    # exact text duplicates exist in the fixture (q_dedup_exact proves it);
+    # identical token sets have identical signatures -> est exactly 1.0
+    d = load(spark, SF_SMOKE, "documents")
+    dup = (
+        d.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .limit(1)
+        .collect()
+    )
+    if dup:  # (holds on the driver fixture; guard keeps the test data-independent)
+        found = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+        key = (dup[0].a, dup[0].b)
+        assert found.get(key) == 1.0
+
+
+def test_ivf_recall_floor_vs_exact(spark):
+    exact = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["q_sim_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in QUERIES["q_sim_ann_ivf"](spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # uniform-random vectors are IVF's worst case; nprobe=3/8 measured ~0.59
+    assert recall >= 0.4
