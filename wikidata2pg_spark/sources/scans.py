@@ -19,7 +19,13 @@ import os
 import tempfile
 
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
@@ -321,4 +327,83 @@ def q_custom_datasource(spark, sf_dir):
         F.get_json_object("entity_json", "$.id").alias("id"),
         F.get_json_object("entity_json", "$.type").alias("type"),
         F.get_json_object("entity_json", "$.labels.en.value").alias("label_en"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S10b (r2): custom Python DataSource WRITER — the sink half of the
+# connector surface, with the real two-phase commit protocol: executors
+# write part files under temporary names, the driver's commit() atomically
+# renames them (abort() discards) — exactly the task-commit shape a
+# production object-store sink uses for exactly-once output.
+# ---------------------------------------------------------------------------
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class _JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        tmp = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        for m in messages:
+            if m is not None:
+                os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlCommitSink(DataSource):
+    """Python DataSource with a writer: JSON-lines sink with tmp-file +
+    driver-side atomic-rename commit."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_commit_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlSinkWriter(self.options)
+
+
+@query(
+    "q_custom_datasink",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def q_custom_datasink(spark, sf_dir):
+    """Write nation through the custom commit-protocol sink, read the
+    committed JSON-lines back — the roundtrip is value-preserving, so it
+    hash-checks against the source table."""
+    import tempfile
+    import uuid as _uuid
+
+    try:
+        spark.dataSource.register(JsonlCommitSink)
+    except Exception:
+        pass  # already registered in this session
+    out = tempfile.mkdtemp(prefix="jsonl_sink_", suffix=_uuid.uuid4().hex[:6])
+    n = load(spark, sf_dir, "nation")
+    n.write.format("jsonl_commit_sink").mode("append").option("path", out).save()
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(
+        f"{out}/*.jsonl"
     )
