@@ -379,3 +379,116 @@ def q_wd_load_postgres(spark, sf_dir):
         df.write.jdbc(url, name, mode="overwrite", properties=props)
         counts.append((name, spark.read.jdbc(url, name, properties=props).count()))
     return spark.createDataFrame(counts, "table_name string, n_rows long")
+
+
+# ---------------------------------------------------------------------------
+# Graph surface extras (r2): the wikidata→PG use-case is graph queries over
+# the item→item edge list; 2-hop is the join form, connected components the
+# iterative form (the category SURVEY §2 previously had no key for).
+# ---------------------------------------------------------------------------
+
+_EDGES_CTE = f"""edges AS (
+    SELECT subject AS src,
+           json_extract_string(stmt, '$.mainsnak.datavalue.value.id') AS dst
+    FROM stmts
+    WHERE json_extract_string(stmt, '$.mainsnak.datavalue.type') = 'wikibase-entityid'
+)"""
+
+
+@query(
+    "q_wd_two_hop",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  {_EDGES_CTE}
+SELECT DISTINCT a.src, b.dst AS two_hop
+FROM edges a JOIN edges b ON a.dst = b.src
+WHERE a.src != b.dst
+""",
+)
+def q_wd_two_hop(spark, sf_dir):
+    """Graph extra: distinct 2-hop neighborhood over item→item claims — the
+    SQL-join form of graph traversal (shuffles once on the hop key; at
+    100 TB the edge list is pre-partitioned by src so hops co-locate)."""
+    e = flatten.item_edges(_latest(spark)).select("src", "dst")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("a.src") != F.col("b.dst"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("two_hop"))
+        .distinct()
+    )
+
+
+@query(
+    "q_wd_connected_components",
+    oracle=f"""
+WITH RECURSIVE {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  {_EDGES_CTE},
+  sym(a, b) AS (
+    SELECT src, dst FROM edges WHERE dst IS NOT NULL
+    UNION
+    SELECT dst, src FROM edges WHERE dst IS NOT NULL
+  ),
+  nodes(id) AS (SELECT DISTINCT a FROM sym),
+  reach(a, b) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+  )
+SELECT a AS id, min(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def q_wd_connected_components(spark, sf_dir):
+    """Iterative-algorithm extra: connected components via distributed
+    min-label propagation — labels start as each node's own id and every
+    iteration takes the min over the neighborhood, until a fixpoint. Each
+    iteration is one shuffle-join + hash-agg (fully distributed); only the
+    SMALL convergence scalar crosses to the driver, which is the correct
+    loop shape at 100 TB (label table stays partitioned by id across
+    iterations). The oracle is the transitive-closure recursive CTE —
+    tractable on the fixture, while the Spark form is the one that scales.
+    Iteration count is bounded by graph diameter (label prop converges in
+    O(diameter) rounds here since labels jump through the full
+    neighborhood each round)."""
+    e = flatten.item_edges(_latest(spark)).select("src", "dst").filter(
+        F.col("dst").isNotNull()
+    )
+    sym = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    labels = sym.select("a").distinct().select(
+        F.col("a").alias("id"), F.col("a").alias("component")
+    )
+    for _ in range(20):  # diameter bound; fixture converges in <=3
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
