@@ -240,3 +240,47 @@ def q_text_fingerprint(spark, sf_dir):
     return toks.groupBy("doc_id").agg(
         (F.sum((h * (F.col("pos") + 1)) % m) % m).alias("fingerprint")
     )
+
+
+@query(
+    "q_corpus_clean",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+), q AS (
+  SELECT doc_id, lang, text, len(toks) AS n_toks
+  FROM t
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
+), d AS (
+  SELECT doc_id, lang, n_toks,
+         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks
+FROM d WHERE rn = 1
+""",
+)
+def q_corpus_clean(spark, sf_dir):
+    """Pipeline-composition extra (r2): the canonical pre-training corpus
+    clean — quality gate (length bounds + lexical diversity), then exact
+    dedup keeping the lowest doc_id per normalized digest. One narrow pass
+    then one digest-keyed window; a near-dup stage (L2 minhash pairs →
+    anti-join) plugs in between without changing the shape. Everything is
+    built-in expressions; the digest window shuffles once on the digest."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / n
+    q = d.filter(n.between(10, 1000) & (ttr > 0.2)).select(
+        "doc_id", "lang", "text", n.cast("long").alias("n_toks")
+    )
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
+    return (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_toks")
+    )
