@@ -1,0 +1,69 @@
+"""Deterministic sampling and source-mixing operators (r2 extras) — the
+subsample/mixture primitives of a training-data pipeline.
+
+Both use content-hash thresholds instead of an RNG: `md5(key) % 100 < pct`
+is reproducible across reruns, engines, partitionings, and cluster sizes —
+exactly the property a dataset-versioned pipeline needs (an RNG sample
+changes under repartitioning; a hash sample is a pure function of the
+row). Both are single narrow scans — no shuffle at all — so they cost one
+pass at any scale, and both hash-check against the identical DuckDB
+computation. For rate-based sampling Spark also offers TABLESAMPLE /
+df.sample (RNG, no cross-engine twin); the hash form subsumes it for
+pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+
+def _hash_pct(col):
+    """md5-prefix hash of the key → uniform int in [0, 100). Identical in
+    DuckDB: ('0x' || substr(md5(key), 1, 8))::BIGINT % 100."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+SELECT doc_id, lang,
+       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+""",
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by content hash of the key."""
+    d = load(spark, sf_dir, "documents")
+    b = _hash_pct(F.col("doc_id"))
+    return d.select("doc_id", "lang", b.alias("bucket")).filter(F.col("bucket") < 10)
+
+
+@query(
+    "q_mix_weighted",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, source, bucket
+FROM h
+WHERE (source IN ('src0', 'src1', 'src2', 'src3', 'src4') AND bucket < 80)
+   OR (source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4') AND bucket < 30)
+""",
+)
+def q_mix_weighted(spark, sf_dir):
+    """Weighted source mixing: keep 80% of the high-priority sources
+    (src0-src4 here) and 30% of everything else — the data-mixture knob of
+    a pre-training corpus, as per-source hash thresholds (deterministic,
+    shuffle-free; changing the mixture is a threshold edit, not a
+    reshuffle)."""
+    hi = ["src0", "src1", "src2", "src3", "src4"]
+    d = load(spark, sf_dir, "documents")
+    b = _hash_pct(F.col("doc_id"))
+    keep = F.when(F.col("source").isin(hi), b < 80).otherwise(b < 30)
+    return d.select("doc_id", "lang", "source", b.alias("bucket")).filter(keep)

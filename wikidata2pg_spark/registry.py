@@ -53,6 +53,7 @@ def _load_modules() -> None:
     import wikidata2pg_spark.llm.similarity  # noqa: F401
     import wikidata2pg_spark.llm.text  # noqa: F401
     import wikidata2pg_spark.llm.multimodal  # noqa: F401
+    import wikidata2pg_spark.llm.sampling  # noqa: F401
     import wikidata2pg_spark.streaming.queries  # noqa: F401
     import wikidata2pg_spark.udf.queries  # noqa: F401
     import wikidata2pg_spark.sources.scans  # noqa: F401
