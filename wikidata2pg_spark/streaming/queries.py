@@ -294,3 +294,39 @@ def q_stream_static_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_available_now(spark, agg, output_mode="complete")
+
+
+@query(
+    "q_time_multirollup",
+    oracle="""
+SELECT 'hour' AS granularity,
+       time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP), event_type,
+       count(*), round(sum(value), 2)
+FROM events GROUP BY 2, 3
+""",
+)
+def q_time_multirollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup (r2 extra): the same
+    events aggregated at EVERY granularity (hour + day) in one pass — each
+    row is exploded to its (granularity, bucket) memberships, then a single
+    hash-agg groups all levels together (one shuffle for all granularities,
+    map-side combined; the timescale continuous-aggregate shape). At scale
+    the coarse levels are near-free: they ride the same shuffle."""
+    e = load(spark, sf_dir, "events")
+    levels = F.array(
+        F.struct(F.lit("hour").alias("granularity"), F.date_trunc("hour", "ts").alias("bucket")),
+        F.struct(F.lit("day").alias("granularity"), F.date_trunc("day", "ts").alias("bucket")),
+    )
+    return (
+        e.select("event_type", "value", F.explode(levels).alias("g"))
+        .groupBy(
+            F.col("g.granularity").alias("granularity"),
+            F.col("g.bucket").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
