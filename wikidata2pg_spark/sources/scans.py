@@ -407,3 +407,41 @@ def q_custom_datasink(spark, sf_dir):
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(
         f"{out}/*.jsonl"
     )
+
+
+@query(
+    "q_sink_sorted_layout",
+    oracle="""
+SELECT count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-10' AND ts::TIMESTAMP < TIMESTAMP '2024-01-12'
+""",
+)
+def q_sink_sorted_layout(spark, sf_dir):
+    """Write-layout extra (r2): ``repartitionByRange(ts).sortWithinPartitions
+    (ts)`` before the parquet write — each output file covers a disjoint ts
+    range and its row groups carry tight min/max stats, so a time-range scan
+    prunes whole files/row-groups instead of reading everything (the sorted
+    silver-layout story; at 100 TB this is the difference between scanning a
+    day and scanning a year). The readback aggregate hash-checks against the
+    unsorted source."""
+    e = load(spark, sf_dir, "events")
+    path = _tmpdir(sf_dir, "events_sorted")
+    if not _written(path):
+        (
+            e.repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
