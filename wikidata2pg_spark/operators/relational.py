@@ -519,3 +519,58 @@ def q_except(spark, sf_dir):
     big = p.filter(F.col("p_size") > 25).select(F.col("p_brand").alias("b"))
     small = p.filter(F.col("p_size") <= 5).select(F.col("p_brand").alias("b"))
     return big.subtract(small)
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot (r2 extras) — the reshape surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS status_f,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS status_o,
+       round(sum(CASE WHEN l_linestatus = 'P' THEN l_quantity END), 2) AS status_p
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (r2 extra): rows × explicit column values → one hash-agg.
+    Passing the value list keeps it a single pass (omitting it costs an
+    extra distinct-values job — never do that at scale); Catalyst compiles
+    the pivot to exactly the oracle's conditional aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F").alias("status_f"),
+        F.col("O").alias("status_o"),
+        F.col("P").alias("status_p"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', round(p_retailprice, 2) FROM part
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt (r2 extra): wide → long without a join or shuffle
+    (narrow stack expression per row)."""
+    p = load(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 2).alias("retailprice"),
+    )
+    return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
