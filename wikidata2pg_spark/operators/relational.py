@@ -574,3 +574,64 @@ def q_unpivot(spark, sf_dir):
         F.round("p_retailprice", 2).alias("retailprice"),
     )
     return wide.unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@query(
+    "q_na_handling",
+    oracle="""
+WITH j AS (
+  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+  FROM customer c
+  LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+         ON c.c_custkey = o.o_custkey
+)
+SELECT c_custkey,
+       coalesce(o_orderkey, -1) AS orderkey_filled,
+       round(coalesce(o_totalprice, 0.0), 2) AS total_filled,
+       (o_orderkey IS NULL) AS was_null
+FROM j
+""",
+)
+def q_na_handling(spark, sf_dir):
+    """NA-handling surface (r2 extra): ``df.na.fill`` per-column defaults
+    over genuinely-null outer-join output (plus the was_null flag computed
+    BEFORE filling — the order matters and is part of the semantics)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey", "o_totalprice", F.col("o_orderkey").isNull().alias("was_null")
+    )
+    filled = j.na.fill({"o_orderkey": -1, "o_totalprice": 0.0})
+    return filled.select(
+        "c_custkey",
+        F.col("o_orderkey").alias("orderkey_filled"),
+        F.round("o_totalprice", 2).alias("total_filled"),
+        "was_null",
+    )
+
+
+@query(
+    "q_join_fuzzy_levenshtein",
+    oracle="""
+SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM (SELECT * FROM part WHERE p_partkey < 100) a
+JOIN (SELECT * FROM part WHERE p_partkey < 100) b
+  ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+""",
+)
+def q_join_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy join (r2 extra): near-match pairs by edit distance — the
+    record-linkage primitive. Bounded to a key block here; at scale the
+    same predicate runs INSIDE blocking-key buckets (soundex/prefix/LSH
+    buckets), never across the full cross product — the blocked shape is
+    exactly q_dedup_minhash's candidate generation with levenshtein as the
+    verifier."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    a = p.select(F.col("p_partkey").alias("pk_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("pk_b"), F.col("p_name").alias("name_b"))
+    pairs = a.join(b, F.col("pk_a") < F.col("pk_b")).withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+    )
+    return pairs.filter(F.col("edit_dist") <= 6).select("pk_a", "pk_b", "edit_dist")
