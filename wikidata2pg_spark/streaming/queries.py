@@ -330,3 +330,71 @@ def q_time_multirollup(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
+
+
+@query(
+    "q_time_gapfill",
+    oracle="""
+WITH spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                TIMESTAMP '2024-01-06 23:00:00',
+                                INTERVAL 1 HOUR)) AS h
+),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS h,
+         round(sum(value), 2) AS v
+  FROM events
+  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05'
+    AND ts::TIMESTAMP < TIMESTAMP '2024-01-07'
+  GROUP BY 1, 2
+)
+SELECT t.event_type, s.h AS bucket,
+       (hv.v IS NULL) AS was_gap,
+       last_value(hv.v IGNORE NULLS) OVER (
+           PARTITION BY t.event_type ORDER BY s.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN hourly hv ON hv.event_type = t.event_type AND hv.h = s.h
+""",
+)
+def q_time_gapfill(spark, sf_dir):
+    """Time-series gap-fill (r2 extra): generate a dense hourly spine ×
+    keys, left-join the sparse aggregates, forward-fill with
+    last-non-null over an ordered window — the hypertable
+    ``time_bucket_gapfill + locf`` semantics. The spine is generated
+    (``sequence``+``explode``, no driver loop) and the fill is one keyed
+    window — both scale-free shapes."""
+    e = load(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                F.lit("2024-01-06 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    types = e.select("event_type").distinct()
+    hourly = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-07").cast("timestamp"))
+        )
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    grid = spine.crossJoin(types)
+    j = grid.join(hourly, ["event_type", "bucket"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
