@@ -161,3 +161,68 @@ def q_fn_conditional(spark, sf_dir):
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
         F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
     )
+
+
+@query(
+    "q_fn_string2",
+    oracle="""
+SELECT p_partkey,
+       translate(p_brand, '#', '_') AS brand_t,
+       reverse(p_type) AS type_rev,
+       repeat('-', p_size % 5) AS dashes,
+       CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+       left(p_type, 4) AS type4,
+       right(p_brand, 2) AS brand2,
+       initcap_sim AS type_title
+FROM (
+  SELECT *, list_aggregate(list_transform(string_split(p_type, ' '),
+              x -> upper(x[1:1]) || lower(x[2:])), 'string_agg', ' ') AS initcap_sim
+  FROM part
+)
+""",
+)
+def q_fn_string2(spark, sf_dir):
+    """Second string pack: translate/reverse/repeat/instr/left/right/initcap
+    (DuckDB has no initcap — the oracle rebuilds it with per-token case
+    transforms, which doubles as a higher-order-function cross-check)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.substring(F.col("p_brand"), -2, 2).alias("brand2"),
+        F.initcap(F.lower("p_type")).alias("type_title"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_partkey & 255 AS low_byte,
+       l_partkey | 4096 AS with_flag,
+       xor(l_partkey, l_suppkey) AS x,
+       l_partkey << 2 AS shl,
+       l_partkey >> 3 AS shr,
+       CAST(bit_count(l_partkey) AS BIGINT) AS popcnt
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise pack: and/or/xor/shifts/popcount — the bit-mask idioms of
+    flag columns and bloom/signature code."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_partkey").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("l_partkey").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("l_partkey").bitwiseXOR(F.col("l_suppkey")).alias("x"),
+        F.expr("shiftleft(l_partkey, 2)").alias("shl"),
+        F.expr("shiftright(l_partkey, 3)").alias("shr"),
+        F.bit_count("l_partkey").cast("long").alias("popcnt"),
+    )

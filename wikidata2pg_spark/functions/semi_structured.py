@@ -165,3 +165,34 @@ def q_fn_hash_spark_native(spark, sf_dir):
         F.xxhash64(F.col("p_name")).alias("h_xxhash64"),
         F.hash(F.col("p_name")).alias("h_murmur3"),
     )
+
+
+@query(
+    "q_fn_array_setops",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split(text, ' ')[1:8]) AS a,
+         list_distinct(string_split(text, ' ')[5:12]) AS b
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+       coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS i,
+       coalesce(array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','), '') AS d
+FROM t
+""",
+)
+def q_fn_array_setops(spark, sf_dir):
+    """Array set operations (union/intersect/except) over token windows —
+    flattened to sorted joined strings for the comparator (r1 A12 rule)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    a = F.array_distinct(F.slice(t, 1, 8))
+    b = F.array_distinct(F.slice(t, 5, 8))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("u"),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i"),
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("d"),
+    )

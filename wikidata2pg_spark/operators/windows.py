@@ -205,3 +205,26 @@ def q_win_first_last(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(w).alias("last_ok"),
     )
+
+
+@query(
+    "q_win_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WHERE o_orderkey < 16000
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_win_percent_rank(spark, sf_dir):
+    """Window family extension (r2): percent_rank + cume_dist — the
+    normalized-rank pair (quantile position without a global count join)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
