@@ -121,7 +121,7 @@ WITH toks AS (
   FROM th, range(16) b(i)
   GROUP BY doc_id, b.i
 )
-SELECT doc_id, sum(v * (1::BIGINT << bit)) AS simhash16
+SELECT doc_id, CAST(sum(v * (1::BIGINT << bit)) AS BIGINT) AS simhash16
 FROM bits GROUP BY doc_id
 """,
 )

@@ -106,7 +106,7 @@ def q_text_ngrams(spark, sf_dir):
     "q_text_lang_stats",
     oracle="""
 SELECT lang, source, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 2) AS avg_chars,
        count(DISTINCT sha256(text)) AS n_distinct_texts
 FROM documents
@@ -224,8 +224,8 @@ WITH toks AS (
        LATERAL (SELECT unnest(range(len(t))) ) p(i)
 )
 SELECT doc_id,
-       sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007) * (pos + 1) % 1000000007)
-         % 1000000007 AS fingerprint
+       CAST(sum((('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000000007) * (pos + 1) % 1000000007)
+         % 1000000007 AS BIGINT) AS fingerprint
 FROM toks GROUP BY doc_id
 """,
 )
