@@ -4,10 +4,12 @@ Every query callable receives ``(spark, sf_dir)``; this module is the single
 place that maps table name → DataFrame, so normalization rules live in
 exactly one spot:
 
-  * ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4.1.2 cannot read
-    natively; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives
-    as bigint nanos and we convert to a µs timestamp. The DuckDB oracle casts
-    ``ts::TIMESTAMP`` — both sides verified identical (FIXTURES.md ⚠).
+  * ``events.ts`` normalization branches on the dtype Spark actually read:
+    older driver fixtures were parquet TIMESTAMP(NANOS) (arriving as bigint
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong=true``, converted to a
+    µs timestamp here); current fixtures are TIMESTAMP(MICROS) (arriving as
+    timestamp_ntz, cast to timestamp — identity under the UTC session TZ).
+    The DuckDB oracle casts ``ts::TIMESTAMP`` — both paths verified identical.
 
 At 100 TB these would be catalog tables with partition columns; the loader
 keeps a plain ``spark.read.parquet`` so predicate pushdown / column pruning
@@ -39,10 +41,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # nanos bigint -> µs timestamp (identical to DuckDB's ts::TIMESTAMP).
-        # Integer `div`, NOT `/1000` — double division rounds …969829ns up to
-        # …970µs while DuckDB truncates (observed on this data).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos bigint -> µs timestamp (matches DuckDB's ts::TIMESTAMP).
+            # Integer `div`, NOT `/1000` — double division rounds …969829ns
+            # up to …970µs while DuckDB truncates (observed on this data).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS) fixture: identity wall-clock cast under the
+            # UTC session TZ; keeps withWatermark/window semantics unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # already `timestamp`: leave untouched
     return df
 
 
