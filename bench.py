@@ -27,6 +27,7 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 import traceback
 
@@ -42,6 +43,22 @@ def materialize(df) -> None:
     # noop datasource: full execution of the plan, zero sink cost,
     # nothing collected to the driver.
     df.write.mode("overwrite").format("noop").save()
+
+
+def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None:
+    """materialize() under a hard deadline: a timer thread cancels the job
+    group when the per-query budget expires MID-REP, so one hung query
+    raises (and is recorded as an error) instead of blocking the whole
+    bench — the r1 incident the between-rep check alone couldn't cover."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "bench", interruptOnCancel=True)
+    timer = threading.Timer(max(remaining_s, 0.001), lambda: sc.cancelJobGroup(group))
+    timer.daemon = True
+    timer.start()
+    try:
+        materialize(df)
+    finally:
+        timer.cancel()
 
 
 def bench_queries():
@@ -124,14 +141,19 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in qs.items():
         t_start = time.perf_counter()
+
+        def left() -> float:
+            return PER_QUERY_BUDGET_S - (time.perf_counter() - t_start)
+
         try:
-            materialize(fn(spark, SF_DIR))  # warmup: codegen + file listing
+            # warmup: codegen + file listing
+            materialize_with_deadline(spark, fn(spark, SF_DIR), f"{name}-warm", left())
             samples = []
-            for _ in range(RUNS):
-                if time.perf_counter() - t_start > PER_QUERY_BUDGET_S:
+            for rep in range(RUNS):
+                if left() <= 0:
                     break
                 t0 = time.perf_counter()
-                materialize(fn(spark, SF_DIR))
+                materialize_with_deadline(spark, fn(spark, SF_DIR), f"{name}-{rep}", left())
                 samples.append(time.perf_counter() - t0)
             if samples:
                 timings[name] = round(statistics.median(samples), 4)

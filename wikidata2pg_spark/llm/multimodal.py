@@ -76,12 +76,12 @@ def decode_images(df: DataFrame) -> DataFrame:
     oracle="""
 WITH frames AS (
   SELECT doc_id, f.i AS frame_idx,
-         substring(text, (f.i * 16)::INT + 1, 16) AS frame
+         substring(hex(encode(text)), (f.i * 32)::INT + 1, 32) AS frame_hex
   FROM documents,
-       LATERAL (SELECT unnest(range(octet_length(text::BLOB) // 16))) f(i)
+       LATERAL (SELECT unnest(range(octet_length(encode(text)) // 16))) f(i)
 )
-SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
-       CAST(length(frame) AS BIGINT) AS frame_bytes
+SELECT doc_id, frame_idx, frame_hex,
+       CAST(length(frame_hex) // 2 AS BIGINT) AS frame_bytes
 FROM frames
 WHERE frame_idx % 4 = 0
 """,
@@ -113,10 +113,15 @@ def q_multimodal_framesample(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     frames = payload.mapInPandas(gen, "doc_id BIGINT, frame_idx BIGINT, frame BINARY")
+    # compare frames as hex (byte-exact on both sides): the kernel slices
+    # UTF-8 BYTES, and this DuckDB build has no blob substring/md5, so a
+    # char-based oracle would silently diverge on any non-ASCII fixture —
+    # hex(frame) vs slicing DuckDB's hex(encode(text)) 32 chars per frame
+    # compares the same bytes with no hash and no charset assumption.
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.md5("frame").alias("frame_md5"),
+        F.hex("frame").alias("frame_hex"),
         F.length("frame").cast("long").alias("frame_bytes"),
     )
 

@@ -331,23 +331,44 @@ def q_join_bucketed(spark, sf_dir):
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     li_t, o_t = f"li_bucketed_{h}", f"o_bucketed_{h}"
     # external-table locations: the warehouse dir outlives the in-memory
-    # catalog, so a fresh session must clear an orphaned location before
-    # re-creating the table there
+    # catalog, so a fresh session may find committed data on disk with no
+    # catalog entry
     wh = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "bucketed")
-    if not spark.catalog.tableExists(li_t):
-        shutil.rmtree(os.path.join(wh, li_t), ignore_errors=True)
-        li = load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice"
-        ).filter(F.col("l_orderkey") < 4000)
-        li.write.mode("overwrite").option("path", os.path.join(wh, li_t)).bucketBy(
-            8, "l_orderkey"
-        ).sortBy("l_orderkey").saveAsTable(li_t)
-    if not spark.catalog.tableExists(o_t):
-        shutil.rmtree(os.path.join(wh, o_t), ignore_errors=True)
-        o = load(spark, sf_dir, "orders").select("o_orderkey")
-        o.write.mode("overwrite").option("path", os.path.join(wh, o_t)).bucketBy(
-            8, "o_orderkey"
-        ).sortBy("o_orderkey").saveAsTable(o_t)
+
+    def _ensure(table: str, key: str, cols_ddl: str, build) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        loc = os.path.join(wh, table)
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # committed by an earlier session: register an external bucketed
+            # table over the existing files instead of rmtree+rewrite (the
+            # old path could delete a location a concurrent session was
+            # reading — VERDICT r2/r3 standing item)
+            spark.sql(
+                f"CREATE TABLE {table} ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            return
+        shutil.rmtree(loc, ignore_errors=True)  # uncommitted partial output only
+        build().write.mode("overwrite").option("path", loc).bucketBy(8, key).sortBy(
+            key
+        ).saveAsTable(table)
+
+    _ensure(
+        li_t,
+        "l_orderkey",
+        "l_orderkey BIGINT, l_extendedprice DOUBLE",
+        lambda: load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .filter(F.col("l_orderkey") < 4000),
+    )
+    _ensure(
+        o_t,
+        "o_orderkey",
+        "o_orderkey BIGINT",
+        lambda: load(spark, sf_dir, "orders").select("o_orderkey"),
+    )
     li_b = spark.table(li_t)
     o_b = spark.table(o_t)
     return (

@@ -40,14 +40,43 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-def _load_modules() -> None:
-    """Import every module that registers queries (idempotent).
+# The driver's correctness pass walks `queries()` in dict order and checks a
+# ~50-key budget per round. Keys with NO driver row in CORRECTNESS_r01–r03
+# (computed from those files) go first, followed by the keys whose latest
+# driver row failed/errored (streaming family — broken by the r3 fixture
+# dtype change, fixed in tables.py — plus q_agg_collect_sorted), so round 4
+# proves the unproven before re-proving the already-green 83.
+_ROUND4_PRIORITY = (
+    # never driver-tested (33)
+    "q_scan_parquet", "q_scan_jsonl", "q_scan_csv", "q_scan_orc",
+    "q_sink_parquet_partitioned", "q_sink_jdbc_pg", "q_source_jdbc",
+    "q_stream_file_source", "q_sink_console_memory", "q_custom_datasource",
+    "q_custom_datasink", "q_sink_sorted_layout",
+    "q_fn_conditional", "q_fn_string2", "q_fn_bitwise", "q_fn_array",
+    "q_fn_explode", "q_fn_map", "q_fn_json", "q_fn_hash",
+    "q_fn_hash_spark_native", "q_fn_array_setops",
+    "q_udf_arrow_python", "q_udf_pandas_scalar", "q_udaf_pandas_agg",
+    "q_udtf_python",
+    "q_pivot", "q_unpivot", "q_na_handling",
+    "q_join_fuzzy_levenshtein", "q_join_salted_skew", "q_join_bucketed",
+    "q_win_percent_rank",
+    # latest driver row failed/errored; re-prove after the tables.py fix (13)
+    "q_agg_collect_sorted",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
+    "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
+    "q_time_multirollup", "q_time_gapfill",
+)
 
-    Registration order IS the driver's t2 execution order: the families
-    that had no CORRECTNESS_r01 rows (wikidata, llm, streaming, udf,
-    sources — the r1 run timed out before reaching them) register FIRST so
-    a truncated run proves the unproven keys before re-proving the ones
-    that already passed."""
+
+def _prioritize(d: dict) -> dict:
+    head = {k: d[k] for k in _ROUND4_PRIORITY if k in d}
+    head.update((k, v) for k, v in d.items() if k not in head)
+    return head
+
+
+def _load_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
     import wikidata2pg_spark.wikidata.queries  # noqa: F401
     import wikidata2pg_spark.llm.dedup  # noqa: F401
     import wikidata2pg_spark.llm.similarity  # noqa: F401
@@ -66,9 +95,9 @@ def _load_modules() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return dict(_QUERIES)
+    return _prioritize(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return dict(_ORACLES)
+    return _prioritize(_ORACLES)

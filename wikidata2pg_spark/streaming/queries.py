@@ -132,28 +132,34 @@ def q_stream_foreach_batch(spark, sf_dir):
     pattern (arbitrary batch writer per micro-batch, keyed by batchId for
     exactly-once upsert). Each micro-batch lands as a parquet subdir; the
     union of batches is the full input replayed once, so the read-back
-    aggregate hash-checks against the batch aggregate."""
-    import tempfile
-    import uuid
+    aggregate hash-checks against the batch aggregate. Write-once per
+    sf_dir (deterministic dir + batch _SUCCESS markers) so repeat
+    invocations skip straight to the read-back instead of leaking a fresh
+    temp dir per call."""
+    import glob as _glob
+    import os as _os
 
-    out_dir = tempfile.mkdtemp(prefix="foreach_batch_", suffix=uuid.uuid4().hex[:6])
+    from wikidata2pg_spark.util import tmpdir
+
+    out_dir = tmpdir(sf_dir, "foreach_batch")
 
     def write_batch(batch_df, batch_id: int):
         # idempotence shape: one dir per batchId, overwrite on retry
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    s = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
-    q = (
-        s.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}/_ckpt")
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    if not _glob.glob(_os.path.join(out_dir, "batch=*", "_SUCCESS")):
+        s = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+        q = (
+            s.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
