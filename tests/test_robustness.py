@@ -1,0 +1,124 @@
+"""Round-4 robustness regressions: the events-ts dtype branch, the bench
+mid-rep watchdog, write-once fixture reuse, bucketed-table re-registration,
+and the size-derived similarity block formulas (VERDICT r3 items 1/4/7)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+import bench as bench_mod
+
+
+def test_events_ts_loads_as_timestamp(spark):
+    """tables.load must yield a TIMESTAMP ts whether the fixture parquet is
+    TIMESTAMP(MICROS) (current driver output) or TIMESTAMP(NANOS)-as-bigint
+    (pre-r3 output) — the r3 round-killer was an unconditional nanos path."""
+    from wikidata2pg_spark.tables import load
+
+    e = load(spark, SF_SMOKE, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.limit(1).count() == 1
+
+
+def test_events_ts_nanos_fixture_still_converts(spark, tmp_path):
+    """Synthesize the legacy shape (bigint nanos column named ts) and check
+    the branch still converts it instead of erroring."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "sf_legacy")
+    os.makedirs(f"{p}", exist_ok=True)
+    spark.range(3).select(
+        (F.col("id") * 1_000_000_000 + 1_700_000_000_000_000_000).alias("ts")
+    ).write.mode("overwrite").parquet(f"{p}/events.parquet")
+    from wikidata2pg_spark.tables import load
+
+    e = load(spark, p, "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.count() == 3
+
+
+def test_bench_watchdog_cancels_hung_rep(spark):
+    """A rep that exceeds the remaining per-query budget must raise (job
+    group cancelled) rather than block the bench (r1 incident)."""
+    df = spark.range(0, 1 << 33, 1, 4).selectExpr(
+        "sum(length(sha2(cast(id as string), 256))) as s"
+    )
+    t0 = time.time()
+    with pytest.raises(Exception, match="(?i)cancel"):
+        bench_mod.materialize_with_deadline(spark, df, "watchdog-test", 2.0)
+    assert time.time() - t0 < 60
+
+
+def test_bench_watchdog_passthrough(spark):
+    """A fast rep under budget completes normally and the timer is torn
+    down (no delayed cancellation bleeding into later jobs)."""
+    bench_mod.materialize_with_deadline(
+        spark, spark.range(10).selectExpr("sum(id) as s"), "watchdog-fast", 30.0
+    )
+    # a follow-up job on the same session must not get cancelled
+    assert spark.range(5).count() == 5
+
+
+def test_custom_datasink_reuses_committed_dir(spark):
+    """Second invocation must not rewrite: committed .jsonl files are the
+    marker (the old mkdtemp-per-call leaked a dir per invocation)."""
+    import glob
+
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.util import tmpdir
+
+    q = all_queries()["q_custom_datasink"]
+    q(spark, SF_SMOKE).collect()
+    out = tmpdir(SF_SMOKE, "jsonl_sink")
+    files1 = sorted(glob.glob(os.path.join(out, "*.jsonl")))
+    mtimes1 = [os.path.getmtime(f) for f in files1]
+    assert files1, "first invocation must commit jsonl files"
+    q(spark, SF_SMOKE).collect()
+    files2 = sorted(glob.glob(os.path.join(out, "*.jsonl")))
+    assert files2 == files1
+    assert [os.path.getmtime(f) for f in files2] == mtimes1
+
+
+def test_bucketed_registers_over_committed_location(spark):
+    """Fresh-catalog path: when the table is absent from the catalog but
+    its location holds committed (_SUCCESS) bucketed files, the query must
+    register an external table over them — never rmtree data another
+    session may be reading (the standing r2/r3 race)."""
+    import hashlib
+
+    from wikidata2pg_spark.registry import all_queries
+
+    q = all_queries()["q_join_bucketed"]
+    n1 = q(spark, SF_SMOKE).count()
+    h = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:6]
+    li_t = f"li_bucketed_{h}"
+    loc_success = os.path.join(
+        "/tmp", "wikidata2pg_spark", h, "bucketed", li_t, "_SUCCESS"
+    )
+    assert os.path.exists(loc_success)
+    mtime = os.path.getmtime(loc_success)
+    # simulate a fresh session's empty catalog
+    spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+    spark.sql(f"DROP TABLE IF EXISTS o_bucketed_{h}")
+    n2 = q(spark, SF_SMOKE).count()
+    assert n2 == n1
+    # data was NOT rewritten — same commit marker
+    assert os.path.getmtime(loc_success) == mtime
+
+
+def test_derived_block_formulas():
+    """Block/cell derivation: fixture scale reproduces the measured
+    constants; large corpora scale up and stay clamped."""
+    from wikidata2pg_spark.llm import similarity as S
+
+    assert S._derived_blocks(SF_SMOKE) == 4  # 500 rows -> floor
+    assert S._ivf_cells(SF_SMOKE) == 8  # sqrt(500/8) ~ 7.9 -> floor 8
+    # formula behavior at scale, independent of any fixture
+    assert max(4, min(-(-10_000_000 // S._BLOCK_ROWS), 1024)) == 1024
+    assert S._derived_blocks("/nonexistent") == 4  # fallback
+    assert S._ivf_cells("/nonexistent") == 8
