@@ -11,9 +11,15 @@ in the t2 registry where semantics, not wall-clock, are under test).
 Known floor: every sf0.1 fixture parquet is a SINGLE row group (checked
 with pyarrow), and Spark assigns row groups whole to scan tasks — so each
 scan is one task no matter what maxPartitionBytes says, while DuckDB
-parallelizes inside the row group. That puts a ~0.3-0.5s single-threaded
-scan+overhead floor under every query here; at real scale (many row
-groups per file) the same plans parallelize freely.
+parallelizes inside the row group. Measured floor decomposition on this
+box (r4): an EMPTY Spark job (range(10).sum via noop write) costs 0.127 s
+of pure scheduling; a single-task 600k-row lineitem scan ~0.16-0.3 s.
+Those two floors bound every sub-second query here, while the embedded
+DuckDB baseline pays neither; at real scale (many row groups per file,
+multi-second stages) both floors amortize to noise and the same plans
+parallelize freely. r4 also removed ~0.2-0.4 s/query of per-rep plan
+REBUILD cost via the session plan cache in tables.load() — what remains
+is execution, not Python-side overhead.
 
 Resilience (r1 lesson — one hung query erased all nine good timings):
 each query's timing is flushed to stderr the moment it completes, a

@@ -59,6 +59,8 @@ def get_session(
     scheduling overhead, and AQE coalesces further at runtime.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None and "SPARK_GRAFT_SHUFFLE" in os.environ:
+        shuffle_partitions = int(os.environ["SPARK_GRAFT_SHUFFLE"])
     if shuffle_partitions is None:
         # 16, not 2*cpus: measured on join3@sf0.1 — 16 parts 0.96s vs 32
         # parts 1.19s (task-scheduling overhead dominates ms-scale stages;
