@@ -202,3 +202,101 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return j.filter(F.col("jac") >= 0.5).select(
         "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
     )
+
+
+@query(
+    "q_dedup_semantic_cluster",
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sims AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(a.v, b.v) AS sim
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+), sym AS (SELECT a, b FROM sims WHERE sim >= 0.2),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS vec_id, min(b) AS cluster_id,
+       (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+""",
+)
+def q_dedup_semantic_cluster(spark, sf_dir):
+    """Semantic dedup endgame: near-dup PAIRS (cosine >= threshold, blocked
+    cogrouped matmul — never O(n^2) rows) -> connected components via
+    distributed min-label propagation -> one canonical doc per cluster
+    (min vec_id). This is the full "dedup clusters, keep one" pipeline a
+    pre-training corpus needs: pairs alone leave chains A~B~C unresolved,
+    components make the keep/drop decision transitive. Every iteration is
+    one shuffle-join + hash-agg on the label table (partitioned by id);
+    only the convergence scalar reaches the driver. The oracle is the
+    transitive-closure recursive CTE — tractable at fixture scale, while
+    the label-prop form is the one that scales."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata2pg_spark.llm.similarity import (
+        _blocked_cogroup,
+        _derived_blocks,
+        _norm_mats,
+    )
+
+    threshold = 0.2
+    nb = _derived_blocks(sf_dir)
+
+    def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        ia, ib = np.nonzero((qids[:, None] < cids[None, :]) & (sims >= threshold))
+        return pd.DataFrame({"a": qids[ia], "b": cids[ib]})
+
+    pairs = _blocked_cogroup(spark, sf_dir, nb, nb).applyInPandas(
+        cell_pairs, "a BIGINT, b BIGINT"
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # labels seed from ALL vectors — singletons are their own cluster
+    labels = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("vec_id").alias("cluster"))
+    )
+    for _ in range(20):  # bounded by cluster diameter
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            # truncate lineage each round: without this, iteration i's count
+            # re-executes iterations 1..i-1 (quadratic re-compute); at real
+            # scale this is the checkpoint every iterative algorithm needs
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").alias("cluster_id"),
+        (F.col("id") == F.col("cluster")).alias("is_canonical"),
+    )

@@ -304,3 +304,64 @@ def q_corpus_clean(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_toks")
     )
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle="""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 7 = 0
+              THEN text || ' call 555-867-5309 today'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(
+         t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT)
+         AS n_phones
+FROM injected
+""",
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction — the compliance gate every training-data pipeline runs
+    before anything else. The fixture corpus carries no PII, so deterministic
+    addresses/phones are injected first (keyed on doc_id — both sides inject
+    identically), then scrubbed with email/phone patterns chosen from the
+    Java-regex/RE2 common subset so Spark and DuckDB match byte-for-byte.
+    Pure codegen expressions (regexp_replace / regexp_extract_all) — a
+    linear scan, no shuffle, embarrassingly parallel at any scale."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}-\d{3}-\d{4}\b"
+    d = load(spark, sf_dir, "documents")
+    t = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+                     F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" call 555-867-5309 today")),
+        )
+        .otherwise(F.col("text"))
+    )
+    inj = d.select("doc_id", t.alias("t"))
+    return inj.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), 0)).cast("long").alias("n_phones"),
+    )

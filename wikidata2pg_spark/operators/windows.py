@@ -228,3 +228,36 @@ def q_win_percent_rank(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       value,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD-2 history build — turn an append-only change log into validity
+    intervals [valid_from, valid_to) per key with an is_current flag: the
+    standard warehouse pattern for dimension history and the batch half of
+    any CDC pipeline. One shuffle on the key, then lead() inside the
+    partition; event_id tiebreaks equal timestamps so the intervals are
+    deterministic. At scale the events table is already partitioned by
+    key/time, so the window runs without a second exchange."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "value",
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
