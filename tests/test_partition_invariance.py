@@ -1,0 +1,87 @@
+"""Partition-invariance gate: every fixture parquet is a SINGLE row group /
+single file, so the whole correctness suite normally runs with one scan task
+per table — which can mask partition-boundary bugs (window frames, as-of
+ordering, per-group top-k, dedup keepers, streaming batch splits) that only
+appear when the input arrives split across many tasks.
+
+This harness rewrites the sf0.001 fixtures as 7-file directory tables
+(pyarrow slicing — byte-identical schemas, just physically split), then runs
+the full DuckDB mirror for a partition-sensitive subset of keys against the
+multi-file layout. Identical results across layouts is exactly the
+"would this survive 100x more partitions" invariant the single-file fixtures
+cannot test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+N_FILES = 7
+
+# Partition-sensitive keys: ordering inside windows, as-of matching, grouped
+# top-k, dedup keeper selection, interval building, set ops, and the blocked
+# cosine kernel (cells now span many input splits).
+KEYS = [
+    "q_win_row_number",
+    "q_win_lag_lead",
+    "q_win_moving_rows",
+    "q_win_range_frame",
+    "q_win_cumsum",
+    "q_win_first_last",
+    "q_join_asof",
+    "q_topk_global",
+    "q_topk_per_group",
+    "q_agg_collect_sorted",
+    "q_agg_rollup",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_semantic_cluster",
+    "q_scd2_intervals",
+    "q_time_gapfill",
+    "q_time_multirollup",
+    "q_sim_cosine_topk",
+    "q_vec_quantize",
+    "q_text_tfidf",
+    "q_union_distinct",
+    "q_except",
+    "q_sample_hash",
+    "q_corpus_clean",
+]
+
+
+@pytest.fixture(scope="module")
+def multi_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.tables import TABLE_NAMES
+
+    root = tmp_path_factory.mktemp("sf_multifile")
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+        out = root / f"{t}.parquet"
+        os.makedirs(out, exist_ok=True)
+        n = tbl.num_rows
+        step = max(1, -(-n // N_FILES))
+        for i, lo in enumerate(range(0, n, step)):
+            pq.write_table(tbl.slice(lo, step), str(out / f"part-{i:02d}.parquet"))
+    return str(root)
+
+
+def test_mirror_passes_on_multifile_layout(spark, multi_dir):
+    from wikidata2pg_spark.oracle import run_mirror
+
+    results = run_mirror(spark, multi_dir, KEYS)
+    failures = {k: v for k, v in results.items() if v}
+    assert not failures, f"partition-variant results: {failures}"
+    assert set(results) == set(KEYS)
+
+
+def test_multifile_scan_is_actually_parallel(spark, multi_dir):
+    """Sanity: the rewritten layout really produces multiple input splits
+    (otherwise the invariance test proves nothing)."""
+    df = spark.read.parquet(f"{multi_dir}/lineitem.parquet")
+    assert df.rdd.getNumPartitions() > 1

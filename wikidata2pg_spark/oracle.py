@@ -23,11 +23,17 @@ from wikidata2pg_spark.tables import TABLE_NAMES
 
 
 def duck_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    import os
+
     con = duckdb.connect()
+    con.sql("SET TimeZone = 'UTC'")  # match the Spark session timezone
     for t in TABLE_NAMES:
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # directory-style table (multi-file layout, e.g. the
+            # partition-invariance harness or any Spark-written table)
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
