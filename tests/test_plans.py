@@ -136,3 +136,37 @@ def test_whole_stage_codegen_covers_flagship(spark):
     plan = _plan(df)
     # '*(n)' prefixes mark whole-stage-codegen stages in the plan string
     assert "*(1)" in plan and "partial_sum" in plan
+
+
+def test_pii_scrub_is_pure_jvm(spark):
+    """PII redaction is a linear codegen scan: regexp_replace /
+    regexp_extract_all only — no Python node, no exchange."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_text_pii_scrub"](spark, SF_T2)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert marker not in plan
+
+
+def test_quantize_is_pure_jvm(spark):
+    """int8 quantization stays in higher-order built-ins — no Python node,
+    no shuffle (per-row transform only)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_vec_quantize"](spark, SF_T2)
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
+        assert marker not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """SCD-2 shuffles ONCE on the key; both lead() windows share the same
+    (partition, order) spec so Catalyst plans one Window over one
+    Exchange."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_scd2_intervals"](spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
