@@ -365,3 +365,152 @@ def q_text_pii_scrub(spark, sf_dir):
         F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), 0)).cast("long").alias("n_emails"),
         F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), 0)).cast("long").alias("n_phones"),
     )
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, f.i AS chunk_idx,
+         list_slice(toks, f.i * 24 + 1, f.i * 24 + 32) AS chunk
+  FROM t, LATERAL (SELECT unnest(range((len(toks) + 23) // 24))) f(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM c
+""",
+)
+def q_text_chunk(spark, sf_dir):
+    """Document chunking — fixed 32-token windows with stride 24 (8-token
+    overlap), the step that turns a raw corpus into context-window-sized
+    training samples. The 1→N expansion is explode over a computed index
+    sequence + slice: all codegen'd built-ins, no UDF, and the expansion
+    happens inside the scan task (no shuffle), so 100 TB chunks exactly as
+    fast as it scans."""
+    W, S = 32, 24
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.floor((F.size(toks) + F.lit(S - 1)) / F.lit(S)).cast("int")
+    d2 = d.select("doc_id", toks.alias("toks"), n_chunks.alias("nc"))
+    d3 = d2.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W)
+    return d3.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(toks) - 7, 0)),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+           AS gs
+  FROM t
+),
+doc_grams AS (SELECT doc_id, g.gram FROM grams, unnest(gs) AS g(gram)),
+bench_grams AS (
+  SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id,
+       count(b.gram) AS n_shared_grams,
+       count(b.gram) > 0 AS is_contaminated
+FROM doc_grams d LEFT JOIN bench_grams b ON d.gram = b.gram
+WHERE d.doc_id % 97 != 0
+GROUP BY d.doc_id
+""",
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — flag training docs sharing any 8-gram
+    with a held-out evaluation set (here: the deterministic doc_id%97
+    pseudo-benchmark; in production the real benchmark suite). The
+    benchmark's distinct 8-grams BROADCAST (eval sets are tiny next to the
+    corpus), so the overlap check is a map-side join against the full
+    corpus's gram stream — no shuffle of corpus data, the only shuffle is
+    the per-doc count. This is the standard n-gram-overlap decontamination
+    of C4/GPT-3-style pipelines."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    tk = F.col("toks")
+    grams = F.when(
+        F.size(tk) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 8),
+                lambda i: F.array_join(F.slice(tk, i + 1, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = base.select("doc_id", F.explode(grams).alias("gram"))
+    bench = (
+        doc_grams.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("_hit").alias("n_shared_grams"),
+            (F.count("_hit") > 0).alias("is_contaminated"),
+        )
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id, t[p.i + 1] || ' ' || t[p.i + 2] AS bigram
+  FROM toks, LATERAL (SELECT unnest(range(len(t) - 1))) p(i)
+),
+freq AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
+       round(max(cnt) * 1.0 / sum(cnt), 4) AS top_bigram_share,
+       max(cnt) * 1.0 / sum(cnt) < 0.2 AS passes_repetition
+FROM freq GROUP BY doc_id
+""",
+)
+def q_text_repetition(spark, sf_dir):
+    """Intra-document repetition filter (Gopher-style): share of the most
+    frequent bigram — boilerplate/spam pages repeat the same phrases and
+    fail the gate. One hash-agg on (doc, bigram) with map-side combine,
+    then a per-doc agg: two shuffles on keys that can't hot-spot (doc_id
+    is unique). Threshold 0.2 mirrors published repetition gates."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    freq = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    share = F.max("cnt") * F.lit(1.0) / F.sum("cnt")
+    return freq.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.max("cnt").cast("long").alias("top_bigram_cnt"),
+        F.round(share, 4).alias("top_bigram_share"),
+        (share < 0.2).alias("passes_repetition"),
+    )

@@ -66,9 +66,10 @@ _ROUND4_PRIORITY = (
     "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
     "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
     "q_time_multirollup", "q_time_gapfill",
-    # new in r4 — no driver row yet by construction (4)
+    # new in r4 — no driver row yet by construction (7)
     "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
-    "q_scd2_intervals",
+    "q_scd2_intervals", "q_text_chunk", "q_text_decontaminate",
+    "q_text_repetition",
 )
 
 
