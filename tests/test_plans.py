@@ -170,3 +170,23 @@ def test_scd2_single_exchange(spark):
     plan = _plan(df)
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_chunking_has_no_shuffle(spark):
+    """Chunk expansion (explode over index sequence + slice) happens inside
+    the scan task — no Exchange, no Python node."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_text_chunk"](spark, SF_T2)
+    plan = _plan(df)
+    for marker in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set joins as a broadcast — corpus-side grams are
+    checked map-side, never shuffled for the membership test."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_text_decontaminate"](spark, SF_T2)
+    assert "BroadcastHashJoin" in _plan(df)
