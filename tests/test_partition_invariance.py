@@ -50,6 +50,10 @@ KEYS = [
     "q_except",
     "q_sample_hash",
     "q_corpus_clean",
+    "q_text_chunk",
+    "q_text_decontaminate",
+    "q_text_repetition",
+    "q_text_pii_scrub",
 ]
 
 
