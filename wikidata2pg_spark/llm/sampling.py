@@ -67,3 +67,36 @@ def q_mix_weighted(spark, sf_dir):
     b = _hash_pct(F.col("doc_id"))
     keep = F.when(F.col("source").isin(hi), b < 80).otherwise(b < 30)
     return d.select("doc_id", "lang", "source", b.alias("bucket")).filter(keep)
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 20
+""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly k=20 docs per language,
+    chosen by hash order (md5 of the key ranks rows pseudo-randomly but
+    reproducibly — same sample under any partitioning, engine, or rerun,
+    unlike sampleBy's RNG). One shuffle on the stratum key; Catalyst's
+    WindowGroupLimit pushes the rank filter below the sort so each
+    partition keeps only k candidates — the balanced-eval-set /
+    per-language-cap primitive."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+    )
