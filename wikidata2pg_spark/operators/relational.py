@@ -635,3 +635,96 @@ def q_join_fuzzy_levenshtein(spark, sf_dir):
         "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
     )
     return pairs.filter(F.col("edit_dist") <= 6).select("pk_a", "pk_b", "edit_dist")
+
+
+# --------------------------------------------------------------------------
+# r4 extras: the SQL front door and MERGE-style upsert
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_entry",
+    oracle="""
+SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 150000.0
+GROUP BY n.n_name
+""",
+)
+def q_sql_entry(spark, sf_dir):
+    """The SQL front door: the same engine through ``spark.sql`` over
+    registered temp views, with a Spark 4 NAMED PARAMETER (no string
+    interpolation — the prepared-statement shape a reference user coming
+    from Postgres expects). The SQL text compiles to the identical Catalyst
+    plan the DataFrame API would build: one optimizer, two dialects."""
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > :min_price
+        GROUP BY n.n_name
+        """,
+        args={"min_price": 150000.0},
+    )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 8000
+),
+updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 12000
+)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+            WHEN b.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+""",
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (upsert) without a table format: full-outer
+    join on the key + coalesce — matched rows take the update, unmatched
+    source rows insert, unmatched target rows persist, each tagged with
+    its merge action. This is the apply step of every CDC pipeline (the
+    SCD-2 op builds history; this one builds the current snapshot). One
+    shuffle on the merge key; with both sides bucketed by key (see
+    q_join_bucketed) the merge runs exchange-free at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") < 8000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        load(spark, sf_dir, "orders", fresh=True)
+        .filter((F.col("o_orderkey") >= 4000) & (F.col("o_orderkey") < 12000))
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            # additive, not *1.1+round: scaling 2-decimal money lands on
+            # exact .5 ties where Spark (half-up) and DuckDB disagree;
+            # IEEE addition is bit-identical in both engines
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        )
+    )
+    b, u = base.alias("b"), updates.alias("u")
+    return b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u.o_orderstatus"), F.col("b.o_orderstatus")).alias("o_orderstatus"),
+        F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("u.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
