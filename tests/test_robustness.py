@@ -65,16 +65,19 @@ def test_bench_watchdog_passthrough(spark):
 
 
 def test_custom_datasink_reuses_committed_dir(spark):
-    """Second invocation must not rewrite: committed .jsonl files are the
-    marker (the old mkdtemp-per-call leaked a dir per invocation)."""
+    """Second invocation must not rewrite: the job-level _SINK_COMPLETE
+    marker (touched only after save() returns) gates reuse — the old
+    mkdtemp-per-call leaked a dir per invocation, and per-file globs can't
+    distinguish a partial commit from a finished one."""
     import glob
 
     from wikidata2pg_spark.registry import all_queries
-    from wikidata2pg_spark.util import tmpdir
+    from wikidata2pg_spark.util import tmpdir_for
 
     q = all_queries()["q_custom_datasink"]
     q(spark, SF_SMOKE).collect()
-    out = tmpdir(SF_SMOKE, "jsonl_sink")
+    out = tmpdir_for(SF_SMOKE, "jsonl_sink", "nation")
+    assert os.path.exists(os.path.join(out, "_SINK_COMPLETE"))
     files1 = sorted(glob.glob(os.path.join(out, "*.jsonl")))
     mtimes1 = [os.path.getmtime(f) for f in files1]
     assert files1, "first invocation must commit jsonl files"
@@ -90,15 +93,19 @@ def test_bucketed_registers_over_committed_location(spark):
     register an external table over them — never rmtree data another
     session may be reading (the standing r2/r3 race)."""
     import hashlib
+    import tempfile
 
     from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.util import source_stamp
 
     q = all_queries()["q_join_bucketed"]
     n1 = q(spark, SF_SMOKE).count()
-    h = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:6]
+    h = hashlib.md5(SF_SMOKE.encode()).hexdigest()[:6] + source_stamp(
+        SF_SMOKE, "lineitem", "orders"
+    )[:6]
     li_t = f"li_bucketed_{h}"
     loc_success = os.path.join(
-        "/tmp", "wikidata2pg_spark", h, "bucketed", li_t, "_SUCCESS"
+        tempfile.gettempdir(), "wikidata2pg_spark", h, "bucketed", li_t, "_SUCCESS"
     )
     assert os.path.exists(loc_success)
     mtime = os.path.getmtime(loc_success)
@@ -122,3 +129,25 @@ def test_derived_block_formulas():
     assert max(4, min(-(-10_000_000 // S._BLOCK_ROWS), 1024)) == 1024
     assert S._derived_blocks("/nonexistent") == 4  # fallback
     assert S._ivf_cells("/nonexistent") == 8
+
+
+def test_source_stamp_invalidates_on_fixture_rewrite(tmp_path):
+    """Derived-artifact dirs are keyed on source (mtime, size): rewriting a
+    fixture at the same path must produce a different stamp (the driver
+    regenerates fixtures between rounds — stale roundtrip reuse was the r4
+    review's top finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.util import source_stamp, tmpdir_for
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"x": [1, 2, 3]}), f"{sf}/nation.parquet")
+    s1 = source_stamp(sf, "nation")
+    d1 = tmpdir_for(sf, "sink", "nation")
+    os.utime(f"{sf}/nation.parquet", (1, 1))  # same bytes, new mtime
+    s2 = source_stamp(sf, "nation")
+    d2 = tmpdir_for(sf, "sink", "nation")
+    assert s1 != s2 and d1 != d2
+    # missing table is stable, not an error
+    assert source_stamp(sf, "no_such") == source_stamp(sf, "no_such")

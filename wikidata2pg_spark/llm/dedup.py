@@ -267,7 +267,8 @@ def q_dedup_semantic_cluster(spark, sf_dir):
         load(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("id"), F.col("vec_id").alias("cluster"))
     )
-    for _ in range(20):  # bounded by cluster diameter
+    converged = False
+    for _ in range(100):  # label prop needs O(cluster diameter) rounds
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id2"))
@@ -294,7 +295,12 @@ def q_dedup_semantic_cluster(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent non-converged result would be WRONG data (labels only
+        # propagated N hops); fail loudly instead
+        raise RuntimeError("semantic-cluster label propagation did not converge")
     return labels.select(
         F.col("id").alias("vec_id"),
         F.col("cluster").alias("cluster_id"),

@@ -34,19 +34,15 @@ _BLOCK_ROWS = 4096  # per-side rows one cell kernel holds in memory (~2 MB @ d=6
 def _embedding_rows(sf_dir: str):
     """Row count from the parquet FOOTER (no Spark job, no data read) —
     the statistic every catalog/file-format already carries at scale."""
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/embeddings.parquet"
+    from wikidata2pg_spark.util import fixture_files
+
     try:
-        files = (
-            sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if os.path.isdir(path)
-            else [path]
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in fixture_files(sf_dir, "embeddings")
         )
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None
 

@@ -61,8 +61,7 @@ def q_text_tfidf(spark, sf_dir):
     size-guarded fallback of VERDICT r3 #8. The corpus size N enters as a
     broadcast 1-row aggregate (no eager ``d.count()`` driver action — one
     job instead of two, VERDICT r1 #7)."""
-    import glob as _glob
-    import os as _os
+    from wikidata2pg_spark.util import fixture_bytes
 
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -75,15 +74,7 @@ def q_text_tfidf(spark, sf_dir):
     # Heaps'-law proxy: vocab size grows sublinearly with corpus bytes, so
     # corpus bytes (free, from the filesystem) is a safe upper-bound signal.
     _VOCAB_BROADCAST_CORPUS_MAX = 4 << 30
-    p = f"{sf_dir}/documents.parquet"
-    try:
-        corpus_bytes = (
-            sum(_os.path.getsize(f) for f in _glob.glob(_os.path.join(p, "*.parquet")))
-            if _os.path.isdir(p)
-            else _os.path.getsize(p)
-        )
-    except OSError:
-        corpus_bytes = None
+    corpus_bytes = fixture_bytes(sf_dir, "documents")
     df_side = F.broadcast(df) if corpus_bytes and corpus_bytes <= _VOCAB_BROADCAST_CORPUS_MAX else df
     return (
         tf.join(df_side, "word")

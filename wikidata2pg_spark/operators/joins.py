@@ -328,7 +328,14 @@ def q_join_bucketed(spark, sf_dir):
     import shutil
     import tempfile
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    from wikidata2pg_spark.util import source_stamp
+
+    # table name + location fold in the SOURCE content stamp: a driver
+    # fixture regeneration lands the bucketed copies at a fresh location
+    # instead of re-registering stale buckets (review finding r4)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:6] + source_stamp(
+        sf_dir, "lineitem", "orders"
+    )[:6]
     li_t, o_t = f"li_bucketed_{h}", f"o_bucketed_{h}"
     # external-table locations: the warehouse dir outlives the in-memory
     # catalog, so a fresh session may find committed data on disk with no

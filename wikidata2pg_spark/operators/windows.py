@@ -233,12 +233,12 @@ def q_win_percent_rank(spark, sf_dir):
 @query(
     "q_scd2_intervals",
     oracle="""
-SELECT user_id, event_id, ts AS valid_from,
-       lead(ts) OVER w AS valid_to,
+SELECT user_id, event_id, ts::TIMESTAMP AS valid_from,
+       lead(ts::TIMESTAMP) OVER w AS valid_to,
        value,
        (lead(ts) OVER w IS NULL) AS is_current
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
 """,
 )
 def q_scd2_intervals(spark, sf_dir):

@@ -60,15 +60,17 @@ _ROUND4_PRIORITY = (
     "q_pivot", "q_unpivot", "q_na_handling",
     "q_join_fuzzy_levenshtein", "q_join_salted_skew", "q_join_bucketed",
     "q_win_percent_rank",
-    # new in r4 — no driver row yet by construction (8)
+    # q_agg_collect_sorted: FAILed r1 on array canonicalization, since
+    # reworked to emit a string — needs its first green row
     "q_agg_collect_sorted",
+    # new in r4 — no driver row yet by construction (10)
     "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
     "q_scd2_intervals", "q_text_chunk", "q_text_decontaminate",
     "q_text_repetition", "q_sample_stratified", "q_sql_entry",
     "q_merge_upsert",
     # errored in r3 from the fixture dtype change (fixed in tables.py);
     # green in r2, so re-proving them ranks below first-proofs if the
-    # driver's ~50-key budget truncates this list (12)
+    # driver's ~50-key budget truncates this list (11)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
     "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",

@@ -14,9 +14,7 @@ lines — the shape of a dump-chunk source.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
@@ -31,7 +29,11 @@ from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 
-from wikidata2pg_spark.util import tmpdir as _tmpdir, written as _written  # noqa: E402
+from wikidata2pg_spark.util import (
+    tmpdir as _tmpdir,
+    tmpdir_for as _tmpdir_for,
+    written as _written,
+)
 
 
 @query(
@@ -103,7 +105,7 @@ GROUP BY o_orderstatus
 )
 def q_scan_csv(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-    path = _tmpdir(sf_dir, "csv_orders")
+    path = _tmpdir_for(sf_dir, "csv_orders", "orders")
     if not _written(path):
         o.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE").option(
@@ -124,7 +126,7 @@ GROUP BY c_mktsegment
 )
 def q_scan_orc(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
-    path = _tmpdir(sf_dir, "orc_customer")
+    path = _tmpdir_for(sf_dir, "orc_customer", "customer")
     if not _written(path):
         c.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -146,7 +148,7 @@ def q_sink_parquet_partitioned(spark, sf_dir):
     """partitionBy write + partition-pruned readback: the filter on the
     partition column prunes directories, not rows (verified in plan tests)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_linestatus")
-    path = _tmpdir(sf_dir, "parquet_part")
+    path = _tmpdir_for(sf_dir, "parquet_part", "lineitem")
     if not _written(path):
         li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
     back = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "R"))
@@ -382,19 +384,23 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 def q_custom_datasink(spark, sf_dir):
     """Write nation through the custom commit-protocol sink, read the
     committed JSON-lines back — the roundtrip is value-preserving, so it
-    hash-checks against the source table. Write-once per sf_dir: committed
-    files end in .jsonl (the sink's commit() renames .tmp away), so their
-    presence is the commit marker and repeat invocations skip the write."""
-    import glob as _glob
-
+    hash-checks against the source table. Write-once per (sf_dir, source
+    content): the reuse marker is a JOB-level completion file touched only
+    after save() returns — per-file .jsonl presence is NOT enough, because
+    the sink's commit() renames task files one by one and a mid-commit
+    crash would leave a partial-but-nonempty set; the dir is keyed on the
+    nation fixture's content stamp so a regenerated fixture re-writes."""
     try:
         spark.dataSource.register(JsonlCommitSink)
     except Exception:
         pass  # already registered in this session
-    out = _tmpdir(sf_dir, "jsonl_sink")
-    if not _glob.glob(os.path.join(out, "*.jsonl")):
+    out = _tmpdir_for(sf_dir, "jsonl_sink", "nation")
+    done = os.path.join(out, "_SINK_COMPLETE")
+    if not os.path.exists(done):
         n = load(spark, sf_dir, "nation")
         n.write.format("jsonl_commit_sink").mode("append").option("path", out).save()
+        with open(done, "w") as fh:
+            fh.write("ok")
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(
         f"{out}/*.jsonl"
     )
@@ -418,7 +424,7 @@ def q_sink_sorted_layout(spark, sf_dir):
     day and scanning a year). The readback aggregate hash-checks against the
     unsorted source."""
     e = load(spark, sf_dir, "events")
-    path = _tmpdir(sf_dir, "events_sorted")
+    path = _tmpdir_for(sf_dir, "events_sorted", "events")
     if not _written(path):
         (
             e.repartitionByRange(8, "ts")

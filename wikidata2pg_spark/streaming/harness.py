@@ -23,14 +23,13 @@ EVENTS_STREAM_SCHEMA = (
 def events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the normalized events table (µs timestamps) as a parquet
     *directory* usable by the file stream source (which rejects bare files).
-    Idempotent per sf_dir."""
-    import hashlib
-    import tempfile
-
+    Idempotent per (sf_dir, events content) — keyed on the fixture's stamp
+    so a driver regeneration invalidates instead of feeding every streaming
+    query stale events."""
     from wikidata2pg_spark.tables import load
+    from wikidata2pg_spark.util import tmpdir_for
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "events_stream")
+    path = tmpdir_for(sf_dir, "events_stream", "events")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         load(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
@@ -55,16 +54,14 @@ def late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
       03 late       — the mid-timeline slice, now far below the watermark,
                       dropped (windows were already emitted+evicted)
     File mtimes force processing order (the file source orders by mtime)."""
-    import hashlib
-    import tempfile
     import time as _time
 
     import pyarrow.parquet as pq
 
     from wikidata2pg_spark.tables import load
+    from wikidata2pg_spark.util import tmpdir_for
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), "wikidata2pg_spark", h, "late_seq")
+    path = tmpdir_for(sf_dir, "late_seq", "events")
     done = os.path.join(path, ".done")
     if os.path.exists(done):
         return path

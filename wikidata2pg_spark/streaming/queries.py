@@ -133,21 +133,24 @@ def q_stream_foreach_batch(spark, sf_dir):
     exactly-once upsert). Each micro-batch lands as a parquet subdir; the
     union of batches is the full input replayed once, so the read-back
     aggregate hash-checks against the batch aggregate. Write-once per
-    sf_dir (deterministic dir + batch _SUCCESS markers) so repeat
-    invocations skip straight to the read-back instead of leaking a fresh
-    temp dir per call."""
-    import glob as _glob
+    (sf_dir, events content); the skip marker is a RUN-completion file
+    touched only when availableNow terminated on its own — any single
+    batch's _SUCCESS is not proof the stream drained (a timed-out prior
+    run leaves a partial batch set), and a partial run re-enters here and
+    RESUMES from the checkpoint, which is the exactly-once story this
+    operator demonstrates."""
     import os as _os
 
-    from wikidata2pg_spark.util import tmpdir
+    from wikidata2pg_spark.util import tmpdir_for
 
-    out_dir = tmpdir(sf_dir, "foreach_batch")
+    out_dir = tmpdir_for(sf_dir, "foreach_batch", "events")
+    done = _os.path.join(out_dir, "_STREAM_COMPLETE")
 
     def write_batch(batch_df, batch_id: int):
         # idempotence shape: one dir per batchId, overwrite on retry
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    if not _glob.glob(_os.path.join(out_dir, "batch=*", "_SUCCESS")):
+    if not _os.path.exists(done):
         s = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
         q = (
             s.writeStream.foreachBatch(write_batch)
@@ -156,7 +159,10 @@ def q_stream_foreach_batch(spark, sf_dir):
             .start()
         )
         try:
-            q.awaitTermination(120)
+            terminated = q.awaitTermination(120)
+            if terminated:
+                with open(done, "w") as fh:
+                    fh.write("ok")
         finally:
             if q.isActive:
                 q.stop()

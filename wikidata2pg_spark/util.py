@@ -25,3 +25,47 @@ def tmpdir(sf_dir: str, tag: str) -> str:
 def written(path: str) -> bool:
     """True iff a Hadoop-committer write finished here (``_SUCCESS`` exists)."""
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def fixture_files(sf_dir: str, table: str) -> list[str]:
+    """The physical file(s) behind one fixture table — a bare parquet file
+    or every ``*.parquet`` under a directory-style table."""
+    import glob
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
+def fixture_bytes(sf_dir: str, table: str):
+    """Total on-disk bytes of a fixture table (None if unreadable) — the
+    free size signal for broadcast/block heuristics."""
+    try:
+        return sum(os.path.getsize(f) for f in fixture_files(sf_dir, table))
+    except OSError:
+        return None
+
+
+def source_stamp(sf_dir: str, *tables: str) -> str:
+    """Short digest of the (mtime_ns, size) of every file behind the given
+    tables. Folding this into a derived-artifact location means a DRIVER
+    FIXTURE REGENERATION (same path, new data — the r3 incident class)
+    lands derived data at a NEW location instead of silently serving stale
+    roundtrip output; the orphaned old dir is a bounded temp leak."""
+    h = hashlib.md5()
+    for t in tables:
+        for f in fixture_files(sf_dir, t):
+            try:
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+            except OSError:
+                h.update(f"{f}:missing;".encode())
+    return h.hexdigest()[:10]
+
+
+def tmpdir_for(sf_dir: str, tag: str, *source_tables: str) -> str:
+    """Like :func:`tmpdir`, but keyed on the SOURCE table contents as well
+    (via :func:`source_stamp`), so regenerated fixtures invalidate every
+    derived roundtrip artifact automatically."""
+    return tmpdir(sf_dir, f"{tag}-{source_stamp(sf_dir, *source_tables)}")
