@@ -92,3 +92,17 @@ def test_ivf_recall_floor_vs_exact(spark):
     recall = len(exact & approx) / len(exact)
     # uniform-random vectors are IVF's worst case; nprobe=3/8 measured ~0.59
     assert recall >= 0.4
+
+
+def test_prefix_jaccard_equals_postings_jaccard(spark):
+    """ppjoin prefix filtering is EXACT: the prefix-filtered variant must
+    produce byte-identical pairs to the naive postings self-join."""
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in QUERIES["q_dedup_jaccard_prefix"](spark, SF_SMOKE).collect()
+    }
+    assert pref == naive

@@ -306,3 +306,81 @@ def q_dedup_semantic_cluster(spark, sf_dir):
         F.col("cluster").alias("cluster_id"),
         (F.col("id") == F.col("cluster")).alias("is_canonical"),
     )
+
+
+@query(
+    "q_dedup_jaccard_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents WHERE doc_id < 100
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.5
+""",
+)
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard near-dup via PREFIX FILTERING (ppjoin) — the scale
+    path for q_dedup_ngram_jaccard's postings join. Two sets with
+    Jaccard >= t MUST share a token within each one's first
+    n - ceil(t*n) + 1 tokens when both token lists are sorted by the same
+    global order; ordering by document frequency (rarest first) means the
+    join only ever touches RARE tokens — the hot-token postings blowup
+    (stopword tokens producing quadratic pairs at 100 TB) is structurally
+    eliminated, not capped. Candidates from the prefix join are then
+    verified exactly with array_intersect over the full token arrays, so
+    the output is identical to the naive form (same oracle SQL). All
+    codegen'd built-ins; shuffles: df agg, per-doc window, prefix join on
+    (rare) tok, two doc_id verification joins."""
+    from pyspark.sql import Window
+
+    t = 0.5
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    ordered = (
+        toks.join(F.broadcast(df_tok), "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length: n - ceil(t*n) + 1
+    prefix = ordered.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jac",
+            F.col("n_shared")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jac") >= t)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
