@@ -728,3 +728,137 @@ def q_merge_upsert(spark, sf_dir):
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+SELECT floor(l_extendedprice / 10000.0)::BIGINT AS bin,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_agg_histogram(spark, sf_dir):
+    """Fixed-width histogram binning — the profiling/skew-diagnosis
+    primitive (also exactly how a range-partitioner picks boundaries).
+    floor(x/w) binning on both sides (this DuckDB lacks width_bucket);
+    one hash-agg with map-side combine, bin count bounded by data range."""
+    li = load(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("long")
+    return (
+        li.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_pop(l_extendedprice), 2) AS var_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregate pack: Pearson correlation, population
+    covariance, sample stddev, population variance — single-pass
+    numerically-stable JVM aggregates (Welford-style merge), identical
+    definitions to the oracle's."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_pop("l_extendedprice"), 2).alias("var_price"),
+    )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+SELECT 'o_custkey' AS col, count(*) AS n_rows,
+       count(o_custkey) AS n_nonnull,
+       count(DISTINCT o_custkey) AS n_distinct,
+       round(min(o_custkey), 2) AS min_v, round(max(o_custkey), 2) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+FROM orders
+""",
+)
+def q_profile_table(spark, sf_dir):
+    """Data-quality profiling: per-column row/non-null/distinct counts and
+    min/max — the first pass every ingest pipeline runs over a new drop.
+    Both column profiles come from ONE aggregate over ONE scan (the stack
+    of per-column aggs is unpivoted afterward), not one scan per column —
+    at 100 TB, profiling N columns must not cost N passes."""
+    o = load(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("min_ck"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("max_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).alias("max_tp"),
+    )
+    return wide.selectExpr(
+        """stack(2,
+            'o_custkey', n_rows, nn_ck, nd_ck, min_ck, max_ck,
+            'o_totalprice', n_rows, nn_tp, nd_tp, min_tp, max_tp
+        ) AS (col, n_rows, n_nonnull, n_distinct, min_v, max_v)"""
+    )
+
+
+@query(
+    "q_text_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, u.word AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks
+  WHERE word IN ('table', 'join', 'query')
+  GROUP BY doc_id, word
+), hits AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score, count(DISTINCT word) AS n_terms
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, score FROM hits WHERE n_terms = 3
+""",
+)
+def q_text_search(spark, sf_dir):
+    """Full-text AND search with tf ranking — the Postgres tsquery shape a
+    reference user runs daily: docs containing ALL query terms, scored by
+    total term frequency. The term filter pushes into the scan side of the
+    postings build, so the inverted index only materializes postings for
+    the 3 query terms — at 100 TB this reads the documents once and
+    shuffles only matching (doc, term) rows."""
+    TERMS = ["table", "join", "query"]
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").isin(TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hits = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("score"),
+        F.countDistinct("word").alias("n_terms"),
+    )
+    return hits.filter(F.col("n_terms") == len(TERMS)).select("doc_id", "score")

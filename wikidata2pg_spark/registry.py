@@ -67,7 +67,8 @@ _ROUND4_PRIORITY = (
     "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
     "q_scd2_intervals", "q_text_chunk", "q_text_decontaminate",
     "q_text_repetition", "q_sample_stratified", "q_sql_entry",
-    "q_merge_upsert", "q_dedup_jaccard_prefix",
+    "q_merge_upsert", "q_dedup_jaccard_prefix", "q_agg_histogram",
+    "q_agg_stats", "q_profile_table", "q_text_search",
     # errored in r3 from the fixture dtype change (fixed in tables.py);
     # green in r2, so re-proving them ranks below first-proofs if the
     # driver's ~50-key budget truncates this list (11)
