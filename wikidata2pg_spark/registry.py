@@ -63,19 +63,21 @@ _ROUND4_PRIORITY = (
     # q_agg_collect_sorted: FAILed r1 on array canonicalization, since
     # reworked to emit a string — needs its first green row
     "q_agg_collect_sorted",
-    # new in r4 — no driver row yet by construction (10)
-    "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
-    "q_scd2_intervals", "q_text_chunk", "q_text_decontaminate",
-    "q_text_repetition", "q_sample_stratified", "q_sql_entry",
-    "q_merge_upsert", "q_dedup_jaccard_prefix", "q_agg_histogram",
-    "q_agg_stats", "q_profile_table", "q_text_search",
     # errored in r3 from the fixture dtype change (fixed in tables.py);
-    # green in r2, so re-proving them ranks below first-proofs if the
-    # driver's ~50-key budget truncates this list (11)
+    # the VERDICT's done-criterion is all 11 green in CORRECTNESS_r04, and
+    # the driver checks EXACTLY 50 keys/round (r1-r3 each recorded 50), so
+    # these must sit inside the first 50 (11)
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
     "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
     "q_time_multirollup", "q_time_gapfill",
+    # new in r4, mirror-proven — the 5 remaining budget slots go to the
+    # flagship extras; the rest rotate into the r5 window (15 total)
+    "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
+    "q_scd2_intervals", "q_text_chunk",
+    "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",
+    "q_sql_entry", "q_merge_upsert", "q_dedup_jaccard_prefix",
+    "q_agg_histogram", "q_agg_stats", "q_profile_table", "q_text_search",
 )
 
 
