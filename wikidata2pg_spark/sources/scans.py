@@ -442,3 +442,32 @@ def q_sink_sorted_layout(spark, sf_dir):
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS acctbal
+FROM supplier
+""",
+)
+def q_scan_xml(spark, sf_dir):
+    """XML roundtrip via Spark 4's BUILT-IN xml source (the spark-xml
+    package merged into core): write supplier as <row> elements, read back
+    with an explicit schema. Completes the format family (parquet / jsonl /
+    csv / orc / xml / jdbc / custom python source); value-preserving, so it
+    hash-checks against the source table."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    path = _tmpdir_for(sf_dir, "xml_supplier", "supplier")
+    if not _written(path):
+        s.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+            "rowTag", "row"
+        ).save(path)
+    return (
+        spark.read.format("xml")
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, acctbal DOUBLE")
+        .option("rowTag", "row")
+        .load(path)
+    )
