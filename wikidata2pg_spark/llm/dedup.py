@@ -154,9 +154,10 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle="""
+# Shared by q_dedup_ngram_jaccard and q_dedup_jaccard_prefix: the two keys
+# are contractually identical in output (asserted in tests), so they must
+# share ONE oracle — duplicated SQL could drift independently.
+_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents WHERE doc_id < 100
@@ -173,8 +174,10 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.5
-""",
-)
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup via the inverted-index (postings) self-join
     — shuffles on token, so the pair space is only materialized where overlap
@@ -308,27 +311,7 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     )
 
 
-@query(
-    "q_dedup_jaccard_prefix",
-    oracle="""
-WITH toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-  FROM documents WHERE doc_id < 100
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT i.doc_a, i.doc_b,
-       round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.5
-""",
-)
+@query("q_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
 def q_dedup_jaccard_prefix(spark, sf_dir):
     """EXACT Jaccard near-dup via PREFIX FILTERING (ppjoin) — the scale
     path for q_dedup_ngram_jaccard's postings join. Two sets with
@@ -340,25 +323,26 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
     eliminated, not capped. Candidates from the prefix join are then
     verified exactly with array_intersect over the full token arrays, so
     the output is identical to the naive form (same oracle SQL). All
-    codegen'd built-ins; shuffles: df agg, per-doc window, prefix join on
-    (rare) tok, two doc_id verification joins."""
+    codegen'd built-ins; shuffles: df agg, token-vocab join (broadcast only
+    under the same Heaps'-law size guard as tfidf — a 100 TB vocabulary
+    falls back to a shuffle join), per-doc window, prefix join on (rare)
+    tok, two doc_id verification joins."""
     from pyspark.sql import Window
+
+    from wikidata2pg_spark.util import fixture_bytes
 
     t = 0.5
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
-    toks = docs.select("doc_id", F.explode("toks").alias("tok"))
+    # carry the doc's token count through the explode — no separate sizes
+    # build + doc_id join needed
+    toks = docs.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    sizes = docs.select("doc_id", F.size("toks").alias("n"))
-    ordered = (
-        toks.join(F.broadcast(df_tok), "tok")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "tok")
-            ),
-        )
-        .join(sizes, "doc_id")
+    corpus_bytes = fixture_bytes(sf_dir, "documents")
+    df_side = F.broadcast(df_tok) if corpus_bytes and corpus_bytes <= (4 << 30) else df_tok
+    ordered = toks.join(df_side, "tok").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
     )
     # prefix length: n - ceil(t*n) + 1
     prefix = ordered.filter(

@@ -747,7 +747,7 @@ def q_agg_histogram(spark, sf_dir):
     floor(x/w) binning on both sides (this DuckDB lacks width_bucket);
     one hash-agg with map-side combine, bin count bounded by data range."""
     li = load(spark, sf_dir, "lineitem")
-    b = F.floor(F.col("l_extendedprice") / F.lit(10000.0)).cast("long")
+    b = F.floor(F.col("l_extendedprice") / F.lit(10000.0))  # floor yields LongType
     return (
         li.groupBy(b.alias("bin"))
         .agg(
@@ -762,9 +762,9 @@ def q_agg_histogram(spark, sf_dir):
     "q_agg_stats",
     oracle="""
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
        round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
-       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(stddev_samp(l_quantity), 2) AS sd_qty,
        round(var_pop(l_extendedprice), 2) AS var_price
 FROM lineitem
 GROUP BY l_returnflag
@@ -774,12 +774,13 @@ def q_agg_stats(spark, sf_dir):
     """Statistical aggregate pack: Pearson correlation, population
     covariance, sample stddev, population variance — single-pass
     numerically-stable JVM aggregates (Welford-style merge), identical
-    definitions to the oracle's."""
+    definitions to the oracle's. Rounded to 2 decimals per the repo-wide
+    floating-aggregate oracle-stability rule (registry.py docstring)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
         F.round(F.var_pop("l_extendedprice"), 2).alias("var_price"),
     )
 
