@@ -492,3 +492,76 @@ def q_wd_connected_components(spark, sf_dir):
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "q_wd_aliases",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(l.line, '$.id') AS id,
+       u.lang AS lang,
+       g.i AS alias_idx,
+       json_extract_string(l.line,
+           '$.aliases.' || u.lang || '[' || g.i::VARCHAR || '].value') AS alias
+FROM latest l,
+     unnest(coalesce(json_keys(l.line, '$.aliases'), [])) AS u(lang),
+     LATERAL (SELECT unnest(range(json_array_length(
+         json_extract(l.line, '$.aliases.' || u.lang))::BIGINT))) AS g(i)
+""",
+)
+def q_wd_aliases(spark, sf_dir):
+    """Aliases flatten — the MAP<lang, ARRAY<struct>> double-nested shape
+    (labels is map→struct; aliases adds the inner array): explode the map,
+    then posexplode each language's alias list, keeping the position so
+    the alias ordering of the dump survives normalization. One narrow
+    pass, expansion inside the scan task."""
+    p = _latest(spark)
+    per_lang = p.select(
+        F.col("e.id").alias("id"),
+        F.explode("e.aliases").alias("lang", "als"),
+    )
+    return per_lang.select(
+        "id",
+        "lang",
+        F.posexplode("als").alias("alias_idx", "al"),
+    ).select(
+        "id", "lang", F.col("alias_idx").cast("long").alias("alias_idx"),
+        F.col("al.value").alias("alias"),
+    )
+
+
+@query(
+    "q_wd_label_coverage",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  lab AS (
+    SELECT u.lang AS lang, count(*) AS n_labeled
+    FROM latest l, unnest(coalesce(json_keys(l.line, '$.labels'), [])) AS u(lang)
+    GROUP BY u.lang
+  ),
+  tot AS (SELECT count(*) AS n FROM latest)
+SELECT lab.lang, lab.n_labeled,
+       round(lab.n_labeled * 1.0 / tot.n, 4) AS coverage
+FROM lab, tot
+""",
+)
+def q_wd_label_coverage(spark, sf_dir):
+    """Per-language label coverage — the completeness dashboard every
+    Wikidata consumer checks before picking fallback chains (K3). The
+    entity total enters as a broadcast 1-row aggregate (no eager count),
+    the per-language counts are one hash-agg over the exploded label
+    keys."""
+    p = _latest(spark)
+    tot = p.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lab = (
+        p.select(F.explode(F.map_keys(F.col("e.labels"))).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_labeled"))
+    )
+    return lab.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_labeled",
+        F.round(F.col("n_labeled") / F.col("n"), 4).alias("coverage"),
+    )
