@@ -505,3 +505,51 @@ def q_text_repetition(spark, sf_dir):
         F.round(share, 4).alias("top_bigram_share"),
         (share < 0.2).alias("passes_repetition"),
     )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         sum(n_toks) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+  FROM t
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 512 AS BIGINT) AS first_window,
+       CAST((start_off + n_toks - 1) // 512 AS BIGINT) AS last_window,
+       (start_off // 512) != ((start_off + n_toks - 1) // 512) AS straddles
+FROM c
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — concatenate the corpus in a deterministic order
+    and split at fixed context-window boundaries (512 tokens here): the
+    GPT-style pretraining batch-prep step. Each doc gets its global token
+    offset (window cumsum), its first/last window ids, and a straddle
+    flag (docs crossing a boundary get split across samples). The global
+    running sum is ONE unpartitioned window at fixture scale; at 100 TB
+    you compute per-partition subtotals + a broadcast prefix of partition
+    offsets (two passes, no single-task bottleneck) — the plan shape
+    changes, the arithmetic and output do not."""
+    from pyspark.sql import Window
+
+    CAP = 512
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("start_off", F.sum("n_toks").over(w) - F.col("n_toks"))
+    first = F.floor(F.col("start_off") / CAP)
+    last = F.floor((F.col("start_off") + F.col("n_toks") - 1) / CAP)
+    return c.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("start_off").cast("long").alias("start_off"),
+        first.alias("first_window"),
+        last.alias("last_window"),
+        (first != last).alias("straddles"),
+    )
