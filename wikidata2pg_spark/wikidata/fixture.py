@@ -43,6 +43,28 @@ _E = [
                     },
                     "type": "statement",
                     "rank": "normal",
+                    # provenance layer: stated-in (P248) + retrieved (P813)
+                    "references": [
+                        {
+                            "hash": "ref42a",
+                            "snaks": {
+                                "P248": [
+                                    {
+                                        "snaktype": "value",
+                                        "property": "P248",
+                                        "datavalue": {"type": "wikibase-entityid", "value": {"id": "Q36578"}},
+                                    }
+                                ],
+                                "P813": [
+                                    {
+                                        "snaktype": "value",
+                                        "property": "P813",
+                                        "datavalue": {"type": "time", "value": {"time": "+2020-01-01T00:00:00Z", "precision": 11}},
+                                    }
+                                ],
+                            },
+                        }
+                    ],
                 }
             ],
             "P800": [
@@ -178,6 +200,32 @@ _E = [
                     },
                     "type": "statement",
                     "rank": "normal",
+                    "references": [
+                        {
+                            "hash": "ref64a",
+                            "snaks": {
+                                "P854": [
+                                    {
+                                        "snaktype": "value",
+                                        "property": "P854",
+                                        "datavalue": {"type": "string", "value": "https://example.org/berlin"},
+                                    }
+                                ]
+                            },
+                        },
+                        {
+                            "hash": "ref64b",
+                            "snaks": {
+                                "P143": [
+                                    {
+                                        "snaktype": "value",
+                                        "property": "P143",
+                                        "datavalue": {"type": "wikibase-entityid", "value": {"id": "Q328"}},
+                                    }
+                                ]
+                            },
+                        },
+                    ],
                 }
             ],
         },

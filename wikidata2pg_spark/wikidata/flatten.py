@@ -29,7 +29,9 @@ ENTITY_SCHEMA = (
     "claims MAP<STRING, ARRAY<STRUCT<"
     "mainsnak: STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>, "
     "type: STRING, rank: STRING, "
-    "qualifiers: MAP<STRING, ARRAY<STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>>>"
+    "qualifiers: MAP<STRING, ARRAY<STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>>>, "
+    "references: ARRAY<STRUCT<hash: STRING, "
+    "snaks: MAP<STRING, ARRAY<STRUCT<snaktype: STRING, property: STRING, datavalue: VARIANT>>>>>"
     ">>>, "
     "sitelinks MAP<STRING, STRUCT<site: STRING, title: STRING, badges: ARRAY<STRING>>>"
 )
@@ -103,6 +105,7 @@ def statements(parsed: DataFrame) -> DataFrame:
             F.col("st.mainsnak.snaktype").alias("snaktype"),
             F.col("st.mainsnak.datavalue").alias("dv"),
             F.col("st.qualifiers").alias("qualifiers"),
+            F.col("st.references").alias("references"),
         )
     )
 
@@ -185,6 +188,48 @@ def qualifiers_table(parsed: DataFrame) -> DataFrame:
         F.col("qual_idx").cast("long").alias("qual_idx"),
         F.col("qs.snaktype").alias("qual_snaktype"),
         datavalue_str(F.col("qs.datavalue")).alias("qual_value"),
+    )
+
+
+def references_table(parsed: DataFrame) -> DataFrame:
+    """References flatten — the provenance layer of a statement (the last
+    piece of statement anatomy next to mainsnak/qualifiers/rank):
+    (subject, property, stmt_idx, ref_idx, ref_hash, ref_property,
+    snak_idx, ref_snaktype, ref_value). Three nested explodes, each
+    position-preserving, all inside the scan task."""
+    st = statements(parsed).filter(F.col("references").isNotNull())
+    refs = st.select(
+        F.col("id").alias("subject"),
+        "property",
+        "stmt_idx",
+        F.posexplode("references").alias("ref_idx", "ref"),
+    )
+    snak_lists = refs.select(
+        "subject",
+        "property",
+        "stmt_idx",
+        F.col("ref_idx").cast("long").alias("ref_idx"),
+        F.col("ref.hash").alias("ref_hash"),
+        F.explode("ref.snaks").alias("ref_property", "rsnaks"),
+    )
+    return snak_lists.select(
+        "subject",
+        "property",
+        "stmt_idx",
+        "ref_idx",
+        "ref_hash",
+        "ref_property",
+        F.posexplode("rsnaks").alias("snak_idx", "rs"),
+    ).select(
+        "subject",
+        "property",
+        "stmt_idx",
+        "ref_idx",
+        "ref_hash",
+        "ref_property",
+        F.col("snak_idx").cast("long").alias("snak_idx"),
+        F.col("rs.snaktype").alias("ref_snaktype"),
+        datavalue_str(F.col("rs.datavalue")).alias("ref_value"),
     )
 
 

@@ -565,3 +565,43 @@ def q_wd_label_coverage(spark, sf_dir):
         "n_labeled",
         F.round(F.col("n_labeled") / F.col("n"), 4).alias("coverage"),
     )
+
+
+@query(
+    "q_wd_references",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  refs AS (
+    SELECT s.subject, s.property, s.stmt_idx, r.j AS ref_idx,
+           json_extract(s.stmt, '$.references[' || r.j::VARCHAR || ']') AS ref
+    FROM stmts s,
+         LATERAL (SELECT unnest(range(coalesce(json_array_length(
+             json_extract(s.stmt, '$.references'))::BIGINT, 0)))) AS r(j)
+  ),
+  rsnaks AS (
+    SELECT subject, property, stmt_idx, ref_idx,
+           json_extract_string(ref, '$.hash') AS ref_hash,
+           u.prop AS ref_property,
+           k.i AS snak_idx,
+           json_extract(ref, '$.snaks.' || u.prop || '[' || k.i::VARCHAR || ']') AS snak
+    FROM refs,
+         unnest(coalesce(json_keys(ref, '$.snaks'), [])) AS u(prop),
+         LATERAL (SELECT unnest(range(json_array_length(
+             json_extract(ref, '$.snaks.' || u.prop))::BIGINT))) AS k(i)
+  )
+SELECT subject, property, stmt_idx, ref_idx, ref_hash, ref_property, snak_idx,
+       json_extract_string(snak, '$.snaktype') AS ref_snaktype,
+       {_value_case("snak", "$")} AS ref_value
+FROM rsnaks
+""",
+)
+def q_wd_references(spark, sf_dir):
+    """References flatten — statement provenance (stated-in / reference-URL
+    / imported-from snaks), the final piece of statement anatomy next to
+    mainsnak (K4), qualifiers (K7), and rank (K6). The Wikibase shape is an
+    ARRAY of reference records each holding a MAP of per-property snak
+    lists — three position-preserving explodes, value dispatch through the
+    same datavalue union as everywhere else."""
+    return flatten.references_table(_latest(spark))
