@@ -149,3 +149,69 @@ def q_multimodal_decode(spark, sf_dir):
         F.col("height").cast("int").alias("height"),
         "n_bytes",
     )
+
+
+@query(
+    "q_multimodal_audio_energy",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id < 200
+), wins AS (
+  SELECT doc_id, w.i AS win_idx,
+         substring(h, (w.i * 16 + 1)::INT, 32) AS win_hex
+  FROM p,
+       LATERAL (SELECT unnest(range(CASE WHEN nb >= 16
+                                         THEN (nb - 16) // 8 + 1 ELSE 0 END))) w(i)
+)
+SELECT doc_id, win_idx,
+       CAST(list_aggregate(list_transform(range(16),
+            i -> ('0x' || substring(win_hex, (i*2+1)::INT, 2))::BIGINT), 'sum')
+         AS BIGINT) AS energy,
+       CAST(list_aggregate(list_transform(range(16),
+            i -> ('0x' || substring(win_hex, (i*2+1)::INT, 2))::BIGINT), 'max')
+         AS BIGINT) AS peak
+FROM wins
+""",
+)
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Audio-shape windowing: OVERLAPPING 16-byte frames with hop 8 over a
+    binary payload, per-window energy (byte sum) and peak — the
+    frame/hop/energy plumbing of audio feature extraction (a real codec
+    swaps the byte-sum kernel for RMS over PCM samples; window geometry,
+    explode shape, and partitioning are identical). Differs from
+    q_multimodal_framesample in BOTH dimensions that matter: windows
+    overlap (hop < size) and a per-window REDUCTION is computed instead of
+    a content fingerprint. Byte values go through hex-pair arithmetic so
+    Spark and DuckDB compute from identical bytes with no charset or blob
+    -function assumptions. Expansion + reduction all inside the scan
+    task — no shuffle."""
+    SIZE, HOP = 16, 8
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = d.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"),
+        F.length(F.encode(F.col("text"), "UTF-8")).alias("nb"),
+    )
+    n_wins = F.when(
+        F.col("nb") >= SIZE, ((F.col("nb") - SIZE) / HOP).cast("long") + 1
+    ).otherwise(F.lit(0))
+    wins = p.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), n_wins.cast("int") - 1)).alias("win_idx"),
+    ).select(
+        "doc_id",
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.substring(F.col("h"), F.col("win_idx") * (HOP * 2) + 1, SIZE * 2).alias("win_hex"),
+    )
+    bytes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(SIZE - 1)),
+        lambda i: F.conv(F.substring("win_hex", F.lit(1) + i * 2, 2), 16, 10).cast("long"),
+    )
+    return wins.select(
+        "doc_id",
+        "win_idx",
+        F.aggregate(bytes_arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("energy"),
+        F.array_max(bytes_arr).alias("peak"),
+    )

@@ -79,7 +79,7 @@ _ROUND4_PRIORITY = (
     "q_sql_entry", "q_merge_upsert", "q_dedup_jaccard_prefix",
     "q_agg_histogram", "q_agg_stats", "q_profile_table", "q_text_search",
     "q_scan_xml", "q_wd_aliases", "q_wd_label_coverage", "q_pack_sequences",
-    "q_wd_references",
+    "q_wd_references", "q_multimodal_audio_energy",
 )
 
 
