@@ -151,3 +151,34 @@ def test_source_stamp_invalidates_on_fixture_rewrite(tmp_path):
     assert s1 != s2 and d1 != d2
     # missing table is stable, not an error
     assert source_stamp(sf, "no_such") == source_stamp(sf, "no_such")
+
+
+def test_audio_energy_short_docs_yield_no_windows(spark, tmp_path):
+    """Docs shorter than one 16-byte window must produce ZERO windows:
+    Spark's sequence(start, stop) steps DOWN when start > stop, so an
+    unguarded explode over sequence(0, -1) emits [0, -1] garbage rows
+    (caught by the r4 review; the fixture's ~80-char texts masked it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.registry import all_queries
+
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["short", "", "x" * 40],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [5, 0, 40],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    rows = all_queries()["q_multimodal_audio_energy"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.win_idx)
+    assert 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3] == [0, 1, 2, 3]  # (40-16)//8 + 1 windows

@@ -196,10 +196,16 @@ def q_multimodal_audio_energy(spark, sf_dir):
     n_wins = F.when(
         F.col("nb") >= SIZE, ((F.col("nb") - SIZE) / HOP).cast("long") + 1
     ).otherwise(F.lit(0))
+    # guard the sequence: Spark's sequence(start, stop) steps DOWN when
+    # start > stop, so the n_wins=0 case (doc shorter than one window)
+    # would yield [0, -1] and two garbage rows where the oracle emits none
+    idx_seq = F.when(
+        n_wins > 0, F.sequence(F.lit(0), n_wins.cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     wins = p.select(
         "doc_id",
         "h",
-        F.explode(F.sequence(F.lit(0), n_wins.cast("int") - 1)).alias("win_idx"),
+        F.explode(idx_seq).alias("win_idx"),
     ).select(
         "doc_id",
         F.col("win_idx").cast("long").alias("win_idx"),

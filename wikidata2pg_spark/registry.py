@@ -72,7 +72,9 @@ _ROUND4_PRIORITY = (
     "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
     "q_time_multirollup", "q_time_gapfill",
     # new in r4, mirror-proven — the 5 remaining budget slots go to the
-    # flagship extras; the rest rotate into the r5 window (16 total)
+    # flagship extras; the remaining 21 (everything after q_text_chunk,
+    # including the late-r4 additions) sit OUTSIDE the 50-key driver
+    # window this round and rotate into the r5 window
     "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
     "q_scd2_intervals", "q_text_chunk",
     "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",

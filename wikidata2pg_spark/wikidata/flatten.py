@@ -79,6 +79,22 @@ def labels_table(parsed: DataFrame) -> DataFrame:
     ).select("id", "lang", F.col("l.value").alias("label"))
 
 
+def aliases_table(parsed: DataFrame) -> DataFrame:
+    """(id, lang, alias_idx, alias) — the MAP<lang, ARRAY<struct>> double
+    flatten, position-preserving."""
+    per_lang = parsed.select(
+        F.col("e.id").alias("id"), F.explode("e.aliases").alias("lang", "als")
+    )
+    return per_lang.select(
+        "id", "lang", F.posexplode("als").alias("alias_idx", "al")
+    ).select(
+        "id",
+        "lang",
+        F.col("alias_idx").cast("long").alias("alias_idx"),
+        F.col("al.value").alias("alias"),
+    )
+
+
 def sitelinks_table(parsed: DataFrame) -> DataFrame:
     """K8: (id, site, title, n_badges)."""
     return parsed.select(

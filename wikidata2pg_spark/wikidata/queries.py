@@ -516,19 +516,7 @@ def q_wd_aliases(spark, sf_dir):
     then posexplode each language's alias list, keeping the position so
     the alias ordering of the dump survives normalization. One narrow
     pass, expansion inside the scan task."""
-    p = _latest(spark)
-    per_lang = p.select(
-        F.col("e.id").alias("id"),
-        F.explode("e.aliases").alias("lang", "als"),
-    )
-    return per_lang.select(
-        "id",
-        "lang",
-        F.posexplode("als").alias("alias_idx", "al"),
-    ).select(
-        "id", "lang", F.col("alias_idx").cast("long").alias("alias_idx"),
-        F.col("al.value").alias("alias"),
-    )
+    return flatten.aliases_table(_latest(spark))
 
 
 @query(
