@@ -182,3 +182,21 @@ def test_audio_energy_short_docs_yield_no_windows(spark, tmp_path):
         by_doc.setdefault(r.doc_id, []).append(r.win_idx)
     assert 1 not in by_doc and 2 not in by_doc
     assert by_doc[3] == [0, 1, 2, 3]  # (40-16)//8 + 1 windows
+
+
+def test_driver_window_ordering_is_pinned():
+    """queries()/oracle_sql() must lead with _ROUND4_PRIORITY in order:
+    the driver checks EXACTLY the first 50 keys per round, so accidental
+    reordering (a new module import, a dict rebuild) would silently swap
+    which keys get correctness rows."""
+    import __spark_entry__ as M
+    from wikidata2pg_spark.registry import _ROUND4_PRIORITY
+
+    qs = list(M.queries())
+    assert qs[: len(_ROUND4_PRIORITY)] == list(_ROUND4_PRIORITY)
+    # the 50-key window must contain every contract key that has never had
+    # a driver row plus all streaming re-proves (the round's done-criteria)
+    window = set(qs[:50])
+    for k in ("q_scan_parquet", "q_fn_json", "q_udf_pandas_scalar",
+              "q_agg_collect_sorted", "q_stream_tumbling", "q_time_gapfill"):
+        assert k in window, k
