@@ -54,6 +54,7 @@ KEYS = [
     "q_text_decontaminate",
     "q_text_repetition",
     "q_text_pii_scrub",
+    "q_pack_sequences",  # two-pass prefix sum must match at any split count
 ]
 
 

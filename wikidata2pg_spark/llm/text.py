@@ -530,19 +530,40 @@ def q_pack_sequences(spark, sf_dir):
     """Sequence packing — concatenate the corpus in a deterministic order
     and split at fixed context-window boundaries (512 tokens here): the
     GPT-style pretraining batch-prep step. Each doc gets its global token
-    offset (window cumsum), its first/last window ids, and a straddle
-    flag (docs crossing a boundary get split across samples). The global
-    running sum is ONE unpartitioned window at fixture scale; at 100 TB
-    you compute per-partition subtotals + a broadcast prefix of partition
-    offsets (two passes, no single-task bottleneck) — the plan shape
-    changes, the arithmetic and output do not."""
+    offset, its first/last window ids, and a straddle flag (docs crossing
+    a boundary get split across samples).
+
+    The global running sum is computed the way it must be at 100 TB — the
+    TWO-PASS distributed prefix sum, not `Window.orderBy(...)` over one
+    partition (which funnels the entire corpus through a single task):
+    range-partition by doc_id, cumsum WITHIN each partition, then add a
+    broadcast prefix of per-partition subtotals (a P-row aggregate). Sum
+    is associative and doc_id is range-ordered across partitions, so the
+    result is exactly the naive global cumsum at any partition count
+    (covered by the partition-invariance gate)."""
     from pyspark.sql import Window
 
     CAP = 512
+    NPARTS = 8
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn("start_off", F.sum("n_toks").over(w) - F.col("n_toks"))
+    parts = t.repartitionByRange(NPARTS, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # P rows total: the prefix of per-partition subtotals broadcasts
+    psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid", F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias("poff")
+    )
+    c = (
+        parts.withColumn("cum_in_part", F.sum("n_toks").over(within))
+        .join(F.broadcast(offs), "pid")
+        .withColumn("start_off", F.col("poff") + F.col("cum_in_part") - F.col("n_toks"))
+    )
     first = F.floor(F.col("start_off") / CAP)
     last = F.floor((F.col("start_off") + F.col("n_toks") - 1) / CAP)
     return c.select(
