@@ -66,6 +66,10 @@ WHERE o_orderkey < 16000
 """,
 )
 def q_win_ntile(spark, sf_dir):
+    # GLOBAL window by design (ntile needs a total order): single-task at
+    # any size, so the input is filter-bounded. The distributed form is a
+    # two-pass rank+count like q_pack_sequences' prefix sum — this key
+    # exists to prove the ntile API surface, not that shape.
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
@@ -220,7 +224,9 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 )
 def q_win_percent_rank(spark, sf_dir):
     """Window family extension (r2): percent_rank + cume_dist — the
-    normalized-rank pair (quantile position without a global count join)."""
+    normalized-rank pair (quantile position without a global count join).
+    GLOBAL window by design (filter-bounded input; see q_win_ntile's note
+    on the distributed two-pass alternative)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
