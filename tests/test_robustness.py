@@ -185,18 +185,24 @@ def test_audio_energy_short_docs_yield_no_windows(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND4_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND5_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND4_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND5_PRIORITY
 
     qs = list(M.queries())
-    assert qs[: len(_ROUND4_PRIORITY)] == list(_ROUND4_PRIORITY)
+    pinned = [k for k in _ROUND5_PRIORITY if k in qs]
+    assert qs[: len(pinned)] == pinned
     # the 50-key window must contain every contract key that has never had
-    # a driver row plus all streaming re-proves (the round's done-criteria)
+    # a driver row (the 16 from VERDICT r4) plus the streaming re-proves
     window = set(qs[:50])
-    for k in ("q_scan_parquet", "q_fn_json", "q_udf_pandas_scalar",
-              "q_agg_collect_sorted", "q_stream_tumbling", "q_time_gapfill"):
+    for k in ("q_text_decontaminate", "q_text_repetition",
+              "q_sample_stratified", "q_sql_entry", "q_merge_upsert",
+              "q_dedup_jaccard_prefix", "q_agg_histogram", "q_agg_stats",
+              "q_profile_table", "q_text_search", "q_scan_xml",
+              "q_wd_aliases", "q_wd_label_coverage", "q_pack_sequences",
+              "q_wd_references", "q_multimodal_audio_energy",
+              "q_stream_tumbling", "q_time_gapfill"):
         assert k in window, k

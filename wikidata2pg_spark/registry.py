@@ -41,52 +41,44 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's correctness pass walks `queries()` in dict order and checks a
-# ~50-key budget per round. Keys with NO driver row in CORRECTNESS_r01–r03
-# (computed from those files) go first, followed by the keys whose latest
-# driver row failed/errored (streaming family — broken by the r3 fixture
-# dtype change, fixed in tables.py — plus q_agg_collect_sorted), so round 4
-# proves the unproven before re-proving the already-green 83.
-_ROUND4_PRIORITY = (
-    # never driver-tested (33)
-    "q_scan_parquet", "q_scan_jsonl", "q_scan_csv", "q_scan_orc",
-    "q_sink_parquet_partitioned", "q_sink_jdbc_pg", "q_source_jdbc",
-    "q_stream_file_source", "q_sink_console_memory", "q_custom_datasource",
-    "q_custom_datasink", "q_sink_sorted_layout",
-    "q_fn_conditional", "q_fn_string2", "q_fn_bitwise", "q_fn_array",
-    "q_fn_explode", "q_fn_map", "q_fn_json", "q_fn_hash",
-    "q_fn_hash_spark_native", "q_fn_array_setops",
-    "q_udf_arrow_python", "q_udf_pandas_scalar", "q_udaf_pandas_agg",
-    "q_udtf_python",
-    "q_pivot", "q_unpivot", "q_na_handling",
-    "q_join_fuzzy_levenshtein", "q_join_salted_skew", "q_join_bucketed",
-    "q_win_percent_rank",
-    # q_agg_collect_sorted: FAILed r1 on array canonicalization, since
-    # reworked to emit a string — needs its first green row
-    "q_agg_collect_sorted",
-    # errored in r3 from the fixture dtype change (fixed in tables.py);
-    # the VERDICT's done-criterion is all 11 green in CORRECTNESS_r04, and
-    # the driver checks EXACTLY 50 keys/round (r1-r3 each recorded 50), so
-    # these must sit inside the first 50 (11)
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
-    "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
-    "q_time_multirollup", "q_time_gapfill",
-    # new in r4, mirror-proven — the 5 remaining budget slots go to the
-    # flagship extras; the remaining 21 (everything after q_text_chunk,
-    # including the late-r4 additions) sit OUTSIDE the 50-key driver
-    # window this round and rotate into the r5 window
-    "q_dedup_semantic_cluster", "q_text_pii_scrub", "q_vec_quantize",
-    "q_scd2_intervals", "q_text_chunk",
+# ~50-key budget per round (r1-r4 each recorded exactly 50). Round-5 window
+# (VERDICT r4 task 1): the 16 keys with NO driver row in r1-r4 go first —
+# they are the only gap between the repo and a fully driver-proven 154-key
+# contract — followed by keys new in r5, then the streaming family (the
+# most regression-prone, per the r3 dtype incident), then the stalest
+# r1-proven keys (windows/complex-joins/float-rounding aggs — the families
+# whose hash stability is most sensitive to ordering/rounding drift).
+# Remaining r1/r3 keys rotate into the r6 window.
+_ROUND5_PRIORITY = (
+    # --- never driver-tested (16): first slots, per VERDICT r4 ---
     "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",
     "q_sql_entry", "q_merge_upsert", "q_dedup_jaccard_prefix",
     "q_agg_histogram", "q_agg_stats", "q_profile_table", "q_text_search",
     "q_scan_xml", "q_wd_aliases", "q_wd_label_coverage", "q_pack_sequences",
     "q_wd_references", "q_multimodal_audio_energy",
+    # --- new in r5 (registered below as they are built) ---
+    "q_win_ntile_distributed", "q_dedup_ngram_jaccard_scaled",
+    "q_stream_stateful_final",
+    # --- streaming family: r4-green but historically the most fragile ---
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
+    "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
+    "q_time_multirollup", "q_time_gapfill",
+    # --- stalest r1-proven keys (latest row r1): windows, complex joins,
+    #     rounding-sensitive aggs, ordered-output ops ---
+    "q_win_row_number", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
+    "q_win_moving_rows", "q_win_range_frame", "q_win_cumsum",
+    "q_win_first_last",
+    "q_join_theta_band", "q_join_interval_overlap", "q_join_asof",
+    "q_join_multikey_self",
+    "q_agg_percentile_exact", "q_agg_rollup", "q_agg_cube",
+    "q_agg_grouping_sets", "q_agg_conditional", "q_agg_having",
+    "q_topk_per_group", "q_sort_multikey",
 )
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND4_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND5_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
