@@ -87,6 +87,53 @@ def test_custom_datasink_reuses_committed_dir(spark):
     assert [os.path.getmtime(f) for f in files2] == mtimes1
 
 
+def test_custom_datasink_cleans_partial_commit(spark):
+    """Crash-recovery path (r4 ADVICE): marker absent but committed task
+    files present (crash after commit() renamed some files, before the job
+    marker was written). The rerun must clear leftovers first — the writer
+    appends uuid-named files, so writing on top would DOUBLE the rows."""
+    import glob
+
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.util import tmpdir_for
+
+    q = all_queries()["q_custom_datasink"]
+    n_expected = q(spark, SF_SMOKE).count()
+    out = tmpdir_for(SF_SMOKE, "jsonl_sink", "nation")
+    os.remove(os.path.join(out, "_SINK_COMPLETE"))
+    with open(os.path.join(out, "stray.tmp"), "w") as fh:
+        fh.write("x")  # an un-renamed task file from the crashed run
+    assert q(spark, SF_SMOKE).count() == n_expected  # rewritten, not doubled
+    assert os.path.exists(os.path.join(out, "_SINK_COMPLETE"))
+    assert not glob.glob(os.path.join(out, "*.tmp"))
+
+
+def test_plan_cache_invalidates_directory_table_rewrite(spark, tmp_path):
+    """r4 ADVICE: for directory-style tables, rewriting a part file in
+    place does not change the DIRECTORY's stat, so a top-path cache key
+    would serve a stale plan (stale listing/schema). The key must fold in
+    every part file's (mtime_ns, size)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.tables import load
+
+    d = tmp_path / "region.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"r_regionkey": [1], "r_name": ["A"], "r_comment": ["c"]}),
+        str(d / "part-0.parquet"),
+    )
+    assert load(spark, str(tmp_path), "region").count() == 1
+    pq.write_table(
+        pa.table(
+            {"r_regionkey": [1, 2], "r_name": ["A", "B"], "r_comment": ["c", "d"]}
+        ),
+        str(d / "part-0.parquet"),
+    )
+    assert load(spark, str(tmp_path), "region").count() == 2
+
+
 def test_bucketed_registers_over_committed_location(spark):
     """Fresh-catalog path: when the table is absent from the catalog but
     its location holds committed (_SUCCESS) bucketed files, the query must

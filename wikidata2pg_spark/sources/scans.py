@@ -397,6 +397,17 @@ def q_custom_datasink(spark, sf_dir):
     out = _tmpdir_for(sf_dir, "jsonl_sink", "nation")
     done = os.path.join(out, "_SINK_COMPLETE")
     if not os.path.exists(done):
+        # No completion marker => any *.jsonl/*.tmp present are leftovers of
+        # a run that crashed mid-commit (commit() renames task files one by
+        # one). The writer appends uuid-named files, so re-running on top of
+        # them would ACCUMULATE a second full file set — clear first so the
+        # rerun publishes exactly one committed set.
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(out, "*.jsonl")) + _glob.glob(
+            os.path.join(out, "*.tmp")
+        ):
+            os.remove(stale)
         n = load(spark, sf_dir, "nation")
         n.write.format("jsonl_commit_sink").mode("append").option("path", out).save()
         with open(done, "w") as fh:

@@ -166,6 +166,17 @@ def q_stream_foreach_batch(spark, sf_dir):
         finally:
             if q.isActive:
                 q.stop()
+        if not terminated:
+            # A timed-out stream has drained only SOME micro-batches;
+            # reading the partial union back would return a silently wrong
+            # aggregate (surfacing later as an oracle hash mismatch). Fail
+            # loudly instead — the next invocation resumes from the
+            # checkpoint, which is the exactly-once story.
+            raise TimeoutError(
+                "q_stream_foreach_batch: availableNow stream did not "
+                "terminate within 120s; partial batch set left at "
+                f"{out_dir} (checkpointed — rerun resumes)"
+            )
     back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")

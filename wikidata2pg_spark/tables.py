@@ -62,9 +62,19 @@ def load(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False) -> Da
     cache = getattr(spark, "_w2pg_plan_cache", None)
     if cache is None:
         cache = spark._w2pg_plan_cache = {}
+    # Key on EVERY physical file's (mtime_ns, size), not the top path's
+    # stat: for directory-style tables, rewriting part files in place does
+    # not bump the directory's own mtime/size, which would serve a stale
+    # cached plan (stale file listing / dtype branch) — the same staleness
+    # class source_stamp exists to prevent for derived artifacts.
     try:
-        st = os.stat(path)
-        key = None if fresh else (path, st.st_mtime_ns, st.st_size)
+        from wikidata2pg_spark.util import fixture_files
+
+        stats = tuple(
+            (f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in fixture_files(sf_dir, name)
+        )
+        key = None if (fresh or not stats) else (path, stats)
     except OSError:
         key = None
     if key is not None and key in cache:
