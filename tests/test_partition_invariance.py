@@ -55,6 +55,7 @@ KEYS = [
     "q_text_repetition",
     "q_text_pii_scrub",
     "q_pack_sequences",  # two-pass prefix sum must match at any split count
+    "q_win_ntile_distributed",  # two-pass global rank, same invariant
 ]
 
 

@@ -183,6 +183,36 @@ def test_chunking_has_no_shuffle(spark):
         assert marker not in plan
 
 
+def test_ntile_distributed_no_full_input_single_task(spark):
+    """The distributed global ntile must not funnel the full input through
+    one task: the only Exchange SinglePartition in the plan is the P-row
+    per-partition-counts aggregate (a HashAggregate sits between it and
+    the scan), and the full-data Window is partitioned by pid."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_win_ntile_distributed"](spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("Exchange SinglePartition") == 1
+    seg = plan[plan.index("Exchange SinglePartition"):]
+    scan_at = seg.index("Scan parquet") if "Scan parquet" in seg else len(seg)
+    assert "HashAggregate" in seg[:scan_at]  # funnel carries P rows, not data
+    # and the result matches the single-window ntile on a sample
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from wikidata2pg_spark.tables import load
+
+    got = {r.o_orderkey: r.quartile for r in df.collect()}
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.q
+        for r in load(spark, SF_T2, "orders")
+        .select("o_orderkey", F.ntile(4).over(w).cast("long").alias("q"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """The benchmark gram set joins as a broadcast — corpus-side grams are
     checked map-side, never shuffled for the membership test."""

@@ -67,12 +67,73 @@ WHERE o_orderkey < 16000
 )
 def q_win_ntile(spark, sf_dir):
     # GLOBAL window by design (ntile needs a total order): single-task at
-    # any size, so the input is filter-bounded. The distributed form is a
-    # two-pass rank+count like q_pack_sequences' prefix sum — this key
-    # exists to prove the ntile API surface, not that shape.
+    # any size, so the input is filter-bounded. This key proves the ntile
+    # API surface; q_win_ntile_distributed below is the scale form — the
+    # same answer from a two-pass rank+count with no full-input funnel.
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+@query(
+    "q_win_ntile_distributed",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+""",
+)
+def q_win_ntile_distributed(spark, sf_dir):
+    """Global ntile WITHOUT the single-task total-order window (closes the
+    q_win_ntile caveat, VERDICT r4 task 2). Two-pass distributed global
+    rank, the q_pack_sequences prefix-sum shape:
+
+      1. range-partition on the ordering key — partition p holds keys all
+         smaller than partition p+1's (range partition ids are ascending
+         in key order);
+      2. row_number WITHIN each partition (parallel, no global sort);
+      3. per-partition counts -> P-row broadcast prefix offsets, so
+         global_rank = offset[pid] + local_rank;
+      4. ntile's bucket boundaries from (global_rank, N): the first
+         N mod n buckets get ceil(N/n) rows, the rest floor(N/n) —
+         exactly SQL NTILE semantics, computed as column arithmetic.
+
+    The ONLY single-partition funnel is the P-row offsets aggregate
+    (asserted in tests/test_plans.py): at 100 TB the full input never
+    passes through one task, unlike the ntile()-over-global-Window plan."""
+    NPARTS = 8
+    NBUCKETS = 4
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parts = o.repartitionByRange(NPARTS, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    within = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    ranked = parts.withColumn("local_rank", F.row_number().over(within))
+    # P rows: counts per partition -> prefix offsets + grand total N
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("poff"),
+        F.sum("cnt").over(wtot).alias("n_total"),
+    )
+    rn = F.col("poff") + F.col("local_rank")  # 1-based global rank
+    n = F.col("n_total")
+    q = (n / NBUCKETS).cast("long")  # floor bucket size
+    r = n % NBUCKETS  # first r buckets take q+1 rows
+    boundary = r * (q + F.lit(1))
+    quartile = F.when(
+        rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(
+        r + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    return (
+        ranked.join(F.broadcast(offs), "pid")
+        .select("o_orderkey", quartile.cast("long").alias("quartile"))
+    )
 
 
 @query(
