@@ -4,6 +4,9 @@ the flatteners' semantics, independent of the DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from wikidata2pg_spark.wikidata import flatten
@@ -80,6 +83,102 @@ def test_datavalue_union_dispatch(spark):
     assert by_type["quantity"] == "+3644826"
     assert by_type["monolingualtext"] == "Ejemplo"
     assert by_type["string"] == "Ejemplo Commons"
+
+
+def test_cli_import_end_to_end(spark, tmp_path):
+    """The CLI front door (VERDICT r4 task 4): write the micro-dump as a
+    real .json.gz, run `run_import` against embedded Derby, and check the
+    loaded row counts equal the flatteners' counts. Exercises the whole
+    clean → parse → latest → flatten → batched-JDBC path plus the
+    idempotence story (second run overwrites, same counts)."""
+    import gzip
+
+    from wikidata2pg_spark.__main__ import run_import
+
+    gz = tmp_path / "latest-all.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    url = f"jdbc:derby:{tmp_path}/cli_derby;create=true"
+
+    counts = run_import(
+        spark, str(gz), url,
+        tables=["wd_labels", "wd_claims", "wd_truthy", "wd_sitelinks"],
+        load_partitions=2, batchsize=100,
+    )
+    p = _latest(spark)
+    assert counts["wd_labels"] == flatten.labels_table(p).count()
+    assert counts["wd_claims"] == flatten.claims_triples(p).count()
+    assert counts["wd_truthy"] == flatten.truthy_statements(p).count()
+    assert counts["wd_sitelinks"] == flatten.sitelinks_table(p).count()
+    assert counts["wd_claims"] > counts["wd_truthy"] > 0
+    # idempotent re-import: overwrite, not append
+    again = run_import(spark, str(gz), url, tables=["wd_labels"], load_partitions=2)
+    assert again["wd_labels"] == counts["wd_labels"]
+
+
+def test_cli_main_argv(spark, tmp_path, capsys):
+    """argv surface: python -m wikidata2pg_spark --dump ... --jdbc-url ...
+    prints a tab-separated (table, rows) line per loaded table."""
+    import gzip
+
+    from wikidata2pg_spark.__main__ import main
+
+    gz = tmp_path / "dump.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    rc = main([
+        "--dump", str(gz),
+        "--jdbc-url", f"jdbc:derby:{tmp_path}/cli_main_derby;create=true",
+        "--tables", "wd_edges",
+        "--load-partitions", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].startswith("wd_edges\t")
+    assert int(out[0].split("\t")[1]) == flatten.item_edges(_latest(spark)).count()
+
+
+@pytest.mark.skipif(
+    "SPARK_GRAFT_PG_URL" not in os.environ,
+    reason="no Postgres server in this sandbox (Derby covers the JDBC path; "
+    "see README 'Postgres-vs-Derby caveat')",
+)
+def test_cli_import_real_postgres(spark, tmp_path):
+    """Env-gated integration test for the behaviors Derby cannot exercise:
+    run the import against a real Postgres with reWriteBatchedInserts on.
+    Set SPARK_GRAFT_PG_URL='jdbc:postgresql://host/db?user=u&password=p'."""
+    import gzip
+
+    from wikidata2pg_spark.__main__ import run_import
+
+    gz = tmp_path / "latest-all.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    counts = run_import(
+        spark, str(gz), os.environ["SPARK_GRAFT_PG_URL"],
+        tables=["wd_labels", "wd_claims"],
+        jdbc_options={"reWriteBatchedInserts": "true"},
+    )
+    p = _latest(spark)
+    assert counts["wd_labels"] == flatten.labels_table(p).count()
+    assert counts["wd_claims"] == flatten.claims_triples(p).count()
+
+
+def test_bz2_dump_file_parse_equals_inline(spark, tmp_path):
+    """bz2 twin of the gz test below — the other published dump format
+    (VERDICT r4 task 6); same pipeline, codec inferred from extension."""
+    import bz2
+
+    bz = tmp_path / "latest-all.json.bz2"
+    with bz2.open(bz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    raw = spark.read.text(str(bz)).withColumnRenamed("value", "line")
+    from_file = flatten.latest_revisions(
+        flatten.parse_entities(flatten.clean_dump_lines(raw))
+    )
+    fa = sorted(map(tuple, flatten.claims_triples(from_file).collect()))
+    fb = sorted(map(tuple, flatten.claims_triples(_latest(spark)).collect()))
+    assert fa == fb and len(fa) > 0
 
 
 def test_gz_dump_file_parse_equals_inline(spark, tmp_path):

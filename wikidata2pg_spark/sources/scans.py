@@ -169,7 +169,10 @@ def q_sink_jdbc_pg(spark, sf_dir):
     """The reference's sink shape [R]: batched JDBC bulk load
     (``df.write.jdbc`` with batchsize, mode=overwrite for idempotence).
     Runs against Spark's bundled Derby; against Postgres only the URL/driver
-    change. Returns the written rows read back — a full write→read JDBC
+    change. NOT exercised by Derby (README "Postgres-vs-Derby caveat"):
+    reWriteBatchedInserts, COPY loading, ON CONFLICT — the env-gated
+    test_cli_import_real_postgres covers them where a server exists.
+    Returns the written rows read back — a full write→read JDBC
     roundtrip is value-preserving, so it hash-checks against the source
     table (upgraded from rows-only in r2)."""
     n = load(spark, sf_dir, "nation")

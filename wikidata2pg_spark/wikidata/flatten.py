@@ -151,9 +151,9 @@ def datavalue_str(dv: Column) -> Column:
     )
 
 
-def claims_triples(parsed: DataFrame) -> DataFrame:
-    """K4: (subject, property, stmt_idx, rank, snaktype, value_type, value)."""
-    st = statements(parsed)
+def triples_from_statements(st: DataFrame) -> DataFrame:
+    """Project a statements-shaped frame (statements()/truthy_statements()
+    output) to the K4 triple layout."""
     return st.select(
         F.col("id").alias("subject"),
         "property",
@@ -163,6 +163,11 @@ def claims_triples(parsed: DataFrame) -> DataFrame:
         datavalue_type(F.col("dv")).alias("value_type"),
         datavalue_str(F.col("dv")).alias("value"),
     )
+
+
+def claims_triples(parsed: DataFrame) -> DataFrame:
+    """K4: (subject, property, stmt_idx, rank, snaktype, value_type, value)."""
+    return triples_from_statements(statements(parsed))
 
 
 def truthy_statements(parsed: DataFrame) -> DataFrame:

@@ -361,9 +361,12 @@ SELECT 'wd_sitelinks', (SELECT count(*) FROM latest l,
 def q_wd_load_postgres(spark, sf_dir):
     """K12: the reference end-to-end [R] — parse dump, flatten to normalized
     tables (labels / claims / sitelinks), bulk-load each via batched JDBC
-    (bundled Derby here; Postgres differs only in URL/driver), read back.
-    Returns (table_name, n_rows) per loaded table — deterministic given the
-    fixture, so hash-checked against CTE counts (upgraded in r2)."""
+    (bundled Derby here; Postgres differs only in URL/driver — see README
+    "Postgres-vs-Derby caveat" for what Derby does not exercise), read back.
+    The CLI front door composing the same stages is ``python -m
+    wikidata2pg_spark`` (__main__.py). Returns (table_name, n_rows) per
+    loaded table — deterministic given the fixture, so hash-checked against
+    CTE counts (upgraded in r2)."""
     from wikidata2pg_spark.sources.scans import _derby_url
 
     p = _latest(spark)
