@@ -311,29 +311,14 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     )
 
 
-@query("q_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
-def q_dedup_jaccard_prefix(spark, sf_dir):
-    """EXACT Jaccard near-dup via PREFIX FILTERING (ppjoin) — the scale
-    path for q_dedup_ngram_jaccard's postings join. Two sets with
-    Jaccard >= t MUST share a token within each one's first
-    n - ceil(t*n) + 1 tokens when both token lists are sorted by the same
-    global order; ordering by document frequency (rarest first) means the
-    join only ever touches RARE tokens — the hot-token postings blowup
-    (stopword tokens producing quadratic pairs at 100 TB) is structurally
-    eliminated, not capped. Candidates from the prefix join are then
-    verified exactly with array_intersect over the full token arrays, so
-    the output is identical to the naive form (same oracle SQL). All
-    codegen'd built-ins; shuffles: df agg, token-vocab join (broadcast only
-    under the same Heaps'-law size guard as tfidf — a 100 TB vocabulary
-    falls back to a shuffle join), per-doc window, prefix join on (rare)
-    tok, two doc_id verification joins."""
+def _jaccard_prefix_pairs(spark, sf_dir, docs, t: float = 0.5):
+    """ppjoin core shared by the bounded and unbounded keys: EXACT Jaccard
+    pairs (jac >= t) from a (doc_id, toks) frame via prefix filtering +
+    full verification. See q_dedup_jaccard_prefix for the algorithm notes."""
     from pyspark.sql import Window
 
     from wikidata2pg_spark.util import fixture_bytes
 
-    t = 0.5
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     # carry the doc's token count through the explode — no separate sizes
     # build + doc_id join needed
     toks = docs.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
@@ -368,3 +353,45 @@ def q_dedup_jaccard_prefix(spark, sf_dir):
         .filter(F.col("jac") >= t)
     )
     return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+@query("q_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """EXACT Jaccard near-dup via PREFIX FILTERING (ppjoin) — the scale
+    path for q_dedup_ngram_jaccard's postings join. Two sets with
+    Jaccard >= t MUST share a token within each one's first
+    n - ceil(t*n) + 1 tokens when both token lists are sorted by the same
+    global order; ordering by document frequency (rarest first) means the
+    join only ever touches RARE tokens — the hot-token postings blowup
+    (stopword tokens producing quadratic pairs at 100 TB) is structurally
+    eliminated, not capped. Candidates from the prefix join are then
+    verified exactly with array_intersect over the full token arrays, so
+    the output is identical to the naive form (same oracle SQL). All
+    codegen'd built-ins; shuffles: df agg, token-vocab join (broadcast only
+    under the same Heaps'-law size guard as tfidf — a 100 TB vocabulary
+    falls back to a shuffle join), per-doc window, prefix join on (rare)
+    tok, two doc_id verification joins.
+
+    doc_id<100 here ONLY to share _JACCARD_ORACLE with the naive key (the
+    byte-identity contract); q_dedup_ngram_jaccard_scaled runs the same
+    core UNBOUNDED over the whole table."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    return _jaccard_prefix_pairs(spark, sf_dir, docs)
+
+
+@query(
+    "q_dedup_ngram_jaccard_scaled",
+    oracle=_JACCARD_ORACLE.replace(" WHERE doc_id < 100", ""),
+)
+def q_dedup_ngram_jaccard_scaled(spark, sf_dir):
+    """The UNBOUNDED exact-Jaccard key (VERDICT r4 task 5): the ppjoin
+    prefix-filter core over the ENTIRE documents table — no doc_id bound
+    on either side. The naive postings join needs the bound because the
+    fixture's dense shared vocabulary makes candidate pairs quadratic;
+    prefix filtering only joins on each doc's rarest tokens, so the full
+    corpus is tractable here and at 100 TB. Oracle: the same naive SQL,
+    unbounded — DuckDB verifies every pair the prefix join may NOT miss."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    return _jaccard_prefix_pairs(spark, sf_dir, docs)

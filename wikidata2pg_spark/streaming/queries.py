@@ -220,11 +220,10 @@ def q_stream_dedup(spark, sf_dir):
     return e.dropDuplicates(["user_id", "event_type"]).select("user_id", "event_type")
 
 
-@query("q_stream_stateful_count", oracle=None)  # custom state machine → rows-only
-def q_stream_stateful_count(spark, sf_dir):
-    """T6: arbitrary stateful op — running per-user (count, sum) via
+def _stateful_count_trail(spark, sf_dir):
+    """The T6 stream: running per-user (count, sum) via
     applyInPandasWithState; state persists across micro-batches, each batch
-    emits the updated totals, the memory sink keeps the trail."""
+    emits the updated totals, the memory sink keeps the full trail."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -247,6 +246,40 @@ def q_stream_stateful_count(spark, sf_dir):
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(spark, out, output_mode="update")
+
+
+@query("q_stream_stateful_count", oracle=None)  # custom state machine → rows-only
+def q_stream_stateful_count(spark, sf_dir):
+    """T6: the full update-mode emission trail — genuinely unhashable (one
+    row per (user, micro-batch) touched, so the row set depends on batch
+    boundaries). The deterministic sub-projection is the next key."""
+    return _stateful_count_trail(spark, sf_dir)
+
+
+@query(
+    "q_stream_stateful_final",
+    oracle="""
+SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_stream_stateful_final(spark, sf_dir):
+    """T6's hashable half (VERDICT r4 task 8): each user's FINAL state from
+    the same applyInPandasWithState trail. The trail's row count depends on
+    micro-batch boundaries, but the last emission per user is the converged
+    (count, sum) — batch-equal to a plain GROUP BY, so it hash-checks.
+    Selected with a per-user max-n window (n strictly increases per
+    emission; no arrival-order dependence)."""
+    from pyspark.sql import Window
+
+    trail = _stateful_count_trail(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        trail.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @query(
