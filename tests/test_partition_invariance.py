@@ -56,6 +56,7 @@ KEYS = [
     "q_text_pii_scrub",
     "q_pack_sequences",  # two-pass prefix sum must match at any split count
     "q_win_ntile_distributed",  # two-pass global rank, same invariant
+    "q_win_percent_rank_distributed",
 ]
 
 

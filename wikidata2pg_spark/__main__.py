@@ -36,6 +36,7 @@ from wikidata2pg_spark.wikidata import flatten
 # name -> flattener over the parsed-latest frame
 TABLE_BUILDERS = {
     "wd_labels": flatten.labels_table,
+    "wd_descriptions": flatten.descriptions_table,
     "wd_aliases": flatten.aliases_table,
     "wd_claims": flatten.claims_triples,
     "wd_truthy": lambda p: flatten.triples_from_statements(

@@ -101,15 +101,33 @@ def q_win_ntile_distributed(spark, sf_dir):
     The ONLY single-partition funnel is the P-row offsets aggregate
     (asserted in tests/test_plans.py): at 100 TB the full input never
     passes through one task, unlike the ntile()-over-global-Window plan."""
-    NPARTS = 8
     NBUCKETS = 4
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    parts = o.repartitionByRange(NPARTS, "o_totalprice", "o_orderkey").withColumn(
+    ranked = _global_rank(o, "o_totalprice", "o_orderkey")
+    rn = F.col("global_rank")
+    n = F.col("n_total")
+    q = (n / NBUCKETS).cast("long")  # floor bucket size
+    r = n % NBUCKETS  # first r buckets take q+1 rows
+    boundary = r * (q + F.lit(1))
+    quartile = F.when(
+        rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(
+        r + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    return ranked.select("o_orderkey", quartile.cast("long").alias("quartile"))
+
+
+def _global_rank(df, *order_cols: str, nparts: int = 8):
+    """Two-pass distributed global row_number over ``order_cols`` (must be
+    a unique composite for determinism): range-partition, rank within each
+    partition, add broadcast P-row prefix offsets. Output = input columns
+    plus ``global_rank`` (1-based) and ``n_total``. The only
+    single-partition stage is the P-row offsets window."""
+    parts = df.repartitionByRange(nparts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
-    within = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    within = Window.partitionBy("pid").orderBy(*order_cols)
     ranked = parts.withColumn("local_rank", F.row_number().over(within))
-    # P rows: counts per partition -> prefix offsets + grand total N
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     wtot = Window.orderBy("pid").rowsBetween(
@@ -120,19 +138,37 @@ def q_win_ntile_distributed(spark, sf_dir):
         F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("poff"),
         F.sum("cnt").over(wtot).alias("n_total"),
     )
-    rn = F.col("poff") + F.col("local_rank")  # 1-based global rank
-    n = F.col("n_total")
-    q = (n / NBUCKETS).cast("long")  # floor bucket size
-    r = n % NBUCKETS  # first r buckets take q+1 rows
-    boundary = r * (q + F.lit(1))
-    quartile = F.when(
-        rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1
-    ).otherwise(
-        r + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
-    )
     return (
         ranked.join(F.broadcast(offs), "pid")
-        .select("o_orderkey", quartile.cast("long").alias("quartile"))
+        .withColumn("global_rank", F.col("poff") + F.col("local_rank"))
+        .drop("pid", "local_rank", "poff")
+    )
+
+
+@query(
+    "q_win_percent_rank_distributed",
+    oracle="""
+SELECT o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_win_percent_rank_distributed(spark, sf_dir):
+    """q_win_percent_rank's scale form, over the FULL orders table: with a
+    unique ordering key, percent_rank = (rank-1)/(N-1) and
+    cume_dist = rank/N, both derivable from the two-pass global rank —
+    no single-task window over the input (same shape as
+    q_win_ntile_distributed; closes the other global-window caveat)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = _global_rank(o, "o_totalprice", "o_orderkey")
+    rn, n = F.col("global_rank"), F.col("n_total")
+    pr = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))  # SQL: 0 for N=1
+    return ranked.select(
+        "o_orderkey",
+        F.round(pr, 6).alias("pr"),
+        F.round(rn / n, 6).alias("cd"),
     )
 
 
@@ -286,8 +322,8 @@ WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 def q_win_percent_rank(spark, sf_dir):
     """Window family extension (r2): percent_rank + cume_dist — the
     normalized-rank pair (quantile position without a global count join).
-    GLOBAL window by design (filter-bounded input; see q_win_ntile's note
-    on the distributed two-pass alternative)."""
+    GLOBAL window by design (filter-bounded input);
+    q_win_percent_rank_distributed is the scale form over the full table."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(

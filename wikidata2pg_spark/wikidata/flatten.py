@@ -79,6 +79,13 @@ def labels_table(parsed: DataFrame) -> DataFrame:
     ).select("id", "lang", F.col("l.value").alias("label"))
 
 
+def descriptions_table(parsed: DataFrame) -> DataFrame:
+    """(id, lang, description) — labels' sibling map, same flatten shape."""
+    return parsed.select(
+        F.col("e.id").alias("id"), F.explode("e.descriptions").alias("lang", "d")
+    ).select("id", "lang", F.col("d.value").alias("description"))
+
+
 def aliases_table(parsed: DataFrame) -> DataFrame:
     """(id, lang, alias_idx, alias) — the MAP<lang, ARRAY<struct>> double
     flatten, position-preserving."""

@@ -116,6 +116,54 @@ def q_wd_labels(spark, sf_dir):
 
 
 @query(
+    "q_wd_descriptions",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE}
+SELECT json_extract_string(l.line, '$.id') AS id,
+       u.lang AS lang,
+       json_extract_string(l.line, '$.descriptions.' || u.lang || '.value') AS description
+FROM latest l, unnest(coalesce(json_keys(l.line, '$.descriptions'), [])) AS u(lang)
+""",
+)
+def q_wd_descriptions(spark, sf_dir):
+    """K2's sibling: flatten the per-language descriptions map →
+    (id, lang, description) — the remaining termstore table a reference
+    ETL user loads next to labels/aliases (new in r5; CLI table
+    wd_descriptions)."""
+    return flatten.descriptions_table(_latest(spark))
+
+
+@query(
+    "q_wd_property_stats",
+    oracle=f"""
+WITH {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE}
+SELECT property,
+       count(*) AS n_statements,
+       count(DISTINCT subject) AS n_subjects,
+       count(DISTINCT json_extract_string(stmt, '$.mainsnak.datavalue.type')) AS n_value_types
+FROM stmts
+GROUP BY property
+""",
+)
+def q_wd_property_stats(spark, sf_dir):
+    """Property-usage profile: statements / distinct subjects / distinct
+    value types per property — the first query run against a freshly
+    loaded wikidata database (what's in here?), and the input to
+    partition/bucket decisions for the claims table at scale (hot
+    properties like P31 dominate; the stats are one hash-shuffle on
+    property with partial aggregation; new in r5)."""
+    st = flatten.statements(_latest(spark))
+    return st.groupBy("property").agg(
+        F.count(F.lit(1)).alias("n_statements"),
+        F.countDistinct("id").alias("n_subjects"),
+        F.countDistinct(flatten.datavalue_type(F.col("dv"))).alias("n_value_types"),
+    )
+
+
+@query(
     "q_wd_label_lookup",
     oracle=f"""
 WITH {entities_cte()},
