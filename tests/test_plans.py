@@ -47,6 +47,31 @@ def test_small_join_auto_broadcasts_under_aqe(spark):
     assert "BroadcastHashJoin" in _plan(df)
 
 
+def test_join3_preagg_plan_and_equivalence(spark):
+    """join3_top10's eager-aggregation rewrite: customer broadcasts, the
+    top-10 is TakeOrderedAndProject, and the result is identical to the
+    direct 3-way-join formulation it replaced."""
+    from wikidata2pg_spark.flagship import join3_top10
+
+    df = join3_top10(spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+    c = load(spark, SF_T2, "customer")
+    o = load(spark, SF_T2, "orders")
+    li = load(spark, SF_T2, "lineitem")
+    direct = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in direct.collect()]
+
+
 def test_topk_global_is_take_ordered(spark):
     from wikidata2pg_spark.registry import all_queries
 
