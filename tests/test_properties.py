@@ -82,3 +82,42 @@ def test_window_partition_counts(spark, data):
     # max row_number per partition == partition size
     per = rn.groupBy("a").agg(F.max("rn").alias("mx"), F.count(F.lit(1)).alias("n"))
     assert per.filter(F.col("mx") != F.col("n")).count() == 0
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60, unique=True),
+    nparts=st.integers(1, 5),
+    nbuckets=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_global_rank_matches_sorted_position(spark, vals, nparts, nbuckets):
+    """_global_rank over any unique key list at any partition count equals
+    the 1-based position in the sorted order, and the derived ntile bucket
+    arithmetic equals F.ntile over a global window (the r5 distributed
+    forms' core invariant)."""
+    from pyspark.sql import Window
+
+    from wikidata2pg_spark.operators.windows import _global_rank
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    ranked = _global_rank(df, "k", nparts=nparts)
+    got = {r.k: r.global_rank for r in ranked.collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
+    assert set(r.n_total for r in ranked.collect()) == {len(vals)}
+
+    # ntile bucket arithmetic == built-in ntile
+    rn, n = F.col("global_rank"), F.col("n_total")
+    q = (n / nbuckets).cast("long")
+    r_ = n % nbuckets
+    boundary = r_ * (q + F.lit(1))
+    bucket = F.when(rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
+        r_ + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    got_b = {r.k: r.b for r in ranked.select("k", bucket.cast("long").alias("b")).collect()}
+    w = Window.orderBy("k")
+    want_b = {
+        r.k: r.b
+        for r in df.select("k", F.ntile(nbuckets).over(w).cast("long").alias("b")).collect()
+    }
+    assert got_b == want_b
