@@ -181,7 +181,9 @@ WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.5
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Token-set Jaccard near-dup via the inverted-index (postings) self-join
     — shuffles on token, so the pair space is only materialized where overlap
-    exists. doc_id<100 bounds the fixture's dense-vocabulary blowup."""
+    exists. doc_id<100 bounds the fixture's dense-vocabulary blowup; the
+    UNBOUNDED scale path is q_dedup_ngram_jaccard_scaled (ppjoin prefix
+    filtering, byte-identical semantics, hash-checked over the full table)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
