@@ -57,6 +57,7 @@ KEYS = [
     "q_pack_sequences",  # two-pass prefix sum must match at any split count
     "q_win_ntile_distributed",  # two-pass global rank, same invariant
     "q_win_percent_rank_distributed",
+    "q_time_sessionize_batch",  # lag/cumsum session ids must not depend on splits
 ]
 
 

@@ -759,6 +759,40 @@ def q_agg_histogram(spark, sf_dir):
 
 
 @query(
+    "q_agg_mode",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id ASC) AS rn
+  FROM counts
+)
+SELECT event_type, user_id AS mode_user, n AS mode_n
+FROM ranked WHERE rn = 1
+""",
+)
+def q_agg_mode(spark, sf_dir):
+    """Statistical MODE per group (staged for r6): most frequent user per
+    event type, smallest-id tiebreak. Built as count + WindowGroupLimit
+    top-1 rather than any engine's mode() (whose tiebreak is undefined —
+    both sides here pin n DESC, user ASC, so the result hashes). Two
+    keyed shuffles, both with partial aggregation; the window keeps
+    per-partition state at 1 row per group."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("mode_n"))
+    )
+
+
+@query(
     "q_agg_stats",
     oracle="""
 SELECT l_returnflag,

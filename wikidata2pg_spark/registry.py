@@ -77,9 +77,10 @@ _ROUND5_PRIORITY = (
 )
 
 # Registered but intentionally OUTSIDE the r5 window (the window is full at
-# 50): q_wd_descriptions, q_wd_property_stats, q_win_percent_rank_distributed
-# and any later r5 additions. These are mirror-green and must lead the r6
-# window, followed by the r1/r3 keys not re-proven in r5.
+# 50): q_wd_descriptions, q_wd_property_stats,
+# q_win_percent_rank_distributed, q_time_sessionize_batch, q_agg_mode.
+# These are mirror-green and must lead the r6 window, followed by the
+# r1/r3 keys not re-proven in r5.
 
 
 def _prioritize(d: dict) -> dict:

@@ -454,3 +454,51 @@ def q_time_gapfill(spark, sf_dir):
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "q_time_sessionize_batch",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+         CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_idx
+""",
+)
+def q_time_sessionize_batch(spark, sf_dir):
+    """Batch sessionization (staged for r6): per-user sessions from a
+    30-minute inactivity gap — lag to flag the break, running sum of the
+    flags for the session index, then a per-session rollup. The batch twin
+    of T3's session_window (same gap semantics over history instead of a
+    stream), and the canonical clickstream prep step. One user-keyed
+    shuffle; both windows and the final agg share the (user_id) hash
+    partitioning, so Catalyst plans a single Exchange."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.col("ts").cast("long")
+        - F.lag(F.col("ts").cast("long")).over(w)
+        > 30 * 60
+    ).cast("int")
+    g = e.withColumn("brk", F.coalesce(brk, F.lit(0)))
+    s = g.withColumn(
+        "session_idx",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
