@@ -238,6 +238,19 @@ def test_ntile_distributed_no_full_input_single_task(spark):
     assert got == want
 
 
+def test_tfidf_small_corpus_single_aggregation(spark):
+    """r5: under the small-corpus guard, df comes from a window over the tf
+    rows — the exploded-token aggregation must appear ONCE in the plan
+    (two parquet scans total: tf lineage + the broadcast N), where the
+    join form re-executed it (three scans, no ReusedExchange)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_text_tfidf"](spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """The benchmark gram set joins as a broadcast — corpus-side grams are
     checked map-side, never shuffled for the membership test."""

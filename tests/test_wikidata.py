@@ -114,6 +114,11 @@ def test_cli_import_end_to_end(spark, tmp_path):
     # idempotent re-import: overwrite, not append
     again = run_import(spark, str(gz), url, tables=["wd_labels"], load_partitions=2)
     assert again["wd_labels"] == counts["wd_labels"]
+    # --truthy-only: wd_claims gets the truthy-filtered triples instead
+    truthy = run_import(
+        spark, str(gz), url, tables=["wd_claims"], truthy_only=True, load_partitions=2
+    )
+    assert truthy["wd_claims"] == counts["wd_truthy"]
 
 
 def test_cli_main_argv(spark, tmp_path, capsys):
