@@ -58,6 +58,10 @@ KEYS = [
     "q_win_ntile_distributed",  # two-pass global rank, same invariant
     "q_win_percent_rank_distributed",
     "q_time_sessionize_batch",  # lag/cumsum session ids must not depend on splits
+    "q_win_count_distinct",  # two-window rewrite must not depend on splits
+    "q_graph_copurchase",
+    "q_graph_pagerank",  # iterative ranks must converge identically per split
+    "q_wd_subclass_closure",  # frontier iteration over an in-memory dump: split-free but cheap to pin
 ]
 
 

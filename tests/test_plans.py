@@ -258,3 +258,53 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
 
     df = all_queries()["q_text_decontaminate"](spark, SF_T2)
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_exists_rewrites_to_semi_anti_join(spark):
+    """EXISTS/NOT EXISTS must decorrelate into semi/anti hash joins, not a
+    per-row probe (r5 subquery family)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_subquery_exists"](spark, SF_T2)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """The correlated per-brand average becomes a grouped aggregate joined
+    back on p_brand — no nested-loop subplan per input row."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_subquery_scalar"](spark, SF_T2)
+    opt = _optimized(df)
+    # Decorrelation leaves a plain Aggregate+Join tree; a correlated
+    # expression would survive as a ScalarSubquery referencing outer attrs
+    # inside the filter/project.
+    assert "Join" in opt and "Aggregate" in opt
+
+
+def test_win_count_distinct_partitions_by_key(spark):
+    """Both windows of the count-distinct rewrite hash-partition on
+    o_custkey — no global (unpartitioned) window in the plan."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_win_count_distinct"](spark, SF_T2)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_copurchase_is_single_shuffle_join_plus_agg(spark):
+    """The basket self-join keys on l_orderkey (the shuffle key) and the
+    pair count is a partial+final hash agg."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_graph_copurchase"](spark, SF_T2)
+    plan = _plan(df)
+    # Equi-join on l_orderkey (broadcasts at fixture scale, shuffle-joins at
+    # real scale — either way the key is the order key, never a cartesian).
+    assert "Join [l_orderkey" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # Pair count is a partial+final two-phase hash agg (map-side combine).
+    assert "partial_count" in plan

@@ -226,3 +226,46 @@ def q_fn_bitwise(spark, sf_dir):
         F.expr("shiftright(l_partkey, 3)").alias("shr"),
         F.bit_count("l_partkey").cast("long").alias("popcnt"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+SELECT c_custkey,
+       'https://shop.example.com/' || lower(c_mktsegment) || '/cust-'
+           || c_custkey || '?nation=' || c_nationkey AS url,
+       'shop.example.com' AS host,
+       '/' || lower(c_mktsegment) || '/cust-' || c_custkey AS path,
+       'nation=' || c_nationkey AS query,
+       c_nationkey::VARCHAR AS nation_param
+FROM customer
+WHERE c_custkey < 500
+""",
+)
+def q_fn_url(spark, sf_dir):
+    """URL function pack: parse_url component extraction (HOST / PATH /
+    QUERY / named query parameter) — the per-document URL normalization any
+    web-corpus pipeline runs before domain-level dedup or filtering. The
+    URL is constructed from fixture columns so the oracle can state the
+    expected components directly; parse_url is a pure JVM expression
+    (codegen, no UDF). DuckDB has no parse_url, so the oracle derives the
+    same components from the same source columns — the equality checked is
+    'parse(build(x)) == components(x)', i.e. a roundtrip assertion."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        F.lower("c_mktsegment"),
+        F.lit("/cust-"),
+        F.col("c_custkey"),
+        F.lit("?nation="),
+        F.col("c_nationkey"),
+    )
+    c = c.select("c_custkey", url.alias("url"))
+    return c.select(
+        "c_custkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
+    )

@@ -1,0 +1,169 @@
+"""Graph analytics over the relational fixture (r5 extras).
+
+Two classic distributed-graph shapes the reference's users reach for once
+their data is in SQL [R: the reference exposes item->item claims as plain
+joinable tables; SURVEY §2.11 K10/two-hop/CC cover the Wikidata side —
+this module covers the *relational* graph surface]:
+
+* **Bipartite projection / co-occurrence mining** (`q_graph_copurchase`):
+  pairs of parts bought in the same order. The projection of a bipartite
+  graph can explode quadratically in general, but here the blowup is
+  bounded STRUCTURALLY: a TPC-H order has at most 7 lineitems, so the
+  per-order pair fan-out is at most C(7,2)=21 — output is linear in input
+  and the plan is one shuffle on the join key plus one hash-agg. That
+  boundedness (small per-key group, join key = natural partition key) is
+  exactly what makes the same plan safe at 100 TB.
+
+* **Fixed-iteration PageRank** (`q_graph_pagerank`): the customer->supplier
+  purchase graph. Each iteration is a shuffle-join on `src` (edges and the
+  rank table co-partition after the first iteration, so AQE reuses the
+  exchange) plus a hash-agg on `dst`; only the topology-constant node
+  count crosses to the driver-free broadcast (1-row agg, same pattern as
+  tfidf's corpus-N). Dangling nodes (suppliers, which have no outlinks)
+  simply leak their mass — the classic simplified formulation; both the
+  Spark side and the DuckDB oracle implement the identical recurrence so
+  the comparison is exact. At 100 TB the rank table stays partitioned by
+  id across iterations and each round is one co-partitioned join — with
+  `localCheckpoint` every few rounds to truncate lineage (not needed at
+  3 rounds; see q_wd_connected_components for the checkpointed loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+_DAMP = 0.85
+_ITERS = 3
+
+
+@query(
+    "q_graph_copurchase",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM lp a
+JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= 2
+""",
+)
+def q_graph_copurchase(spark, sf_dir):
+    """Market-basket pair mining: parts co-occurring in >=2 orders.
+
+    Self-join on the order key (the table's natural clustering), pair
+    ordered `part_a < part_b` so each unordered pair appears once, then
+    count. Per-order fan-out is bounded by basket size (<=21 pairs), so
+    the join output is linear in |lineitem| and the whole plan is one
+    shuffle + one partial/final hash-agg.
+    """
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as plain (non-recursive) SQL —
+    DuckDB evaluates the same recurrence the Spark loop builds."""
+    prev = "pr0"
+    iters = []
+    for k in range(1, _ITERS + 1):
+        iters.append(
+            f"""pr{k} AS (
+  SELECT nodes.id,
+         (SELECT {1 - _DAMP} / n FROM nn)
+           + {_DAMP} * coalesce(c.contrib, 0) AS pr
+  FROM nodes
+  LEFT JOIN (
+      SELECT e.dst AS id, sum(p.pr / deg.d) AS contrib
+      FROM e
+      JOIN {prev} p ON p.id = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst) c ON c.id = nodes.id
+)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+WITH e AS (
+    SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+pr0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS pr FROM nodes),
+{','.join(iters)}
+SELECT id AS node, round(pr * (SELECT n FROM nn), 2) AS pr_scaled
+FROM {prev}
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank, 3 power iterations, damping 0.85, over the distinct
+    customer->supplier purchase edges. Scaled by the node count (so the
+    2-decimal rounding of FIXTURES.md rule 1 lands on O(1) values) —
+    `pr_scaled` ~= 1 means "average importance".
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # Topology constant N via a broadcast 1-row agg — no eager driver count.
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes_n = nodes.crossJoin(F.broadcast(nn))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+
+    ranks = nodes_n.select("id", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(_ITERS):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("rid"), "pr"), e.src == F.col("rid"))
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("contrib"))
+        )
+        ranks = (
+            nodes_n.join(contrib, nodes_n.id == contrib.dst, "left")
+            .select(
+                "id",
+                "n",
+                (
+                    F.lit(1 - _DAMP) / F.col("n")
+                    + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("node"),
+        F.round(F.col("pr") * F.col("n"), 2).alias("pr_scaled"),
+    )

@@ -1,0 +1,69 @@
+"""Subquery operators (r5 extras): EXISTS / NOT EXISTS and correlated
+scalar subqueries — the remaining ANSI-SQL query shapes a reference user
+coming from Postgres writes daily [R: the reference's query surface is
+whatever Postgres accepts over its loaded tables].
+
+Spark-first story: Catalyst REWRITES these into joins — `EXISTS` becomes a
+left-semi join, `NOT EXISTS` a left-anti join, and a correlated scalar
+subquery becomes an aggregate + left outer join on the correlation key.
+None of them execute as per-row subquery probes (the Postgres mental
+model); all of them scale as ordinary shuffle/broadcast joins. The tests
+in tests/test_plans.py pin the semi/anti rewrite so a regression back to
+a nested-loop shape would fail CI.
+"""
+
+from __future__ import annotations
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM {customer} c
+WHERE EXISTS (
+        SELECT 1 FROM {orders} o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (
+        SELECT 1 FROM {orders} o2
+        WHERE o2.o_custkey = c.c_custkey
+          AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 200000.0)
+"""
+
+
+@query(
+    "q_subquery_exists",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
+def q_subquery_exists(spark, sf_dir):
+    """Correlated EXISTS + NOT EXISTS: customers with at least one urgent
+    order and no completed order above 200k. Catalyst turns the pair into
+    one left-semi and one left-anti hash join on c_custkey — two shuffles,
+    no per-row probing."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"subq_{t}")
+    return spark.sql(_EXISTS_SQL.format(customer="subq_customer", orders="subq_orders"))
+
+
+_SCALAR_SQL = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice,
+       round((SELECT avg(p2.p_retailprice) FROM {part} p2
+              WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+FROM {part} p
+WHERE p.p_retailprice > (SELECT avg(p3.p_retailprice) FROM {part} p3
+                         WHERE p3.p_brand = p.p_brand)
+  AND p.p_retailprice > (SELECT avg(p4.p_retailprice) FROM {part} p4)
+"""
+
+
+@query(
+    "q_subquery_scalar",
+    oracle=_SCALAR_SQL.format(part="part"),
+)
+def q_subquery_scalar(spark, sf_dir):
+    """Correlated scalar subquery (per-brand average, in both SELECT and
+    WHERE) plus an uncorrelated global-average guard. Catalyst de-correlates
+    to a grouped aggregate joined back on p_brand; the uncorrelated scalar
+    becomes a broadcast 1-row subplan — the same shapes the engine's own
+    tfidf/pagerank constants use."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("subq_part")
+    return spark.sql(_SCALAR_SQL.format(part="subq_part"))

@@ -364,3 +364,55 @@ def q_scd2_intervals(spark, sf_dir):
         "value",
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_win_count_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         CASE WHEN row_number() OVER (
+             PARTITION BY o_custkey, o_orderpriority
+             ORDER BY o_orderdate, o_orderkey) = 1 THEN 1 ELSE 0 END AS first_seen
+  FROM orders
+  WHERE o_custkey < 500
+)
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum(first_seen) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS distinct_prios_so_far
+FROM flagged
+""",
+)
+def q_win_count_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over a window — an operator Spark's window
+    engine does not support directly (DISTINCT window aggregates raise).
+    Composed from existing ops instead: flag each (key, value) pair's first
+    occurrence with row_number()==1, then running-sum the flags — the
+    standard two-window rewrite, fully distributed (both windows hash-
+    partition on o_custkey; the second sort piggybacks on the first's
+    ordering). The oracle runs the SAME rewrite in ANSI SQL, so the
+    equivalence is checked value-for-value."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w_first = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_prios_so_far"),
+    )

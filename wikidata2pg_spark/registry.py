@@ -78,9 +78,11 @@ _ROUND5_PRIORITY = (
 
 # Registered but intentionally OUTSIDE the r5 window (the window is full at
 # 50): q_wd_descriptions, q_wd_property_stats,
-# q_win_percent_rank_distributed, q_time_sessionize_batch, q_agg_mode.
-# These are mirror-green and must lead the r6 window, followed by the
-# r1/r3 keys not re-proven in r5.
+# q_win_percent_rank_distributed, q_time_sessionize_batch, q_agg_mode,
+# plus the late-r5 additions q_subquery_exists, q_subquery_scalar,
+# q_win_count_distinct, q_fn_url, q_graph_copurchase, q_graph_pagerank,
+# q_wd_subclass_closure. These are mirror-green and must lead the r6
+# window, followed by the r1/r3 keys not re-proven in r5.
 
 
 def _prioritize(d: dict) -> dict:
@@ -105,6 +107,8 @@ def _load_modules() -> None:
     import wikidata2pg_spark.operators.relational  # noqa: F401
     import wikidata2pg_spark.operators.joins  # noqa: F401
     import wikidata2pg_spark.operators.windows  # noqa: F401
+    import wikidata2pg_spark.operators.graph  # noqa: F401
+    import wikidata2pg_spark.operators.subqueries  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -644,3 +644,58 @@ def q_wd_references(spark, sf_dir):
     lists — three position-preserving explodes, value dispatch through the
     same datavalue union as everywhere else."""
     return flatten.references_table(_latest(spark))
+
+
+@query(
+    "q_wd_subclass_closure",
+    oracle=f"""
+WITH RECURSIVE {entities_cte()},
+  {_LATEST_CTE},
+  {_STMTS_CTE},
+  {_EDGES_CTE},
+  e AS (SELECT DISTINCT src, dst FROM edges WHERE dst IS NOT NULL),
+  reach(src, dst, depth) AS (
+    SELECT src, dst, 1 FROM e
+    UNION
+    SELECT r.src, e.dst, r.depth + 1
+    FROM reach r JOIN e ON r.dst = e.src
+    WHERE r.depth < 4
+  )
+SELECT src, dst, min(depth)::BIGINT AS min_depth
+FROM reach GROUP BY src, dst
+""",
+)
+def q_wd_subclass_closure(spark, sf_dir):
+    """Bounded-depth transitive closure (<=4 hops) over item->item claims —
+    the 'all ancestors via subclass-of/instance-of chains' query every
+    Wikidata consumer runs, expressed as SEMI-NAIVE iteration: each round
+    joins only the newly-discovered frontier against the edge table and
+    anti-joins out pairs already reached, so work per round is proportional
+    to the NEW pairs, not the accumulated closure (the Datalog semi-naive
+    rule, which is what makes iterative closure tractable at 100 TB —
+    frontier and edges co-partition on the hop key). BFS layering means the
+    first discovery of a pair is at its minimal depth, so no min-agg is
+    needed on the Spark side; the DuckDB oracle states the same result
+    declaratively with a depth-bounded recursive CTE + min(depth)."""
+    e = (
+        flatten.item_edges(_latest(spark))
+        .select("src", "dst")
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    reach = e.withColumn("depth", F.lit(1))
+    frontier = reach
+    for depth in (2, 3, 4):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.dst") == F.col("g.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("g.dst").alias("dst"),
+                F.lit(depth).alias("depth"),
+            )
+            .distinct()
+        )
+        frontier = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+        reach = reach.unionByName(frontier)
+    return reach.select("src", "dst", F.col("depth").cast("long").alias("min_depth"))
