@@ -62,6 +62,9 @@ KEYS = [
     "q_graph_copurchase",
     "q_graph_pagerank",  # iterative ranks must converge identically per split
     "q_wd_subclass_closure",  # frontier iteration over an in-memory dump: split-free but cheap to pin
+    "q_join_spatial_grid",  # grid replication must cover pairs at any split
+    "q_agg_bucketize_equidepth",  # percentile cutpoints must not depend on splits
+    "q_dedup_url_canonical",
 ]
 
 

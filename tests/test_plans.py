@@ -308,3 +308,24 @@ def test_copurchase_is_single_shuffle_join_plus_agg(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # Pair count is a partial+final two-phase hash agg (map-side combine).
     assert "partial_count" in plan
+
+
+def test_spatial_grid_join_is_equi_on_cells(spark):
+    """The distance join must run as an equi-join on the grid-cell key —
+    never a cartesian/nested-loop over the point pairs."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_spatial_grid"](spark, SF_T2)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join [cx" in plan or "Join [cy" in plan or "cx#" in plan
+
+
+def test_bucketize_broadcasts_cutpoints(spark):
+    """The quartile cutpoints join the fact table as a broadcast of a 1-row
+    aggregate — the data never shuffles for the bucketize step."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_agg_bucketize_equidepth"](spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan

@@ -397,3 +397,62 @@ def q_dedup_ngram_jaccard_scaled(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     return _jaccard_prefix_pairs(spark, sf_dir, docs)
+
+
+@query(
+    "q_dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT c_custkey,
+         'shop.example.com/' || lower(c_mktsegment) || '/p/'
+             || (c_custkey % 100) || '?nation=' || c_nationkey AS canonical
+  FROM customer
+)
+SELECT canonical,
+       min(c_custkey)::BIGINT AS keep_custkey,
+       count(*)::BIGINT AS n_variants
+FROM urls
+GROUP BY canonical
+""",
+)
+def q_dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization + dedup — the first gate of a web-corpus
+    pipeline: strip tracking parameters and fragments, normalize case,
+    then keep one representative per canonical URL. The raw URLs carry a
+    deterministic utm_source parameter and fragment on a subset of rows;
+    canonical form = host + path + the single retained query param,
+    rebuilt from parse_url components (pure JVM codegen). Dedup is one
+    hash-shuffle on the canonical key with min-key keep — identical plan
+    shape to q_dedup_exact. The oracle states the canonical form directly
+    from the source columns, so the check also proves the parse/strip
+    roundtrip drops exactly the tracking noise."""
+    c = load(spark, sf_dir, "customer")
+    raw = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("https://shop.example.com/"),
+            F.lower("c_mktsegment"),
+            F.lit("/p/"),
+            F.col("c_custkey") % 100,
+            F.lit("?nation="),
+            F.col("c_nationkey"),
+            # deterministic tracking noise the canonicalizer must strip
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("&utm_source=mail")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "c_custkey",
+        F.concat(
+            F.parse_url("url", F.lit("HOST")),
+            F.parse_url("url", F.lit("PATH")),
+            F.lit("?nation="),
+            F.parse_url("url", F.lit("QUERY"), F.lit("nation")),
+        ).alias("canonical"),
+    )
+    return canon.groupBy("canonical").agg(
+        F.min("c_custkey").cast("long").alias("keep_custkey"),
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+    )

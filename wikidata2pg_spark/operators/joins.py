@@ -418,3 +418,69 @@ def q_join_multikey_self(spark, sf_dir):
             F.col("b.o_orderkey").alias("k2"),
         )
     )
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey % 40) + (c_custkey % 7) * 0.15 AS lat,
+         ((c_custkey * 3) % 40) + (c_custkey % 11) * 0.09 AS lon
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)), 4) AS dist
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE sqrt((a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon)) <= 1.0
+""",
+)
+def q_join_spatial_grid(spark, sf_dir):
+    """Spatial distance self-join via GRID BUCKETING — find all point pairs
+    within distance 1.0 without the all-pairs cross join. Each point gets a
+    home cell (floor(lat), floor(lon)); one side is replicated to its 3x3
+    cell neighborhood (a bounded 9x blowup), the join is a plain equi-join
+    on the cell key, and the exact distance predicate filters inside the
+    matched cell — so the pair space is per-cell-local, never O(n²). This
+    is the standard scale shape for distance joins (the same
+    bucket-then-refine pattern as the LSH/minhash family, with the grid as
+    the hash); the DuckDB oracle is the direct theta-join, tractable on the
+    bounded fixture while the Spark side is the 100 TB plan. Points are
+    derived deterministically from customer keys (integer-and-literal
+    arithmetic — identical IEEE doubles on both engines)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") % 40) + (F.col("c_custkey") % 7) * 0.15).alias("lat"),
+        (((F.col("c_custkey") * 3) % 40) + (F.col("c_custkey") % 11) * 0.09).alias(
+            "lon"
+        ),
+    )
+    home = pts.withColumn("cx", F.floor("lat")).withColumn("cy", F.floor("lon"))
+    probe = (
+        pts.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("id").alias("id_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            (F.floor("lat") + F.col("dx")).alias("cx"),
+            (F.floor("lon") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("lat") - F.col("lat_b")) * (F.col("lat") - F.col("lat_b")) + (
+        F.col("lon") - F.col("lon_b")
+    ) * (F.col("lon") - F.col("lon_b"))
+    return (
+        home.join(probe, ["cx", "cy"])
+        .filter((F.col("id") < F.col("id_b")) & (F.sqrt(d2) <= 1.0))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+        # No distinct needed: for a fixed pair, a's single home cell meets
+        # exactly one of b's nine replicas, so each pair matches once.
+    )

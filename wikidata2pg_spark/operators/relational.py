@@ -897,3 +897,58 @@ def q_text_search(spark, sf_dir):
         F.countDistinct("word").alias("n_terms"),
     )
     return hits.filter(F.col("n_terms") == len(TERMS)).select("doc_id", "score")
+
+
+@query(
+    "q_agg_bucketize_equidepth",
+    oracle="""
+WITH cuts AS (
+  SELECT quantile_cont(l_quantity, 0.25) AS c1,
+         quantile_cont(l_quantity, 0.50) AS c2,
+         quantile_cont(l_quantity, 0.75) AS c3
+  FROM lineitem
+)
+SELECT CASE WHEN l_quantity <= c1 THEN 0
+            WHEN l_quantity <= c2 THEN 1
+            WHEN l_quantity <= c3 THEN 2
+            ELSE 3 END AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem, cuts
+GROUP BY 1
+""",
+)
+def q_agg_bucketize_equidepth(spark, sf_dir):
+    """Equal-frequency (equi-depth) bucketing: quartile cutpoints via one
+    exact-percentile aggregation, broadcast to every row (the cutpoint set
+    is O(#buckets), never data-sized), CASE-bucketize, then per-bucket
+    stats — the quantile-binning step of feature engineering and the
+    histogram-equi-depth complement to q_agg_histogram's fixed-width bins.
+    Two passes over the data (cutpoints, then bucketize) is the exact
+    formulation; at 100 TB the first pass is usually swapped for
+    approx_percentile at a fraction of the cost (same plan shape).
+    Cutpoints come from l_quantity, whose integer-valued doubles
+    interpolate exactly in both engines — no boundary-ulp hazard."""
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("c1"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("c2"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("c3"),
+    )
+    bucketed = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("l_quantity") <= F.col("c1"), 0)
+        .when(F.col("l_quantity") <= F.col("c2"), 1)
+        .when(F.col("l_quantity") <= F.col("c3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
