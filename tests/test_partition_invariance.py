@@ -65,6 +65,7 @@ KEYS = [
     "q_join_spatial_grid",  # grid replication must cover pairs at any split
     "q_agg_bucketize_equidepth",  # percentile cutpoints must not depend on splits
     "q_dedup_url_canonical",
+    "q_pipeline_pretraining",  # composed pipeline: prefix sum + dedup window at any split
 ]
 
 

@@ -585,3 +585,145 @@ def q_pack_sequences(spark, sf_dir):
         last.alias("last_window"),
         (first != last).alias("straddles"),
     )
+
+
+@query(
+    "q_pipeline_pretraining",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+), q AS (
+  SELECT doc_id, lang, text, toks, len(toks) AS n_toks
+  FROM t
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
+), s AS (
+  SELECT doc_id, lang, toks, n_toks,
+         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM q
+), survivors AS (
+  SELECT doc_id, lang, toks, n_toks FROM s WHERE rn = 1
+), allgrams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(greatest(len(toks) - 7, 0)),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+           AS gs
+  FROM t
+), bench AS (
+  SELECT DISTINCT g.gram FROM allgrams, unnest(gs) AS g(gram)
+  WHERE allgrams.doc_id % 97 = 0
+), survgrams AS (
+  SELECT sv.doc_id, g.gram
+  FROM (SELECT doc_id,
+               list_distinct(list_transform(range(greatest(len(toks) - 7, 0)),
+                             i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')))
+                 AS gs
+        FROM survivors) sv, unnest(gs) AS g(gram)
+), contaminated AS (
+  SELECT DISTINCT sg.doc_id FROM survgrams sg JOIN bench b ON sg.gram = b.gram
+), clean AS (
+  SELECT doc_id, lang, n_toks FROM survivors
+  WHERE doc_id % 97 != 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), c AS (
+  SELECT doc_id, lang, n_toks,
+         sum(n_toks) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_toks AS start_off
+  FROM clean
+)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // 512 AS BIGINT) AS first_window,
+       CAST((start_off + n_toks - 1) // 512 AS BIGINT) AS last_window
+FROM c
+""",
+)
+def q_pipeline_pretraining(spark, sf_dir):
+    """The full pretraining data pipeline as ONE declarative plan —
+    quality gate → exact dedup → benchmark decontamination → sequence
+    packing, i.e. the composition of q_corpus_clean, q_text_decontaminate
+    and q_pack_sequences into the end-to-end flow a user actually runs.
+    Every stage keeps its individual scale shape (narrow quality scan;
+    one digest-keyed shuffle; broadcast benchmark grams so the corpus
+    never shuffles for the overlap check; two-pass distributed prefix
+    sum), and Catalyst pipelines them — no materialization boundaries
+    between stages. The oracle is the same composition as chained CTEs,
+    so the hash check certifies the WHOLE pipeline, not just its parts."""
+    from pyspark.sql import Window
+
+    CAP = 512
+    NPARTS = 8
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / n
+    q = d.filter(n.between(10, 1000) & (ttr > 0.2)).select(
+        "doc_id", "lang", "text", toks.alias("toks"), n.cast("long").alias("n_toks")
+    )
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        "doc_id"
+    )
+    survivors = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "toks", "n_toks")
+    )
+
+    def _grams(df):
+        tk = F.col("toks")
+        gs = F.when(
+            F.size(tk) >= 8,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 8),
+                    lambda i: F.array_join(F.slice(tk, i + 1, 8), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", F.explode(gs).alias("gram"))
+
+    bench = (
+        _grams(d.select("doc_id", toks.alias("toks")))
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+    )
+    contaminated = (
+        _grams(survivors)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = survivors.filter(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    parts = clean.repartitionByRange(NPARTS, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid", F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias("poff")
+    )
+    c = (
+        parts.withColumn("cum_in_part", F.sum("n_toks").over(within))
+        .join(F.broadcast(offs), "pid")
+        .withColumn(
+            "start_off", F.col("poff") + F.col("cum_in_part") - F.col("n_toks")
+        )
+    )
+    first = F.floor(F.col("start_off") / CAP)
+    last = F.floor((F.col("start_off") + F.col("n_toks") - 1) / CAP)
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("start_off").cast("long").alias("start_off"),
+        first.alias("first_window"),
+        last.alias("last_window"),
+    )
