@@ -220,3 +220,33 @@ def test_gz_dump_file_parse_equals_inline(spark, tmp_path):
     fa = sorted(map(tuple, flatten.claims_triples(from_file).collect()))
     fb = sorted(map(tuple, flatten.claims_triples(inline).collect()))
     assert fa == fb
+
+
+def test_cli_parquet_export(spark, tmp_path):
+    """--parquet-dir: the lakehouse export path — same pipeline, parquet
+    sink. Counts equal the flatteners' and the written tables are readable
+    as ordinary parquet (the engine's own table format)."""
+    import gzip
+
+    from wikidata2pg_spark.__main__ import run_import
+
+    gz = tmp_path / "latest-all.json.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    out = tmp_path / "lake"
+
+    counts = run_import(
+        spark, str(gz), None,
+        tables=["wd_labels", "wd_edges"],
+        load_partitions=2,
+        parquet_dir=str(out),
+    )
+    p = _latest(spark)
+    assert counts["wd_labels"] == flatten.labels_table(p).count()
+    assert counts["wd_edges"] == flatten.item_edges(p).count()
+    back = spark.read.parquet(str(out / "wd_labels"))
+    assert set(back.columns) == set(flatten.labels_table(p).columns)
+    # idempotent: overwrite, not append
+    again = run_import(spark, str(gz), None, tables=["wd_labels"],
+                       load_partitions=2, parquet_dir=str(out))
+    assert again["wd_labels"] == counts["wd_labels"]

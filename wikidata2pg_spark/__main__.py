@@ -50,7 +50,9 @@ TABLE_BUILDERS = {
 DEFAULT_TABLES = "wd_labels,wd_claims,wd_qualifiers,wd_sitelinks,wd_edges"
 
 
-def _infer_driver(url: str) -> str | None:
+def _infer_driver(url: str | None) -> str | None:
+    if url is None:
+        return None
     if url.startswith("jdbc:postgresql:"):
         return "org.postgresql.Driver"
     if url.startswith("jdbc:derby:"):
@@ -61,7 +63,7 @@ def _infer_driver(url: str) -> str | None:
 def run_import(
     spark: SparkSession,
     dump_path: str,
-    jdbc_url: str,
+    jdbc_url: str | None,
     *,
     tables: list[str] | None = None,
     driver: str | None = None,
@@ -69,12 +71,23 @@ def run_import(
     load_partitions: int = 8,
     truthy_only: bool = False,
     jdbc_options: dict[str, str] | None = None,
+    parquet_dir: str | None = None,
 ) -> dict[str, int]:
-    """Import a dump file into the database; returns {table: rows_loaded}.
+    """Import a dump file into the database and/or a parquet directory;
+    returns {table: rows_loaded}.
+
+    ``jdbc_url`` loads the normalized tables over JDBC (the reference's
+    sink); ``parquet_dir`` writes each table as parquet under
+    ``<dir>/<table>/`` instead — the lakehouse export path, where the
+    same normalized tables become inputs for every other operator in
+    this engine (and for any parquet consumer). Both sinks may be given
+    at once; at least one is required.
 
     Idempotent: mode=overwrite per table, and latest_revisions collapses
     duplicate entity lines (re-running on an extended dump converges to
     the newest revision of each id — the reference's re-import story)."""
+    if jdbc_url is None and parquet_dir is None:
+        raise ValueError("run_import needs jdbc_url and/or parquet_dir")
     raw = spark.read.text(dump_path).withColumnRenamed("value", "line")
     parsed = flatten.latest_revisions(
         flatten.parse_entities(flatten.clean_dump_lines(raw))
@@ -96,10 +109,16 @@ def run_import(
             df = TABLE_BUILDERS["wd_truthy"](parsed)
         else:
             df = TABLE_BUILDERS[name](parsed)
-        df.repartition(load_partitions).write.jdbc(
-            jdbc_url, name, mode="overwrite", properties=props
-        )
-        counts[name] = spark.read.jdbc(jdbc_url, name, properties=props).count()
+        out = df.repartition(load_partitions)
+        if jdbc_url is not None:
+            out.write.jdbc(jdbc_url, name, mode="overwrite", properties=props)
+        if parquet_dir is not None:
+            out.write.mode("overwrite").parquet(f"{parquet_dir}/{name}")
+        # count from the sink actually written (read-back, not the plan)
+        if jdbc_url is not None:
+            counts[name] = spark.read.jdbc(jdbc_url, name, properties=props).count()
+        else:
+            counts[name] = spark.read.parquet(f"{parquet_dir}/{name}").count()
     return counts
 
 
@@ -109,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
         description="Import a Wikidata JSON dump into a database over JDBC.",
     )
     ap.add_argument("--dump", required=True, help="dump file (.json/.json.gz/.json.bz2)")
-    ap.add_argument("--jdbc-url", required=True, help="JDBC URL, e.g. jdbc:postgresql://host/db?user=u&password=p")
+    ap.add_argument("--jdbc-url", default=None, help="JDBC URL, e.g. jdbc:postgresql://host/db?user=u&password=p")
+    ap.add_argument("--parquet-dir", default=None, help="write normalized tables as parquet under this directory instead of (or besides) JDBC")
     ap.add_argument("--driver", default=None, help="JDBC driver class (inferred for postgresql/derby URLs)")
     ap.add_argument("--tables", default=DEFAULT_TABLES, help=f"comma list from {sorted(TABLE_BUILDERS)}")
     ap.add_argument("--batchsize", type=int, default=5000, help="JDBC batch size per executor connection")
@@ -117,6 +137,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--truthy-only", action="store_true", help="load truthy-filtered claims into wd_claims")
     ap.add_argument("--jdbc-option", action="append", default=[], metavar="K=V", help="extra JDBC option (repeatable), e.g. reWriteBatchedInserts=true")
     args = ap.parse_args(argv)
+    if args.jdbc_url is None and args.parquet_dir is None:
+        raise SystemExit("one of --jdbc-url or --parquet-dir is required")
 
     extra = {}
     for kv in args.jdbc_option:
@@ -138,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         load_partitions=args.load_partitions,
         truthy_only=args.truthy_only,
         jdbc_options=extra,
+        parquet_dir=args.parquet_dir,
     )
     for name in counts:
         print(f"{name}\t{counts[name]}")
