@@ -66,6 +66,8 @@ KEYS = [
     "q_agg_bucketize_equidepth",  # percentile cutpoints must not depend on splits
     "q_dedup_url_canonical",
     "q_pipeline_pretraining",  # composed pipeline: prefix sum + dedup window at any split
+    "q_win_moving_median",  # frame contents fixed by (ts, event_id) order at any split
+    "q_scan_binaryfile",  # derived blobs built from a sorted collect: split-independent
 ]
 
 

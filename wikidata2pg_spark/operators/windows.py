@@ -416,3 +416,42 @@ def q_win_count_distinct(spark, sf_dir):
         "o_orderdate",
         F.sum("first_seen").over(w_run).cast("bigint").alias("distinct_prios_so_far"),
     )
+
+
+@query(
+    "q_win_moving_median",
+    oracle="""
+SELECT user_id, event_id,
+       round(median(value) OVER (
+           PARTITION BY user_id
+           ORDER BY ts::TIMESTAMP, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS med5
+FROM events
+WHERE user_id < 50
+""",
+)
+def q_win_moving_median(spark, sf_dir):
+    """Moving MEDIAN over a 5-row window — Spark's window engine has no
+    median/percentile window aggregate, so it is composed from primitives:
+    collect the frame into an array, sort it, and interpolate the middle
+    (odd frame: the middle element; even: mean of the two middles —
+    exactly quantile_cont 0.5, which is what DuckDB's windowed median
+    computes on its side). The frame is bounded (5 rows), so the array
+    never exceeds the frame length — per-row state is O(frame), the same
+    budget a native implementation would use, and the plan is one
+    key-partitioned window."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round((lo + hi) / 2.0, 4).alias("med5"),
+    )
