@@ -68,6 +68,7 @@ KEYS = [
     "q_pipeline_pretraining",  # composed pipeline: prefix sum + dedup window at any split
     "q_win_moving_median",  # frame contents fixed by (ts, event_id) order at any split
     "q_scan_binaryfile",  # derived blobs built from a sorted collect: split-independent
+    "q_stream_corpus_clean",  # digest-projected sink: arrival-order-free at any split
 ]
 
 

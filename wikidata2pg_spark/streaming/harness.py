@@ -114,3 +114,26 @@ def run_available_now(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+DOCS_STREAM_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def documents_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents twin of :func:`events_stream_dir` — the corpus as a file
+    stream source (keyed on the fixture stamp, regenerated on change)."""
+    from wikidata2pg_spark.tables import load
+    from wikidata2pg_spark.util import tmpdir_for
+
+    path = tmpdir_for(sf_dir, "documents_stream", "documents")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "documents").write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_stream_dir(spark, sf_dir)
+    return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(path)

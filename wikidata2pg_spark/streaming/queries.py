@@ -502,3 +502,55 @@ def q_time_sessionize_batch(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_corpus_clean",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), q AS (
+  SELECT text, len(toks) AS n_toks
+  FROM t
+  WHERE len(toks) BETWEEN 10 AND 1000
+    AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
+), d AS (
+  SELECT DISTINCT sha256(lower(trim(text))) AS digest, n_toks FROM q
+)
+SELECT n_toks // 100 AS len_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_toks)::BIGINT AS total_tokens
+FROM d GROUP BY 1
+""",
+)
+def q_stream_corpus_clean(spark, sf_dir):
+    """Streaming capstone: the corpus-clean gate (quality filter + digest
+    dedup) running as a REAL Structured Streaming query over a streamed
+    documents source — quality predicate inside the stream scan, then
+    streaming ``dropDuplicates`` on the normalized digest (append mode,
+    availableNow). The sink is projected to digest-determined columns
+    (digest, n_toks) so the result set is identical whichever duplicate
+    arrives first — which is what makes a streaming dedup hash-checkable
+    at all. The final length-bucket histogram is a batch aggregate over
+    the sunk rows. In production the dedup state is bounded with
+    dropDuplicatesWithinWatermark; availableNow replay here holds state
+    for the run only."""
+    from wikidata2pg_spark.streaming.harness import read_documents_stream
+
+    s = read_documents_stream(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) * 1.0 / n
+    cleaned = (
+        s.filter(n.between(10, 1000) & (ttr > 0.2))
+        .select(
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+            n.cast("long").alias("n_toks"),
+        )
+        .dropDuplicates(["digest"])
+    )
+    sunk = run_available_now(spark, cleaned, output_mode="append")
+    return sunk.groupBy(F.floor(F.col("n_toks") / 100).alias("len_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
