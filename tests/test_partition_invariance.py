@@ -69,6 +69,7 @@ KEYS = [
     "q_win_moving_median",  # frame contents fixed by (ts, event_id) order at any split
     "q_scan_binaryfile",  # derived blobs built from a sorted collect: split-independent
     "q_stream_corpus_clean",  # digest-projected sink: arrival-order-free at any split
+    "q_graph_triangles",
 ]
 
 

@@ -167,3 +167,65 @@ def q_graph_pagerank(spark, sf_dir):
         F.col("id").alias("node"),
         F.round(F.col("pr") * F.col("n"), 2).alias("pr_scaled"),
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration on the co-purchase graph (edges =
+    q_graph_copurchase's >=2-shared-orders pairs) — the classic
+    distributed-graph benchmark op. Edges are already canonically ordered
+    (u < v), so each triangle (a < b < c) is produced EXACTLY once by the
+    two-join wedge-close: (a,b)⋈(b,c) forms the wedge, (a,c) closes it.
+    Both joins key on a node column, so the shuffle is by node — the
+    standard formulation whose cost is Σ deg(v)² wedges, kept bounded
+    here because the co-purchase projection itself is basket-bounded
+    (see q_graph_copurchase). At real scale the wedge join is salted on
+    the few high-degree nodes exactly like any skewed equi-join."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa, pb = lp.alias("a"), lp.alias("b")
+    e = (
+        pa.join(
+            pb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    return (
+        wedges.join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
