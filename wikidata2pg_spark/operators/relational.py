@@ -952,3 +952,40 @@ def q_agg_bucketize_equidepth(spark, sf_dir):
         F.max("l_quantity").alias("max_qty"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+SELECT o_orderpriority,
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey)
+           AS key_of_max,
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey)
+           AS key_of_min,
+       round(max(o_totalprice), 2) AS max_total,
+       round(min(o_totalprice), 2) AS min_total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_argminmax(spark, sf_dir):
+    """ARG-MAX/ARG-MIN aggregates (max_by / min_by; DuckDB arg_max /
+    arg_min): 'which order carries the extreme value per group' — the
+    lookup-free alternative to a window + filter. Ordering value is a
+    composite integer key (price-in-cents x 1e8 + orderkey): prices have
+    exactly 2 decimals and keys are bounded, so the composite is exact in
+    BIGINT and STRICTLY unique — without the tiebreak, equal extreme
+    prices would make the arg nondeterministic and the hash unstable
+    (FIXTURES.md rule 2 applied to aggregates). Single partial+final
+    hash-agg, same scale shape as min/max."""
+    o = load(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 100000000
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordkey).alias("key_of_max"),
+        F.min_by("o_orderkey", ordkey).alias("key_of_min"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+    )

@@ -83,7 +83,8 @@ _ROUND5_PRIORITY = (
 # q_win_count_distinct, q_fn_url, q_graph_copurchase, q_graph_pagerank,
 # q_wd_subclass_closure, q_join_spatial_grid, q_agg_bucketize_equidepth,
 # q_dedup_url_canonical, q_pipeline_pretraining, q_scan_binaryfile,
-# q_win_moving_median, q_stream_corpus_clean, q_graph_triangles. These are mirror-green and
+# q_win_moving_median, q_stream_corpus_clean, q_graph_triangles,
+# q_udf_grouped_map, q_agg_argminmax. These are mirror-green and
 # must lead the r6
 # window, followed by the r1/r3 keys not re-proven in r5.
 

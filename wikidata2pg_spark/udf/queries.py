@@ -132,3 +132,42 @@ def q_udtf_python(spark, sf_dir):
 
     r = load(spark, sf_dir, "region")
     return r.lateralJoin(SplitWords(F.col("r_name").outer())).select("r_regionkey", "pos", "word")
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round(l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_returnflag), 2)
+           AS price_centered
+FROM lineitem
+WHERE l_orderkey < 8000
+""",
+)
+def q_udf_grouped_map(spark, sf_dir):
+    """Grouped-map ``applyInPandas``: per-group mean-centering, the shape
+    custom per-group Python transforms take (one pandas frame per group in,
+    one out — Arrow both ways). This completes the Python-execution family
+    next to scalar (D2), grouped-agg (D3), table function (D4), and the
+    cogrouped kernel (cosine). The oracle states the same centering with a
+    window aggregate — proving the Python path computes exactly what the
+    declarative form would. At scale each group must fit one executor's
+    memory: fine for bounded group counts/sizes like the 3-flag split here;
+    unbounded groups belong in window/agg form instead (documented
+    tradeoff)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 8000)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_returnflag", "l_orderkey", "l_linenumber"]].copy()
+        centered = pdf["l_extendedprice"] - pdf["l_extendedprice"].mean()
+        out["price_centered"] = centered.round(2)
+        return out
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        center,
+        "l_returnflag string, l_orderkey long, l_linenumber long, price_centered double",
+    )
