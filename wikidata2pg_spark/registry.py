@@ -42,51 +42,42 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 # The driver's correctness pass walks `queries()` in dict order and checks a
 # ~50-key budget per round (r1-r4 each recorded exactly 50). Round-5 window
-# (VERDICT r4 task 1): the 16 keys with NO driver row in r1-r4 go first —
-# they are the only gap between the repo and a fully driver-proven 154-key
-# contract — followed by keys new in r5, then the streaming family (the
-# most regression-prone, per the r3 dtype incident), then the stalest
-# r1-proven keys (windows/complex-joins/float-rounding aggs — the families
-# whose hash stability is most sensitive to ordering/rounding drift).
-# Remaining r1/r3 keys rotate into the r6 window.
+# (VERDICT r4 task 1, extended): ALL 41 keys with NO driver row in r1-r4 go
+# first — after the r4 judgment the late-r5 additions grew the never-tested
+# set from 16 to 41, and every one of them fits inside the 50-key budget,
+# so packing them first gets the whole 179-key contract at least one driver
+# row this round. The remaining 9 slots go to the streaming family (the
+# most regression-prone, per the r3 dtype incident). r1/r3-proven keys
+# rotate into the r6 window.
 _ROUND5_PRIORITY = (
-    # --- never driver-tested (16): first slots, per VERDICT r4 ---
+    # --- never driver-tested as of r4's VERDICT (16) ---
     "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",
     "q_sql_entry", "q_merge_upsert", "q_dedup_jaccard_prefix",
     "q_agg_histogram", "q_agg_stats", "q_profile_table", "q_text_search",
     "q_scan_xml", "q_wd_aliases", "q_wd_label_coverage", "q_pack_sequences",
     "q_wd_references", "q_multimodal_audio_energy",
-    # --- new in r5 (registered below as they are built) ---
+    # --- new in r5, also never driver-tested (25) ---
     "q_win_ntile_distributed", "q_dedup_ngram_jaccard_scaled",
     "q_stream_stateful_final",
-    # --- streaming family: r4-green but historically the most fragile ---
+    "q_wd_descriptions", "q_wd_property_stats", "q_wd_subclass_closure",
+    "q_dedup_url_canonical", "q_pipeline_pretraining",
+    "q_time_sessionize_batch", "q_stream_corpus_clean", "q_udf_grouped_map",
+    "q_scan_binaryfile", "q_fn_url", "q_agg_mode",
+    "q_agg_bucketize_equidepth", "q_agg_argminmax", "q_join_spatial_grid",
+    "q_win_percent_rank_distributed", "q_win_count_distinct",
+    "q_win_moving_median", "q_graph_copurchase", "q_graph_pagerank",
+    "q_graph_triangles", "q_subquery_exists", "q_subquery_scalar",
+    # --- streaming family: r4-green but historically the most fragile (9) ---
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_foreach_batch", "q_stream_watermark_late", "q_stream_dedup",
-    "q_stream_stateful_count", "q_stream_stream_join", "q_stream_static_join",
-    "q_time_multirollup", "q_time_gapfill",
-    # --- stalest r1-proven keys (latest row r1): windows, complex joins,
-    #     rounding-sensitive aggs, ordered-output ops ---
-    "q_win_row_number", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
-    "q_win_moving_rows", "q_win_range_frame", "q_win_cumsum",
-    "q_win_first_last",
-    "q_join_theta_band", "q_join_interval_overlap", "q_join_asof",
-    "q_join_multikey_self",
-    "q_agg_percentile_exact", "q_agg_rollup", "q_agg_cube",
-    "q_agg_grouping_sets", "q_agg_conditional", "q_agg_having",
-    "q_topk_per_group", "q_sort_multikey",
+    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful_count",
+    "q_stream_stream_join", "q_stream_static_join", "q_stream_foreach_batch",
 )
 
 # Registered but intentionally OUTSIDE the r5 window (the window is full at
-# 50): q_wd_descriptions, q_wd_property_stats,
-# q_win_percent_rank_distributed, q_time_sessionize_batch, q_agg_mode,
-# plus the late-r5 additions q_subquery_exists, q_subquery_scalar,
-# q_win_count_distinct, q_fn_url, q_graph_copurchase, q_graph_pagerank,
-# q_wd_subclass_closure, q_join_spatial_grid, q_agg_bucketize_equidepth,
-# q_dedup_url_canonical, q_pipeline_pretraining, q_scan_binaryfile,
-# q_win_moving_median, q_stream_corpus_clean, q_graph_triangles,
-# q_udf_grouped_map, q_agg_argminmax. These are mirror-green and
-# must lead the r6
-# window, followed by the r1/r3 keys not re-proven in r5.
+# 50): everything r1-r4-proven that is not streaming — these lead the r6
+# window starting with the stalest (latest row r1: windows, complex joins,
+# rounding-sensitive aggs, ordered-output ops), plus any key added after
+# this list was frozen.
 
 
 def _prioritize(d: dict) -> dict:
