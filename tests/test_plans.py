@@ -329,3 +329,52 @@ def test_bucketize_broadcasts_cutpoints(spark):
     df = all_queries()["q_agg_bucketize_equidepth"](spark, SF_T2)
     plan = _plan(df)
     assert "BroadcastExchange" in plan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The Z-order claim, measured on the written files: the 2-D rectangle
+    (user_id 40-80, Jan 10-14) must overlap a strict subset of files on
+    BOTH dimensions' min/max stats — a linear ts sort would leave user_id
+    ranges near-full-width in every file, and an unsorted write would leave
+    both full-width."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.util import tmpdir_for
+
+    all_queries()["q_sink_zorder"](spark, SF_T2).collect()  # ensures written
+    import glob
+
+    files = glob.glob(f"{tmpdir_for(SF_T2, 'events_zorder', 'events')}/*.parquet")
+    assert len(files) > 4
+    lo_t, hi_t = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 14)
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        u = md.row_group(0).column(cols["user_id"]).statistics
+        t = md.row_group(0).column(cols["ts"]).statistics
+        u_min, u_max = u.min, u.max
+        t_min, t_max = t.min.replace(tzinfo=None), t.max.replace(tzinfo=None)
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(cols["user_id"]).statistics
+            u_min, u_max = min(u_min, s.min), max(u_max, s.max)
+            s = md.row_group(rg).column(cols["ts"]).statistics
+            t_min = min(t_min, s.min.replace(tzinfo=None))
+            t_max = max(t_max, s.max.replace(tzinfo=None))
+        if u_max >= 40 and u_min <= 80 and t_max >= lo_t and t_min < hi_t:
+            hit += 1
+    assert hit < len(files), f"rectangle hit all {len(files)} files - no pruning"
+
+
+def test_dedup_incremental_broadcasts_small_side(spark):
+    """The corpus scan must never shuffle: batch digests reach it as a
+    broadcast semi join, and the final status joins broadcast the tiny hit
+    and keeper sets."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_dedup_incremental"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

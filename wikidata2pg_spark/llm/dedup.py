@@ -456,3 +456,67 @@ def q_dedup_url_canonical(spark, sf_dir):
         F.min("c_custkey").cast("long").alias("keep_custkey"),
         F.count(F.lit(1)).cast("long").alias("n_variants"),
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS digest FROM documents
+), corpus AS (
+  SELECT DISTINCT digest FROM d WHERE doc_id % 5 != 0
+), batch AS (
+  SELECT doc_id, digest FROM d WHERE doc_id % 5 = 0
+), keepers AS (
+  SELECT digest, min(doc_id) AS keeper FROM batch GROUP BY digest
+)
+SELECT b.doc_id,
+       CASE WHEN c.digest IS NOT NULL THEN 'dup_corpus'
+            WHEN b.doc_id != k.keeper THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN corpus c ON b.digest = c.digest
+JOIN keepers k ON b.digest = k.digest
+""",
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (batch-vs-corpus) exact dedup — the continuous-crawl
+    shape: each new batch must be deduped BOTH against itself (keep-min
+    within the batch) and against the already-ingested corpus, without
+    re-deduping the corpus. Here the deterministic ``doc_id % 5`` split
+    stands in for (corpus, new batch).
+
+    Scale posture: the batch is small relative to the corpus, so the plan
+    broadcasts BATCH digests into the corpus scan as a semi join — the
+    corpus is read once, filtered down to only digests the batch actually
+    contains (≤|batch| rows survive), and that tiny hit set is broadcast
+    back for the final status join. The corpus side is never shuffled and
+    no corpus-wide distinct is computed; at 100 TB the corpus digest scan
+    is a column-pruned pass over a pre-materialized signature table, which
+    is exactly what the first select models. Within-batch keep-min is one
+    small hash agg."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest")
+    )
+    corpus = d.filter(F.col("doc_id") % 5 != 0).select("digest")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    batch_digests = batch.select("digest").distinct()
+    # corpus scan pruned by the broadcast batch digest set, then collapsed
+    # to the distinct hit set (small by construction: subset of the batch)
+    corpus_hits = (
+        corpus.join(F.broadcast(batch_digests), "digest", "leftsemi")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    keepers = batch.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    return (
+        batch.join(F.broadcast(corpus_hits), "digest", "left")
+        .join(F.broadcast(keepers), "digest")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corpus"), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -426,3 +426,86 @@ def q_vec_quantize(spark, sf_dir):
             6,
         ).alias("max_abs_err"),
     )
+
+
+@query(
+    "q_sim_query_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT * FROM v WHERE vec_id % 29 = 0
+), sims AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS sim
+  FROM q JOIN v c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM sims
+) WHERE rank <= 3
+""",
+)
+def q_sim_query_topk(spark, sf_dir):
+    """Asymmetric retrieval: a SMALL query set (here the deterministic
+    ``vec_id % 29 = 0`` slice) searched against the FULL corpus — the shape
+    every retrieval/RAG indexing job has, distinct from the all-pairs
+    self-kNN of q_sim_cosine_topk.
+
+    Scale posture: the corpus is hashed into CB blocks and scanned ONCE;
+    the query set is replicated to every corpus block via a broadcast
+    block-id cross join (the broadcast-join shape, expressed as a cogroup
+    so the numpy kernel sees both sides as matrices — no driver collect,
+    no broadcast variable to size-manage). Each (queries, corpus-block)
+    cell emits a local top-k; the global top-k is a window over CB·k
+    candidate rows per query. Corpus shuffle volume is one pass; query
+    replication is |Q|·CB rows — the small side scales with block count,
+    never with corpus size. At 100 TB this is exactly the plan you want:
+    one corpus scan, partial top-k map-side, tiny final reduce."""
+    import numpy as np
+    import pandas as pd
+
+    CB = _derived_blocks(sf_dir)
+    k = 3
+    corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = (
+        load(spark, sf_dir, "embeddings", fresh=True)
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 29 == 0)
+    )
+    cb_ids = spark.range(CB).select(F.col("id").cast("int").alias("cb"))
+    cside = corpus.withColumn("cb", F.pmod("vec_id", F.lit(CB)).cast("int"))
+    qside = queries.crossJoin(F.broadcast(cb_ids))
+
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = queries (replicated), right = one corpus block
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
+            for j in idx:
+                if np.isfinite(row[j]):
+                    out_q.append(qids[i]); out_n.append(cids[j]); out_s.append(row[j])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    local = qside.groupby("cb").cogroup(cside.groupby("cb")).applyInPandas(
+        cell_topk, "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

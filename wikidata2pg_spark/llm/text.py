@@ -727,3 +727,72 @@ def q_pipeline_pretraining(spark, sf_dir):
         first.alias("first_window"),
         last.alias("last_window"),
     )
+
+
+@query(
+    "q_text_line_dedup",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+), lines AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS line
+  FROM w, (SELECT unnest(range(0, 64)) AS i) g
+  WHERE i * 10 < len(words)
+), ranked AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS cleaned_text,
+       count(*) AS n_lines_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+""",
+)
+def q_text_line_dedup(spark, sf_dir):
+    """Cross-document line-level exact dedup (the C4 cleaning step: every
+    repeated line survives only in its first document) — here a "line" is
+    a fixed 10-word chunk since the fixture text has no newlines; the
+    chunking is the same in both engines so the semantics under test are
+    the global first-occurrence keep and per-doc reassembly.
+
+    Scale posture: exactly two keyed shuffles — one on the line text (the
+    global dedup; map-side nothing to combine, but the key space is the
+    line space so skew equals true line popularity, which is precisely the
+    thing being removed), one back on doc_id for reassembly. Line order is
+    restored via array_sort over (line_no, line) structs, not a window.
+    Docs whose every line was claimed elsewhere drop out (no empty-string
+    rows), matching the SQL group-by."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), " ")
+    n_lines = F.floor((F.size(words) - F.lit(1)) / F.lit(10)).cast("int")
+    lines = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines),
+                    lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+                )
+            ).alias("line_no", "line"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("line_no", "line"))).alias("ls"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("ls"), lambda s: s["line"]), " ").alias(
+                "cleaned_text"
+            ),
+            "n_lines_kept",
+        )
+    )

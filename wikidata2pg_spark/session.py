@@ -27,6 +27,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Write timestamps as INT64 TIMESTAMP(MICROS), not legacy INT96: INT96
+    # carries NO parquet column statistics, which silently disables min/max
+    # file/row-group pruning on every time dimension we lay out for it
+    # (q_sink_sorted_layout, q_sink_zorder) — observed: ts stats None on
+    # written files until this was set.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # nested-schema pruning matters for the wikidata wide-struct layer (K1-K8)
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     # Arrow for every Python<->JVM hop (pandas UDFs, toPandas)

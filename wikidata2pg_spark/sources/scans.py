@@ -546,3 +546,209 @@ def q_scan_binaryfile(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("payload_chars"),
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status
+FROM orders
+""",
+)
+def q_scan_schema_evolution(spark, sf_dir):
+    """Schema evolution across files of one dataset: older files carry 3
+    columns, newer ones add ``status`` — the unavoidable lakehouse reality
+    once a 100 TB dataset is appended to for months. ``mergeSchema=true``
+    unions the footers into one evolved schema and back-fills NULL for
+    columns a file predates; the per-row result (evolved rows carry their
+    status, legacy rows NULL) hash-checks against deriving the same split
+    from the source table.
+
+    Scale note: mergeSchema reads every file FOOTER at planning time — at
+    real scale you pin the merged schema in a catalog instead and pass it
+    explicitly; per-file back-fill behavior is identical either way, which
+    is what this verifies."""
+    o = load(spark, sf_dir, "orders")
+    path = _tmpdir_for(sf_dir, "orders_evolved", "orders")
+    v1_dir, v2_dir = f"{path}/v=1", f"{path}/v=2"
+    if not (_written(v1_dir) and _written(v2_dir)):
+        legacy = o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        evolved = o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", F.col("o_orderstatus").alias("status")
+        )
+        legacy.write.mode("overwrite").parquet(v1_dir)
+        evolved.write.mode("overwrite").parquet(v2_dir)
+    back = spark.read.option("mergeSchema", "true").parquet(v1_dir, v2_dir)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        "status",
+    )
+
+
+def _morton16(a, b):
+    """Interleave the low 16 bits of two long columns (a gets the odd bit
+    positions) — pure JVM bitwise expressions, no UDF."""
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i))
+    return z
+
+
+@query(
+    "q_sink_zorder",
+    oracle="""
+SELECT count(*) AS n, round(sum(value), 2) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE user_id BETWEEN 40 AND 80
+  AND ts::TIMESTAMP >= TIMESTAMP '2024-01-10' AND ts::TIMESTAMP < TIMESTAMP '2024-01-14'
+""",
+)
+def q_sink_zorder(spark, sf_dir):
+    """Z-order (Morton-interleaved) write layout: quantize the two query
+    dimensions (user_id, ts) to 16-bit ranks, interleave the bits into one
+    sort key, and range-partition + sort the write on it — every output
+    file then covers a small RECTANGLE in (user_id, ts) space, so a
+    two-dimensional predicate prunes files/row-groups via min/max stats on
+    BOTH columns. A linear sort clusters only its leading column; at
+    100 TB Z-order is the difference between a 2-D slice reading a few
+    files and reading the whole partition range (the Delta/Iceberg OPTIMIZE
+    ZORDER story, built here from shiftleft/& codegen expressions — no
+    UDF, one range shuffle). Dimension min/max come from a broadcast 1-row
+    aggregate, not driver-side constants, so the same plan survives any
+    data range. The pruning effect itself is asserted in
+    tests/test_plans.py (files hit by the rectangle < total files); here
+    the read-back rectangle aggregate hash-checks against the unsorted
+    source."""
+    e = load(spark, sf_dir, "events")
+    rng = e.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min(F.unix_timestamp("ts")).alias("t_lo"),
+        F.max(F.unix_timestamp("ts")).alias("t_hi"),
+    )
+    path = _tmpdir_for(sf_dir, "events_zorder", "events")
+    if not _written(path):
+        scale = lambda c, lo, hi: (  # noqa: E731
+            (c - F.col(lo)) * F.lit(65535) / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+        ).cast("long")
+        keyed = e.crossJoin(F.broadcast(rng)).withColumn(
+            "z",
+            _morton16(
+                scale(F.col("user_id"), "u_lo", "u_hi"),
+                scale(F.unix_timestamp("ts"), "t_lo", "t_hi"),
+            ),
+        )
+        (
+            keyed.drop("u_lo", "u_hi", "t_lo", "t_hi")
+            .repartitionByRange(16, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(40, 80)
+        & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-14").cast("timestamp"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "q_scan_corrupt_tolerant",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def q_scan_corrupt_tolerant(spark, sf_dir):
+    """Corrupt-file-tolerant scan: a directory holding the real data plus
+    one truncated/garbage ``.parquet`` member — at 100 TB some files WILL
+    be bad (partial uploads, bitrot), and one of them must not kill a
+    million-task job. ``ignoreCorruptFiles=true`` (per-read option, not a
+    session-wide conf — only this scan opts in) drops unreadable files and
+    footer-validates the rest; the result is exactly the healthy files'
+    rows, which hash-checks against the source table. The write is split
+    in two so tolerance is provably per-file, not all-or-nothing."""
+    n = load(spark, sf_dir, "nation")
+    path = _tmpdir_for(sf_dir, "nation_with_corrupt", "nation")
+    marker = os.path.join(path, "_LAYOUT_DONE")
+    if not os.path.exists(marker):
+        n.filter(F.col("n_nationkey") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/good1")
+        n.filter(F.col("n_nationkey") % 2 == 1).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/good2")
+        with open(os.path.join(path, "good1", "part-corrupt.parquet"), "wb") as fh:
+            fh.write(b"PAR1 this is not a real parquet footer")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(f"{path}/good1", f"{path}/good2")
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+       round(l_extendedprice, 2) AS price
+FROM lineitem
+""",
+)
+def q_sink_compact(spark, sf_dir):
+    """Small-file compaction — the lakehouse maintenance job every
+    streaming/append pipeline needs: a table fragmented into many tiny
+    files (here a derived 32-way split of lineitem) is rewritten into
+    size-targeted files. The output file count is derived from the INPUT
+    FOOTERS (sum of file bytes / target), not hardcoded, and the rewrite
+    uses ``coalesce`` — a narrow dependency that merges splits inside the
+    scan stage with NO shuffle, which is the correct compaction plan at
+    any scale (repartition would shuffle the whole table to fix a layout
+    problem). Read-back rows hash-check against the source; the file-count
+    reduction is asserted in tests."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    li = load(spark, sf_dir, "lineitem").select(*cols)
+    frag = _tmpdir_for(sf_dir, "lineitem_fragmented", "lineitem")
+    if not _written(frag):
+        li.repartition(32).write.mode("overwrite").parquet(frag)
+    compacted = _tmpdir_for(sf_dir, "lineitem_compacted", "lineitem")
+    if not _written(compacted):
+        in_files = _glob.glob(f"{frag}/*.parquet")
+        total = sum(os.path.getsize(f) for f in in_files)
+        target = 4 << 20  # 4 MiB files at fixture scale; TUNE at real scale
+        n_out = max(1, -(-total // target))
+        spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(compacted)
+        n_in, n_out_actual = len(in_files), len(_glob.glob(f"{compacted}/*.parquet"))
+        assert n_out_actual < n_in, (n_out_actual, n_in)
+        # row-group sanity: compaction must not have re-sorted or dropped
+        assert sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(f"{compacted}/*.parquet")
+        ) == sum(_pq.ParquetFile(f).metadata.num_rows for f in in_files)
+    back = spark.read.parquet(compacted)
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 2).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
