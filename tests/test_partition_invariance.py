@@ -70,6 +70,12 @@ KEYS = [
     "q_scan_binaryfile",  # derived blobs built from a sorted collect: split-independent
     "q_stream_corpus_clean",  # digest-projected sink: arrival-order-free at any split
     "q_graph_triangles",
+    "q_sim_query_topk",  # query replication must reach every corpus block
+    "q_dedup_incremental",  # corpus/batch split + keeper choice at any split
+    "q_text_line_dedup",  # global first-occurrence keep at any split
+    "q_sink_zorder",  # dim min/max + morton layout derived from split scans
+    "q_sink_compact",  # footer-derived output count over a split input
+    "q_scan_schema_evolution",  # merged footer schema across split files
 ]
 
 

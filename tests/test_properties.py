@@ -265,3 +265,25 @@ def test_semi_naive_closure_matches_naive_bfs(spark, edges):
             frontier_py = new
     want_rows = sorted((s_, d_, dep) for (s_, d_), dep in want.items())
     assert got == want_rows
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=40, unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_morton16_is_bijective_and_decodable(spark, pairs):
+    """_morton16 must be a bijection on [0,65535]²: distinct (a,b) map to
+    distinct z, and de-interleaving the bits of z recovers (a,b) exactly —
+    otherwise the Z-order layout silently collapses distinct grid cells."""
+    from wikidata2pg_spark.sources.scans import _morton16
+
+    df = spark.createDataFrame(pairs, "a LONG, b LONG")
+    rows = df.select("a", "b", _morton16(F.col("a"), F.col("b")).alias("z")).collect()
+    assert len({r.z for r in rows}) == len(pairs)
+    for r in rows:
+        a = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
