@@ -100,3 +100,41 @@ def q_sample_stratified(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(source), 1, 8))::BIGINT % 10 AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket <= 7 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split is a hash of the GROUP
+    key (``source``), not the row — every document from one source lands in
+    the same split, so near-duplicates and templated pages from a site can
+    never straddle the train/test boundary (row-level splits leak; this is
+    the standard fix). Content-hash, not RNG: the assignment is a pure
+    function of the data — stable across reruns, partitionings, and
+    cluster sizes, with no shuffle (one narrow scan). 80/10/10 by
+    hash-bucket."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long") % 10
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -989,3 +989,61 @@ def q_agg_argminmax(spark, sf_dir):
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
     )
+
+
+@query(
+    "q_dq_quarantine",
+    oracle="""
+WITH checked AS (
+  SELECT event_id,
+         concat_ws(',',
+           CASE WHEN value < 0 THEN 'neg_value' END,
+           CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'scroll', 'error')
+                THEN 'bad_type' END,
+           CASE WHEN user_id IS NULL THEN 'null_user' END
+         ) AS violations
+  FROM events
+)
+SELECT CASE WHEN violations = '' THEN 'valid' ELSE 'quarantine' END AS verdict,
+       violations, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM checked
+GROUP BY 1, 2
+""",
+)
+def q_dq_quarantine(spark, sf_dir):
+    """Data-quality quarantine gate — the ETL pattern where rows failing
+    declarative rules are diverted (with machine-readable reasons) instead
+    of silently dropped or killing the job. Every rule is a codegen'd CASE
+    expression evaluated in the scan stage; the verdict/violations split
+    is one pass, and in production the two verdicts fan out to separate
+    sinks (the valid path continues, the quarantine path is re-driven
+    after fixes). Rules here: non-negative value, known event_type,
+    non-null user_id. The per-(verdict, violations) census hash-checks;
+    concat_ws skips NULL rule slots identically in both engines."""
+    e = load(spark, sf_dir, "events")
+    violations = F.concat_ws(
+        ",",
+        F.when(F.col("value") < 0, F.lit("neg_value")),
+        F.when(
+            ~F.col("event_type").isin("click", "view", "purchase", "scroll", "error"),
+            F.lit("bad_type"),
+        ),
+        F.when(F.col("user_id").isNull(), F.lit("null_user")),
+    )
+    checked = e.select("event_id", violations.alias("violations"))
+    return (
+        checked.withColumn(
+            "verdict",
+            F.when(F.col("violations") == "", F.lit("valid")).otherwise(
+                F.lit("quarantine")
+            ),
+        )
+        .groupBy("verdict", "violations")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .select("verdict", "violations", "n", "min_id", "max_id")
+    )
