@@ -217,10 +217,15 @@ def test_ntile_distributed_no_full_input_single_task(spark):
 
     df = all_queries()["q_win_ntile_distributed"](spark, SF_T2)
     plan = _plan(df)
-    assert plan.count("Exchange SinglePartition") == 1
-    seg = plan[plan.index("Exchange SinglePartition"):]
-    scan_at = seg.index("Scan parquet") if "Scan parquet" in seg else len(seg)
-    assert "HashAggregate" in seg[:scan_at]  # funnel carries P rows, not data
+    # Every SinglePartition exchange must sit above an aggregate (P-row
+    # offsets, 1-row min/max range) — never above raw data. Since r5's
+    # deterministic ordered_bucket there are three such funnels (offsets +
+    # bucket range min/max aggs), each carrying O(P) or 1 row.
+    funnels = plan.split("Exchange SinglePartition")[1:]
+    assert len(funnels) >= 1
+    for seg in funnels:
+        scan_at = seg.index("Scan parquet") if "Scan parquet" in seg else len(seg)
+        assert "HashAggregate" in seg[:scan_at]  # funnel carries agg rows, not data
     # and the result matches the single-window ntile on a sample
     import pyspark.sql.functions as F
     from pyspark.sql import Window
@@ -378,3 +383,63 @@ def test_dedup_incremental_broadcasts_small_side(spark):
     plan = _plan(all_queries()["q_dedup_incremental"](spark, SF_T2))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The AQE skew-join posture (session.py RUNTIME_CONFS) proven on a
+    real plan: a deliberately skewed shuffle join (70% of fact rows on one
+    hot key, amplified 50x) must show OptimizeSkewedJoin splitting the hot
+    partition — `skew=true` on the FINAL adaptive SortMergeJoin — once the
+    skew thresholds are scaled down to fixture bytes. At 100 TB the
+    default 256 MB thresholds do this without tuning; the mechanism is
+    identical. Calibration notes (measured): the fixture-scale hot
+    partition is ~30-50 KB COMPRESSED, so the advisory target must be
+    small enough that the splitter can form >= 2 mapper-range chunks —
+    with advisory 4 KB+ it forms one chunk and reports ZERO skewed
+    partitions; and the input must be pre-split across several mappers
+    (repartition(8)) because a single-row-group scan gives the shuffle one
+    mapper, and partitions are split on mapper boundaries. Confs are set
+    AFTER load(): the first load() of a session re-applies RUNTIME_CONFS
+    and would silently overwrite them."""
+    o = load(spark, SF_T2, "orders")
+    c = load(spark, SF_T2, "customer")
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = (
+            o.select(
+                F.when(F.col("o_orderkey") % 10 < 7, F.lit(1))
+                .otherwise(F.col("o_custkey"))
+                .alias("key"),
+                "o_totalprice",
+            )
+            .withColumn(
+                "dup",
+                F.explode(
+                    F.when(F.col("key") == 1, F.sequence(F.lit(1), F.lit(50))).otherwise(
+                        F.array(F.lit(1))
+                    )
+                ),
+            )
+            .repartition(8)
+        )
+        dim = c.select(F.col("c_custkey").alias("key"), "c_mktsegment").repartition(4)
+        joined = fact.join(dim, "key").groupBy("c_mktsegment").count()
+        joined.collect()  # AQE finalizes the plan only on execution
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

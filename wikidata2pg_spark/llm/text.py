@@ -558,9 +558,9 @@ def q_pack_sequences(spark, sf_dir):
     NPARTS = 8
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
-    parts = t.repartitionByRange(NPARTS, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
+    parts = ordered_bucket(t, "doc_id", NPARTS)
     within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -699,9 +699,9 @@ def q_pipeline_pretraining(spark, sf_dir):
         contaminated, "doc_id", "left_anti"
     )
 
-    parts = clean.repartitionByRange(NPARTS, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
+    parts = ordered_bucket(clean, "doc_id", NPARTS)
     within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -117,15 +117,51 @@ def q_win_ntile_distributed(spark, sf_dir):
     return ranked.select("o_orderkey", quartile.cast("long").alias("quartile"))
 
 
+def ordered_bucket(df, order_col: str, nparts: int):
+    """Deterministic, order-preserving bucket id ``pid`` in [0, nparts):
+    equal-width over (min, max) of ``order_col``, the range coming from a
+    broadcast 1-row aggregate.
+
+    This replaces ``repartitionByRange + spark_partition_id()`` in every
+    two-pass prefix-sum/rank operator. That pattern is NOT deterministic:
+    the ranged exchange samples its boundaries per execution, and when the
+    same subtree feeds two consumers (the per-partition pass AND the
+    per-partition-totals pass) Spark may execute it twice with DIFFERENT
+    sampled boundaries — observed at sf0.1 as q_pipeline_pretraining
+    offsets drifting by ~1200 tokens mid-corpus while sf0.01 stayed green
+    (exchange reuse happened to hold there). A pid that is a pure function
+    of the row can never disagree between branches, at any scale, under
+    any reuse decision. Equal-width is fine for roughly uniform keys; for
+    heavily clustered keys substitute equi-depth cutpoints from
+    percentile_approx (q_agg_bucketize_equidepth's shape) — also a pure
+    function of the data."""
+    lo, hi = f"_blo_{order_col}", f"_bhi_{order_col}"
+    rng = df.agg(F.min(order_col).alias(lo), F.max(order_col).alias(hi))
+    b = df.crossJoin(F.broadcast(rng))
+    span = (F.col(hi) - F.col(lo)).cast("double")
+    pos = (F.col(order_col) - F.col(lo)).cast("double")
+    pid = (
+        F.when(span <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(nparts - 1).cast("long"),
+                F.floor(pos * nparts / (span * (1.0 + 1e-12))),
+            )
+        )
+        .cast("int")
+    )
+    return b.withColumn("pid", pid).drop(lo, hi)
+
+
 def _global_rank(df, *order_cols: str, nparts: int = 8):
     """Two-pass distributed global row_number over ``order_cols`` (must be
-    a unique composite for determinism): range-partition, rank within each
-    partition, add broadcast P-row prefix offsets. Output = input columns
-    plus ``global_rank`` (1-based) and ``n_total``. The only
-    single-partition stage is the P-row offsets window."""
-    parts = df.repartitionByRange(nparts, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
-    )
+    a unique composite for determinism): deterministic ordered bucketing
+    on the leading column, rank within each bucket, add broadcast P-row
+    prefix offsets. Output = input columns plus ``global_rank`` (1-based)
+    and ``n_total``. The only single-partition stage is the P-row offsets
+    window. Bucket ids are a pure function of the row (ordered_bucket) —
+    see its docstring for why physical partition ids are unsafe here."""
+    parts = ordered_bucket(df, order_cols[0], nparts)
     within = Window.partitionBy("pid").orderBy(*order_cols)
     ranked = parts.withColumn("local_rank", F.row_number().over(within))
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
@@ -149,8 +185,8 @@ def _global_rank(df, *order_cols: str, nparts: int = 8):
     "q_win_percent_rank_distributed",
     oracle="""
 SELECT o_orderkey,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
 FROM orders
 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 """,
@@ -160,15 +196,18 @@ def q_win_percent_rank_distributed(spark, sf_dir):
     unique ordering key, percent_rank = (rank-1)/(N-1) and
     cume_dist = rank/N, both derivable from the two-pass global rank —
     no single-task window over the input (same shape as
-    q_win_ntile_distributed; closes the other global-window caveat)."""
+    q_win_ntile_distributed; closes the other global-window caveat).
+    floor(x*1e6 + 0.5) rounding — see q_win_percent_rank (half-to-even vs
+    half-up flips on exact 6-decimal halves at sf0.1)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked = _global_rank(o, "o_totalprice", "o_orderkey")
     rn, n = F.col("global_rank"), F.col("n_total")
     pr = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))  # SQL: 0 for N=1
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return ranked.select(
         "o_orderkey",
-        F.round(pr, 6).alias("pr"),
-        F.round(rn / n, 6).alias("cd"),
+        r6(pr).alias("pr"),
+        r6(rn / n).alias("cd"),
     )
 
 
@@ -312,8 +351,8 @@ def q_win_first_last(spark, sf_dir):
     "q_win_percent_rank",
     oracle="""
 SELECT o_orderkey,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
 FROM orders
 WHERE o_orderkey < 16000
 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
@@ -323,13 +362,22 @@ def q_win_percent_rank(spark, sf_dir):
     """Window family extension (r2): percent_rank + cume_dist — the
     normalized-rank pair (quantile position without a global count join).
     GLOBAL window by design (filter-bounded input);
-    q_win_percent_rank_distributed is the scale form over the full table."""
+    q_win_percent_rank_distributed is the scale form over the full table.
+
+    floor(x*1e6 + 0.5), not round(x, 6): (rank-1)/(n-1) lands EXACTLY on
+    6-decimal halves for round denominators, and Spark rounds halves up
+    while DuckDB rounds half-to-even — 93 flipped rows at sf0.1 (sf0.01's
+    n dodged the boundary, which is why the round() form survived four
+    rounds of driver checks). floor-plus-half is dialect-free: both
+    engines compute the identical IEEE double, so the same side of every
+    boundary (the q_vec_quantize rule, FIXTURES.md)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return o.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        r6(F.percent_rank().over(w)).alias("pr"),
+        r6(F.cume_dist().over(w)).alias("cd"),
     )
 
 
