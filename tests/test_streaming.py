@@ -83,3 +83,26 @@ def test_stateful_final_counts_match_batch(spark):
     final = trail.groupBy("user_id").agg(F.max("n").alias("n"))
     batch = load(spark, SF_T2, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert _sorted_rows(final) == _sorted_rows(batch)
+
+
+def test_jdbc_upsert_is_idempotent_across_reruns(spark):
+    """Re-invoking the streaming upsert must not double-apply: the second
+    call short-circuits on the run marker (and even a re-delivered batch
+    would hit the applied_batches ledger), so the serving table's counts
+    equal the batch aggregate exactly, twice."""
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.tables import load
+
+    import pyspark.sql.functions as F
+
+    fn = all_queries()["q_stream_jdbc_upsert"]
+    first = {r.event_type: (r.n, r.sum_value) for r in fn(spark, SF_T2).collect()}
+    second = {r.event_type: (r.n, r.sum_value) for r in fn(spark, SF_T2).collect()}
+    want = {
+        r.event_type: (r.n, r.sum_value)
+        for r in load(spark, SF_T2, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert first == second == want

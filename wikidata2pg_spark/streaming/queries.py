@@ -554,3 +554,134 @@ def q_stream_corpus_clean(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("total_tokens"),
     )
+
+
+@query(
+    "q_stream_jdbc_upsert",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_jdbc_upsert(spark, sf_dir):
+    """Streaming → database with EXACTLY-ONCE upsert: foreachBatch
+    aggregates each micro-batch, stages it via JDBC, and applies it with a
+    transactional MERGE guarded by an applied-batch ledger — the
+    production pattern for keeping a serving table in sync with a stream.
+    Retried batches hit the ledger and are skipped, so counts never
+    double-apply (count/sum are additive, so per-batch partials merge to
+    the exact batch answer). Runs against the Spark-bundled Derby (which
+    has MERGE since 10.11); on Postgres only URL/driver change — or
+    INSERT .. ON CONFLICT replaces the MERGE (README Derby caveat).
+    StringType must be pinned to VARCHAR via createTableColumnTypes:
+    Derby's default CLOB mapping cannot be compared in a MERGE ON
+    clause. The final serving table hash-checks against the batch
+    aggregate of the full input."""
+    import os as _os
+
+    from wikidata2pg_spark.util import tmpdir, tmpdir_for
+
+    url = f"jdbc:derby:{tmpdir(sf_dir, 'derbydb_upsert')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    out_dir = tmpdir_for(sf_dir, "jdbc_upsert", "events")
+    done = _os.path.join(out_dir, "_STREAM_COMPLETE")
+
+    def _connect():
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        return jvm.java.sql.DriverManager.getConnection(url)
+
+    def _exec_ignore(con, sql, ignore_states=("X0Y32",)):
+        st = con.createStatement()
+        try:
+            st.execute(sql)
+        except Exception as e:  # table exists et al.
+            if not any(s in str(e) for s in ignore_states):
+                raise
+        finally:
+            st.close()
+
+    def apply_batch(batch_df, batch_id: int):
+        # UPPERCASE aliases: Spark's JDBC writer quotes column names, so
+        # lowercase aliases create case-sensitive columns that unquoted
+        # Derby SQL (which upper-cases identifiers) cannot reference
+        agg = batch_df.groupBy(F.col("event_type").alias("EVENT_TYPE")).agg(
+            F.count(F.lit(1)).alias("N"), F.sum("value").alias("SUM_VALUE")
+        )
+        (
+            agg.write.mode("overwrite")
+            .option("createTableColumnTypes", "EVENT_TYPE VARCHAR(64), N BIGINT, SUM_VALUE DOUBLE")
+            .jdbc(url, "upsert_stage", properties=props)
+        )
+        con = _connect()
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            try:
+                # ledger probe: a batch already applied (crash after commit,
+                # retry before checkpoint advance) must be a no-op
+                rs = st.executeQuery(
+                    f"SELECT count(*) FROM applied_batches WHERE bid = {int(batch_id)}"
+                )
+                rs.next()
+                if rs.getLong(1) == 0:
+                    st.executeUpdate(
+                        "MERGE INTO event_serving t USING upsert_stage s "
+                        "ON t.event_type = s.event_type "
+                        "WHEN MATCHED THEN UPDATE SET n = t.n + s.n, "
+                        "sum_value = t.sum_value + s.sum_value "
+                        "WHEN NOT MATCHED THEN INSERT (event_type, n, sum_value) "
+                        "VALUES (s.event_type, s.n, s.sum_value)"
+                    )
+                    st.executeUpdate(
+                        f"INSERT INTO applied_batches VALUES ({int(batch_id)})"
+                    )
+                con.commit()
+            finally:
+                st.close()
+        finally:
+            con.close()
+
+    if not _os.path.exists(done):
+        con = _connect()
+        try:
+            _exec_ignore(
+                con,
+                "CREATE TABLE event_serving "
+                "(event_type VARCHAR(64) PRIMARY KEY, n BIGINT, sum_value DOUBLE)",
+            )
+            _exec_ignore(con, "CREATE TABLE applied_batches (bid BIGINT PRIMARY KEY)")
+            # a partial prior run is resumed from the checkpoint (ledger
+            # makes re-delivered batches no-ops); a COMPLETED prior run
+            # without marker (marker write crashed) would re-apply nothing
+            # either — every batch is in the ledger.
+        finally:
+            con.close()
+        s = read_events_stream(spark, sf_dir).select("event_type", "value")
+        q = (
+            s.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .start()
+        )
+        terminated = False
+        try:
+            terminated = q.awaitTermination(120)
+            if terminated:
+                with open(done, "w") as fh:
+                    fh.write("ok")
+        finally:
+            if q.isActive:
+                q.stop()
+        if not terminated:
+            raise TimeoutError(
+                "q_stream_jdbc_upsert: stream did not drain in 120s; "
+                f"ledgered partial state at {out_dir} (rerun resumes)"
+            )
+    back = spark.read.jdbc(url, "event_serving", properties=props)
+    return back.select(
+        F.col("EVENT_TYPE").alias("event_type"),
+        F.col("N").alias("n"),
+        F.round("SUM_VALUE", 2).alias("sum_value"),
+    )
