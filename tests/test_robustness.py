@@ -264,3 +264,26 @@ def test_driver_window_ordering_is_pinned():
               "q_stream_stateful_count", "q_stream_stream_join",
               "q_stream_static_join", "q_stream_foreach_batch"):
         assert k in window, k
+
+
+def test_hll_merge_equals_direct_and_is_accurate(spark):
+    """Mergeability is the point of q_agg_hll_mergeable: the union of
+    per-group sketches must estimate the SAME value as one direct global
+    sketch at the same lgK (merge is lossless), and both within 2% of the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_T2
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.tables import load
+
+    rows = {r.event_type: r.approx_users for r in
+            all_queries()["q_agg_hll_mergeable"](spark, SF_T2).collect()}
+    direct = load(spark, SF_T2, "events").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("e")
+    ).collect()[0].e
+    exact = load(spark, SF_T2, "events").agg(
+        F.countDistinct("user_id").alias("e")
+    ).collect()[0].e
+    assert rows["__ALL__"] == direct  # merged == direct at same lgK
+    assert abs(rows["__ALL__"] - exact) / exact < 0.02

@@ -1047,3 +1047,36 @@ def q_dq_quarantine(spark, sf_dir):
         )
         .select("verdict", "violations", "n", "min_id", "max_id")
     )
+
+
+@query("q_agg_hll_mergeable", oracle=None)  # sketch encoding engine-specific → rows-only
+def q_agg_hll_mergeable(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, built into Spark 4) —
+    the 100 TB distinct-counting shape that approx_count_distinct alone
+    does not give you: per-partition/per-group sketches are tiny, ADDITIVE
+    state that can be stored in a rollup table and unioned later across
+    groups, days, or clusters without rescanning — re-aggregation of
+    distinct counts with no second pass over the data. Per event_type
+    sketch → per-group estimate + the UNION-merged global estimate; pinned
+    lgK on both agg and union so merge loses nothing.
+    tests/test_robustness.py asserts merged == direct-global and <2%
+    error vs exact. Rows-only by design: the estimate is deterministic for
+    this engine but the sketch algorithm is engine-specific (DuckDB's
+    approx_count_distinct is a different HLL)."""
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_est = per.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").alias("approx_users"),
+        "n_rows",
+    )
+    merged = per.agg(
+        # second arg is allowDifferentLgConfigK, not lgK — all sketches
+        # were built at lgK=12, so strict union (false) is lossless
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("approx_users"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "n_rows")
+    return per_est.unionByName(merged)
