@@ -1080,3 +1080,36 @@ def q_agg_hll_mergeable(spark, sf_dir):
         F.sum("n_rows").alias("n_rows"),
     ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "n_rows")
     return per_est.unionByName(merged)
+
+
+_RCTE_SQL = """
+WITH RECURSIVE walk(custkey, anc, depth) AS (
+  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+  FROM {cust} WHERE c_custkey BETWEEN 1 AND 255
+  UNION ALL
+  SELECT custkey, CAST(floor(anc / 2.0) AS BIGINT), depth + 1
+  FROM walk WHERE anc > 1
+)
+SELECT custkey, count(*) AS path_len, max(depth) AS depth_to_root,
+       min(anc) AS root
+FROM walk
+GROUP BY custkey
+"""
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle=_RCTE_SQL.format(cust="customer"),
+)
+def q_sql_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (new in Spark 4) — hierarchy traversal in pure SQL,
+    the org-chart/BOM query Postgres users reach for. Each customer walks
+    the implicit binary-heap tree (parent = key/2) to the root, and the
+    IDENTICAL statement runs on both engines: the recursion is per-row
+    bounded (≤8 steps for keys ≤255) and the engine unions frontier
+    DataFrames per step — the same semi-naive iteration
+    q_wd_subclass_closure builds by hand, here delegated to the engine.
+    Scale note: each recursion step is a full distributed plan; state is
+    the frontier only."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_rcte")
+    return spark.sql(_RCTE_SQL.format(cust="v_cust_rcte"))

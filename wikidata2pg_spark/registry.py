@@ -77,8 +77,8 @@ _ROUND5_PRIORITY = (
 # 50): keys added after the freeze (q_sim_query_topk, q_dedup_incremental,
 # q_scan_schema_evolution, q_sink_zorder, q_text_line_dedup,
 # q_scan_corrupt_tolerant, q_sink_compact, q_split_leakage_safe,
-# q_dq_quarantine, q_stream_jdbc_upsert, q_agg_hll_mergeable, and any
-# later additions) — these
+# q_dq_quarantine, q_stream_jdbc_upsert, q_agg_hll_mergeable,
+# q_sql_recursive_cte, and any later additions) — these
 # MUST lead the r6 window — then everything r1-r4-proven that is not
 # streaming, starting with the stalest (latest row r1: windows, complex
 # joins, rounding-sensitive aggs, ordered-output ops).
