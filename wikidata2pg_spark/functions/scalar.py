@@ -269,3 +269,45 @@ def q_fn_url(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias("nation_param"),
     )
+
+
+@query(
+    "q_fn_try_safe",
+    oracle="""
+SELECT o_orderkey,
+       floor(o_totalprice / nullif(o_custkey % 7, -1) * 100 + 0.5) / 100 AS safe_div,
+       TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS prio_num,
+       string_split(o_orderpriority, '-')[5] AS oob_elem
+FROM orders
+WHERE o_orderkey < 16000
+""",
+)
+def q_fn_try_safe(spark, sf_dir):
+    """Error-safe expression family — load-bearing since Spark 4 runs ANSI
+    mode by DEFAULT, where a single division by zero or malformed cast
+    KILLS the query instead of yielding NULL (the Spark 3 behavior users
+    ported pipelines from). At 100 TB one dirty row in a trillion must
+    degrade to NULL, not abort the job: try_divide / try_cast /
+    try_element_at are the per-expression opt-outs that keep ANSI's
+    correctness everywhere else. DuckDB's twins: x/0 is natively NULL,
+    TRY_CAST, and out-of-bounds list indexing is natively NULL. The
+    o_custkey%7==0 rows prove the zero path, o_orderstatus ('O'/'F'/'P')
+    the failed-cast path, and element 5 of a 2-element split the
+    out-of-bounds path. floor(x*100+0.5) rounding: price/k lands on exact
+    2-decimal halves (the half-up vs half-even flip, FIXTURES rule)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        (
+            F.floor(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("safe_div"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+        F.element_at(parts, 1).try_cast("int").alias("prio_num"),
+        F.try_element_at(parts, F.lit(5)).alias("oob_elem"),
+    )
