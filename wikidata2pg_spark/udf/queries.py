@@ -171,3 +171,55 @@ def q_udf_grouped_map(spark, sf_dir):
         center,
         "l_returnflag string, l_orderkey long, l_linenumber long, price_centered double",
     )
+
+
+@query(
+    "q_udf_map_in_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS net
+FROM lineitem
+WHERE l_orderkey < 4000
+""",
+)
+def q_udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow — the zero-copy floor of the Python UDF surface: batches
+    arrive as pyarrow RecordBatches and results return as RecordBatches,
+    with no pandas materialization in between (pandas UDFs pay a
+    Arrow→pandas→Arrow conversion per batch; for pure-numeric kernels
+    pyarrow.compute on the batch is the cheapest possible Python hop).
+    The kernel computes net price with arrow compute ops only. Per-batch
+    work is bounded by spark.sql.execution.arrow.maxRecordsPerBatch —
+    at 100 TB this is the knob that caps Python-side memory."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 4000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    )
+
+    def net_price(batches):
+        for batch in batches:
+            gross = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            net = pc.divide(
+                pc.floor(pc.add(pc.multiply(gross, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+            # l_linenumber scans as int32 — cast to the declared BIGINT
+            # (mapInArrow does NO coercion: the arrow type must match the
+            # declared schema exactly or the JVM reader throws)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    net,
+                ],
+                names=["l_orderkey", "l_linenumber", "net"],
+            )
+
+    return li.mapInArrow(net_price, "l_orderkey BIGINT, l_linenumber BIGINT, net DOUBLE")
