@@ -737,7 +737,7 @@ WITH w AS (
 ), lines AS (
   SELECT doc_id, i AS line_no,
          array_to_string(list_slice(words, i * 10 + 1, i * 10 + 10), ' ') AS line
-  FROM w, (SELECT unnest(range(0, 64)) AS i) g
+  FROM w, (SELECT unnest(range(0, 256)) AS i) g  -- cap >> max fixture doc (~40 words); Spark side uncapped
   WHERE i * 10 < len(words)
 ), ranked AS (
   SELECT doc_id, line_no, line,
