@@ -443,3 +443,18 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The LATERAL correlated top-2 must be rewritten to a per-partition
+    WindowGroupLimit + equi-join — never a per-outer-row re-execution —
+    and the outer filter must push into the INNER scan (c_custkey < 500
+    reaches the orders side as o_custkey < 500)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_lateral"](spark, SF_T2)
+    opt = _optimized(df)
+    assert "WindowGroupLimit" in opt
+    assert "o_custkey" in opt and "< 500" in opt
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -67,3 +67,34 @@ def q_subquery_scalar(spark, sf_dir):
     tfidf/pagerank constants use."""
     load(spark, sf_dir, "part").createOrReplaceTempView("subq_part")
     return spark.sql(_SCALAR_SQL.format(part="subq_part"))
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM {cust} c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders}
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) o
+WHERE c.c_custkey < 500
+"""
+
+
+@query(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL.format(cust="customer", orders="orders"),
+)
+def q_join_lateral(spark, sf_dir):
+    """LATERAL correlated subquery join (SQL:1999, supported by Spark 4 and
+    DuckDB with the same syntax): per-customer top-2 orders expressed as a
+    correlated derived table — the form ORM/report SQL actually ships.
+    Catalyst DECORRELATES it: the optimized plan is a window-rank
+    (per-partition group limit) over a plain equi-join, not a per-row
+    re-execution of the subquery — assert-worthy because a naive engine
+    runs the inner query once per outer row (test_plans.py pins the
+    rewrite). Semantically identical to q_topk_per_group's DataFrame
+    row_number form; this key proves the SQL front door reaches the same
+    plan."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(_LATERAL_SQL.format(cust="v_lat_cust", orders="v_lat_orders"))
