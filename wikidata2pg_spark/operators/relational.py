@@ -1113,3 +1113,33 @@ def q_sql_recursive_cte(spark, sf_dir):
     the frontier only."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_rcte")
     return spark.sql(_RCTE_SQL.format(cust="v_cust_rcte"))
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_listagg(spark, sf_dir):
+    """listagg — the SQL:2016 ordered string aggregation added in Spark 4
+    (DuckDB: string_agg). WITHIN GROUP (ORDER BY) makes the concatenation
+    deterministic under any partitioning — without it the result depends
+    on task arrival order, which is exactly the class of nondeterminism
+    this repo's oracle discipline exists to keep out. Via spark.sql: the
+    DataFrame listagg() helper takes no ordering."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM v_listagg_orders
+        GROUP BY o_orderpriority
+        """
+    )

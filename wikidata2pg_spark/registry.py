@@ -79,7 +79,8 @@ _ROUND5_PRIORITY = (
 # q_scan_corrupt_tolerant, q_sink_compact, q_split_leakage_safe,
 # q_dq_quarantine, q_stream_jdbc_upsert, q_agg_hll_mergeable,
 # q_sql_recursive_cte, q_fn_try_safe, q_udf_map_in_arrow,
-# q_custom_stream_source, q_join_lateral, and any later additions) — these
+# q_custom_stream_source, q_join_lateral, q_agg_listagg, and any later
+# additions) — these
 # MUST lead the r6 window — then everything r1-r4-proven that is not
 # streaming, starting with the stalest (latest row r1: windows, complex
 # joins, rounding-sensitive aggs, ordered-output ops).
