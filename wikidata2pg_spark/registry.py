@@ -45,10 +45,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # (VERDICT r4 task 1, extended): ALL 41 keys with NO driver row in r1-r4 go
 # first — after the r4 judgment the late-r5 additions grew the never-tested
 # set from 16 to 41, and every one of them fits inside the 50-key budget,
-# so packing them first gets the whole 179-key contract at least one driver
-# row this round. The remaining 9 slots go to the streaming family (the
-# most regression-prone, per the r3 dtype incident). r1/r3-proven keys
-# rotate into the r6 window.
+# so packing them first gets the bulk of the contract at least one driver
+# row this round. The remaining 9 slots go to further late-r5 additions
+# (see below); r1/r3-proven keys rotate into the r6 window.
 _ROUND5_PRIORITY = (
     # --- never driver-tested as of r4's VERDICT (16) ---
     "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",
@@ -67,23 +66,25 @@ _ROUND5_PRIORITY = (
     "q_win_percent_rank_distributed", "q_win_count_distinct",
     "q_win_moving_median", "q_graph_copurchase", "q_graph_pagerank",
     "q_graph_triangles", "q_subquery_exists", "q_subquery_scalar",
-    # --- streaming family: r4-green but historically the most fragile (9) ---
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_watermark_late", "q_stream_dedup", "q_stream_stateful_count",
-    "q_stream_stream_join", "q_stream_static_join", "q_stream_foreach_batch",
+    # --- late-r5 additions, also never driver-tested (9) ---
+    # These replaced the 9 streaming re-proves late in r5: every streaming
+    # key already holds a green r4 row, so re-proving them added nothing to
+    # the cumulative ledger, while each slot given to a never-tested key
+    # converts a "declared but unproven" weak into a driver row. The
+    # streaming family is still regression-gated locally (full oracle
+    # mirror + tests/test_streaming.py) every round.
+    "q_sql_recursive_cte", "q_join_lateral", "q_fn_try_safe",
+    "q_agg_listagg", "q_dq_quarantine", "q_udf_map_in_arrow",
+    "q_sim_query_topk", "q_text_line_dedup", "q_split_leakage_safe",
 )
 
 # Registered but intentionally OUTSIDE the r5 window (the window is full at
-# 50): keys added after the freeze (q_sim_query_topk, q_dedup_incremental,
-# q_scan_schema_evolution, q_sink_zorder, q_text_line_dedup,
-# q_scan_corrupt_tolerant, q_sink_compact, q_split_leakage_safe,
-# q_dq_quarantine, q_stream_jdbc_upsert, q_agg_hll_mergeable,
-# q_sql_recursive_cte, q_fn_try_safe, q_udf_map_in_arrow,
-# q_custom_stream_source, q_join_lateral, q_agg_listagg, and any later
-# additions) — these
-# MUST lead the r6 window — then everything r1-r4-proven that is not
-# streaming, starting with the stalest (latest row r1: windows, complex
-# joins, rounding-sensitive aggs, ordered-output ops).
+# 50): q_dedup_incremental, q_stream_jdbc_upsert, q_scan_schema_evolution,
+# q_sink_zorder, q_scan_corrupt_tolerant, q_sink_compact,
+# q_custom_stream_source, q_agg_hll_mergeable (rows-only anyway), and any
+# later additions. These MUST lead the r6 window — then everything
+# r1-r4-proven, starting with the stalest (latest row r1: windows, complex
+# joins, rounding-sensitive aggs, ordered-output ops, then streaming).
 
 
 def _prioritize(d: dict) -> dict:
