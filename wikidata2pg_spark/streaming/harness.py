@@ -109,7 +109,13 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        # Raise on timeout instead of falling through: a hung/slow stream
+        # must surface as an error, not as a silently-partial memory table
+        # (same contract as queries.py's foreach_batch timeout handling).
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow stream {name} did not terminate in {timeout_s}s"
+            )
     finally:
         if q.isActive:
             q.stop()
