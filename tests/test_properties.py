@@ -189,31 +189,16 @@ def test_pagerank_mass_is_conserved_without_dangling(spark, edges):
     """On a graph where every node has an outlink (we add a self-loop to
     each node to guarantee it), total PageRank mass stays 1 after each
     power iteration — the conservation law of the recurrence."""
-    from wikidata2pg_spark.operators.graph import _DAMP
+    from wikidata2pg_spark.operators.graph import pagerank_ranks
 
     nodes = sorted({x for e in edges for x in e})
     loops = [(n, n) for n in nodes]
     e = spark.createDataFrame(
         sorted(set(edges + loops)), "src long, dst long"
     )
-    n = len(nodes)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
-    ranks = ndf.select("id", F.lit(1.0 / n).alias("pr"))
-    for _ in range(2):
-        contrib = (
-            e.join(ranks.select(F.col("id").alias("rid"), "pr"), e.src == F.col("rid"))
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("contrib"))
-        )
-        ranks = ndf.join(contrib, ndf.id == contrib.dst, "left").select(
-            "id",
-            (
-                F.lit((1 - _DAMP) / n)
-                + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
-        )
+    # drive the PRODUCTION recurrence, not a local copy of it
+    ranks = pagerank_ranks(ndf, e, iters=2)
     total = ranks.agg(F.sum("pr")).collect()[0][0]
     assert abs(total - 1.0) < 1e-9
 
@@ -229,23 +214,11 @@ def test_pagerank_mass_is_conserved_without_dangling(spark, edges):
 def test_semi_naive_closure_matches_naive_bfs(spark, edges):
     """The semi-naive frontier iteration must produce the same
     (src, dst, min_depth<=4) set as a plain per-depth BFS in Python."""
+    from wikidata2pg_spark.operators.graph import semi_naive_closure
+
     e = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
-    reach = e.withColumn("depth", F.lit(1))
-    frontier = reach
-    for depth in (2, 3, 4):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("g"), F.col("f.dst") == F.col("g.src"))
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("g.dst").alias("dst"),
-                F.lit(depth).alias("depth"),
-            )
-            .distinct()
-        )
-        frontier = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
-        reach = reach.unionByName(frontier)
-    got = sorted(map(tuple, reach.collect()))
+    # drive the PRODUCTION iteration, not a local copy of it
+    got = sorted(map(tuple, semi_naive_closure(e, max_depth=4).collect()))
 
     adj = {}
     for s_, d_ in set(edges):

@@ -255,15 +255,23 @@ def test_driver_window_ordering_is_pinned():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-4].json")):
         tested |= set(json.load(open(f)))
-    never = [k for k in _ROUND5_PRIORITY if k not in tested]
+    # Derive "never driver-tested" from the REGISTERED key set, not from
+    # the priority tuple itself (that would be circular — a registered,
+    # never-tested key accidentally missing from _ROUND5_PRIORITY would
+    # pass silently). Every such key must be in the window or on the
+    # explicit post-freeze deferral list that leads r6's rotation.
+    post_freeze_deferred = {
+        "q_dedup_incremental", "q_stream_jdbc_upsert",
+        "q_scan_schema_evolution", "q_sink_zorder",
+        "q_scan_corrupt_tolerant", "q_sink_compact",
+        "q_custom_stream_source", "q_agg_hll_mergeable",
+    }
+    never = [k for k in qs if k not in tested]
     for k in never:
-        assert k in window, k
-    # and the streaming family (most regression-prone) fills the remainder
-    for k in ("q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-              "q_stream_watermark_late", "q_stream_dedup",
-              "q_stream_stateful_count", "q_stream_stream_join",
-              "q_stream_static_join", "q_stream_foreach_batch"):
-        assert k in window, k
+        assert k in window or k in post_freeze_deferred, (
+            f"{k} is registered, has no driver row, is outside the 50-key "
+            "window, and is not on the documented post-freeze deferral list"
+        )
 
 
 def test_hll_merge_equals_direct_and_is_accurate(spark):

@@ -100,25 +100,39 @@ def run_import(
 
     chosen = tables if tables is not None else DEFAULT_TABLES.split(",")
     counts: dict[str, int] = {}
-    for name in chosen:
-        if name not in TABLE_BUILDERS:
-            raise SystemExit(
-                f"unknown table {name!r}; choose from {sorted(TABLE_BUILDERS)}"
-            )
-        if truthy_only and name == "wd_claims":
-            df = TABLE_BUILDERS["wd_truthy"](parsed)
-        else:
-            df = TABLE_BUILDERS[name](parsed)
-        out = df.repartition(load_partitions)
-        if jdbc_url is not None:
-            out.write.jdbc(jdbc_url, name, mode="overwrite", properties=props)
-        if parquet_dir is not None:
-            out.write.mode("overwrite").parquet(f"{parquet_dir}/{name}")
-        # count from the sink actually written (read-back, not the plan)
-        if jdbc_url is not None:
-            counts[name] = spark.read.jdbc(jdbc_url, name, properties=props).count()
-        else:
-            counts[name] = spark.read.parquet(f"{parquet_dir}/{name}").count()
+    # Every table builder re-reads `parsed` — persist the parse ONCE so N
+    # tables don't mean N full text-read→clean→parse executions of a
+    # multi-GB dump (MEMORY_AND_DISK default: spills, never recomputes).
+    parsed.persist()
+    try:
+        for name in chosen:
+            if name not in TABLE_BUILDERS:
+                raise SystemExit(
+                    f"unknown table {name!r}; choose from {sorted(TABLE_BUILDERS)}"
+                )
+            if truthy_only and name == "wd_claims":
+                df = TABLE_BUILDERS["wd_truthy"](parsed)
+            else:
+                df = TABLE_BUILDERS[name](parsed)
+            out = df.repartition(load_partitions)
+            # Dual-sink order: parquet FIRST, then feed the JDBC load from
+            # the parquet read-back — one execution of the table plan total,
+            # and the two sinks are row-identical by construction (vs. two
+            # independent executions of an uncached plan).
+            if parquet_dir is not None:
+                out.write.mode("overwrite").parquet(f"{parquet_dir}/{name}")
+                out = spark.read.parquet(f"{parquet_dir}/{name}")
+            if jdbc_url is not None:
+                out.write.jdbc(jdbc_url, name, mode="overwrite", properties=props)
+            # count from the sink actually written (read-back, not the plan)
+            if jdbc_url is not None:
+                counts[name] = spark.read.jdbc(
+                    jdbc_url, name, properties=props
+                ).count()
+            else:
+                counts[name] = spark.read.parquet(f"{parquet_dir}/{name}").count()
+    finally:
+        parsed.unpersist()
     return counts
 
 

@@ -39,6 +39,61 @@ _DAMP = 0.85
 _ITERS = 3
 
 
+def pagerank_ranks(nodes, e, iters):
+    """PageRank power iteration over edge DataFrame ``e`` (src, dst) and
+    node DataFrame ``nodes`` (id); returns (id, n, pr). THE production
+    recurrence — q_graph_pagerank wraps it, and the hypothesis
+    mass-conservation property test drives this exact function (not a
+    reimplementation), so a regression in the join keys / coalesce /
+    damping arithmetic fails the fuzz test, not just the fixture hash."""
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes_n = nodes.crossJoin(F.broadcast(nn))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ranks = nodes_n.select("id", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("rid"), "pr"), e.src == F.col("rid"))
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("d")).alias("contrib"))
+        )
+        ranks = nodes_n.join(contrib, nodes_n.id == contrib.dst, "left").select(
+            "id",
+            "n",
+            (
+                F.lit(1 - _DAMP) / F.col("n")
+                + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks
+
+
+def semi_naive_closure(e, max_depth=4):
+    """Bounded-depth transitive closure by SEMI-NAIVE iteration over edge
+    DataFrame ``e`` (src, dst): each round joins only the new frontier
+    against the edges and anti-joins out already-reached pairs, so work
+    per round is proportional to the NEW pairs (the Datalog semi-naive
+    rule). Returns (src, dst, depth) with depth = minimal hop count.
+    Shared by q_wd_subclass_closure and the hypothesis BFS-equivalence
+    property test."""
+    reach = e.withColumn("depth", F.lit(1))
+    frontier = reach
+    for depth in range(2, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.dst") == F.col("g.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("g.dst").alias("dst"),
+                F.lit(depth).alias("depth"),
+            )
+            .distinct()
+        )
+        frontier = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+        reach = reach.unionByName(frontier)
+    return reach
+
+
 @query(
     "q_graph_copurchase",
     oracle="""
@@ -139,30 +194,9 @@ def q_graph_pagerank(spark, sf_dir):
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    # Topology constant N via a broadcast 1-row agg — no eager driver count.
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    nodes_n = nodes.crossJoin(F.broadcast(nn))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-
-    ranks = nodes_n.select("id", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
-    for _ in range(_ITERS):
-        contrib = (
-            e.join(ranks.select(F.col("id").alias("rid"), "pr"), e.src == F.col("rid"))
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("d")).alias("contrib"))
-        )
-        ranks = (
-            nodes_n.join(contrib, nodes_n.id == contrib.dst, "left")
-            .select(
-                "id",
-                "n",
-                (
-                    F.lit(1 - _DAMP) / F.col("n")
-                    + F.lit(_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("pr"),
-            )
-        )
+    # Topology constant N via a broadcast 1-row agg inside pagerank_ranks —
+    # no eager driver count.
+    ranks = pagerank_ranks(nodes, e, _ITERS)
     return ranks.select(
         F.col("id").alias("node"),
         F.round(F.col("pr") * F.col("n"), 2).alias("pr_scaled"),

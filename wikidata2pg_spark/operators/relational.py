@@ -915,7 +915,7 @@ SELECT CASE WHEN l_quantity <= c1 THEN 0
        count(*)::BIGINT AS n_rows,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty,
-       round(avg(l_extendedprice), 2) AS avg_price
+       floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS avg_price
 FROM lineitem, cuts
 GROUP BY 1
 """,
@@ -950,7 +950,12 @@ def q_agg_bucketize_equidepth(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        # floor(x*100+0.5)/100, not round(,2): avg is a division and can
+        # land on an exact half-cent, where Spark HALF_UP and DuckDB
+        # half-to-even disagree (verify-skill rounding rule)
+        (F.floor(F.avg("l_extendedprice") * 100 + F.lit(0.5)) / 100).alias(
+            "avg_price"
+        ),
     )
 
 

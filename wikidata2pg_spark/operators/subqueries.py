@@ -44,14 +44,27 @@ def q_subquery_exists(spark, sf_dir):
     return spark.sql(_EXISTS_SQL.format(customer="subq_customer", orders="subq_orders"))
 
 
+# Exact integer-cents arithmetic throughout: row MEMBERSHIP depends on a
+# price-vs-average comparison, and avg(double) differs between engines by
+# summation order (ulp noise), so a part whose price sits exactly on its
+# brand average could flip in/out (FIXTURES rule 5). sum(BIGINT cents) and
+# count(*) are exact on both engines, their quotient is the same IEEE
+# double, and the comparison/display rounding are then deterministic.
 _SCALAR_SQL = """
 SELECT p.p_partkey, p.p_brand, p.p_retailprice,
-       round((SELECT avg(p2.p_retailprice) FROM {part} p2
-              WHERE p2.p_brand = p.p_brand), 2) AS brand_avg
+       CAST(floor((SELECT sum(CAST(floor(p2.p_retailprice * 100 + 0.5) AS BIGINT)) * 1e0
+                          / count(*)
+                   FROM {part} p2
+                   WHERE p2.p_brand = p.p_brand) + 0.5) / 100 AS DOUBLE) AS brand_avg
 FROM {part} p
-WHERE p.p_retailprice > (SELECT avg(p3.p_retailprice) FROM {part} p3
-                         WHERE p3.p_brand = p.p_brand)
-  AND p.p_retailprice > (SELECT avg(p4.p_retailprice) FROM {part} p4)
+WHERE CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+      > (SELECT sum(CAST(floor(p3.p_retailprice * 100 + 0.5) AS BIGINT)) * 1e0
+                / count(*)
+         FROM {part} p3 WHERE p3.p_brand = p.p_brand)
+  AND CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+      > (SELECT sum(CAST(floor(p4.p_retailprice * 100 + 0.5) AS BIGINT)) * 1e0
+                / count(*)
+         FROM {part} p4)
 """
 
 

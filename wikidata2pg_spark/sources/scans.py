@@ -854,6 +854,17 @@ def q_custom_stream_source(spark, sf_dir):
                     q.stop()
             if spark.read.parquet(f"{out}/data").count() >= total:
                 break
+        # Publish the marker ONLY on the exact expected row count: a drain
+        # loop that exhausted short (count < total) or double-applied a
+        # batch (count > total) must raise NOW, not cache a wrong result
+        # that every later invocation would silently serve (loud-failure
+        # contract, same as the availableNow-timeout raise above).
+        got = spark.read.parquet(f"{out}/data").count()
+        if got != total:
+            raise RuntimeError(
+                f"q_custom_stream_source drained {got} rows, expected {total}; "
+                "not publishing completion marker"
+            )
         with open(done, "w") as fh:
             fh.write("ok")
     back = spark.read.parquet(f"{out}/data")

@@ -508,14 +508,15 @@ def q_time_sessionize_batch(spark, sf_dir):
     "q_stream_corpus_clean",
     oracle="""
 WITH t AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, lower(trim(text)) AS norm,
+         string_split(lower(trim(text)), ' ') AS toks FROM documents
 ), q AS (
-  SELECT text, len(toks) AS n_toks
+  SELECT norm, len(toks) AS n_toks
   FROM t
   WHERE len(toks) BETWEEN 10 AND 1000
     AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
 ), d AS (
-  SELECT DISTINCT sha256(lower(trim(text))) AS digest, n_toks FROM q
+  SELECT DISTINCT sha256(norm) AS digest, n_toks FROM q
 )
 SELECT n_toks // 100 AS len_bucket,
        count(*)::BIGINT AS n_docs,
@@ -538,13 +539,18 @@ def q_stream_corpus_clean(spark, sf_dir):
     from wikidata2pg_spark.streaming.harness import read_documents_stream
 
     s = read_documents_stream(spark, sf_dir)
-    toks = F.split("text", " ")
+    # Tokenize the NORMALIZED text (the same string the digest hashes):
+    # n_toks must be digest-determined, or two same-digest variants
+    # (case/whitespace) would carry different n_toks and the surviving
+    # row would depend on arrival order — unhashable.
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, " ")
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) * 1.0 / n
     cleaned = (
         s.filter(n.between(10, 1000) & (ttr > 0.2))
         .select(
-            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+            F.sha2(norm, 256).alias("digest"),
             n.cast("long").alias("n_toks"),
         )
         .dropDuplicates(["digest"])

@@ -677,25 +677,13 @@ def q_wd_subclass_closure(spark, sf_dir):
     first discovery of a pair is at its minimal depth, so no min-agg is
     needed on the Spark side; the DuckDB oracle states the same result
     declaratively with a depth-bounded recursive CTE + min(depth)."""
+    from wikidata2pg_spark.operators.graph import semi_naive_closure
+
     e = (
         flatten.item_edges(_latest(spark))
         .select("src", "dst")
         .filter(F.col("dst").isNotNull())
         .distinct()
     )
-    reach = e.withColumn("depth", F.lit(1))
-    frontier = reach
-    for depth in (2, 3, 4):
-        nxt = (
-            frontier.alias("f")
-            .join(e.alias("g"), F.col("f.dst") == F.col("g.src"))
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("g.dst").alias("dst"),
-                F.lit(depth).alias("depth"),
-            )
-            .distinct()
-        )
-        frontier = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
-        reach = reach.unionByName(frontier)
+    reach = semi_naive_closure(e, max_depth=4)
     return reach.select("src", "dst", F.col("depth").cast("long").alias("min_depth"))
