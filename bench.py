@@ -201,21 +201,13 @@ def multifile_dir() -> str:
     """Derived copy of SF_DIR with every table split into N_DEMO_FILES
     parquet files (a directory-style table) — the multi-split layout a
     real corpus has. Keyed on source content; write-once."""
-    import pyarrow.parquet as pq
-
     from wikidata2pg_spark.tables import TABLE_NAMES
-    from wikidata2pg_spark.util import tmpdir_for
+    from wikidata2pg_spark.util import split_fixture_tables, tmpdir_for
 
     out = tmpdir_for(SF_DIR, "bench_multifile", *TABLE_NAMES)
     done = os.path.join(out, "_COMPLETE")
     if not os.path.exists(done):
-        for t in TABLE_NAMES:
-            tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
-            tdir = os.path.join(out, f"{t}.parquet")
-            os.makedirs(tdir, exist_ok=True)
-            step = max(1, -(-tbl.num_rows // N_DEMO_FILES))
-            for i, lo in enumerate(range(0, tbl.num_rows, step)):
-                pq.write_table(tbl.slice(lo, step), os.path.join(tdir, f"part-{i:02d}.parquet"))
+        split_fixture_tables(SF_DIR, out, N_DEMO_FILES)
         with open(done, "w") as fh:
             fh.write("ok")
     return out

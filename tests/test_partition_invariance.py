@@ -81,19 +81,10 @@ KEYS = [
 
 @pytest.fixture(scope="module")
 def multi_dir(tmp_path_factory):
-    import pyarrow.parquet as pq
-
-    from wikidata2pg_spark.tables import TABLE_NAMES
+    from wikidata2pg_spark.util import split_fixture_tables
 
     root = tmp_path_factory.mktemp("sf_multifile")
-    for t in TABLE_NAMES:
-        tbl = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
-        out = root / f"{t}.parquet"
-        os.makedirs(out, exist_ok=True)
-        n = tbl.num_rows
-        step = max(1, -(-n // N_FILES))
-        for i, lo in enumerate(range(0, n, step)):
-            pq.write_table(tbl.slice(lo, step), str(out / f"part-{i:02d}.parquet"))
+    split_fixture_tables(SF_SMOKE, str(root), N_FILES)
     return str(root)
 
 

@@ -103,13 +103,17 @@ def run_import(
     # Every table builder re-reads `parsed` — persist the parse ONCE so N
     # tables don't mean N full text-read→clean→parse executions of a
     # multi-GB dump (MEMORY_AND_DISK default: spills, never recomputes).
+    # Validate ALL table names BEFORE the first overwrite: failing on the
+    # 3rd name after dropping/rewriting the first two would leave the
+    # target database partially re-imported.
+    unknown = [n for n in chosen if n not in TABLE_BUILDERS]
+    if unknown:
+        raise SystemExit(
+            f"unknown table(s) {unknown!r}; choose from {sorted(TABLE_BUILDERS)}"
+        )
     parsed.persist()
     try:
         for name in chosen:
-            if name not in TABLE_BUILDERS:
-                raise SystemExit(
-                    f"unknown table {name!r}; choose from {sorted(TABLE_BUILDERS)}"
-                )
             if truthy_only and name == "wd_claims":
                 df = TABLE_BUILDERS["wd_truthy"](parsed)
             else:

@@ -267,6 +267,10 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
+    # Materialize the pair set ONCE: every propagation round joins sym, and
+    # without this each of the O(diameter) iterations would re-execute the
+    # full blocked cosine matmul from lineage (k rounds = k matmuls).
+    sym = sym.localCheckpoint()
     # labels seed from ALL vectors — singletons are their own cluster
     labels = (
         load(spark, sf_dir, "embeddings")
@@ -319,14 +323,18 @@ def _jaccard_prefix_pairs(spark, sf_dir, docs, t: float = 0.5):
     full verification. See q_dedup_jaccard_prefix for the algorithm notes."""
     from pyspark.sql import Window
 
-    from wikidata2pg_spark.util import fixture_bytes
+    from wikidata2pg_spark.util import SMALL_CORPUS_BROADCAST_MAX, fixture_bytes
 
     # carry the doc's token count through the explode — no separate sizes
     # build + doc_id join needed
     toks = docs.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     corpus_bytes = fixture_bytes(sf_dir, "documents")
-    df_side = F.broadcast(df_tok) if corpus_bytes and corpus_bytes <= (4 << 30) else df_tok
+    df_side = (
+        F.broadcast(df_tok)
+        if corpus_bytes and corpus_bytes <= SMALL_CORPUS_BROADCAST_MAX
+        else df_tok
+    )
     ordered = toks.join(df_side, "tok").withColumn(
         "pos",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),

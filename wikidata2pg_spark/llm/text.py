@@ -73,7 +73,7 @@ def q_text_tfidf(spark, sf_dir):
     ``d.count()`` driver action — one job instead of two, VERDICT r1 #7)."""
     from pyspark.sql import Window
 
-    from wikidata2pg_spark.util import fixture_bytes
+    from wikidata2pg_spark.util import SMALL_CORPUS_BROADCAST_MAX, fixture_bytes
 
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -82,9 +82,8 @@ def q_text_tfidf(spark, sf_dir):
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    _SMALL_CORPUS_MAX = 4 << 30
     corpus_bytes = fixture_bytes(sf_dir, "documents")
-    if corpus_bytes and corpus_bytes <= _SMALL_CORPUS_MAX:
+    if corpus_bytes and corpus_bytes <= SMALL_CORPUS_BROADCAST_MAX:
         with_df = tf.withColumn(
             "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
         )

@@ -486,10 +486,14 @@ def q_time_sessionize_batch(spark, sf_dir):
     partitioning, so Catalyst plans a single Exchange."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap: cast('long') truncates to whole seconds while
+    # the oracle compares the exact interval, so a gap in [1800, 1801) s
+    # would break a session in DuckDB but not here — unix_micros keeps the
+    # two sides comparing the identical quantity.
     brk = (
-        F.col("ts").cast("long")
-        - F.lag(F.col("ts").cast("long")).over(w)
-        > 30 * 60
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        > 30 * 60 * 1_000_000
     ).cast("int")
     g = e.withColumn("brk", F.coalesce(brk, F.lit(0)))
     s = g.withColumn(

@@ -38,6 +38,13 @@ def fixture_files(sf_dir: str, table: str) -> list[str]:
     return [path]
 
 
+# One shared small-corpus ceiling for "broadcast the vocab/df side" style
+# guards (tfidf, ppjoin prefix join): by Heaps' law the token-frequency
+# side of a <=4 GiB corpus broadcasts comfortably; past it, fall back to a
+# shuffle join. A single constant so the guards can only move together.
+SMALL_CORPUS_BROADCAST_MAX = 4 << 30
+
+
 def fixture_bytes(sf_dir: str, table: str):
     """Total on-disk bytes of a fixture table (None if unreadable) — the
     free size signal for broadcast/block heuristics."""
@@ -69,3 +76,24 @@ def tmpdir_for(sf_dir: str, tag: str, *source_tables: str) -> str:
     (via :func:`source_stamp`), so regenerated fixtures invalidate every
     derived roundtrip artifact automatically."""
     return tmpdir(sf_dir, f"{tag}-{source_stamp(sf_dir, *source_tables)}")
+
+
+def split_fixture_tables(src_sf_dir: str, dst_dir: str, n_files: int) -> None:
+    """Split every fixture table of ``src_sf_dir`` into an ``n_files``-part
+    directory-style parquet layout under ``dst_dir`` — the multi-split
+    layout a real corpus has. Single implementation shared by the bench
+    scale demo and the partition-invariance test fixture so the two can't
+    drift (file count aside, which is the caller's knob)."""
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        tbl = pq.read_table(f"{src_sf_dir}/{t}.parquet")
+        tdir = os.path.join(dst_dir, f"{t}.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        step = max(1, -(-tbl.num_rows // n_files))
+        for i, lo in enumerate(range(0, tbl.num_rows, step)):
+            pq.write_table(
+                tbl.slice(lo, step), os.path.join(tdir, f"part-{i:02d}.parquet")
+            )
