@@ -24,27 +24,13 @@ from wikidata2pg_spark import all_oracles, all_queries, configure_session  # noq
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: q1-style pricing summary
-    (scan → filter → hash-agg partial+final → sort). Driver checks rows>0."""
-    from pyspark.sql import functions as F
-
-    from wikidata2pg_spark.tables import load
+    (scan → filter → hash-agg partial+final → sort). Driver checks rows>0.
+    Delegates to flagship.pricing_summary — ONE definition of the flagship
+    shared with bench.py, so the two can't drift."""
+    from wikidata2pg_spark.flagship import pricing_summary
 
     configure_session(spark)
-    li = load(spark, "/root/testdata/sf0.001", "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
-    )
+    return pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

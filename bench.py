@@ -180,7 +180,16 @@ def run_pass(spark, qs, sf_dir, runs, tag) -> tuple[dict[str, float], dict[str, 
                 if left() <= 0:
                     break
                 t0 = time.perf_counter()
-                materialize_with_deadline(spark, df, f"{tag}-{name}-{rep}", left())
+                try:
+                    materialize_with_deadline(spark, df, f"{tag}-{name}-{rep}", left())
+                except Exception:
+                    # a rep cancelled mid-run by the budget watchdog must
+                    # not discard the reps that DID complete — report the
+                    # median of what we have (module-docstring promise)
+                    if samples:
+                        errors[name] = f"budget_hit_after_{len(samples)}_reps"
+                        break
+                    raise
                 samples.append(time.perf_counter() - t0)
             if samples:
                 timings[name] = round(statistics.median(samples), 4)

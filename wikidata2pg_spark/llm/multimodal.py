@@ -130,8 +130,8 @@ def q_multimodal_framesample(spark, sf_dir):
     "q_multimodal_decode",
     oracle="""
 SELECT doc_id,
-       ascii(text[1:1]) AS width,
-       ascii(text[2:2]) AS height,
+       ('0x' || substring(hex(encode(text)), 1, 2))::INT AS width,
+       ('0x' || substring(hex(encode(text)), 3, 2))::INT AS height,
        octet_length(text::BLOB) AS n_bytes
 FROM documents
 """,
@@ -139,7 +139,9 @@ FROM documents
 def q_multimodal_decode(spark, sf_dir):
     """Decode pipeline end-to-end: binary payload → mapInPandas decode stub →
     typed metadata. Hash-checked because the stub is deterministic (first
-    two bytes as WxH) — the oracle replicates it with ascii()."""
+    two BYTES as WxH) — the oracle replicates it byte-exactly via hex of
+    the UTF-8 encoding (an ascii()-char oracle would diverge on any
+    non-ASCII fixture text, same hazard framesample documents)."""
     d = load(spark, sf_dir, "documents")
     payload = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     out = decode_images(payload)

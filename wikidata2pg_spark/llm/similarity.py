@@ -121,6 +121,51 @@ def _norm_mats(left, right):
     return qids, qm, cids, cm
 
 
+def _cell_topk_kernel(k: int, id_col: str = "vec_id"):
+    """THE exact per-cell top-k kernel: normalized matmul, self-exclusion,
+    argpartition local top-k with deterministic (sim desc, neighbor_id
+    asc) tie-break. One definition shared by q_sim_cosine_topk (block
+    grid), q_sim_ann_ivf (IVF cells) and q_sim_query_topk (query batch ×
+    corpus blocks) — the tie-break/self-exclusion subtleties live in
+    exactly one place. ``id_col`` names the output id column."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
+            for j in idx:
+                if np.isfinite(row[j]):
+                    out_q.append(qids[i]); out_n.append(cids[j]); out_s.append(row[j])
+        return pd.DataFrame({id_col: out_q, "neighbor_id": out_n, "sim": out_s})
+
+    return cell_topk
+
+
+def _global_topk(local, k: int, id_col: str = "vec_id"):
+    """Global top-k over the per-cell survivors: keyed row_number window
+    with the same (sim desc, neighbor_id asc) order as the kernel."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 @query(
     "q_sim_cosine_topk",
     oracle=_SIMS_CTE
@@ -142,40 +187,12 @@ def q_sim_cosine_topk(spark, sf_dir):
     row_number window over the CB·k surviving candidates per query. No
     driver collect (the r1 scale flag), no materialized similarity matrix.
     Exact: any global top-k neighbor is in its cell's local top-k."""
-    import numpy as np
-    import pandas as pd
-
     QB = CB = _derived_blocks(sf_dir)
     k = 5
-
-    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        qids, qm, cids, cm = _norm_mats(left, right)
-        sims = qm @ cm.T
-        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
-        kk = min(k, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        for i in range(len(qids)):
-            row = sims[i]
-            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
-            for j in idx:
-                if np.isfinite(row[j]):
-                    out_q.append(qids[i]); out_n.append(cids[j]); out_s.append(row[j])
-        return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_n, "sim": out_s})
-
     local = _blocked_cogroup(spark, sf_dir, QB, CB).applyInPandas(
-        cell_topk, "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+        _cell_topk_kernel(k), "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _global_topk(local, k)
 
 
 @query(
@@ -291,40 +308,12 @@ def q_sim_ann_ivf(spark, sf_dir):
             .join(e, "vec_id")
         )
 
-    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        qids, qm, cids, cm = _norm_mats(left, right)
-        sims = qm @ cm.T
-        sims[qids[:, None] == cids[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        out = {"vec_id": [], "neighbor_id": [], "sim": []}
-        for i in range(len(qids)):
-            row = sims[i]
-            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
-            for j in idx:
-                if np.isfinite(row[j]):
-                    out["vec_id"].append(qids[i])
-                    out["neighbor_id"].append(cids[j])
-                    out["sim"].append(row[j])
-        return pd.DataFrame(out)
-
     q = assigned(NPROBE)
     c = assigned(1)
     local = q.groupby("cell").cogroup(c.groupby("cell")).applyInPandas(
-        cell_topk, "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+        _cell_topk_kernel(k), "vec_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _global_topk(local, k)
 
 
 @query(
@@ -480,32 +469,9 @@ def q_sim_query_topk(spark, sf_dir):
     cside = corpus.withColumn("cb", F.pmod("vec_id", F.lit(CB)).cast("int"))
     qside = queries.crossJoin(F.broadcast(cb_ids))
 
-    def cell_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # left = queries (replicated), right = one corpus block
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        qids, qm, cids, cm = _norm_mats(left, right)
-        sims = qm @ cm.T
-        sims[qids[:, None] == cids[None, :]] = -np.inf  # self-exclusion
-        kk = min(k, sims.shape[1])
-        out_q, out_n, out_s = [], [], []
-        for i in range(len(qids)):
-            row = sims[i]
-            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
-            idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
-            for j in idx:
-                if np.isfinite(row[j]):
-                    out_q.append(qids[i]); out_n.append(cids[j]); out_s.append(row[j])
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
-
+    # left = queries (replicated to every corpus block), right = one block
     local = qside.groupby("cb").cogroup(cside.groupby("cb")).applyInPandas(
-        cell_topk, "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE"
+        _cell_topk_kernel(k, id_col="query_id"),
+        "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE",
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        local.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
+    return _global_topk(local, k, id_col="query_id")

@@ -590,12 +590,19 @@ def q_stream_jdbc_upsert(spark, sf_dir):
     aggregate of the full input."""
     import os as _os
 
-    from wikidata2pg_spark.util import tmpdir, tmpdir_for
+    from wikidata2pg_spark.util import tmpdir_for
 
-    url = f"jdbc:derby:{tmpdir(sf_dir, 'derbydb_upsert')}/db;create=true"
+    # Content-stamped like the checkpoint dir below: a driver fixture
+    # regeneration must land a FRESH Derby database, or the old
+    # applied_batches ledger would mark the new run's batch ids (fresh
+    # checkpoint → ids restart at 0) as already applied and the key would
+    # serve the stale serving table against the new oracle. The completion
+    # marker lives IN the db dir so marker and database can only
+    # invalidate together.
+    db_dir = tmpdir_for(sf_dir, "derbydb_upsert", "events")
+    url = f"jdbc:derby:{db_dir}/db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
-    out_dir = tmpdir_for(sf_dir, "jdbc_upsert", "events")
-    done = _os.path.join(out_dir, "_STREAM_COMPLETE")
+    done = _os.path.join(db_dir, "_STREAM_COMPLETE")
 
     def _connect():
         jvm = spark.sparkContext._jvm
@@ -672,7 +679,7 @@ def q_stream_jdbc_upsert(spark, sf_dir):
         q = (
             s.writeStream.foreachBatch(apply_batch)
             .trigger(availableNow=True)
-            .option("checkpointLocation", f"{out_dir}/_ckpt")
+            .option("checkpointLocation", f"{db_dir}/_ckpt")
             .start()
         )
         terminated = False
@@ -687,7 +694,7 @@ def q_stream_jdbc_upsert(spark, sf_dir):
         if not terminated:
             raise TimeoutError(
                 "q_stream_jdbc_upsert: stream did not drain in 120s; "
-                f"ledgered partial state at {out_dir} (rerun resumes)"
+                f"ledgered partial state at {db_dir} (rerun resumes)"
             )
     back = spark.read.jdbc(url, "event_serving", properties=props)
     return back.select(

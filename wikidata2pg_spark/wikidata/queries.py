@@ -515,8 +515,17 @@ def q_wd_connected_components(spark, sf_dir):
         .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
     )
-    labels = sym.select("a").distinct().select(
-        F.col("a").alias("id"), F.col("a").alias("component")
+    # Materialize the (static) symmetric edge set and each round's label
+    # table: the convergence count executes new_labels once and the next
+    # round consumes it again — without localCheckpoint, round N's plan
+    # would re-run all N-1 prior joins from source TWICE per round
+    # (O(N^2) recomputation and an unboundedly deep Catalyst plan).
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select("a")
+        .distinct()
+        .select(F.col("a").alias("id"), F.col("a").alias("component"))
+        .localCheckpoint()
     )
     for _ in range(20):  # diameter bound; fixture converges in <=3
         nbr_min = (
@@ -532,6 +541,7 @@ def q_wd_connected_components(spark, sf_dir):
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
