@@ -229,6 +229,14 @@ def main() -> None:
     # Primary pass: AQE off — at ms scale its per-stage re-planning jobs
     # dominate (see module docstring); correctness sessions keep it on.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Shuffle sized to the measured stage scale, as AQE coalescing would
+    # do at runtime if it were on: every exchange schedules
+    # shuffle.partitions ms-sized tasks, and q1@sf0.1 medians 0.57s at 32
+    # partitions vs 0.36s at 8 (measured this box, empty-job floor
+    # 0.135s). DuckDB's baseline runs 4 threads — 8 keeps Spark's plans
+    # parallel without paying empty task slots per stage. The
+    # t2/correctness sessions keep their own sizing (session.py).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     qs = bench_queries()
     timings, errors = run_pass(spark, qs, SF_DIR, RUNS, "sf")
     total = round(sum(timings.values()), 4)

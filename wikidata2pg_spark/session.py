@@ -45,12 +45,19 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Idempotently apply runtime confs to an existing session."""
+    """Idempotently apply runtime confs to an existing session.
+
+    Marks the session configured so tables.load() will NOT re-apply
+    RUNTIME_CONFS later — re-application would silently clobber any conf a
+    caller set between here and its first load() (the verify-skill gotcha
+    that cost the AQE skew test an hour, and would reset the bench's
+    shuffle sizing)."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build — builder path covers it
+    spark._w2pg_configured = True
     return spark
 
 
