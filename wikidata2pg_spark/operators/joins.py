@@ -227,7 +227,7 @@ def q_join_interval_overlap(spark, sf_dir):
 SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS err_ts, p.ts::TIMESTAMP AS last_purchase_ts
 FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON e.user_id = p.user_id AND e.ts >= p.ts
+  ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.ts::TIMESTAMP
 """,
 )
 def q_join_asof(spark, sf_dir):
@@ -238,6 +238,11 @@ def q_join_asof(spark, sf_dir):
     ``last(purchase_ts) IGNORE NULLS`` over a per-user window ordered by
     (ts, side) — one shuffle on user_id, no pandas round-trip, scales to
     arbitrary input (vs. DuckDB's native ASOF JOIN in the oracle).
+
+    The oracle's ON clause casts BOTH sides ::TIMESTAMP so the comparison
+    happens at the same µs precision load() normalizes to — on a
+    ns-precision fixture regeneration a raw `e.ts >= p.ts` would compare
+    nanoseconds and diverge on same-µs/different-ns pairs.
     """
     e = load(spark, sf_dir, "events")
     err = e.filter(F.col("event_type") == "error").select(

@@ -277,20 +277,25 @@ def q_agg_grouping_sets(spark, sf_dir):
 SELECT o_custkey, round(sum(o_totalprice), 2) AS total, count(*) AS n
 FROM orders
 GROUP BY o_custkey
-HAVING sum(o_totalprice) > 1500000
+HAVING sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) > 150000000
 """,
 )
 def q_agg_having(spark, sf_dir):
+    # HAVING compares EXACT integer cents on both sides: a group whose
+    # double sum lands exactly on the 1.5M boundary could otherwise flip
+    # in/out on cross-engine accumulation-order ulp noise (FIXTURES rule 5
+    # — membership must never ride on a computed double).
     o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total"),
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("_raw_total"),
+            F.sum(cents).alias("_cents_total"),
         )
-        .filter(F.col("_raw_total") > 1500000)
-        .drop("_raw_total")
+        .filter(F.col("_cents_total") > 150000000)
+        .drop("_cents_total")
     )
 
 

@@ -239,7 +239,8 @@ def q_win_lag_lead(spark, sf_dir):
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(avg(l_quantity) OVER (
            PARTITION BY l_suppkey
-           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+                    l_extendedprice
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mov_avg
 FROM lineitem
 WHERE l_suppkey < 50
@@ -255,7 +256,14 @@ def q_win_moving_rows(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        # (l_orderkey, l_linenumber) is NOT unique in this fixture (143k
+        # dup pairs at sf0.1, one full (suppkey, shipdate, okey, lineno)
+        # collision) — a ROWS frame is content-sensitive to tie order, so
+        # extend the ORDER BY until it is verifiably unique on both SFs
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice",
+        )
         .rowsBetween(-3, Window.currentRow)
     )
     return li.select(

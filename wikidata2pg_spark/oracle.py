@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import math
 import sys
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from typing import Any
 
 import duckdb
@@ -52,6 +52,13 @@ def _canon(v: Any) -> Any:
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, datetime):
+        # Convert tz-aware values to UTC BEFORE dropping tzinfo: a bare
+        # replace() would keep the local wall time (2024-01-01 05:00+05:00
+        # must canonicalize as 00:00, not 05:00). Sessions pin UTC so this
+        # is normally a no-op, but TIMESTAMPTZ results / non-UTC boxes
+        # would silently mis-canonicalize without it.
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc)
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
         return ("d", v.isoformat())
@@ -118,6 +125,12 @@ def run_mirror(spark, sf_dir: str, keys: list[str] | None = None) -> dict[str, l
     os_ = all_oracles()
     con = duck_connection(sf_dir)
     results: dict[str, list[str]] = {}
+    if keys:
+        # A typo'd key must be an error, not a silent '0 queries, 0 failed'
+        # success for a query that never executed.
+        unknown = [k for k in keys if k not in qs]
+        if unknown:
+            raise SystemExit(f"unknown query key(s): {unknown}")
     for k, fn in qs.items():
         if keys and k not in keys:
             continue
