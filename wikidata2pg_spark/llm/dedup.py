@@ -169,7 +169,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
-       round(i.n_shared / (sa.n + sb.n - i.n_shared), 4) AS jaccard
+       floor(i.n_shared / (sa.n + sb.n - i.n_shared) * 10000 + 0.5) / 10000 AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
@@ -205,7 +205,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     return j.filter(F.col("jac") >= 0.5).select(
-        "doc_a", "doc_b", F.round("jac", 4).alias("jaccard")
+        "doc_a",
+        "doc_b",
+        # floor(x*1e4+0.5): jac is a small-int ratio (can hit exact
+        # 4-decimal halves like k/32) — round() would flip vs DuckDB
+        (F.floor(F.col("jac") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
     )
 
 
@@ -362,7 +366,11 @@ def _jaccard_prefix_pairs(spark, sf_dir, docs, t: float = 0.5):
         )
         .filter(F.col("jac") >= t)
     )
-    return verified.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        (F.floor(F.col("jac") * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+    )
 
 
 @query("q_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)

@@ -128,7 +128,7 @@ def q_text_ngrams(spark, sf_dir):
     oracle="""
 SELECT lang, source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(avg(n_chars), 2) AS avg_chars,
+       floor(avg(n_chars) * 100 + 0.5) / 100 AS avg_chars,
        count(DISTINCT sha256(text)) AS n_distinct_texts
 FROM documents
 GROUP BY lang, source
@@ -140,7 +140,7 @@ def q_text_lang_stats(spark, sf_dir):
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        (F.floor(F.avg("n_chars") * 100 + F.lit(0.5)) / 100).alias("avg_chars"),
         F.countDistinct(F.sha2("text", 256)).alias("n_distinct_texts"),
     )
 
@@ -182,9 +182,9 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_toks,
-       round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks), 4) AS avg_tok_len,
-       round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS type_token_ratio,
-       round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 4) AS stopword_ratio,
+       floor(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS avg_tok_len,
+       floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS type_token_ratio,
+       floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS stopword_ratio,
        len(toks) BETWEEN 10 AND 1000
          AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2 AS passes_quality
 FROM t
@@ -200,14 +200,19 @@ def q_text_quality(spark, sf_dir):
     return d.select(
         "doc_id",
         n.cast("long").alias("n_toks"),
-        F.round(
-            F.aggregate(F.transform(toks, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x)
-            * 1.0
-            / n,
-            4,
+        # floor(x*1e4+0.5), not round(,4): these are ratios of small ints
+        # (n_toks <= ~1000) which CAN land on exact 4-decimal halves
+        # (sum/32 = x.03125) where the engines' half rules disagree
+        (
+            F.floor(
+                F.aggregate(F.transform(toks, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x)
+                * 1.0 / n * 10000 + F.lit(0.5)
+            ) / 10000
         ).alias("avg_tok_len"),
-        F.round(ttr, 4).alias("type_token_ratio"),
-        F.round(F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))) * 1.0 / n, 4).alias("stopword_ratio"),
+        (F.floor(ttr * 10000 + F.lit(0.5)) / 10000).alias("type_token_ratio"),
+        (
+            F.floor(F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))) * 1.0 / n * 10000 + F.lit(0.5)) / 10000
+        ).alias("stopword_ratio"),
         (n.between(10, 1000) & (ttr > 0.2)).alias("passes_quality"),
     )
 
@@ -485,7 +490,7 @@ freq AS (
 SELECT doc_id,
        CAST(sum(cnt) AS BIGINT) AS n_bigrams,
        CAST(max(cnt) AS BIGINT) AS top_bigram_cnt,
-       round(max(cnt) * 1.0 / sum(cnt), 4) AS top_bigram_share,
+       floor(max(cnt) * 1.0 / sum(cnt) * 10000 + 0.5) / 10000 AS top_bigram_share,
        max(cnt) * 1.0 / sum(cnt) < 0.2 AS passes_repetition
 FROM freq GROUP BY doc_id
 """,
@@ -509,10 +514,13 @@ def q_text_repetition(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     share = F.max("cnt") * F.lit(1.0) / F.sum("cnt")
+    # floor(x*1e4+0.5), not round(,4): the share is a ratio of small ints
+    # and CAN land exactly on a 4-decimal half (1/32 = 0.03125), where
+    # Spark HALF_UP and DuckDB half-to-even disagree (verify-skill rule)
     return freq.groupBy("doc_id").agg(
         F.sum("cnt").cast("long").alias("n_bigrams"),
         F.max("cnt").cast("long").alias("top_bigram_cnt"),
-        F.round(share, 4).alias("top_bigram_share"),
+        (F.floor(share * 10000 + F.lit(0.5)) / 10000).alias("top_bigram_share"),
         (share < 0.2).alias("passes_repetition"),
     )
 

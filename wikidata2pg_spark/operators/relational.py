@@ -152,7 +152,7 @@ def q_distinct(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_price,
-       round(avg(l_quantity), 2) AS avg_qty,
+       floor(avg(l_quantity) * 100 + 0.5) / 100 AS avg_qty,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price,
        count(*) AS n
@@ -165,7 +165,11 @@ def q_agg_basic(spark, sf_dir):
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        # floor pattern: l_quantity is integer-valued so both engines
+        # compute the identical exact sum/count double — an exact 2-decimal
+        # half (sum/count = x.125 with a 2^k*5^m group count) is reachable
+        # and round() would flip HALF_UP vs half-to-even
+        (F.floor(F.avg("l_quantity") * 100 + F.lit(0.5)) / 100).alias("avg_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.count(F.lit(1)).alias("n"),

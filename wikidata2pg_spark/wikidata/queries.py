@@ -592,7 +592,7 @@ WITH {entities_cte()},
   ),
   tot AS (SELECT count(*) AS n FROM latest)
 SELECT lab.lang, lab.n_labeled,
-       round(lab.n_labeled * 1.0 / tot.n, 4) AS coverage
+       floor(lab.n_labeled * 1.0 / tot.n * 10000 + 0.5) / 10000 AS coverage
 FROM lab, tot
 """,
 )
@@ -612,7 +612,9 @@ def q_wd_label_coverage(spark, sf_dir):
     return lab.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_labeled",
-        F.round(F.col("n_labeled") / F.col("n"), 4).alias("coverage"),
+        (F.floor(F.col("n_labeled") / F.col("n") * 10000 + F.lit(0.5)) / 10000).alias(
+            "coverage"
+        ),
     )
 
 
