@@ -185,8 +185,11 @@ def run_pass(spark, qs, sf_dir, runs, tag) -> tuple[dict[str, float], dict[str, 
                 except Exception:
                     # a rep cancelled mid-run by the budget watchdog must
                     # not discard the reps that DID complete — report the
-                    # median of what we have (module-docstring promise)
-                    if samples:
+                    # median of what we have (module-docstring promise).
+                    # Only claim a budget hit when the budget actually
+                    # expired; any other mid-rep failure is a real error
+                    # and must propagate, not masquerade as a timeout.
+                    if samples and left() <= 0:
                         errors[name] = f"budget_hit_after_{len(samples)}_reps"
                         break
                     raise

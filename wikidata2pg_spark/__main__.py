@@ -125,7 +125,13 @@ def run_import(
             # independent executions of an uncached plan).
             if parquet_dir is not None:
                 out.write.mode("overwrite").parquet(f"{parquet_dir}/{name}")
-                out = spark.read.parquet(f"{parquet_dir}/{name}")
+                # Re-assert the requested JDBC concurrency: the read-back's
+                # partitioning follows file-split packing, not
+                # load_partitions (the knob that bounds concurrent DB
+                # connections).
+                out = spark.read.parquet(f"{parquet_dir}/{name}").repartition(
+                    load_partitions
+                )
             if jdbc_url is not None:
                 out.write.jdbc(jdbc_url, name, mode="overwrite", properties=props)
             # count from the sink actually written (read-back, not the plan)

@@ -130,8 +130,12 @@ def q_multimodal_framesample(spark, sf_dir):
     "q_multimodal_decode",
     oracle="""
 SELECT doc_id,
-       ('0x' || substring(hex(encode(text)), 1, 2))::INT AS width,
-       ('0x' || substring(hex(encode(text)), 3, 2))::INT AS height,
+       CASE WHEN octet_length(encode(text)) >= 1
+            THEN ('0x' || substring(hex(encode(text)), 1, 2))::INT
+            ELSE 0 END AS width,
+       CASE WHEN octet_length(encode(text)) >= 2
+            THEN ('0x' || substring(hex(encode(text)), 3, 2))::INT
+            ELSE 0 END AS height,
        octet_length(text::BLOB) AS n_bytes
 FROM documents
 """,

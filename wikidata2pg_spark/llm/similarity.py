@@ -272,8 +272,6 @@ def q_sim_ann_ivf(spark, sf_dir):
     partition and a query touches one (or nprobe) cells instead of the
     whole corpus — this cell keying is exactly what replaces the full 2-D
     grid of the exact kernel."""
-    import pandas as pd
-
     C, k, NPROBE = _ivf_cells(sf_dir), 5, 3
 
     def dot(a, b):
@@ -454,9 +452,6 @@ def q_sim_query_topk(spark, sf_dir):
     replication is |Q|·CB rows — the small side scales with block count,
     never with corpus size. At 100 TB this is exactly the plan you want:
     one corpus scan, partial top-k map-side, tiny final reduce."""
-    import numpy as np
-    import pandas as pd
-
     CB = _derived_blocks(sf_dir)
     k = 3
     corpus = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -852,14 +852,14 @@ def q_custom_stream_source(spark, sf_dir):
             finally:
                 if q.isActive:
                     q.stop()
-            if spark.read.parquet(f"{out}/data").count() >= total:
+            got = spark.read.parquet(f"{out}/data").count()
+            if got >= total:
                 break
         # Publish the marker ONLY on the exact expected row count: a drain
         # loop that exhausted short (count < total) or double-applied a
         # batch (count > total) must raise NOW, not cache a wrong result
         # that every later invocation would silently serve (loud-failure
         # contract, same as the availableNow-timeout raise above).
-        got = spark.read.parquet(f"{out}/data").count()
         if got != total:
             raise RuntimeError(
                 f"q_custom_stream_source drained {got} rows, expected {total}; "
