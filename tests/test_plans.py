@@ -458,3 +458,23 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert "o_custkey" in opt and "< 500" in opt
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parse_spread_guard_is_split_aware(spark, tmp_path):
+    """The CPU-heavy-projection spread (json_extract_agg, q_text_tfidf):
+    a single-split source gets ONE extra round-robin exchange so the
+    parse/tokenize runs across cores; a multi-split source must NOT pay
+    that exchange — its scan already parallelizes the work. Guard rails
+    for the 100 TB posture: the repartition exists only where the input,
+    not the operator, is the bottleneck."""
+    from wikidata2pg_spark.flagship import json_extract_agg
+    from wikidata2pg_spark.util import split_fixture_tables
+
+    single = _plan(json_extract_agg(spark, SF_T2))
+    assert "REPARTITION_BY_NUM" in single or "RoundRobinPartitioning" in single
+
+    multi = str(tmp_path / "multi")
+    split_fixture_tables(SF_T2, multi, 8)
+    plan_multi = _plan(json_extract_agg(spark, multi))
+    assert "RoundRobinPartitioning" not in plan_multi
+    assert "REPARTITION_BY_NUM" not in plan_multi
