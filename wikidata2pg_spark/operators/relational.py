@@ -783,7 +783,7 @@ FROM ranked WHERE rn = 1
 """,
 )
 def q_agg_mode(spark, sf_dir):
-    """Statistical MODE per group (staged for r6): most frequent user per
+    """Statistical MODE per group: most frequent user per
     event type, smallest-id tiebreak. Built as count + WindowGroupLimit
     top-1 rather than any engine's mode() (whose tiebreak is undefined —
     both sides here pin n DESC, user ASC, so the result hashes). Two

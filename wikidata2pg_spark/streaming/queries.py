@@ -477,7 +477,7 @@ FROM s GROUP BY user_id, session_idx
 """,
 )
 def q_time_sessionize_batch(spark, sf_dir):
-    """Batch sessionization (staged for r6): per-user sessions from a
+    """Batch sessionization: per-user sessions from a
     30-minute inactivity gap — lag to flag the break, running sum of the
     flags for the session index, then a per-session rollup. The batch twin
     of T3's session_window (same gap semantics over history instead of a
