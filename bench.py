@@ -32,6 +32,20 @@ r5 attacks both sides of that floor (VERDICT r4 task 3):
   scheduling overhead. The t2/correctness sessions keep AQE ON (the
   100 TB posture, session.py); this is a bench-scale runtime toggle,
   disclosed here.
+* **Shuffle sized to the measured stage scale (8 partitions).** Every
+  exchange schedules shuffle.partitions ms-sized tasks; q1@sf0.1
+  medians 0.57 s at 32 partitions vs 0.36 s at 8 (same coalescing AQE
+  would do at runtime if it were on in this pass).
+* **CPU-heavy projections spread when the source is single-split.**
+  The JSON parse (json_extract_agg) and tokenize (q_text_tfidf) run
+  inside the scan task; with one row group that is one task no matter
+  what. A split-aware guard repartitions the narrow projected columns
+  first (json 0.42 -> 0.26 s, tfidf 0.57 -> 0.29 s) and takes the
+  no-op path on any multi-split input (plan-asserted in
+  tests/test_plans.py::test_parse_spread_guard_is_split_aware).
+  Residual floor: the single-task parquet DECODE itself (measured
+  0.21 s for q1's six lineitem columns) — irreducible without >1
+  split, which is exactly what the next pass demonstrates.
 * **A multi-file scale-demo pass (AQE back ON).** The same queries run
   against a derived copy of the fixtures split into 8 parquet files per
   table (pyarrow slicing, keyed on source content like every derived
