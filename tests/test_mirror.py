@@ -22,7 +22,11 @@ def test_query_matches_oracle(key, spark, duck):
         errors = compare(key, df, duck, ORACLES[key])
         assert not errors, "\n".join(e[:500] for e in errors)
     else:
-        assert df.count() >= 0
+        # oracle-less (rows-only) key: execute end-to-end and pin at least
+        # the schema — count() can't be negative, so asserting on it would
+        # verify nothing
+        df.count()
+        assert len(df.columns) > 0
 
 
 def test_every_oracle_key_is_declared():

@@ -474,7 +474,7 @@ def test_parse_spread_guard_is_split_aware(spark, tmp_path):
     assert "REPARTITION_BY_NUM" in single or "RoundRobinPartitioning" in single
 
     multi = str(tmp_path / "multi")
-    split_fixture_tables(SF_T2, multi, 8)
+    split_fixture_tables(SF_T2, multi, 8, tables=["events"])
     plan_multi = _plan(json_extract_agg(spark, multi))
     assert "RoundRobinPartitioning" not in plan_multi
     assert "REPARTITION_BY_NUM" not in plan_multi

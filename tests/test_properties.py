@@ -101,12 +101,8 @@ def test_global_rank_matches_sorted_position(spark, vals, nparts, nbuckets):
 
     df = spark.createDataFrame([(v,) for v in vals], "k long")
     ranked = _global_rank(df, "k", nparts=nparts)
-    got = {r.k: r.global_rank for r in ranked.collect()}
-    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
-    assert got == want
-    assert set(r.n_total for r in ranked.collect()) == {len(vals)}
-
-    # ntile bucket arithmetic == built-in ntile
+    # one collect serves all three assertions (this is the slowest property
+    # test; three separate collects tripled its Spark-job count)
     rn, n = F.col("global_rank"), F.col("n_total")
     q = (n / nbuckets).cast("long")
     r_ = n % nbuckets
@@ -114,7 +110,15 @@ def test_global_rank_matches_sorted_position(spark, vals, nparts, nbuckets):
     bucket = F.when(rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
         r_ + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
     )
-    got_b = {r.k: r.b for r in ranked.select("k", bucket.cast("long").alias("b")).collect()}
+    rows = ranked.select(
+        "k", "global_rank", "n_total", bucket.cast("long").alias("b")
+    ).collect()
+    got = {r.k: r.global_rank for r in rows}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
+    assert set(r.n_total for r in rows) == {len(vals)}
+    # ntile bucket arithmetic == built-in ntile
+    got_b = {r.k: r.b for r in rows}
     w = Window.orderBy("k")
     want_b = {
         r.k: r.b

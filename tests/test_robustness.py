@@ -172,8 +172,18 @@ def test_derived_block_formulas():
 
     assert S._derived_blocks(SF_SMOKE) == 4  # 500 rows -> floor
     assert S._ivf_cells(SF_SMOKE) == 8  # sqrt(500/8) ~ 7.9 -> floor 8
-    # formula behavior at scale, independent of any fixture
-    assert max(4, min(-(-10_000_000 // S._BLOCK_ROWS), 1024)) == 1024
+    # Scale behavior through the PRODUCTION function (not an inline copy
+    # of its arithmetic): patch the row-count probe so the real floor/cap
+    # logic is what's under test.
+    orig = S._embedding_rows
+    try:
+        S._embedding_rows = lambda sf_dir: 10_000_000
+        assert S._derived_blocks("ignored") == 1024  # cap
+        S._embedding_rows = lambda sf_dir: 100_000
+        assert S._derived_blocks("ignored") == 25  # ceil(100000/4096)
+        assert S._ivf_cells("ignored") == 112  # round(sqrt(100000/8))
+    finally:
+        S._embedding_rows = orig
     assert S._derived_blocks("/nonexistent") == 4  # fallback
     assert S._ivf_cells("/nonexistent") == 8
 

@@ -63,15 +63,24 @@ def test_watermark_drops_late_slice(spark):
     emitted = df.agg(F.sum("n")).collect()[0][0]
     e = load(spark, SF_T2, "events")
     total = e.count()
-    # rows in the final (never-finalized) window of the full timeline
-    last_window_rows = (
+    # Rows in every window the 10-min watermark never finalizes: append
+    # mode emits a window only once the watermark (max_ts - 10min) passes
+    # its END. Deriving the unemitted set from the watermark (instead of
+    # hardcoding "the last window") keeps the arithmetic correct for any
+    # fixture timeline — with max_ts at HH:05 the watermark also strands
+    # the previous hour's window, not just the final one.
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    wm = max_ts - _dt.timedelta(minutes=10)
+    unemitted_rows = (
         e.groupBy(F.window("ts", "1 hour"))
         .count()
-        .orderBy(F.col("window.start").desc())
-        .limit(1)
-        .collect()[0]["count"]
+        .filter(F.col("window.end") > F.lit(wm))
+        .agg(F.coalesce(F.sum("count"), F.lit(0)))
+        .collect()[0][0]
     )
-    assert emitted == total - 50 - last_window_rows  # 50 = crafted late slice
+    assert emitted == total - 50 - unemitted_rows  # 50 = crafted late slice
 
 
 def test_stateful_final_counts_match_batch(spark):

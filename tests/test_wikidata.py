@@ -85,19 +85,27 @@ def test_datavalue_union_dispatch(spark):
     assert by_type["string"] == "Ejemplo Commons"
 
 
+def _write_dump_gz(tmp_path, name="latest-all.json.gz"):
+    """One definition of the micro-dump-as-gzip framing (five call sites
+    previously copy-pasted it; a framing change now edits one place)."""
+    import gzip
+
+    gz = tmp_path / name
+    with gzip.open(gz, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(DUMP_LINES) + "\n")
+    return gz
+
+
 def test_cli_import_end_to_end(spark, tmp_path):
     """The CLI front door (VERDICT r4 task 4): write the micro-dump as a
     real .json.gz, run `run_import` against embedded Derby, and check the
     loaded row counts equal the flatteners' counts. Exercises the whole
     clean → parse → latest → flatten → batched-JDBC path plus the
     idempotence story (second run overwrites, same counts)."""
-    import gzip
 
     from wikidata2pg_spark.__main__ import run_import
 
-    gz = tmp_path / "latest-all.json.gz"
-    with gzip.open(gz, "wt", encoding="utf-8") as fh:
-        fh.write("\n".join(DUMP_LINES) + "\n")
+    gz = _write_dump_gz(tmp_path, "latest-all.json.gz")
     url = f"jdbc:derby:{tmp_path}/cli_derby;create=true"
 
     counts = run_import(
@@ -124,13 +132,10 @@ def test_cli_import_end_to_end(spark, tmp_path):
 def test_cli_main_argv(spark, tmp_path, capsys):
     """argv surface: python -m wikidata2pg_spark --dump ... --jdbc-url ...
     prints a tab-separated (table, rows) line per loaded table."""
-    import gzip
 
     from wikidata2pg_spark.__main__ import main
 
-    gz = tmp_path / "dump.json.gz"
-    with gzip.open(gz, "wt", encoding="utf-8") as fh:
-        fh.write("\n".join(DUMP_LINES) + "\n")
+    gz = _write_dump_gz(tmp_path, "dump.json.gz")
     rc = main([
         "--dump", str(gz),
         "--jdbc-url", f"jdbc:derby:{tmp_path}/cli_main_derby;create=true",
@@ -152,13 +157,10 @@ def test_cli_import_real_postgres(spark, tmp_path):
     """Env-gated integration test for the behaviors Derby cannot exercise:
     run the import against a real Postgres with reWriteBatchedInserts on.
     Set SPARK_GRAFT_PG_URL='jdbc:postgresql://host/db?user=u&password=p'."""
-    import gzip
 
     from wikidata2pg_spark.__main__ import run_import
 
-    gz = tmp_path / "latest-all.json.gz"
-    with gzip.open(gz, "wt", encoding="utf-8") as fh:
-        fh.write("\n".join(DUMP_LINES) + "\n")
+    gz = _write_dump_gz(tmp_path, "latest-all.json.gz")
     counts = run_import(
         spark, str(gz), os.environ["SPARK_GRAFT_PG_URL"],
         tables=["wd_labels", "wd_claims"],
@@ -193,11 +195,8 @@ def test_gz_dump_file_parse_equals_inline(spark, tmp_path):
     run through the same clean -> parse -> latest pipeline. The result must
     be row-identical to the inline-literal parse that the t2 oracles use
     (VERDICT r1 "What's missing" #4)."""
-    import gzip
 
-    gz = tmp_path / "latest-all.json.gz"
-    with gzip.open(gz, "wt", encoding="utf-8") as fh:
-        fh.write("\n".join(DUMP_LINES) + "\n")
+    gz = _write_dump_gz(tmp_path, "latest-all.json.gz")
 
     raw = spark.read.text(str(gz)).withColumnRenamed("value", "line")
     from_file = flatten.latest_revisions(
@@ -226,13 +225,10 @@ def test_cli_parquet_export(spark, tmp_path):
     """--parquet-dir: the lakehouse export path — same pipeline, parquet
     sink. Counts equal the flatteners' and the written tables are readable
     as ordinary parquet (the engine's own table format)."""
-    import gzip
 
     from wikidata2pg_spark.__main__ import run_import
 
-    gz = tmp_path / "latest-all.json.gz"
-    with gzip.open(gz, "wt", encoding="utf-8") as fh:
-        fh.write("\n".join(DUMP_LINES) + "\n")
+    gz = _write_dump_gz(tmp_path, "latest-all.json.gz")
     out = tmp_path / "lake"
 
     counts = run_import(

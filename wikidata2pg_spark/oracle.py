@@ -139,8 +139,8 @@ def run_mirror(spark, sf_dir: str, keys: list[str] | None = None) -> dict[str, l
             if k in os_:
                 results[k] = compare(k, df, con, os_[k])
             else:
-                n = df.count()
-                results[k] = [] if n >= 0 else [f"{k}: negative count?"]
+                df.count()  # rows-only key: prove it executes end-to-end
+                results[k] = []
         except Exception as e:  # noqa: BLE001
             results[k] = [f"{k}: EXCEPTION {type(e).__name__}: {e}"]
     return results

@@ -78,17 +78,21 @@ def tmpdir_for(sf_dir: str, tag: str, *source_tables: str) -> str:
     return tmpdir(sf_dir, f"{tag}-{source_stamp(sf_dir, *source_tables)}")
 
 
-def split_fixture_tables(src_sf_dir: str, dst_dir: str, n_files: int) -> None:
-    """Split every fixture table of ``src_sf_dir`` into an ``n_files``-part
+def split_fixture_tables(
+    src_sf_dir: str, dst_dir: str, n_files: int, tables=None
+) -> None:
+    """Split fixture tables of ``src_sf_dir`` into an ``n_files``-part
     directory-style parquet layout under ``dst_dir`` — the multi-split
     layout a real corpus has. Single implementation shared by the bench
     scale demo and the partition-invariance test fixture so the two can't
-    drift (file count aside, which is the caller's knob)."""
+    drift (file count aside, which is the caller's knob). ``tables``
+    restricts the split to a subset (e.g. a plan test that reads only
+    events need not rewrite all ten tables)."""
     import pyarrow.parquet as pq
 
     from wikidata2pg_spark.tables import TABLE_NAMES
 
-    for t in TABLE_NAMES:
+    for t in tables if tables is not None else TABLE_NAMES:
         tbl = pq.read_table(f"{src_sf_dir}/{t}.parquet")
         tdir = os.path.join(dst_dir, f"{t}.parquet")
         os.makedirs(tdir, exist_ok=True)
