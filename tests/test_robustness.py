@@ -305,3 +305,43 @@ def test_hll_merge_equals_direct_and_is_accurate(spark):
     ).collect()[0].e
     assert rows["__ALL__"] == direct  # merged == direct at same lgK
     assert abs(rows["__ALL__"] - exact) / exact < 0.02
+
+
+def test_fixture_key_uniqueness_invariants():
+    """The oracle-stability contract leans on these fixture invariants:
+    every window ORDER BY tiebreaker column must be unique within its
+    table (FIXTURES rule 2), and the r5 moving-rows incident proved the
+    lineitem (l_orderkey, l_linenumber) pair is NOT such a key. If a
+    driver fixture regeneration ever breaks one of these, dozens of
+    window/top-k oracles would flake with confusing value mismatches —
+    fail HERE first, loudly, with the violated invariant named."""
+    import duckdb
+
+    from tests.conftest import SF_T2
+
+    con = duckdb.connect()
+    for sf in (SF_SMOKE, SF_T2):
+        for t, k in [
+            ("orders", "o_orderkey"),
+            ("events", "event_id"),
+            ("part", "p_partkey"),
+            ("customer", "c_custkey"),
+            ("supplier", "s_suppkey"),
+            ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+        ]:
+            dupes = con.sql(
+                f"SELECT count(*) - count(DISTINCT {k}) "
+                f"FROM read_parquet('{sf}/{t}.parquet')"
+            ).fetchone()[0]
+            assert dupes == 0, f"{sf}/{t}.{k} is no longer unique ({dupes} dupes)"
+        # the moving-rows window order must stay unique (it carries a
+        # content-sensitive ROWS frame)
+        dupes = con.sql(
+            f"""SELECT count(*) FROM (
+                SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                       l_quantity, l_extendedprice, count(*) AS c
+                FROM read_parquet('{sf}/lineitem.parquet')
+                GROUP BY ALL HAVING count(*) > 1)"""
+        ).fetchone()[0]
+        assert dupes == 0, f"{sf}: moving-rows window order has {dupes} tied tuples"
