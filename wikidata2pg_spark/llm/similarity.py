@@ -155,7 +155,13 @@ def _cell_topk_kernel(k: int, id_col: str = "vec_id"):
 
 def _global_topk(local, k: int, id_col: str = "vec_id"):
     """Global top-k over the per-cell survivors: keyed row_number window
-    with the same (sim desc, neighbor_id asc) order as the kernel."""
+    with the same (sim desc, neighbor_id asc) order as the kernel.
+
+    Ranking on a computed double is safe here: numpy and DuckDB evaluate
+    cosine with different summation orders (~1e-15 relative noise), but
+    the measured minimum rank-adjacent sim gap in the fixtures is
+    ~1.4e-6 (sf0.01 and sf0.1, top-6 per query) — nine orders of
+    magnitude of margin before a cross-engine rank flip."""
     w = Window.partitionBy(id_col).orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
