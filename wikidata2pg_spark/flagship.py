@@ -60,17 +60,17 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 (VERDICT r1). One variant_get is the engine's fastest JSON path."""
     from wikidata2pg_spark.tables import load
 
+    from wikidata2pg_spark.tables import spread_if_few_splits
+
     e = load(spark, sf_dir, "events")
-    narrow = e.select("event_type", "props")
     # The JSON parse is the CPU cost and normally runs inside the scan
-    # task. When the source has fewer splits than cores (a single-row-group
-    # fixture: 1 scan task), spread the parse across a shuffle first —
-    # measured 0.42s -> 0.25s at sf0.1 (shuffling the raw props strings
-    # costs ~30ms; the parse is ~0.2s single-threaded). A multi-split
-    # input (the multifile demo, any real corpus) skips the extra exchange:
-    # its scan already parallelizes the parse.
-    if narrow.rdd.getNumPartitions() < 4:
-        narrow = narrow.repartition(16)
+    # task; on a single-file fixture that is ONE task. Spread it across a
+    # shuffle first — measured 0.42s -> 0.25s at sf0.1 (shuffling the raw
+    # props strings costs ~30ms; the parse is ~0.2s single-threaded).
+    # Multi-split inputs skip the exchange (see spread_if_few_splits).
+    narrow = spread_if_few_splits(
+        e.select("event_type", "props"), sf_dir, "events"
+    )
     k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
     return (
         narrow.select("event_type", k.alias("k"))

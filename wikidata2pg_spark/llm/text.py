@@ -77,14 +77,13 @@ def q_text_tfidf(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    tok_src = d.select("doc_id", "text")
+    from wikidata2pg_spark.tables import spread_if_few_splits
+
     # Tokenize (split+explode) is the CPU cost and runs inside the scan
-    # task; when the corpus has fewer splits than cores (single-row-group
-    # fixture -> 1 task), spread it across a shuffle first — measured
-    # 0.57s -> 0.37s at sf0.1. Multi-split inputs (any real corpus) skip
-    # the extra exchange: their scan already parallelizes tokenization.
-    if tok_src.rdd.getNumPartitions() < 4:
-        tok_src = tok_src.repartition(16)
+    # task; on a single-file corpus that is ONE task. Spread it across a
+    # shuffle first — measured 0.57s -> 0.37s at sf0.1. Multi-split
+    # inputs skip the exchange (see spread_if_few_splits).
+    tok_src = spread_if_few_splits(d.select("doc_id", "text"), sf_dir, "documents")
     tf = (
         tok_src.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")

@@ -99,3 +99,24 @@ def load(spark: SparkSession, sf_dir: str, name: str, fresh: bool = False) -> Da
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def spread_if_few_splits(df, sf_dir: str, table: str, min_files: int = 4, target: int = 16):
+    """Spread a CPU-heavy projection across a round-robin exchange when its
+    source table has fewer physical files than ``min_files`` — a
+    single-row-group fixture funnels expensive per-row work (JSON parse,
+    tokenize+explode) into one scan task. The probe is a file listing
+    (no Spark job, no plan build — the same no-JVM probe style as
+    similarity's parquet-footer row counts), so the guard is deterministic
+    across executor configs and free per invocation. Multi-split inputs —
+    any real corpus — take the no-op path: their scan already parallelizes
+    the work (plan-asserted in tests/test_plans.py). Shared by
+    flagship.json_extract_agg and llm.text.q_text_tfidf so the
+    threshold/target can only move together."""
+    from wikidata2pg_spark.util import fixture_files
+
+    try:
+        n_files = len(fixture_files(sf_dir, table))
+    except OSError:
+        n_files = min_files  # unknown layout: don't add an exchange
+    return df.repartition(target) if n_files < min_files else df
