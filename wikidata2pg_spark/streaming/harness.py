@@ -76,6 +76,14 @@ def late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     # "advancer": the 5 newest rows (kept out of base so their batch is the
     # one that pushes the filter watermark forward for the late batch)
     mid = len(pdf) // 2
+    # Precondition, stated loudly: the late slice and the advancer must be
+    # DISJOINT. On a tiny regenerated fixture an overlap would duplicate
+    # rows across 02_advance/03_late AND put global-max timestamps into
+    # the "late" file (which the watermark then keeps), silently breaking
+    # q_stream_watermark_late's semantics and its test arithmetic.
+    assert mid + 50 <= len(pdf) - 5, (
+        f"events fixture too small for the late-arrival harness: {len(pdf)} rows"
+    )
     late = pdf.iloc[mid : mid + 50]
     adv = pdf.iloc[len(pdf) - 5 :]
     base = pdf.drop(late.index.union(adv.index))
@@ -143,3 +151,36 @@ def documents_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = documents_stream_dir(spark, sf_dir)
     return spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(path)
+
+
+def run_foreach_batch_available_now(
+    spark, stream_df, batch_fn, ckpt_dir: str, marker_path: str, timeout_s: int = 120, what: str = "stream"
+) -> None:
+    """availableNow ``foreachBatch`` under the package's loud-failure +
+    completion-marker contract, in ONE place (q_stream_foreach_batch and
+    q_stream_jdbc_upsert previously carried drifting copies): start the
+    stream with the given checkpoint, await up to ``timeout_s``; on clean
+    termination touch ``marker_path`` (callers gate on it to skip reruns),
+    on timeout STOP and raise — a partial batch set must surface as an
+    error, never as a silently-partial readback. The checkpoint makes the
+    next invocation resume exactly where this one stopped."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    terminated = False
+    try:
+        terminated = q.awaitTermination(timeout_s)
+        if terminated:
+            with open(marker_path, "w") as fh:
+                fh.write("ok")
+    finally:
+        if q.isActive:
+            q.stop()
+    if not terminated:
+        raise TimeoutError(
+            f"{what}: availableNow stream did not terminate within "
+            f"{timeout_s}s; checkpointed partial state (rerun resumes)"
+        )

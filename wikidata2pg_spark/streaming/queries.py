@@ -83,14 +83,14 @@ def q_stream_sliding(spark, sf_dir):
     "q_stream_session",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts::TIMESTAMP AS t, value,
-         CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+  SELECT user_id, ts::TIMESTAMP AS t, event_id, value,
+         CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS brk
   FROM events
 ), sessions AS (
   SELECT user_id, t, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess_id
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM gaps
 )
 SELECT user_id,
@@ -151,32 +151,13 @@ def q_stream_foreach_batch(spark, sf_dir):
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     if not _os.path.exists(done):
+        from wikidata2pg_spark.streaming.harness import run_foreach_batch_available_now
+
         s = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
-        q = (
-            s.writeStream.foreachBatch(write_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{out_dir}/_ckpt")
-            .start()
+        run_foreach_batch_available_now(
+            spark, s, write_batch, f"{out_dir}/_ckpt", done,
+            what="q_stream_foreach_batch",
         )
-        try:
-            terminated = q.awaitTermination(120)
-            if terminated:
-                with open(done, "w") as fh:
-                    fh.write("ok")
-        finally:
-            if q.isActive:
-                q.stop()
-        if not terminated:
-            # A timed-out stream has drained only SOME micro-batches;
-            # reading the partial union back would return a silently wrong
-            # aggregate (surfacing later as an oracle hash mismatch). Fail
-            # loudly instead — the next invocation resumes from the
-            # checkpoint, which is the exactly-once story.
-            raise TimeoutError(
-                "q_stream_foreach_batch: availableNow stream did not "
-                "terminate within 120s; partial batch set left at "
-                f"{out_dir} (checkpointed — rerun resumes)"
-            )
     back = spark.read.option("basePath", out_dir).parquet(f"{out_dir}/batch=*")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
@@ -223,7 +204,22 @@ def q_stream_dedup(spark, sf_dir):
 def _stateful_count_trail(spark, sf_dir):
     """The T6 stream: running per-user (count, sum) via
     applyInPandasWithState; state persists across micro-batches, each batch
-    emits the updated totals, the memory sink keeps the full trail."""
+    emits the updated totals, the memory sink keeps the full trail.
+
+    Memoized per (session, events content stamp): q_stream_stateful_count
+    and q_stream_stateful_final both consume this trail, and without the
+    cache a correctness round holding both keys would execute the most
+    expensive streaming operator in the package twice. The memory-sink
+    table is a materialized batch DataFrame, so sharing it is safe; the
+    stamp key makes a fixture regeneration re-run the stream."""
+    from wikidata2pg_spark.util import source_stamp
+
+    cache = getattr(spark, "_w2pg_trail_cache", None)
+    if cache is None:
+        cache = spark._w2pg_trail_cache = {}
+    key = (sf_dir, source_stamp(sf_dir, "events"))
+    if key in cache:
+        return cache[key]
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -236,7 +232,10 @@ def _stateful_count_trail(spark, sf_dir):
             cnt += len(pdf)
             total += float(pdf["value"].sum())
         state.update((cnt, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "sum_value": [round(total, 2)]})
+        # emit the RAW total: Python round() is half-to-EVEN while the
+        # oracle (DuckDB round) and every sibling query (F.round) are
+        # half-away-from-zero — rounding happens once, below, in F.round
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt], "sum_value": [total]})
 
     out = s.groupBy("user_id").applyInPandasWithState(
         update,
@@ -245,7 +244,10 @@ def _stateful_count_trail(spark, sf_dir):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_available_now(spark, out, output_mode="update")
+    sunk = run_available_now(spark, out, output_mode="update")
+    trail = sunk.withColumn("sum_value", F.round("sum_value", 2))
+    cache[key] = trail
+    return trail
 
 
 @query("q_stream_stateful_count", oracle=None)  # custom state machine → rows-only
@@ -675,27 +677,13 @@ def q_stream_jdbc_upsert(spark, sf_dir):
             # either — every batch is in the ledger.
         finally:
             con.close()
+        from wikidata2pg_spark.streaming.harness import run_foreach_batch_available_now
+
         s = read_events_stream(spark, sf_dir).select("event_type", "value")
-        q = (
-            s.writeStream.foreachBatch(apply_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{db_dir}/_ckpt")
-            .start()
+        run_foreach_batch_available_now(
+            spark, s, apply_batch, f"{db_dir}/_ckpt", done,
+            what="q_stream_jdbc_upsert (ledgered)",
         )
-        terminated = False
-        try:
-            terminated = q.awaitTermination(120)
-            if terminated:
-                with open(done, "w") as fh:
-                    fh.write("ok")
-        finally:
-            if q.isActive:
-                q.stop()
-        if not terminated:
-            raise TimeoutError(
-                "q_stream_jdbc_upsert: stream did not drain in 120s; "
-                f"ledgered partial state at {db_dir} (rerun resumes)"
-            )
     back = spark.read.jdbc(url, "event_serving", properties=props)
     return back.select(
         F.col("EVENT_TYPE").alias("event_type"),
