@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -119,7 +120,9 @@ def q_scan_csv(spark, sf_dir):
 @query(
     "q_scan_orc",
     oracle="""
-SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+SELECT c_mktsegment, count(*) AS n,
+       floor(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1e0
+             / count(*) + 0.5) / 100 AS avg_bal
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -130,8 +133,16 @@ def q_scan_orc(spark, sf_dir):
     if not _written(path):
         c.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
+    # Exact-cents average: avg(2-decimal doubles) differs across engines by
+    # summation-order ulp AND can land on a half-cent — sum of integer
+    # cents / count is the identical double on both sides, so the floor
+    # rounding is deterministic (verify-skill int-ratio rule).
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     return back.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.sum(cents) * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 100).alias(
+            "avg_bal"
+        ),
     )
 
 
@@ -201,12 +212,17 @@ def q_source_jdbc(spark, sf_dir):
     url = _derby_url(sf_dir)
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     c.write.jdbc(url, "customer_src", mode="overwrite", properties=props)
+    # Bounds derived from the data (one tiny agg job), not hardcoded:
+    # static 0/10000 put EVERY sf0.01 row in partition 0 and skewed sf0.1
+    # into the last stripe — the "4 concurrent connections each reading a
+    # key range" this key exists to exercise only happens with real bounds.
+    lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
     back = spark.read.jdbc(
         url,
         "customer_src",
         column="c_custkey",
-        lowerBound=0,
-        upperBound=10000,
+        lowerBound=int(lo),
+        upperBound=int(hi) + 1,
         numPartitions=4,
         properties=props,
     )
@@ -393,10 +409,10 @@ def q_custom_datasink(spark, sf_dir):
     the sink's commit() renames task files one by one and a mid-commit
     crash would leave a partial-but-nonempty set; the dir is keyed on the
     nation fixture's content stamp so a regenerated fixture re-writes."""
-    try:
-        spark.dataSource.register(JsonlCommitSink)
-    except Exception:
-        pass  # already registered in this session
+    # register() silently overwrites on re-registration, so no guard: a
+    # blanket try/except here would only hide REAL registration failures
+    # until they resurface as DATA_SOURCE_NOT_FOUND at save() time.
+    spark.dataSource.register(JsonlCommitSink)
     out = _tmpdir_for(sf_dir, "jsonl_sink", "nation")
     done = os.path.join(out, "_SINK_COMPLETE")
     if not os.path.exists(done):
@@ -732,7 +748,13 @@ def q_sink_compact(spark, sf_dir):
     if not _written(frag):
         li.repartition(32).write.mode("overwrite").parquet(frag)
     compacted = _tmpdir_for(sf_dir, "lineitem_compacted", "lineitem")
-    if not _written(compacted):
+    # Gate reuse on an EXPLICIT post-validation marker, not Spark's
+    # _SUCCESS: save() publishes _SUCCESS before the asserts below run, so
+    # a failed assert would raise exactly once and every later invocation
+    # would silently serve the data the assert rejected (the sticky-wrong
+    # class this file's loud-failure contract forbids).
+    compact_ok = os.path.join(compacted, "_COMPACT_VALIDATED")
+    if not os.path.exists(compact_ok):
         in_files = _glob.glob(f"{frag}/*.parquet")
         total = sum(os.path.getsize(f) for f in in_files)
         target = 4 << 20  # 4 MiB files at fixture scale; TUNE at real scale
@@ -745,6 +767,8 @@ def q_sink_compact(spark, sf_dir):
             _pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(f"{compacted}/*.parquet")
         ) == sum(_pq.ParquetFile(f).metadata.num_rows for f in in_files)
+        with open(compact_ok, "w") as fh:
+            fh.write("ok")
     back = spark.read.parquet(compacted)
     return back.select(
         "l_orderkey",
@@ -754,20 +778,19 @@ def q_sink_compact(spark, sf_dir):
     )
 
 
-class _DumpStreamReader:
+class _DumpStreamReader(SimpleDataSourceStreamReader):
     """SimpleDataSourceStreamReader over the fixed entity list: offsets are
     line indices, each micro-batch advances by at most two lines — a finite,
-    deterministic stand-in for a dump-tail/changes-feed source."""
+    deterministic stand-in for a dump-tail/changes-feed source. NOTE: the
+    simple-reader API has no latestOffset(); the engine derives the latest
+    offset from read()'s returned end (verified in pyspark 4.1.2's
+    _SimpleStreamReaderWrapper), which is why availableNow drains one
+    batch per run and the query loops runs over one checkpoint."""
 
     BATCH = 2
 
     def initialOffset(self):
         return {"idx": 0}
-
-    def latestOffset(self):
-        # the full available end: availableNow snapshots this ONCE at start
-        # and drains micro-batches until read() has advanced to it
-        return {"idx": len(_DUMP_ENTITIES)}
 
     def read(self, start):
         # each planned micro-batch advances at most BATCH lines, so the
@@ -824,11 +847,15 @@ def q_custom_stream_source(spark, sf_dir):
     exactly the engine-persisted-offset contract a changes-feed source
     relies on. Parsed rows land in an append parquet sink; the final batch
     aggregate over all runs hash-checks against the static truth."""
-    try:
-        spark.dataSource.register(WikidataDumpStreamSource)
-    except Exception:
-        pass  # already registered in this session
-    out = _tmpdir_for(sf_dir, "custom_stream", "nation")  # keyed like peers
+    spark.dataSource.register(WikidataDumpStreamSource)  # re-register = overwrite
+    # Keyed on the ACTUAL source — the in-code _DUMP_ENTITIES list — not a
+    # fixture table: editing the entity list (with its oracle) must
+    # invalidate the drained parquet + checkpoint, and regenerating an
+    # unrelated fixture must NOT force a pointless re-drain.
+    import hashlib as _hashlib
+
+    src_stamp = _hashlib.md5("\n".join(_DUMP_ENTITIES).encode()).hexdigest()[:10]
+    out = _tmpdir(sf_dir, f"custom_stream-{src_stamp}")
     done = os.path.join(out, "_STREAM_COMPLETE")
     if not os.path.exists(done):
         total = len(_DUMP_ENTITIES)
@@ -846,12 +873,9 @@ def q_custom_stream_source(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            try:
-                if not q.awaitTermination(120):
-                    raise TimeoutError("q_custom_stream_source run hung")
-            finally:
-                if q.isActive:
-                    q.stop()
+            from wikidata2pg_spark.streaming.harness import await_available_now
+
+            await_available_now(q, 120, "q_custom_stream_source")
             got = spark.read.parquet(f"{out}/data").count()
             if got >= total:
                 break

@@ -102,6 +102,23 @@ def late_arrival_dir(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def await_available_now(q, timeout_s: int, what: str) -> None:
+    """THE timeout contract for every availableNow run in the package:
+    await up to ``timeout_s``; on timeout STOP the query and raise — a
+    hung/slow stream must surface as an error, never as a silently-partial
+    sink. One definition; run_available_now, run_foreach_batch_available_now
+    and the custom-stream drain loop (sources/scans.py) all go through it."""
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"{what}: availableNow stream did not terminate in "
+                f"{timeout_s}s (checkpointed runs resume on retry)"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def run_available_now(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -116,17 +133,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    try:
-        # Raise on timeout instead of falling through: a hung/slow stream
-        # must surface as an error, not as a silently-partial memory table
-        # (same contract as queries.py's foreach_batch timeout handling).
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow stream {name} did not terminate in {timeout_s}s"
-            )
-    finally:
-        if q.isActive:
-            q.stop()
+    await_available_now(q, timeout_s, name)
     return spark.table(name)
 
 
@@ -170,17 +177,7 @@ def run_foreach_batch_available_now(
         .option("checkpointLocation", ckpt_dir)
         .start()
     )
-    terminated = False
-    try:
-        terminated = q.awaitTermination(timeout_s)
-        if terminated:
-            with open(marker_path, "w") as fh:
-                fh.write("ok")
-    finally:
-        if q.isActive:
-            q.stop()
-    if not terminated:
-        raise TimeoutError(
-            f"{what}: availableNow stream did not terminate within "
-            f"{timeout_s}s; checkpointed partial state (rerun resumes)"
-        )
+    await_available_now(q, timeout_s, what)
+    # reached only on clean termination (await_available_now raised otherwise)
+    with open(marker_path, "w") as fh:
+        fh.write("ok")
