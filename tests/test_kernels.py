@@ -136,3 +136,28 @@ def test_prefix_jaccard_equals_postings_jaccard(spark):
         for r in QUERIES["q_dedup_jaccard_prefix"](spark, SF_SMOKE).collect()
     }
     assert pref == naive
+
+
+def test_cell_topk_kernel_keeps_all_boundary_ties():
+    """Duplicate vectors tie EXACTLY at the k boundary; argpartition alone
+    picks an arbitrary one of the tied elements, which diverges from the
+    oracle's (sim DESC, neighbor_id ASC) row_number and flips with the
+    block layout. The kernel must consider every boundary tie and keep the
+    smallest neighbor_id (pure-pandas test: no Spark needed)."""
+    import numpy as np
+    import pandas as pd
+
+    from wikidata2pg_spark.llm.similarity import _cell_topk_kernel
+
+    q = pd.DataFrame({"vec_id": [0], "embedding": [np.array([1.0, 0.0])]})
+    # candidates: one perfect match, then FOUR identical vectors tied at
+    # sim ~0.894 competing for the last two of k=3 slots
+    tied = np.array([2.0, 1.0])
+    c = pd.DataFrame(
+        {
+            "vec_id": [10, 9, 5, 7, 3],
+            "embedding": [np.array([1.0, 0.0]), tied, tied, tied, tied],
+        }
+    )
+    out = _cell_topk_kernel(3)(q, c).sort_values("sim", ascending=False)
+    assert list(out["neighbor_id"]) == [10, 3, 5]  # smallest ids among ties

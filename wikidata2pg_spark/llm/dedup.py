@@ -244,29 +244,18 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     only the convergence scalar reaches the driver. The oracle is the
     transitive-closure recursive CTE — tractable at fixture scale, while
     the label-prop form is the one that scales."""
-    import numpy as np
-    import pandas as pd
-
     from wikidata2pg_spark.llm.similarity import (
         _blocked_cogroup,
+        _cell_pairs_kernel,
         _derived_blocks,
-        _norm_mats,
     )
 
-    threshold = 0.2
+    # same threshold-pairs kernel as q_sim_cosine_neardup (shared — the
+    # ordered-pair guard and threshold comparison live in one place)
     nb = _derived_blocks(sf_dir)
-
-    def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64")})
-        qids, qm, cids, cm = _norm_mats(left, right)
-        sims = qm @ cm.T
-        ia, ib = np.nonzero((qids[:, None] < cids[None, :]) & (sims >= threshold))
-        return pd.DataFrame({"a": qids[ia], "b": cids[ib]})
-
     pairs = _blocked_cogroup(spark, sf_dir, nb, nb).applyInPandas(
-        cell_pairs, "a BIGINT, b BIGINT"
+        _cell_pairs_kernel(0.2, a_col="a", b_col="b", emit_sim=False),
+        "a BIGINT, b BIGINT",
     )
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -20,10 +20,12 @@ from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 
-def _hash_pct(col):
-    """md5-prefix hash of the key → uniform int in [0, 100). Identical in
-    DuckDB: ('0x' || substr(md5(key), 1, 8))::BIGINT % 100."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % 100
+def _hash_pct(col, mod: int = 100):
+    """md5-prefix hash of the key → uniform int in [0, mod). Identical in
+    DuckDB: ('0x' || substr(md5(key), 1, 8))::BIGINT % mod. ONE hash
+    recipe for every sampler/splitter in this module — widening the
+    prefix or changing the digest must change them all together."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
 
 
 @query(
@@ -127,9 +129,7 @@ def q_split_leakage_safe(spark, sf_dir):
     cluster sizes, with no shuffle (one narrow scan). 80/10/10 by
     hash-bucket."""
     d = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("long") % 10
-    )
+    bucket = _hash_pct(F.col("source"), mod=10)
     return d.select(
         "doc_id",
         "source",

@@ -143,7 +143,15 @@ def _cell_topk_kernel(k: int, id_col: str = "vec_id"):
         out_q, out_n, out_s = [], [], []
         for i in range(len(qids)):
             row = sims[i]
-            idx = np.argpartition(-row, kk - 1)[:kk] if len(row) > kk else np.arange(len(row))
+            if len(row) > kk:
+                # candidate set = EVERYTHING tied with the kk-th largest
+                # sim, not argpartition's arbitrary pick among boundary
+                # ties (duplicate vectors tie exactly; the deterministic
+                # neighbor_id tie-break below must see all of them)
+                kth = np.partition(row, len(row) - kk)[len(row) - kk]
+                idx = np.nonzero(row >= kth)[0]
+            else:
+                idx = np.arange(len(row))
             idx = idx[np.lexsort((cids[idx], -row[idx]))][:kk]
             for j in idx:
                 if np.isfinite(row[j]):
@@ -151,6 +159,32 @@ def _cell_topk_kernel(k: int, id_col: str = "vec_id"):
         return pd.DataFrame({id_col: out_q, "neighbor_id": out_n, "sim": out_s})
 
     return cell_topk
+
+
+def _cell_pairs_kernel(threshold: float, a_col: str = "vec_a", b_col: str = "vec_b", emit_sim: bool = True):
+    """Threshold-pairs twin of :func:`_cell_topk_kernel`: per cell, every
+    (a < b, sim >= threshold) pair. One definition shared by
+    q_sim_cosine_neardup and q_dedup_semantic_cluster so the ordered-pair
+    guard and threshold comparison cannot drift between the near-dup key
+    and the clustering built on the same math."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = {a_col: pd.Series(dtype="int64"), b_col: pd.Series(dtype="int64")}
+        if emit_sim:
+            cols["sim"] = pd.Series(dtype="float64")
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(cols)
+        qids, qm, cids, cm = _norm_mats(left, right)
+        sims = qm @ cm.T
+        ia, ib = np.nonzero((qids[:, None] < cids[None, :]) & (sims >= threshold))
+        out = {a_col: qids[ia], b_col: cids[ib]}
+        if emit_sim:
+            out["sim"] = sims[ia, ib]
+        return pd.DataFrame(out)
+
+    return cell_pairs
 
 
 def _global_topk(local, k: int, id_col: str = "vec_id"):
@@ -218,27 +252,9 @@ def q_sim_cosine_neardup(spark, sf_dir):
     Same blocked-cogroup kernel as L3 (the r1 version was a Catalyst
     all-pairs theta join — O(n²) materialized pair rows, the named
     scale-killer). Only above-threshold (a < b) pairs ever become rows."""
-    import pandas as pd
-
     QB = CB = _derived_blocks(sf_dir)
-    threshold = 0.2
-
-    def cell_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "sim": pd.Series(dtype="float64")})
-        qids, qm, cids, cm = _norm_mats(left, right)
-        sims = qm @ cm.T
-        ia, ib = np.nonzero((qids[:, None] < cids[None, :]) & (sims >= threshold))
-        return pd.DataFrame(
-            {"vec_a": qids[ia], "vec_b": cids[ib], "sim": sims[ia, ib]}
-        )
-
     pairs = _blocked_cogroup(spark, sf_dir, QB, CB).applyInPandas(
-        cell_pairs, "vec_a BIGINT, vec_b BIGINT, sim DOUBLE"
+        _cell_pairs_kernel(0.2), "vec_a BIGINT, vec_b BIGINT, sim DOUBLE"
     )
     return pairs.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
 

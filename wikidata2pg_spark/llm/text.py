@@ -16,6 +16,50 @@ from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 _STOPWORDS = ["the", "a"]
+# the same list, rendered for the DuckDB oracles — extending _STOPWORDS
+# must change BOTH engines or the langid/quality hash checks fail silently
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _bigrams(text_col):
+    """Aligned-slice zip bigrams over a whitespace tokenization — ONE
+    expression shared by q_text_ngrams and q_text_repetition so the
+    windowing (and its empty-text guard) cannot drift between the corpus
+    counter and the repetition gate."""
+    t = F.split(text_col, " ")
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+
+
+def _packed_offsets(df, order_col: str, nparts: int):
+    """Two-pass distributed global prefix sum of ``n_toks`` in ``order_col``
+    order: deterministic bucket ids (ordered_bucket — NEVER physical
+    partition ids, the r5 nondeterminism incident), per-bucket running sum,
+    plus a broadcast P-row prefix of bucket subtotals. Adds ``start_off``.
+    ONE implementation shared by q_pack_sequences and
+    q_pipeline_pretraining so the packing math cannot drift between the
+    standalone key and the pipeline that claims to compose it."""
+    from pyspark.sql import Window
+
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
+    parts = ordered_bucket(df, order_col, nparts)
+    within = Window.partitionBy("pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid", F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias("poff")
+    )
+    return (
+        parts.withColumn("cum_in_part", F.sum("n_toks").over(within))
+        .join(F.broadcast(offs), "pid")
+        .withColumn("start_off", F.col("poff") + F.col("cum_in_part") - F.col("n_toks"))
+    )
 
 
 @query(
@@ -117,14 +161,8 @@ GROUP BY 1
 def q_text_ngrams(spark, sf_dir):
     """L7: bigram generation via aligned-slice zip (no UDF) + corpus count."""
     d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(_bigrams("text")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -159,9 +197,9 @@ WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 )
 SELECT doc_id,
-       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
+       CAST(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) AS BIGINT) AS n_stop,
        CAST(len(toks) AS BIGINT) AS n_toks,
-       CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) > 0.05
+       CASE WHEN len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) * 1.0 / len(toks) > 0.05
             THEN 'en' ELSE 'und' END AS lang_guess
 FROM t
 """,
@@ -183,7 +221,7 @@ def q_text_langid(spark, sf_dir):
 
 @query(
     "q_text_quality",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
 )
@@ -191,7 +229,7 @@ SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_toks,
        floor(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS avg_tok_len,
        floor(len(list_distinct(toks)) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS type_token_ratio,
-       floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor(len(list_filter(toks, x -> x IN ({_STOPWORDS_SQL}))) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS stopword_ratio,
        len(toks) BETWEEN 10 AND 1000
          AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2 AS passes_quality
 FROM t
@@ -509,14 +547,8 @@ def q_text_repetition(spark, sf_dir):
     then a per-doc agg: two shuffles on keys that can't hot-spot (doc_id
     is unique). Threshold 0.2 mirrors published repetition gates."""
     d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    bigrams = F.zip_with(
-        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
-        lambda x, y: F.concat_ws(" ", x, y),
-    )
     freq = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        d.select("doc_id", F.explode(_bigrams("text")).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -566,29 +598,11 @@ def q_pack_sequences(spark, sf_dir):
     is associative and doc_id is range-ordered across partitions, so the
     result is exactly the naive global cumsum at any partition count
     (covered by the partition-invariance gate)."""
-    from pyspark.sql import Window
-
     CAP = 512
     NPARTS = 8
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
-    from wikidata2pg_spark.operators.windows import ordered_bucket
-
-    parts = ordered_bucket(t, "doc_id", NPARTS)
-    within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    # P rows total: the prefix of per-partition subtotals broadcasts
-    psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = psums.select(
-        "pid", F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias("poff")
-    )
-    c = (
-        parts.withColumn("cum_in_part", F.sum("n_toks").over(within))
-        .join(F.broadcast(offs), "pid")
-        .withColumn("start_off", F.col("poff") + F.col("cum_in_part") - F.col("n_toks"))
-    )
+    c = _packed_offsets(t, "doc_id", NPARTS)
     first = F.floor(F.col("start_off") / CAP)
     last = F.floor((F.col("start_off") + F.col("n_toks") - 1) / CAP)
     return c.select(
@@ -713,24 +727,7 @@ def q_pipeline_pretraining(spark, sf_dir):
         contaminated, "doc_id", "left_anti"
     )
 
-    from wikidata2pg_spark.operators.windows import ordered_bucket
-
-    parts = ordered_bucket(clean, "doc_id", NPARTS)
-    within = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
-    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = psums.select(
-        "pid", F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias("poff")
-    )
-    c = (
-        parts.withColumn("cum_in_part", F.sum("n_toks").over(within))
-        .join(F.broadcast(offs), "pid")
-        .withColumn(
-            "start_off", F.col("poff") + F.col("cum_in_part") - F.col("n_toks")
-        )
-    )
+    c = _packed_offsets(clean, "doc_id", NPARTS)
     first = F.floor(F.col("start_off") / CAP)
     last = F.floor((F.col("start_off") + F.col("n_toks") - 1) / CAP)
     return c.select(
