@@ -352,5 +352,10 @@ def raw_values_cte(name: str = "raw") -> str:
 def entities_cte() -> str:
     return (
         raw_values_cte("raw")
-        + ",\n  ent(line) AS (SELECT rtrim(line, ',') FROM raw WHERE line NOT IN ('[', ']'))"
+        # same cleaning order as flatten.clean_dump_lines: whitespace-trim
+        # FIRST, then strip ONE trailing comma (rtrim(line, ',') stripped
+        # ALL commas and no whitespace — the two cleaners only agreed on
+        # perfectly-formed lines)
+        + ",\n  ent(line) AS (SELECT regexp_replace(rtrim(line), ',$', '')"
+        " FROM raw WHERE line NOT IN ('[', ']'))"
     )

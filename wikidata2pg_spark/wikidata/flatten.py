@@ -41,8 +41,12 @@ def clean_dump_lines(raw: DataFrame, line_col: str = "line") -> DataFrame:
     """Dump-format normalization: drop the enclosing '['/']' lines, strip the
     trailing comma each entity line carries inside the array."""
     c = F.col(line_col)
+    # ORDER MATTERS: trim whitespace FIRST, then strip the single array
+    # comma — a line "{...}, " (whitespace after the comma) would otherwise
+    # keep its comma, fail the PERMISSIVE parse, and fall into the null-id
+    # path. The DuckDB twin (fixture.entities_cte) applies the same order.
     return raw.filter(~c.isin("[", "]")).select(
-        F.rtrim(F.regexp_replace(c, ",$", "")).alias(line_col)
+        F.regexp_replace(F.rtrim(c), ",$", "").alias(line_col)
     )
 
 
@@ -62,14 +66,22 @@ def latest_revisions(parsed: DataFrame) -> DataFrame:
     (ADVICE r1 — row_number on lastrevid alone is nondeterministic)."""
     from pyspark.sql import Window
 
+    # Null ids (unparseable lines) must BYPASS the dedup: partitionBy
+    # groups all NULLs together and row_number would keep exactly one,
+    # silently dropping every other corrupt line from the raw layer —
+    # violating the "nothing is lost" contract. Dedup real ids; pass
+    # null-id rows through untouched.
+    good = parsed.filter(F.col("e.id").isNotNull())
+    bad = parsed.filter(F.col("e.id").isNull())
     w = Window.partitionBy(F.col("e.id")).orderBy(
         F.col("e.lastrevid").desc(), F.col("raw_line").desc()
     )
-    return (
-        parsed.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        good.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return deduped.unionByName(bad)
 
 
 def labels_table(parsed: DataFrame) -> DataFrame:
@@ -147,9 +159,15 @@ def datavalue_str(dv: Column) -> Column:
         .when(t == "quantity", F.variant_get(dv, "$.value.amount", "string"))
         .when(
             t == "globecoordinate",
-            F.concat_ws(
-                ",",
+            # F.concat, NOT concat_ws: a missing latitude must yield NULL
+            # (matching the oracle's NULL-propagating ||), not a bare
+            # longitude string masquerading as a full coordinate. Double
+            # rendering matches the oracle for plain-magnitude values —
+            # the in-code fixture controls them; E-notation values would
+            # need printf on BOTH sides.
+            F.concat(
                 F.variant_get(dv, "$.value.latitude", "double").cast("string"),
+                F.lit(","),
                 F.variant_get(dv, "$.value.longitude", "double").cast("string"),
             ),
         )

@@ -425,10 +425,18 @@ def q_wd_load_postgres(spark, sf_dir):
         "wd_claims": flatten.claims_triples(p),
         "wd_sitelinks": flatten.sitelinks_table(p),
     }
-    counts = []
-    for name, df in tables.items():
-        df.write.jdbc(url, name, mode="overwrite", properties=props)
-        counts.append((name, spark.read.jdbc(url, name, properties=props).count()))
+    # persist the parsed/deduped layer ONCE: 3 JDBC writes + 3 read-back
+    # counts would otherwise each re-execute the full text→clean→parse→
+    # window lineage (six parse passes of the dump — same fix as
+    # run_import's parsed.persist() in __main__.py)
+    p.persist()
+    try:
+        counts = []
+        for name, df in tables.items():
+            df.write.jdbc(url, name, mode="overwrite", properties=props)
+            counts.append((name, spark.read.jdbc(url, name, properties=props).count()))
+    finally:
+        p.unpersist()
     return spark.createDataFrame(counts, "table_name string, n_rows long")
 
 
@@ -527,6 +535,7 @@ def q_wd_connected_components(spark, sf_dir):
         .select(F.col("a").alias("id"), F.col("a").alias("component"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(20):  # diameter bound; fixture converges in <=3
         nbr_min = (
             sym.join(labels, sym.b == labels.id)
@@ -551,7 +560,16 @@ def q_wd_connected_components(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning unconverged labels would split one component
+        # into several with no signal — fail loudly; at real scale raise
+        # the bound or switch to pointer-jumping (O(log diameter) rounds)
+        raise RuntimeError(
+            "q_wd_connected_components: min-label propagation did not "
+            "converge within 20 rounds (graph diameter exceeds the bound)"
+        )
     return labels
 
 
