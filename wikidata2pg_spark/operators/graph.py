@@ -94,16 +94,47 @@ def semi_naive_closure(e, max_depth=4):
     return reach
 
 
+_COPURCHASE_EDGES_CTE = """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*)::BIGINT AS n_orders
+  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= 2
+)"""
+
+
+def copurchase_edges(spark, sf_dir, min_orders: int = 2):
+    """Canonical co-purchase edge list (u < v, parts sharing >=
+    ``min_orders`` orders) with the per-pair order count — THE edge
+    definition for q_graph_copurchase, q_graph_pagerank-adjacent demos and
+    q_graph_triangles. One implementation (plus the shared
+    _COPURCHASE_EDGES_CTE oracle fragment) so the threshold, tie
+    convention and distinct step cannot drift between the pair-mining key
+    and the triangle enumeration built on the same graph."""
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+
+
 @query(
     "q_graph_copurchase",
-    oracle="""
-WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-       count(*)::BIGINT AS n_orders
-FROM lp a
-JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-GROUP BY a.l_partkey, b.l_partkey
-HAVING count(*) >= 2
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE}
+SELECT u AS part_a, v AS part_b, n_orders FROM e
 """,
 )
 def q_graph_copurchase(spark, sf_dir):
@@ -115,24 +146,8 @@ def q_graph_copurchase(spark, sf_dir):
     the join output is linear in |lineitem| and the whole plan is one
     shuffle + one partial/final hash-agg.
     """
-    lp = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = lp.alias("a"), lp.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
-    )
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+    return copurchase_edges(spark, sf_dir).select(
+        F.col("u").alias("part_a"), F.col("v").alias("part_b"), "n_orders"
     )
 
 
@@ -205,15 +220,8 @@ def q_graph_pagerank(spark, sf_dir):
 
 @query(
     "q_graph_triangles",
-    oracle="""
-WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-                     AND a.l_partkey < b.l_partkey
-  GROUP BY a.l_partkey, b.l_partkey
-  HAVING count(*) >= 2
-)
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE}
 SELECT e1.u AS a, e1.v AS b, e2.v AS c
 FROM e e1
 JOIN e e2 ON e2.u = e1.v
@@ -231,25 +239,7 @@ def q_graph_triangles(spark, sf_dir):
     here because the co-purchase projection itself is basket-bounded
     (see q_graph_copurchase). At real scale the wedge join is salted on
     the few high-degree nodes exactly like any skewed equi-join."""
-    lp = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa, pb = lp.alias("a"), lp.alias("b")
-    e = (
-        pa.join(
-            pb,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    e = copurchase_edges(spark, sf_dir).select("u", "v")
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
     return (

@@ -308,7 +308,10 @@ def q_agg_having(spark, sf_dir):
     oracle="""
 SELECT l_linestatus,
        round(sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END), 2) AS sum_a,
-       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice * l_discount ELSE 0 END), 2) AS disc_rev,
+       floor(sum(CASE WHEN l_discount > 0.05
+                 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) * 1e0 / 100 + 0.5) / 100 AS disc_rev,
        count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_heavy
 FROM lineitem
 GROUP BY l_linestatus
@@ -318,11 +321,24 @@ def q_agg_conditional(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.round(F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice"))), 2).alias("sum_a"),
-        F.round(
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice") * F.col("l_discount")).otherwise(0.0)
-            ),
-            2,
+        # exact integer centi-cents: each term is price(2dp) * discount(2dp),
+        # so the true decimal sum has <=4 decimals and CAN end on an exact
+        # half-cent where cross-engine summation-order ulp noise flips
+        # round(,2) — integer products sum exactly on both engines
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                        * F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                * 1.0
+                / 100
+                + F.lit(0.5)
+            )
+            / 100
         ).alias("disc_rev"),
         F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_heavy"),
     )
@@ -332,17 +348,21 @@ def q_agg_conditional(spark, sf_dir):
     "q_agg_percentile_exact",
     oracle="""
 SELECT l_returnflag,
-       round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty,
-       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+       floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100 AS p50_qty,
+       floor(quantile_cont(l_extendedprice, 0.9) * 100 + 0.5) / 100 AS p90_price
 FROM lineitem
 GROUP BY l_returnflag
 """,
 )
 def q_agg_percentile_exact(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
+    # floor(x*100+0.5), not round(,2): an interpolated percentile of
+    # 2-decimal money is an exact 3-decimal value, so it LIVES on
+    # half-cent boundaries (the sf0.01 p90 is exactly 94493.455) where
+    # the engines' half rules disagree (verify-skill rounding rule)
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("p50_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+        (F.floor(F.percentile("l_quantity", F.lit(0.5)) * 100 + F.lit(0.5)) / 100).alias("p50_qty"),
+        (F.floor(F.percentile("l_extendedprice", F.lit(0.9)) * 100 + F.lit(0.5)) / 100).alias("p90_price"),
     )
 
 
@@ -1008,15 +1028,21 @@ def q_agg_argminmax(spark, sf_dir):
 @query(
     "q_dq_quarantine",
     oracle="""
-WITH checked AS (
+WITH faulted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 101 = 0 THEN -value ELSE value END AS value,
+         CASE WHEN event_id % 103 = 0 THEN 'bogus' ELSE event_type END AS event_type,
+         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events
+), checked AS (
   SELECT event_id,
          concat_ws(',',
            CASE WHEN value < 0 THEN 'neg_value' END,
-           CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'scroll', 'error')
+           CASE WHEN event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
                 THEN 'bad_type' END,
            CASE WHEN user_id IS NULL THEN 'null_user' END
          ) AS violations
-  FROM events
+  FROM faulted
 )
 SELECT CASE WHEN violations = '' THEN 'valid' ELSE 'quarantine' END AS verdict,
        violations, count(*) AS n,
@@ -1032,20 +1058,38 @@ def q_dq_quarantine(spark, sf_dir):
     expression evaluated in the scan stage; the verdict/violations split
     is one pass, and in production the two verdicts fan out to separate
     sinks (the valid path continues, the quarantine path is re-driven
-    after fixes). Rules here: non-negative value, known event_type,
-    non-null user_id. The per-(verdict, violations) census hash-checks;
-    concat_ws skips NULL rule slots identically in both engines."""
+    after fixes). Rules: non-negative value, known event_type (the
+    FIXTURE domain {click,error,purchase,signup,view} — an earlier list
+    omitted signup and included a nonexistent type, quarantining 20% of
+    valid rows), non-null user_id. The clean fixture satisfies all three,
+    so deterministic faults are INJECTED first (keyed on event_id,
+    mirrored in the oracle — the q_text_pii_scrub pattern) to keep every
+    rule live and the quarantine path non-empty. The per-(verdict,
+    violations) census hash-checks; concat_ws skips NULL rule slots
+    identically in both engines."""
     e = load(spark, sf_dir, "events")
+    faulted = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 101 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.when(F.col("event_id") % 103 == 0, F.lit("bogus"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        F.when(F.col("event_id") % 97 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
     violations = F.concat_ws(
         ",",
         F.when(F.col("value") < 0, F.lit("neg_value")),
         F.when(
-            ~F.col("event_type").isin("click", "view", "purchase", "scroll", "error"),
+            ~F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
             F.lit("bad_type"),
         ),
         F.when(F.col("user_id").isNull(), F.lit("null_user")),
     )
-    checked = e.select("event_id", violations.alias("violations"))
+    checked = faulted.select("event_id", violations.alias("violations"))
     return (
         checked.withColumn(
             "verdict",

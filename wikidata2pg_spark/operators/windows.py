@@ -117,6 +117,15 @@ def q_win_ntile_distributed(spark, sf_dir):
     return ranked.select("o_orderkey", quartile.cast("long").alias("quartile"))
 
 
+def floor_round6(c):
+    """floor(x*1e6 + 0.5)/1e6 — the dialect-free half-away-from-zero
+    rounding both percent_rank keys (and their oracles) rely on: rank
+    ratios land EXACTLY on 6-decimal halves, where Spark round() (HALF_UP
+    on the decimal expansion) and DuckDB round() (half-to-even) disagree.
+    One definition so the two keys cannot diverge in rounding rule."""
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
 def ordered_bucket(df, order_col: str, nparts: int):
     """Deterministic, order-preserving bucket id ``pid`` in [0, nparts):
     equal-width over (min, max) of ``order_col``, the range coming from a
@@ -203,11 +212,10 @@ def q_win_percent_rank_distributed(spark, sf_dir):
     ranked = _global_rank(o, "o_totalprice", "o_orderkey")
     rn, n = F.col("global_rank"), F.col("n_total")
     pr = F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0))  # SQL: 0 for N=1
-    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return ranked.select(
         "o_orderkey",
-        r6(pr).alias("pr"),
-        r6(rn / n).alias("cd"),
+        floor_round6(pr).alias("pr"),
+        floor_round6(rn / n).alias("cd"),
     )
 
 
@@ -381,11 +389,10 @@ def q_win_percent_rank(spark, sf_dir):
     boundary (the q_vec_quantize rule, FIXTURES.md)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = Window.orderBy("o_totalprice", "o_orderkey")
-    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return o.select(
         "o_orderkey",
-        r6(F.percent_rank().over(w)).alias("pr"),
-        r6(F.cume_dist().over(w)).alias("cd"),
+        floor_round6(F.percent_rank().over(w)).alias("pr"),
+        floor_round6(F.cume_dist().over(w)).alias("cd"),
     )
 
 
@@ -408,8 +415,6 @@ def q_scd2_intervals(spark, sf_dir):
     partition; event_id tiebreaks equal timestamps so the intervals are
     deterministic. At scale the events table is already partitioned by
     key/time, so the window runs without a second exchange."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
