@@ -33,6 +33,25 @@ def test_every_oracle_key_is_declared():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_mirror_distinguishes_signed_zero(spark, duck):
+    """r5 regression pin: the driver's value hash distinguishes -0.0 from
+    +0.0, and the mirror's old _canon normalized them equal — so the mirror
+    stayed green while the driver failed q_agg_stats. A deliberately
+    injected -0.0-vs-+0.0 disagreement must now go red locally too."""
+    df = spark.createDataFrame([(-0.0,)], "v double")
+    errors = compare("negzero_probe", df, duck, "SELECT CAST(0.0 AS DOUBLE) AS v")
+    assert any("values differ" in e for e in errors), errors
+
+
+def test_mirror_flags_agreed_signed_zero(spark, duck):
+    """Even when BOTH engines emit -0.0 (driver hash would pass today), the
+    hazard sweep must flag it: which zero a tiny-negative rounds to is
+    engine/summation-order dependent, so agreement is luck, not safety."""
+    df = spark.createDataFrame([(-0.0,)], "v double")
+    errors = compare("negzero_agree_probe", df, duck, "SELECT -1e-300 * 1e-300 AS v")
+    assert any("HAZARD signed zero" in e for e in errors), errors
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as mod
 

@@ -824,27 +824,93 @@ def q_agg_mode(spark, sf_dir):
 @query(
     "q_agg_stats",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS dxy
+  FROM s
+)
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
-       round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
-       round(stddev_samp(l_quantity), 2) AS sd_qty,
-       round(var_pop(l_extendedprice), 2) AS var_price
-FROM lineitem
-GROUP BY l_returnflag
+       floor((dxy / sqrt(dx * dy)) * 100 + 0.5) / 100 AS corr_qty_price,
+       floor((dxy / (nd * nd) / 100.0) * 100 + 0.5) / 100 AS covar_qp,
+       floor(sqrt(dx / (nd * (nd - 1.0))) * 100 + 0.5) / 100 AS sd_qty,
+       floor((dy / (nd * nd) / 10000.0) * 100 + 0.5) / 100 AS var_price
+FROM d
 """,
 )
 def q_agg_stats(spark, sf_dir):
     """Statistical aggregate pack: Pearson correlation, population
-    covariance, sample stddev, population variance — single-pass
-    numerically-stable JVM aggregates (Welford-style merge), identical
-    definitions to the oracle's. Rounded to 2 decimals per the repo-wide
-    floating-aggregate oracle-stability rule (registry.py docstring)."""
+    covariance, sample stddev, population variance.
+
+    r6 rewrite after the r5 driver hash-FAIL (VERDICT r5 "What's wrong" #1):
+    the built-in Welford aggregates produced round(corr,2) = +0.0 in Spark
+    vs -0.0 in DuckDB for l_returnflag='R' (raw corr -0.00049), and
+    var_pop(price) ~ 9.1e8 at 2 decimals rode on ~5e-12 cross-engine
+    reproducibility. All four statistics are now derived from EXACT integer
+    moment sums (quantity is integral; price becomes cents), so both
+    engines hold the identical integers, cast them to double identically
+    (IEEE correctly-rounded), and evaluate the identical floating
+    expression tree — sqrt is IEEE-exact, so the doubles match to the last
+    ulp. floor(x*100+0.5)/100 then makes the 2-decimal rounding
+    half-rule-free AND sign-safe (floor output is integral, so the final
+    division can never emit -0.0 — the r5 failure mode).
+
+    Scale posture: one partial-aggregable groupBy; per-row products fit in
+    long (cents^2 <= ~1.1e14) and the running sums are decimal(38,0) on the
+    Spark side (sum-of-long would silently wrap at ~sf0.1: sum(cents^2) at
+    600k rows is ~6.6e19 > 2^63). DuckDB's sum(BIGINT) is HUGEINT, so the
+    oracle is exact the same way. Correlation is scale-invariant, so
+    corr(qty, cents) == corr(qty, dollars); covar/var divide the cents
+    moments by 100/10^4 at the end."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
-        F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
-        F.round(F.var_pop("l_extendedprice"), 2).alias("var_price"),
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    s = (
+        li.select(
+            "l_returnflag",
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    n = dec(F.col("n"))
+    d = s.select(
+        "l_returnflag",
+        F.col("n").cast("double").alias("nd"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("dx"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("dy"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
+    )
+    floor2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+    nd = F.col("nd")
+    return d.select(
+        "l_returnflag",
+        floor2(F.col("dxy") / F.sqrt(F.col("dx") * F.col("dy"))).alias("corr_qty_price"),
+        floor2(F.col("dxy") / (nd * nd) / F.lit(100.0)).alias("covar_qp"),
+        floor2(F.sqrt(F.col("dx") / (nd * (nd - F.lit(1.0))))).alias("sd_qty"),
+        floor2(F.col("dy") / (nd * nd) / F.lit(10000.0)).alias("var_price"),
     )
 
 

@@ -46,8 +46,12 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
-        if v == 0.0:
-            v = 0.0  # normalize -0.0
+        # NO -0.0 normalization: the driver's value hash distinguishes
+        # signed zeros, and canonicalizing them away made the mirror green
+        # where the r5 driver was red (q_agg_stats, VERDICT r5 #1 /
+        # ADVICE r5). repr() keeps the sign, so the mirror now reproduces
+        # the driver's sensitivity; keys must be sign-safe themselves
+        # (floor2 pattern) rather than rely on lenient comparison.
         return ("f", repr(v))
     if isinstance(v, int):
         return ("i", v)
@@ -88,6 +92,21 @@ def _rows_canonical(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _count_negzero(canon_rows: list[tuple]) -> int:
+    """Count -0.0 float cells in canonicalized rows (recursing into
+    arrays/maps — _canon encodes every float as ('f', repr(v)))."""
+    n = 0
+    stack: list[Any] = list(canon_rows)
+    while stack:
+        v = stack.pop()
+        if isinstance(v, tuple):
+            if len(v) == 2 and v[0] == "f" and v[1] == "-0.0":
+                n += 1
+            else:
+                stack.extend(v)
+    return n
+
+
 def compare(name: str, spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
@@ -114,6 +133,19 @@ def compare(name: str, spark_df, con, sql: str, max_diff_show: int = 5) -> list[
             f"{name}: values differ ({len(diffs)} aligned diffs); "
             f"spark-only sample={only_s}; duck-only sample={only_d}; "
             f"cols(sorted)={sorted(s_cols)}"
+        )
+    # Signed-zero hazard sweep (permanent gate, VERDICT r5 task 5): a hash
+    # key must never emit -0.0 on EITHER side, even when both sides agree
+    # today — which zero an engine produces for a tiny-negative rounded
+    # value is version/summation-order dependent, and the driver's value
+    # hash distinguishes the signs (the r5 q_agg_stats failure class).
+    # Sign-safe keys use floor(x*100+0.5)/100, whose output is integral/100
+    # and cannot be -0.0.
+    nz_s, nz_d = _count_negzero(sc), _count_negzero(dc)
+    if nz_s or nz_d:
+        errors.append(
+            f"{name}: HAZARD signed zero emitted (spark={nz_s} duck={nz_d} cells); "
+            "use the floor2 pattern or a +0.0 guard on the producing expression"
         )
     return errors
 
