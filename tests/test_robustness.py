@@ -242,20 +242,20 @@ def test_audio_energy_short_docs_yield_no_windows(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND5_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND6_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND5_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND6_PRIORITY
 
     qs = list(M.queries())
-    pinned = [k for k in _ROUND5_PRIORITY if k in qs]
+    pinned = [k for k in _ROUND6_PRIORITY if k in qs]
     assert len(pinned) == 50  # window exactly full — no wasted slot
     assert qs[: len(pinned)] == pinned
     # the 50-key window must contain EVERY key that had no driver row in
-    # rounds 1-4 and was registered before the r5 freeze (keys added after
-    # the freeze are deliberately post-window; they lead r6's rotation)
+    # rounds 1-5 (keys added after the r6 freeze go on the deferral list
+    # below and must lead r7's rotation)
     import glob
     import json
     import os
@@ -263,19 +263,14 @@ def test_driver_window_ordering_is_pinned():
     window = set(qs[:50])
     tested: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-4].json")):
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-5].json")):
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
-    # never-tested key accidentally missing from _ROUND5_PRIORITY would
+    # never-tested key accidentally missing from _ROUND6_PRIORITY would
     # pass silently). Every such key must be in the window or on the
-    # explicit post-freeze deferral list that leads r6's rotation.
-    post_freeze_deferred = {
-        "q_dedup_incremental", "q_stream_jdbc_upsert",
-        "q_scan_schema_evolution", "q_sink_zorder",
-        "q_scan_corrupt_tolerant", "q_sink_compact",
-        "q_custom_stream_source", "q_agg_hll_mergeable",
-    }
+    # explicit post-freeze deferral list that leads r7's rotation.
+    post_freeze_deferred: set[str] = set()
     never = [k for k in qs if k not in tested]
     for k in never:
         assert k in window or k in post_freeze_deferred, (

@@ -40,55 +40,58 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
-# The driver's correctness pass walks `queries()` in dict order and checks a
-# ~50-key budget per round (r1-r4 each recorded exactly 50). Round-5 window
-# (VERDICT r4 task 1, extended): ALL 41 keys with NO driver row in r1-r4 go
-# first — after the r4 judgment the late-r5 additions grew the never-tested
-# set from 16 to 41, and every one of them fits inside the 50-key budget,
-# so packing them first gets the bulk of the contract at least one driver
-# row this round. The remaining 9 slots go to further late-r5 additions
-# (see below); r1/r3-proven keys rotate into the r6 window.
-_ROUND5_PRIORITY = (
-    # --- never driver-tested as of r4's VERDICT (16) ---
-    "q_text_decontaminate", "q_text_repetition", "q_sample_stratified",
-    "q_sql_entry", "q_merge_upsert", "q_dedup_jaccard_prefix",
-    "q_agg_histogram", "q_agg_stats", "q_profile_table", "q_text_search",
-    "q_scan_xml", "q_wd_aliases", "q_wd_label_coverage", "q_pack_sequences",
-    "q_wd_references", "q_multimodal_audio_energy",
-    # --- new in r5, also never driver-tested (25) ---
-    "q_win_ntile_distributed", "q_dedup_ngram_jaccard_scaled",
-    "q_stream_stateful_final",
-    "q_wd_descriptions", "q_wd_property_stats", "q_wd_subclass_closure",
-    "q_dedup_url_canonical", "q_pipeline_pretraining",
-    "q_time_sessionize_batch", "q_stream_corpus_clean", "q_udf_grouped_map",
-    "q_scan_binaryfile", "q_fn_url", "q_agg_mode",
-    "q_agg_bucketize_equidepth", "q_agg_argminmax", "q_join_spatial_grid",
-    "q_win_percent_rank_distributed", "q_win_count_distinct",
-    "q_win_moving_median", "q_graph_copurchase", "q_graph_pagerank",
-    "q_graph_triangles", "q_subquery_exists", "q_subquery_scalar",
-    # --- late-r5 additions, also never driver-tested (9) ---
-    # These replaced the 9 streaming re-proves late in r5: every streaming
-    # key already holds a green r4 row, so re-proving them added nothing to
-    # the cumulative ledger, while each slot given to a never-tested key
-    # converts a "declared but unproven" weak into a driver row. The
-    # streaming family is still regression-gated locally (full oracle
-    # mirror + tests/test_streaming.py) every round.
-    "q_sql_recursive_cte", "q_join_lateral", "q_fn_try_safe",
-    "q_agg_listagg", "q_dq_quarantine", "q_udf_map_in_arrow",
-    "q_sim_query_topk", "q_text_line_dedup", "q_split_leakage_safe",
-)
+# The driver's correctness pass walks `queries()` in dict order and checks
+# EXACTLY the first 50 keys per round (r1-r5 each recorded 50). The window
+# rotates per round: _ROUND5_PRIORITY (see git history, commit 252e008)
+# packed all 41 then-never-tested keys; its 50 slots all recorded in
+# CORRECTNESS_r05.json.
 
-# Registered but intentionally OUTSIDE the r5 window (the window is full at
-# 50): q_dedup_incremental, q_stream_jdbc_upsert, q_scan_schema_evolution,
-# q_sink_zorder, q_scan_corrupt_tolerant, q_sink_compact,
-# q_custom_stream_source, q_agg_hll_mergeable (rows-only anyway), and any
-# later additions. These MUST lead the r6 window — then everything
-# r1-r4-proven, starting with the stalest (latest row r1: windows, complex
-# joins, rounding-sensitive aggs, ordered-output ops, then streaming).
+# Round-6 window (VERDICT r5 tasks 1-2 + ADVICE r5 low finding). Three
+# tiers, exactly 50 keys:
+#   A (8)  — the keys with NO driver row after r1-r5 (deferred past r5's
+#            freeze; 196/196 cumulative coverage lands when these record).
+#   B (8)  — keys whose CODE or ORACLE changed after their latest driver
+#            row, so that row attests pre-change behavior: q_agg_stats
+#            (r5 hash-FAIL, rewritten on exact integer moments this round)
+#            plus the r5-edit set ADVICE flagged (q_agg_basic/having/
+#            conditional/percentile_exact floor-rounding, q_join_asof +
+#            q_stream_session oracle edits, q_win_moving_rows ORDER BY
+#            extension). The r3/r5 history shows mirror-green != driver-
+#            green, so every modified hash key must re-prove.
+#   C (34) — the stalest r1-proven keys (rows now 5 rounds old), ordered
+#            rounding-sensitive aggs -> windows -> ordered output -> set
+#            ops -> joins -> scalar fns.
+# Deliberately deferred to r7 (r1 rows, but pure-codegen filters/limits
+# with no rounding/ordering sensitivity — lowest re-prove value):
+# q_project_alias_expr, q_filter_compound, q_filter_in_between_like,
+# q_null_semantics, q_case_when, q_distinct, q_limit, q_union_all,
+# q_join_cross; then the r3-proven wikidata/llm families.
+_ROUND6_PRIORITY = (
+    # --- tier A: never driver-tested (8) ---
+    "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
+    "q_sink_zorder", "q_scan_corrupt_tolerant", "q_sink_compact",
+    "q_custom_stream_source", "q_agg_hll_mergeable",
+    # --- tier B: modified after latest driver row (8) ---
+    "q_agg_stats", "q_agg_basic", "q_agg_having", "q_agg_conditional",
+    "q_agg_percentile_exact", "q_join_asof", "q_win_moving_rows",
+    "q_stream_session",
+    # --- tier C: stalest r1-proven (34) ---
+    "q_agg_count_distinct", "q_agg_sum_distinct", "q_agg_rollup",
+    "q_agg_cube", "q_agg_grouping_sets", "q_agg_approx_cd",
+    "q_agg_percentile_approx",
+    "q_win_row_number", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
+    "q_win_range_frame", "q_win_cumsum", "q_win_first_last",
+    "q_sort_multikey", "q_topk_global", "q_topk_per_group",
+    "q_union_distinct", "q_intersect", "q_except",
+    "q_join_inner_shuffle", "q_join_broadcast", "q_join_left_outer",
+    "q_join_right_outer", "q_join_full_outer", "q_join_semi", "q_join_anti",
+    "q_join_theta_band", "q_join_interval_overlap", "q_join_multikey_self",
+    "q_fn_string", "q_fn_regexp", "q_fn_date", "q_fn_math",
+)
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND5_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND6_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
