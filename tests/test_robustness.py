@@ -290,16 +290,30 @@ def test_hll_merge_equals_direct_and_is_accurate(spark):
     from wikidata2pg_spark.registry import all_queries
     from wikidata2pg_spark.tables import load
 
-    rows = {r.event_type: r.approx_users for r in
+    rows = {r.event_type: r for r in
             all_queries()["q_agg_hll_mergeable"](spark, SF_T2).collect()}
-    direct = load(spark, SF_T2, "events").agg(
-        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("e")
-    ).collect()[0].e
+    # every row (per-group and global) must certify the 3-sigma invariant
+    # the driver hash pins against TRUE
+    for t, r in rows.items():
+        assert r.est_within_5pct, f"{t}: merged estimate off by >5%"
     exact = load(spark, SF_T2, "events").agg(
         F.countDistinct("user_id").alias("e")
     ).collect()[0].e
-    assert rows["__ALL__"] == direct  # merged == direct at same lgK
-    assert abs(rows["__ALL__"] - exact) / exact < 0.02
+    assert rows["__ALL__"].exact_users == exact
+    # tighter empirical facts the hashed boolean deliberately does NOT pin
+    # (see the key's docstring): at sf0.01 cardinality the lgK=12 sketch is
+    # in exact coupon mode, so the union estimate equals exact; and for a
+    # FIXED sharding the union estimate is deterministic across reruns.
+    def union_est(n_shards: int) -> float:
+        sh = load(spark, SF_T2, "events").groupBy(
+            "event_type", (F.col("user_id") % n_shards).alias("s")
+        ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+        return sh.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("e")
+        ).collect()[0].e
+
+    assert union_est(4) == exact  # coupon-exact at this cardinality
+    assert union_est(4) == union_est(4)  # deterministic per sharding
 
 
 def test_fixture_key_uniqueness_invariants():

@@ -1173,37 +1173,70 @@ def q_dq_quarantine(spark, sf_dir):
     )
 
 
-@query("q_agg_hll_mergeable", oracle=None)  # sketch encoding engine-specific → rows-only
+@query(
+    "q_agg_hll_mergeable",
+    oracle="""
+SELECT event_type, count(*) AS n_rows, count(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__ALL__', count(*), count(DISTINCT user_id), TRUE FROM events
+""",
+)
 def q_agg_hll_mergeable(spark, sf_dir):
     """Mergeable HLL sketches (Apache DataSketches, built into Spark 4) —
     the 100 TB distinct-counting shape that approx_count_distinct alone
-    does not give you: per-partition/per-group sketches are tiny, ADDITIVE
-    state that can be stored in a rollup table and unioned later across
-    groups, days, or clusters without rescanning — re-aggregation of
-    distinct counts with no second pass over the data. Per event_type
-    sketch → per-group estimate + the UNION-merged global estimate; pinned
-    lgK on both agg and union so merge loses nothing.
-    tests/test_robustness.py asserts merged == direct-global and <2%
-    error vs exact. Rows-only by design: the estimate is deterministic for
-    this engine but the sketch algorithm is engine-specific (DuckDB's
-    approx_count_distinct is a different HLL)."""
+    does not give you: shard-level sketches are tiny, ADDITIVE state that
+    can be stored in a rollup table and unioned later across groups, days,
+    or clusters without rescanning.
+
+    r6 (VERDICT r5 stretch 7): the raw estimate value is engine-specific
+    (DuckDB runs a different HLL), so the r1-r5 form was rows-only. The
+    output is now the HASHABLE invariants instead: exact per-group/global
+    distinct counts (real distributed work the oracle reproduces) plus a
+    boolean the MERGED sketches must satisfy — the union-of-shards
+    estimate lands within 5% of exact. 5% is ~3 sigma at lgK=12
+    (RSE ~1.6%): probing this fixture, the union estimate is
+    deterministic for a FIXED sharding but legitimately varies ~±1% with
+    shard count (2/4/8/16 shards -> 1488/1504/1492/1488 vs exact 1500),
+    because shard sketches below the coupon threshold replay their
+    coupons into the union gadget's HIP estimator in sharding-dependent
+    order. Hashing estimate equality across shardings (or vs the
+    un-merged direct sketch, which keeps a HIP estimator union discards)
+    would therefore hash a partition-layout accident — the r5
+    ordered_bucket hazard class. The 3-sigma band is the invariant that
+    is actually stable; tests/test_robustness.py additionally pins the
+    tighter empirical facts (coupon-mode exactness at sf0.01,
+    per-sharding determinism). Strict union
+    (allowDifferentLgConfigK=false) at pinned lgK=12 throughout; the
+    __ALL__ row merges all 4 shard sketches per group."""
     e = load(spark, sf_dir, "events")
-    per = e.groupBy("event_type").agg(
+    shards = e.groupBy("event_type", (F.col("user_id") % 4).alias("shard")).agg(
         F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    per_est = per.select(
-        "event_type",
-        F.expr("hll_sketch_estimate(sk)").alias("approx_users"),
-        "n_rows",
-    )
-    merged = per.agg(
-        # second arg is allowDifferentLgConfigK, not lgK — all sketches
-        # were built at lgK=12, so strict union (false) is lossless
-        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("approx_users"),
+    per = shards.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est"),
         F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("__ALL__").alias("event_type"), "approx_users", "n_rows")
-    return per_est.unionByName(merged)
+    )
+    g = shards.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("__ALL__").alias("event_type"), "est", "n_rows")
+    merged = per.select("event_type", "est", "n_rows").unionByName(g)
+    exact_per = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    exact_g = e.agg(F.countDistinct("user_id").alias("exact_users")).select(
+        F.lit("__ALL__").alias("event_type"), "exact_users"
+    )
+    exact = exact_per.unionByName(exact_g)
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= 0.05
+        ).alias("est_within_5pct"),
+    )
 
 
 _RCTE_SQL = """
