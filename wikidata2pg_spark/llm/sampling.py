@@ -138,3 +138,56 @@ def q_split_leakage_safe(spark, sf_dir):
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+@query(
+    "q_sample_token_budget",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+         md5(doc_id::VARCHAR) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < 3000
+""",
+)
+def q_sample_token_budget(spark, sf_dir):
+    """Token-budget sampling: take documents per language, in a
+    deterministic content-hash order, until each language's running token
+    count reaches the budget (3000 here) — how a pretraining mix hits "N
+    billion tokens per language" targets. The md5 order is a pure function
+    of the data (_hash_pct's rationale: reruns, engines, partitionings and
+    cluster sizes all agree — an RNG sample would not), and the keep rule
+    admits the document that crosses the budget (its predecessor prefix is
+    under budget), so the output is a deterministic prefix per language.
+
+    Scale posture: one shuffle on lang for the running-sum window; exact
+    integer token counts so the cumulative sums hash. A language so large
+    its window partition breaks memory is exactly the q_pack_sequences
+    situation — the two-pass ordered_bucket prefix sum (operators/
+    windows.py:129) is the drop-in distributed form; at the per-language
+    budget scale this operator targets, the single window is the cheaper
+    plan."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return c.filter(F.col("cum_tok") - F.col("n_tok") < 3000).select(
+        "doc_id", "lang", "n_tok", "cum_tok"
+    )

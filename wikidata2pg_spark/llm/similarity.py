@@ -343,18 +343,27 @@ WITH ex AS (
   SELECT label, p.i AS pos, v.embedding[p.i + 1]::DOUBLE AS x
   FROM embeddings v, range(64) p(i)
 )
-SELECT label, pos, round(avg(x), 4) AS c
+SELECT label, pos, round(avg(x), 4) + 0.0 AS c
 FROM ex GROUP BY label, pos
 """,
 )
 def q_vec_centroid(spark, sf_dir):
     """L9: per-label centroid, one row per (label, dimension) — the grouped
-    shape keeps the agg a plain hash-agg (map-side combine) at any scale."""
+    shape keeps the agg a plain hash-agg (map-side combine) at any scale.
+
+    The rounded mean carries a `+ 0.0` sign guard on BOTH sides: centroid
+    components hover around zero, and at sf0.1 four (label, pos) cells
+    have a tiny-negative mean that round(,4) turns into -0.0 in DuckDB
+    but +0.0 in Spark — the r5 q_agg_stats driver-hash failure class,
+    caught by the r6 strict-mirror hazard sweep (IEEE -0.0 + 0.0 = +0.0,
+    identity for every nonzero value)."""
     e = load(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode(_vec_double(F.col("embedding"))).alias("pos", "x")
     ).select("label", F.col("pos").cast("long").alias("pos"), "x")
-    return ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 4).alias("c"))
+    return ex.groupBy("label", "pos").agg(
+        (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("c")
+    )
 
 
 @query(
@@ -366,22 +375,27 @@ WITH n AS (
   FROM embeddings
 )
 SELECT vec_id, round(nrm, 6) AS norm,
-       round(v[1] / nrm, 6) AS u1,
-       round(v[2] / nrm, 6) AS u2,
+       round(v[1] / nrm, 6) + 0.0 AS u1,
+       round(v[2] / nrm, 6) + 0.0 AS u2,
        round(list_aggregate(list_transform(v, x -> (x / nrm) * (x / nrm)), 'sum'), 6) AS unit_len
 FROM n
 """,
 )
 def q_vec_normalize(spark, sf_dir):
     """L10: L2 normalization (the fixture vectors are NOT normalized);
-    unit_len==1.0 doubles as the invariant check."""
+    unit_len==1.0 doubles as the invariant check. u1/u2 carry the `+ 0.0`
+    sign guard on both sides: a unit-vector component is tiny-negative
+    whenever the raw component is, and round(,6) of such a value splits
+    into -0.0 (DuckDB) vs +0.0 (Spark) — the divergence the hazard sweep
+    caught live in q_vec_centroid at sf0.1 (norm and unit_len are
+    non-negative by construction and stay unguarded)."""
     v = _vectors_with_norms(spark, sf_dir)
     u = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
     return v.select(
         "vec_id",
         F.round("nrm", 6).alias("norm"),
-        F.round(F.element_at(u, 1), 6).alias("u1"),
-        F.round(F.element_at(u, 2), 6).alias("u2"),
+        (F.round(F.element_at(u, 1), 6) + F.lit(0.0)).alias("u1"),
+        (F.round(F.element_at(u, 2), 6) + F.lit(0.0)).alias("u2"),
         F.round(
             F.aggregate(F.transform(u, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("unit_len"),

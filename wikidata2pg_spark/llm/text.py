@@ -807,3 +807,83 @@ def q_text_line_dedup(spark, sf_dir):
             "n_lines_kept",
         )
     )
+
+
+@query(
+    "q_text_bm25",
+    oracle="""
+WITH dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), st AS (
+  SELECT count(*) AS n, sum(dl) AS sdl FROM dl
+), toks AS (
+  SELECT doc_id, u.word AS word
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM toks
+  WHERE word IN ('table', 'join', 'query')
+  GROUP BY doc_id, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sdl / st.n)))
+       ), 4) AS bm25
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN df ON tf.word = df.word
+CROSS JOIN st
+GROUP BY tf.doc_id
+""",
+)
+def q_text_bm25(spark, sf_dir):
+    """BM25 relevance scoring (k1=1.2, b=0.75) for a fixed query term set
+    — the ranking function behind Lucene/Elasticsearch and the retrieval
+    half of every RAG corpus build, upgraded from q_text_search's raw-tf
+    scoring. Scores every document containing >=1 query term; ordering is
+    left to the caller (ranking by a rounded double would hash a
+    tie-order, FIXTURES rule 2).
+
+    Plan shape at 100 TB: the term filter pushes into the postings build
+    (only matching (doc, term) rows shuffle), doc lengths are a narrow
+    per-doc projection joined on doc_id, and the df table and the 1-row
+    corpus stats (N, sum dl) are broadcast — one scan of documents feeds
+    both branches; no all-docs shuffle.
+
+    Cross-engine determinism: tf/df/N/dl are exact integers, avgdl is
+    bigint/bigint (double division in BOTH engines), and the floating
+    expression trees are shaped identically, left-associated so every
+    multiply has a double operand first — DuckDB parses bare `2.2` as
+    DECIMAL(2,1), and an int*decimal product would round differently than
+    Spark's int*double. The 3-term sum then rounds at 4 decimals (ulp-
+    noise site, FIXTURES rule 1 — the q_text_tfidf precedent)."""
+    TERMS = ["table", "join", "query"]
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl"))
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("word"))
+        .filter(F.col("word").isin(TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfr), "word")
+        .crossJoin(F.broadcast(st))
+    )
+    avgdl = F.col("sdl") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    return joined.groupBy("doc_id").agg(F.round(F.sum(term), 4).alias("bm25"))

@@ -65,7 +65,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # with no rounding/ordering sensitivity — lowest re-prove value):
 # q_project_alias_expr, q_filter_compound, q_filter_in_between_like,
 # q_null_semantics, q_case_when, q_distinct, q_limit, q_union_all,
-# q_join_cross; then the r3-proven wikidata/llm families.
+# q_join_cross; then the r3-proven wikidata/llm families. Registered
+# AFTER the r6 freeze (post-window; pinned on the deferral list in
+# test_driver_window_ordering_is_pinned, must lead r7): q_text_bm25,
+# q_sample_token_budget.
 _ROUND6_PRIORITY = (
     # --- tier A: never driver-tested (8) ---
     "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
@@ -75,10 +78,15 @@ _ROUND6_PRIORITY = (
     "q_agg_stats", "q_agg_basic", "q_agg_having", "q_agg_conditional",
     "q_agg_percentile_exact", "q_join_asof", "q_win_moving_rows",
     "q_stream_session",
-    # --- tier C: stalest r1-proven (34) ---
+    # --- tier C: stalest r1-proven (32) + the two r6 signed-zero-guard
+    # edits (q_vec_centroid caught LIVE by the sf0.1 hazard sweep,
+    # q_vec_normalize guarded for the same class) which displace the two
+    # rows-only approx keys (q_agg_approx_cd, q_agg_percentile_approx —
+    # a rows-only re-prove is the weakest possible evidence, a modified
+    # hash key the strongest; the approx pair rotates into r7) ---
+    "q_vec_centroid", "q_vec_normalize",
     "q_agg_count_distinct", "q_agg_sum_distinct", "q_agg_rollup",
-    "q_agg_cube", "q_agg_grouping_sets", "q_agg_approx_cd",
-    "q_agg_percentile_approx",
+    "q_agg_cube", "q_agg_grouping_sets",
     "q_win_row_number", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
     "q_win_range_frame", "q_win_cumsum", "q_win_first_last",
     "q_sort_multikey", "q_topk_global", "q_topk_per_group",
