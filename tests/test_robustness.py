@@ -43,15 +43,27 @@ def test_events_ts_nanos_fixture_still_converts(spark, tmp_path):
 
 
 def test_bench_watchdog_cancels_hung_rep(spark):
-    """A rep that exceeds the remaining per-query budget must raise (job
-    group cancelled) rather than block the bench (r1 incident)."""
+    """A rep that exceeds the remaining per-query budget must raise the
+    typed BudgetExceeded (watchdog's own cancel flag, not inferred from
+    elapsed time — ADVICE r5) rather than block the bench (r1 incident)."""
     df = spark.range(0, 1 << 33, 1, 4).selectExpr(
         "sum(length(sha2(cast(id as string), 256))) as s"
     )
     t0 = time.time()
-    with pytest.raises(Exception, match="(?i)cancel"):
+    with pytest.raises(bench_mod.BudgetExceeded):
         bench_mod.materialize_with_deadline(spark, df, "watchdog-test", 2.0)
     assert time.time() - t0 < 60
+
+
+def test_bench_real_failure_is_not_a_budget_hit(spark):
+    """The converse classification (ADVICE r5): a genuine query failure
+    must propagate as itself, never as BudgetExceeded — classification
+    keys on the watchdog's cancel flag, not on whether the clock has
+    expired by the time the exception is inspected."""
+    df = spark.range(1).selectExpr("assert_true(id > 0) as x")
+    with pytest.raises(Exception) as ei:
+        bench_mod.materialize_with_deadline(spark, df, "watchdog-realerr", 30.0)
+    assert not isinstance(ei.value, bench_mod.BudgetExceeded)
 
 
 def test_bench_watchdog_passthrough(spark):
