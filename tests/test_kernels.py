@@ -161,3 +161,74 @@ def test_cell_topk_kernel_keeps_all_boundary_ties():
     )
     out = _cell_topk_kernel(3)(q, c).sort_values("sim", ascending=False)
     assert list(out["neighbor_id"]) == [10, 3, 5]  # smallest ids among ties
+
+
+def _numpy_kmeans(rows):
+    """Reference Lloyd with the exact same determinism contract as
+    q_cluster_kmeans: fixed-point floor scaling, init = K lowest vec_id,
+    argmin-first tie rule, exact integer centroid sums, empty clusters
+    carry forward. Returns (assignments dict, per-iteration SSE list)."""
+    from wikidata2pg_spark.llm.clustering import ITERS, K, SCALE
+
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = [r[0] for r in rows]
+    x = np.floor(np.array([r[1] for r in rows], dtype=np.float64) * SCALE + 0.5).astype(
+        np.int64
+    )
+    cents = x[:K].astype(np.float64)
+    sses = []
+
+    def dists(c):
+        return ((x[:, None, :].astype(np.float64) - c[None, :, :]) ** 2).sum(axis=2)
+
+    for _ in range(ITERS):
+        d = dists(cents)
+        a = d.argmin(axis=1)  # numpy argmin keeps the FIRST min: lowest id on ties
+        sses.append(float(d[np.arange(len(ids)), a].sum()))
+        for j in range(K):
+            m = a == j
+            if m.sum():
+                cents[j] = x[m].sum(axis=0) / m.sum()
+    d = dists(cents)
+    a = d.argmin(axis=1)
+    sses.append(float(d[np.arange(len(ids)), a].sum()))
+    return dict(zip(ids, a.tolist())), sses
+
+
+def test_kmeans_equals_numpy_reference(spark):
+    """The distributed Lloyd loop must agree bit-for-bit with a plain
+    numpy recomputation (third engine next to the DuckDB oracle) — the
+    integer-accumulation design makes exact agreement achievable, so the
+    test demands it."""
+    raw = [
+        (r.vec_id, r.embedding)
+        for r in load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ]
+    expected, sses = _numpy_kmeans(raw)
+    got = {
+        r.vec_id: r.cluster for r in QUERIES["q_cluster_kmeans"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # Lloyd must never increase SSE between assignment passes
+    assert all(b <= a + 1e-9 for a, b in zip(sses, sses[1:])), sses
+
+
+def test_kmeans_partition_invariant(spark):
+    """Assignments are a pure function of the data — repartitioning the
+    point set (7 hash partitions vs the single fixture split) must not
+    change a single label, because centroid accumulation is exact-integer
+    (order-invariant) and distances are identical expression trees."""
+    from wikidata2pg_spark.llm import clustering as C
+
+    base = {
+        r.vec_id: r.cluster for r in C.q_cluster_kmeans(spark, SF_SMOKE).collect()
+    }
+    orig = C._points
+    C._points = lambda sp, sf: orig(sp, sf).repartition(7)
+    try:
+        shuffled = {
+            r.vec_id: r.cluster for r in C.q_cluster_kmeans(spark, SF_SMOKE).collect()
+        }
+    finally:
+        C._points = orig
+    assert shuffled == base

@@ -478,3 +478,19 @@ def test_parse_spread_guard_is_split_aware(spark, tmp_path):
     plan_multi = _plan(json_extract_agg(spark, multi))
     assert "RoundRobinPartitioning" not in plan_multi
     assert "REPARTITION_BY_NUM" not in plan_multi
+
+
+def test_kmeans_assignment_is_map_only_broadcast(spark):
+    """q_cluster_kmeans' scoring pass must never shuffle the point set:
+    the K x D centroid pack arrives as a broadcast 1-row array and the
+    argmin fold is a single codegen'd projection — the property that
+    makes Lloyd a sequence of map-only passes at 100 TB. Only the tiny
+    checkpointed centroid frames may aggregate."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_cluster_kmeans"](spark, SF_T2)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1  # one scan of the points

@@ -284,7 +284,11 @@ def test_driver_window_ordering_is_pinned():
     # explicit post-freeze deferral list that leads r7's rotation.
     # r6 post-freeze additions (registered after the r6 window was packed;
     # they MUST lead r7's rotation)
-    post_freeze_deferred: set[str] = {"q_text_bm25", "q_sample_token_budget"}
+    post_freeze_deferred: set[str] = {
+        "q_text_bm25",
+        "q_sample_token_budget",
+        "q_cluster_kmeans",
+    }
     never = [k for k in qs if k not in tested]
     for k in never:
         assert k in window or k in post_freeze_deferred, (
