@@ -525,3 +525,111 @@ def q_dedup_incremental(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+def _min_label_components(nodes, sym, what: str, max_rounds: int = 100):
+    """Distributed connected components via min-label propagation over a
+    symmetric, pre-checkpointed edge frame — the q_dedup_semantic_cluster
+    loop factored for reuse (that key keeps its driver-proven inline copy
+    until its next window slot re-proves it on the shared form). Each
+    round is one edge->label join + hash agg; only the changed-count
+    scalar reaches the driver; lineage is truncated per round. Raises on
+    non-convergence — a partial propagation is wrong data, not a result."""
+    labels = nodes.select("id", F.col("id").alias("cluster"))
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"{what}: label propagation did not converge")
+
+
+@query(
+    "q_pipeline_neardup",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS s
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a
+  JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.s / (sa.n + sb.n - i.s) >= 0.95
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, min(b) AS component, (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+""",
+)
+def q_pipeline_neardup(spark, sf_dir):
+    """The composed near-duplicate dedup pipeline — candidate pairs ->
+    transitive components -> one canonical doc per component — as ONE
+    hash-certified operator (the fuzzy sibling of q_pipeline_pretraining's
+    exact-digest stage, and the fineweb/C4-style fuzzy-dedup decision a
+    pretraining corpus actually applies): pairwise near-dup relations are
+    not transitive, so keep/drop must be decided per COMPONENT, not per
+    pair. Stage 1 reuses the proven ppjoin prefix-filter core (exact
+    Jaccard >= 0.95, unbounded — q_dedup_ngram_jaccard_scaled's kernel;
+    0.95 because the fixture's dense shared vocabulary makes lower
+    thresholds collapse everything into one component: measured 344
+    components / 324 singletons / max 137 members at sf0.01). Stage 2 is
+    distributed min-label propagation seeded from EVERY document
+    (singletons stay their own component). Output (doc_id, component,
+    is_canonical) is pure integers/booleans — no float hazard. The oracle
+    recomputes candidates naively and the components via the
+    transitive-closure recursive CTE, so the banded/filtered distributed
+    form is checked against the mathematical definition end-to-end.
+
+    100 TB posture: both stages are the proven scale paths — the prefix
+    join only shuffles rare-token postings; propagation is one keyed
+    join + agg per round on a checkpointed edge set, rounds bounded by
+    component diameter (near-dup clusters are shallow)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    pairs = _jaccard_prefix_pairs(spark, sf_dir, docs, t=0.95).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labels = _min_label_components(nodes, sym, "q_pipeline_neardup")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster").alias("component"),
+        (F.col("id") == F.col("cluster")).alias("is_canonical"),
+    )
