@@ -55,6 +55,14 @@ r5 attacks both sides of that floor (VERDICT r4 task 3):
   the plans parallelize when the input has >1 split, without touching
   query code.
 
+One multifile row reads "backwards" by design: asof_join is the only
+headline query that is SCHEDULING-bound rather than decode-bound (a
+single cheap events scan + one window shuffle), so the multifile pass
+adds 8 scan tasks + AQE stage planning without any decode time to win
+back — measured ~10-30 ms slower than its single-file row (r5: +73 ms
+with the old two-scan shape; the r6 single-scan rewrite shrank it to
+floor scale, and at real scale per-task scheduling amortizes to noise).
+
 Resilience (r1 lesson — one hung query erased all nine good timings):
 each query's timing is flushed to stderr the moment it completes, a
 per-query wall-clock budget skips anything pathological, and the final
@@ -329,7 +337,10 @@ def main() -> None:
         try:
             mdir = multifile_dir()
             spark.conf.set("spark.sql.adaptive.enabled", "true")
-            m_timings, m_errors = run_pass(spark, qs, mdir, 3, "multifile")
+            # median-of-5 like the primary pass: the multifile medians
+            # decide sub-20ms comparisons (asof single vs multi), where
+            # 3-rep medians were still jumpy on this box
+            m_timings, m_errors = run_pass(spark, qs, mdir, RUNS, "multifile")
             scan_tasks = spark.read.parquet(
                 os.path.join(mdir, "lineitem.parquet")
             ).rdd.getNumPartitions()
