@@ -232,3 +232,31 @@ def test_kmeans_partition_invariant(spark):
     finally:
         C._points = orig
     assert shuffled == base
+
+
+def test_pq_adc_recall_floor_vs_exact(spark):
+    """q_vec_pq_adc is APPROXIMATE by design — so its recall is measured,
+    not assumed (the q_sim_ann_ivf honesty rule). On the near-uniform
+    fixture (same-label cosine ~0.0016) an M=8 x 16-code PQ is genuinely
+    lossy: measured mean recall@5 ~0.30 vs exact L2 — far above the
+    ~0.01 random floor, far below what clustered real embeddings give.
+    The floor pins the quantizer keeps working; the VALUES are pinned
+    bit-exactly by the DuckDB oracle, this gates the semantics."""
+    from wikidata2pg_spark.llm.clustering import PQ_K, PQ_NQ, SCALE
+    from wikidata2pg_spark.registry import all_queries
+
+    rows = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * SCALE + 0.5)
+    got: dict[int, set[int]] = {}
+    for r in all_queries()["q_vec_pq_adc"](spark, SF_SMOKE).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for q in range(PQ_NQ):
+        d = ((x - x[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        exact = set(ids[np.lexsort((ids, d))][:PQ_K].tolist())
+        assert len(got[q]) == PQ_K
+        recalls.append(len(exact & got[q]) / PQ_K)
+    assert sum(recalls) / len(recalls) >= 0.15, recalls

@@ -289,6 +289,7 @@ def test_driver_window_ordering_is_pinned():
         "q_sample_token_budget",
         "q_cluster_kmeans",
         "q_pipeline_neardup",
+        "q_vec_pq_adc",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -188,3 +188,254 @@ def q_cluster_kmeans(spark, sf_dir):
         assigned = _assign(pts, cents)
         cents = _update(assigned, cents).localCheckpoint(eager=False)
     return _assign(pts, cents).select("vec_id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# Grouped Lloyd (per-subspace) — the product-quantization training core.
+# Same determinism contract as the flat version above: exact-integer
+# accumulation, identical fold orders, strict-< argmin. Kept as separate
+# functions rather than a group_cols parameter on _assign/_update so the
+# driver-bound flat key's plan is byte-stable.
+# ---------------------------------------------------------------------------
+
+
+def _grouped_assign(pts, cents, id_col: str = "vec_id"):
+    """pts: (grp, id, p) x cents: (grp, cent_id, c) -> (grp, id, p, cluster).
+    The pack is one row PER GROUP (still broadcast: M groups x K cents),
+    joined on grp — assignment stays map-only per point."""
+    pack = cents.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cent_id").alias("i"), F.col("c").alias("c")))
+        ).alias("cl")
+    )
+    scored = F.transform(
+        F.col("cl"),
+        lambda e: F.struct(_dist2(F.col("p"), e["c"]).alias("d"), e["i"].alias("i")),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, e: F.when(e["d"] < acc["d"], e).otherwise(acc),
+    )
+    return pts.join(F.broadcast(pack), "grp").select(
+        "grp", id_col, "p", best["i"].alias("cluster")
+    )
+
+
+def _grouped_update(assigned, prev_cents):
+    """Per-(grp, cluster) exact-integer centroid update with the same
+    empty-cluster carry-forward as the flat form."""
+    sizes = assigned.groupBy("grp", "cluster").agg(F.count(F.lit(1)).alias("n"))
+    dims = (
+        assigned.select("grp", "cluster", F.posexplode("p").alias("pos", "v"))
+        .groupBy("grp", "cluster", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    new = (
+        dims.join(sizes, ["grp", "cluster"])
+        .select(
+            "grp",
+            "cluster",
+            "pos",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("cd"),
+        )
+        .groupBy("grp", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("o"), F.col("cd").alias("v")))
+                ),
+                lambda r: r["v"],
+            ).alias("c")
+        )
+        .withColumnRenamed("cluster", "cent_id")
+    )
+    return (
+        prev_cents.alias("prev")
+        .join(new.alias("new"), ["grp", "cent_id"], "left")
+        .select("grp", "cent_id", F.coalesce(F.col("new.c"), F.col("prev.c")).alias("c"))
+    )
+
+
+def grouped_kmeans(pts, init_cents, iters: int):
+    """Run `iters` Lloyd rounds per group and return the final centroids;
+    pts = (grp, vec_id, p: array<bigint>), init = (grp, cent_id, c:
+    array<double>). Checkpoints the tiny centroid frame per round."""
+    cents = init_cents.localCheckpoint(eager=False)
+    for _ in range(iters):
+        assigned = _grouped_assign(pts, cents)
+        cents = _grouped_update(assigned, cents).localCheckpoint(eager=False)
+    return cents
+
+
+M, DSUB, KC, PQ_ITERS, PQ_NQ, PQ_K = 8, 8, 16, 2, 8, 5
+
+
+def _pq_sql() -> str:
+    """The full PQ pipeline as generated DuckDB CTEs — grouped-kmeans
+    training, code assignment, ADC lookup tables, fixed-order fold, final
+    ranked top-k. Mirrors the Spark plan expression-for-expression."""
+    dist = (
+        "list_reduce(list_transform(list_zip(a.p, e.c), "
+        "r -> (CAST(r[1] AS DOUBLE) - r[2]) * (CAST(r[1] AS DOUBLE) - r[2])), "
+        "(x, y) -> x + y)"
+    )
+    assign = (
+        "SELECT a.grp, a.vec_id, a.p, "
+        "list_reduce(list_transform(k.cl, "
+        f"e -> struct_pack(d := {dist}, i := e.i)), "
+        "(x, y) -> CASE WHEN y.d < x.d THEN y ELSE x END).i AS cluster "
+        "FROM sub a JOIN (SELECT grp, list(struct_pack(i := cent_id, c := c) "
+        "ORDER BY cent_id) AS cl FROM {prev} GROUP BY grp) k ON k.grp = a.grp"
+    )
+    update = (
+        "SELECT p.grp, p.cent_id, COALESCE(n.c, p.c) AS c FROM {prev} p LEFT JOIN ("
+        "SELECT s.grp, s.cluster AS cent_id, "
+        "list(CAST(s.s AS DOUBLE) / CAST(z.n AS DOUBLE) ORDER BY s.pos) AS c "
+        "FROM (SELECT grp, cluster, pos, SUM(v) AS s FROM "
+        "(SELECT grp, cluster, generate_subscripts(p, 1) AS pos, unnest(p) AS v "
+        "FROM {assigned}) u GROUP BY grp, cluster, pos) s "
+        "JOIN (SELECT grp, cluster, COUNT(*) AS n FROM {assigned} "
+        "GROUP BY grp, cluster) z ON z.grp = s.grp AND z.cluster = s.cluster "
+        "GROUP BY s.grp, s.cluster) n ON n.grp = p.grp AND n.cent_id = p.cent_id"
+    )
+    parts = [
+        "WITH pts AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE} + 0.5) AS BIGINT)) AS p "
+        "FROM embeddings)",
+        f"sub AS (SELECT vec_id, g.grp AS grp, p[g.grp*{DSUB}+1 : g.grp*{DSUB}+{DSUB}] AS p "
+        f"FROM pts, (SELECT unnest(range(0, {M})) AS grp) g)",
+        "cents0 AS (SELECT grp, CAST(rn - 1 AS INTEGER) AS cent_id, "
+        "list_transform(p, v -> CAST(v AS DOUBLE)) AS c FROM "
+        "(SELECT grp, p, row_number() OVER (PARTITION BY grp ORDER BY vec_id) AS rn "
+        f"FROM sub) q WHERE rn <= {KC})",
+    ]
+    for t in range(PQ_ITERS):
+        parts.append(f"asg{t} AS ({assign.format(prev=f'cents{t}')})")
+        parts.append(
+            f"cents{t + 1} AS ({update.format(prev=f'cents{t}', assigned=f'asg{t}')})"
+        )
+    parts += [
+        f"asgF AS ({assign.format(prev=f'cents{PQ_ITERS}')})",
+        "codes AS (SELECT vec_id, list(cluster ORDER BY grp) AS codes "
+        "FROM asgF GROUP BY vec_id)",
+        f"qsub AS (SELECT vec_id, grp, p FROM sub WHERE vec_id < {PQ_NQ})",
+        "dtab AS (SELECT a.vec_id AS qid, e.grp, e.cent_id, "
+        + dist.replace("a.p", "a.p")
+        + f" AS d2 FROM qsub a JOIN cents{PQ_ITERS} e ON e.grp = a.grp)",
+        "dlist AS (SELECT qid, list(d2 ORDER BY grp, cent_id) AS dl "
+        "FROM dtab GROUP BY qid)",
+        "adc AS (SELECT d.qid, x.vec_id AS nid, "
+        f"list_reduce(list_transform(list_zip(x.codes, range(0, {M})), "
+        f"r -> d.dl[r[2]*{KC} + r[1] + 1]), (a, b) -> a + b) AS dist "
+        "FROM dlist d, codes x WHERE x.vec_id != d.qid)",
+    ]
+    return (
+        ",\n".join(parts)
+        + "\nSELECT qid AS query_id, nid AS neighbor_id, rank FROM ("
+        "SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist, nid) AS INTEGER) AS rank FROM adc) z "
+        f"WHERE rank <= {PQ_K}"
+    )
+
+
+@query("q_vec_pq_adc", oracle=_pq_sql())
+def q_vec_pq_adc(spark, sf_dir):
+    """Product-quantization retrieval, hash-certified end-to-end — the
+    billion-vector ANN scale path (IVF-PQ's compression half): train
+    per-subspace codebooks (M=8 subspaces x 8 dims, 16 codes, grouped
+    integer-accumulation Lloyd — bit-reproducible, see module docstring),
+    assign each vector an M-byte code, then answer queries with
+    ASYMMETRIC DISTANCE COMPUTATION: one small distance table per query
+    (M x 16 exact subspace distances) and a fixed-order M-term fold per
+    candidate — the corpus is never touched beyond its codes. Output
+    (query_id, neighbor_id, rank) is integers only; every double on the
+    way (codebooks, ADC sums) is bit-identical in both engines, so even
+    the RANKING hash-checks. At 100 TB: codes are 8 bytes/vector (64x
+    smaller than the raw vectors), the per-query tables broadcast, and
+    scoring is a map-only pass over the code table — recall is measured
+    against exact top-k in pytest, not assumed."""
+    pts = _points(spark, sf_dir)
+    subs = pts.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("grp"),
+                        F.slice("p", s * DSUB + 1, DSUB).alias("sp"),
+                    )
+                    for s in range(M)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.grp").alias("grp"), "vec_id", F.col("e.sp").alias("p"))
+    init = (
+        subs.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("vec_id"))
+        )
+        .filter(F.col("rn") <= KC)
+        .select(
+            "grp",
+            (F.col("rn") - 1).cast("int").alias("cent_id"),
+            F.transform("p", lambda v: v.cast("double")).alias("c"),
+        )
+    )
+    cb = grouped_kmeans(subs, init, PQ_ITERS)
+    codes = (
+        _grouped_assign(subs, cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("grp").alias("g"), F.col("cluster").alias("v")))
+                ),
+                lambda r: r["v"],
+            ).alias("codes")
+        )
+    )
+    qsub = subs.filter(F.col("vec_id") < PQ_NQ)
+    dtab = qsub.join(F.broadcast(cb), "grp").select(
+        F.col("vec_id").alias("qid"),
+        "grp",
+        "cent_id",
+        _dist2(F.col("p"), F.col("c")).alias("d2"),
+    )
+    dlist = dtab.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp").alias("g"), F.col("cent_id").alias("i"), F.col("d2").alias("v")
+                    )
+                )
+            ),
+            lambda r: r["v"],
+        ).alias("dl")
+    )
+    adc = (
+        codes.crossJoin(F.broadcast(dlist))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.aggregate(
+                F.transform(
+                    "codes",
+                    lambda c, i: F.element_at(F.col("dl"), (i * KC + c + 1).cast("int")),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank"),
+        )
+    )
