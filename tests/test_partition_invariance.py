@@ -76,6 +76,14 @@ KEYS = [
     "q_sink_zorder",  # dim min/max + morton layout derived from split scans
     "q_sink_compact",  # footer-derived output count over a split input
     "q_scan_schema_evolution",  # merged footer schema across split files
+    # r6 additions: the clustering family's whole point is split-exact
+    # integer accumulation — prove it on a split layout, not just
+    # .repartition(7) (test_kernels pins that form)
+    "q_cluster_kmeans",
+    "q_vec_pq_adc",
+    "q_pipeline_neardup",  # prefix join + label prop at any split
+    "q_text_bm25",  # df/N/avgdl stats from split scans
+    "q_sample_token_budget",  # per-lang running sum at any split
 ]
 
 

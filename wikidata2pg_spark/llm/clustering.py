@@ -321,7 +321,7 @@ def _pq_sql() -> str:
         "FROM asgF GROUP BY vec_id)",
         f"qsub AS (SELECT vec_id, grp, p FROM sub WHERE vec_id < {PQ_NQ})",
         "dtab AS (SELECT a.vec_id AS qid, e.grp, e.cent_id, "
-        + dist.replace("a.p", "a.p")
+        + dist
         + f" AS d2 FROM qsub a JOIN cents{PQ_ITERS} e ON e.grp = a.grp)",
         "dlist AS (SELECT qid, list(d2 ORDER BY grp, cent_id) AS dl "
         "FROM dtab GROUP BY qid)",
