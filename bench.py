@@ -104,10 +104,14 @@ def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None
     bench — the r1 incident the between-rep check alone couldn't cover.
 
     Raises BudgetExceeded ONLY when the watchdog actually fired (flag set
-    by the cancel callback itself). Any other mid-rep exception propagates
+    by the cancel callback itself) AND the exception is the job-group
+    cancellation it causes — a genuine failure (OOM, codegen error) that
+    happens to land after the timer fired must still propagate as itself,
+    not be mislabeled a budget hit (ADVICE r5; the flag alone left that
+    post-expiry window open). Any other mid-rep exception propagates
     as-is — inferring a budget hit from `left() <= 0` after the fact
     misclassified genuine failures that happened to land after budget
-    exhaustion and published their possibly-corrupt medians (ADVICE r5)."""
+    exhaustion and published their possibly-corrupt medians."""
     sc = spark.sparkContext
     sc.setJobGroup(group, "bench", interruptOnCancel=True)
     fired = threading.Event()
@@ -122,7 +126,7 @@ def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None
     try:
         materialize(df)
     except Exception as e:  # noqa: BLE001
-        if fired.is_set():
+        if fired.is_set() and "cancel" in str(e).lower():
             raise BudgetExceeded(group) from e
         raise
     finally:
@@ -148,13 +152,10 @@ def bench_queries():
         "tumbling_1h": batch_tumbling,
         "json_events_agg": json_extract_agg,
     }
-    for bench_name, key in [
-        ("topk_per_group", "q_topk_per_group"),
-        ("rollup", "q_agg_rollup"),
-        ("asof_join", "q_join_asof"),
-        ("tfidf", "q_text_tfidf"),
-        ("cosine_topk", "q_sim_cosine_topk"),
-    ]:
+    # ONE bench-row -> registry-key mapping (shared with the DuckDB twin
+    # measurement): a row added here automatically gets its co-measured
+    # twin, and vice versa — two hardcoded copies drifted silently.
+    for bench_name, key in _REGISTRY_TWIN_KEYS.items():
         if key in reg:
             out[bench_name] = reg[key]
     return out
@@ -212,8 +213,10 @@ def duckdb_calibration() -> dict[str, float]:
     two rows). Flagship rows run hand-written twin SQL; registry rows run
     their declared oracle SQL verbatim. Baseline anchor values for
     continuity: q1 = 91.7 ms, tumbling = 36.2 ms (DuckDB 1.x, 4 threads,
-    sf0.1); the legacy duckdb_q1_ms/duckdb_tumbling_ms keys are kept as
-    aliases of the per-row entries."""
+    sf0.1); the legacy duckdb_q1_ms key re-measures the ORIGINAL reduced
+    anchor SQL those values belong to (the full q1 twin is ~25% heavier —
+    aliasing it would inflate the contention normalization), while
+    duckdb_tumbling_ms aliases its per-row twin (identical SQL)."""
     from wikidata2pg_spark.oracle import duck_connection
     from wikidata2pg_spark.registry import all_oracles
 
@@ -233,7 +236,23 @@ def duckdb_calibration() -> dict[str, float]:
             con.sql(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         out[f"duckdb_{name}_ms"] = round(statistics.median(samples) * 1000, 2)
-    out["duckdb_q1_ms"] = out["duckdb_q1_pricing_ms"]
+    # Continuity anchors: duckdb_tumbling_ms aliases its per-row twin (the
+    # SQL is identical to the r4/r5 anchor), but the legacy q1 anchor was
+    # a REDUCED 6-aggregate query (baseline 91.7 ms) — the full q1 twin is
+    # ~25% heavier, so aliasing it would inflate the judge's contention
+    # normalization; measure the original anchor SQL separately.
+    legacy_q1 = """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+               avg(l_quantity), count(*)
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus"""
+    con.sql(legacy_q1).fetchall()  # warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.sql(legacy_q1).fetchall()
+        samples.append(time.perf_counter() - t0)
+    out["duckdb_q1_ms"] = round(statistics.median(samples) * 1000, 2)
     out["duckdb_tumbling_ms"] = out["duckdb_tumbling_1h_ms"]
     return out
 

@@ -89,20 +89,22 @@ def _assign(pts, cents):
 
 
 def _update(assigned, prev_cents):
-    """Exact-integer centroid update: per-cluster member counts and
-    per-dimension bigint sums (map-side combined; shuffle volume is
-    K x D partials), then ONE double division per coordinate. Clusters
-    that lost every member keep their previous centroid (left join +
-    coalesce — same guard in the oracle)."""
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    """Exact-integer centroid update: per-dimension bigint sums per
+    cluster (map-side combined; shuffle volume is K x D partials), then
+    ONE double division per coordinate. The member count rides INSIDE the
+    same aggregation — each member contributes exactly one row per pos,
+    so count(*) per (cluster, pos) IS the cluster size; a separate sizes
+    branch would re-execute the whole assignment scan a second time
+    (Catalyst does not dedupe sibling aggregations over an un-cached
+    subplan). Clusters that lost every member keep their previous
+    centroid (left join + coalesce — same guard in the oracle)."""
     dims = (
         assigned.select("cluster", F.posexplode("p").alias("pos", "v"))
         .groupBy("cluster", "pos")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     new = (
-        dims.join(sizes, "cluster")
-        .select(
+        dims.select(
             "cluster",
             "pos",
             (F.col("s").cast("double") / F.col("n").cast("double")).alias("cd"),
@@ -224,16 +226,16 @@ def _grouped_assign(pts, cents, id_col: str = "vec_id"):
 
 def _grouped_update(assigned, prev_cents):
     """Per-(grp, cluster) exact-integer centroid update with the same
-    empty-cluster carry-forward as the flat form."""
-    sizes = assigned.groupBy("grp", "cluster").agg(F.count(F.lit(1)).alias("n"))
+    empty-cluster carry-forward and single-aggregation member count as
+    the flat form (count(*) per (grp, cluster, pos) IS the cell size —
+    no second pass over the assignment)."""
     dims = (
         assigned.select("grp", "cluster", F.posexplode("p").alias("pos", "v"))
         .groupBy("grp", "cluster", "pos")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     new = (
-        dims.join(sizes, ["grp", "cluster"])
-        .select(
+        dims.select(
             "grp",
             "cluster",
             "pos",
