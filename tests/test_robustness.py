@@ -290,6 +290,7 @@ def test_driver_window_ordering_is_pinned():
         "q_cluster_kmeans",
         "q_pipeline_neardup",
         "q_vec_pq_adc",
+        "q_stream_stream_left",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -690,3 +690,79 @@ def q_stream_jdbc_upsert(spark, sf_dir):
         F.col("N").alias("n"),
         F.round("SUM_VALUE", 2).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_stream_left",
+    oracle="""
+WITH e AS (
+  SELECT event_id AS err_id, user_id, ts::TIMESTAMP AS err_ts
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(err_ts) FROM e),
+               (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS w
+), matched AS (
+  SELECT e.err_id, p.purchase_id, e.user_id, e.err_ts, p.purchase_ts
+  FROM e JOIN p ON e.user_id = p.user_id
+   AND p.purchase_ts >= e.err_ts - INTERVAL 1 HOUR
+   AND p.purchase_ts <= e.err_ts
+)
+SELECT err_id, purchase_id, user_id, err_ts, purchase_ts FROM matched
+UNION ALL
+SELECT e.err_id, NULL, e.user_id, e.err_ts, CAST(NULL AS TIMESTAMP)
+FROM e, wm
+WHERE e.err_id NOT IN (SELECT err_id FROM matched) AND e.err_ts <= wm.w
+""",
+)
+def q_stream_stream_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER join — the capability the inner form
+    (q_stream_stream_join) cannot express: errors with NO same-user
+    purchase in the preceding hour still emit, with NULL purchase
+    columns, once the watermark proves no match can arrive. The outer
+    side is the interesting state machine: an unmatched error is held in
+    the join state until the GLOBAL watermark (min over both inputs of
+    max-event-time minus the 2h delay) passes its err_ts — only then is
+    "no match" final.
+
+    Hash-certified WITH the frontier rule stated honestly in the oracle:
+    after an availableNow drain the unmatched errors whose err_ts still
+    sits above the final watermark remain in state (measured: exactly the
+    max-err_ts row at sf0.001 — its "no purchase yet" verdict is
+    genuinely not final), so the oracle is the batch left join MINUS
+    null-matched rows above `least(max_err, max_purchase) - 2h`. That
+    set is a pure function of the DATA (final watermark does not depend
+    on micro-batch boundaries), which is what makes this key hashable
+    while the update-mode emission trail (T6) is not. At 100 TB the same
+    watermark bounds the state store: matched pairs evict as the range
+    window passes, unmatched lefts evict exactly when they emit."""
+    err = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    pur = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("err_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("purchase_ts") <= F.col("err_ts")),
+        "left_outer",
+    ).select("err_id", "purchase_id", "user_id", "err_ts", "purchase_ts")
+    return run_available_now(spark, joined, output_mode="append")
