@@ -1300,3 +1300,41 @@ def q_agg_listagg(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+         AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_grouping_id(spark, sf_dir):
+    """GROUPING()/GROUPING_ID() over a cube — the A6 companion that makes
+    multi-level rollup output machine-consumable: NULL-as-data and
+    NULL-as-subtotal are indistinguishable in the value columns, so every
+    OLAP consumer keys on the grouping bitmask instead (gid 0 = detail,
+    3 = grand total; first cube column owns the high bit in BOTH engines).
+    Totals go through exact integer cents (the repo floor pattern) and one
+    final double division identical on both sides. Same two-phase
+    partial-aggregable cube expansion as A6 at any scale."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100).alias("total"),
+        )
+    )
