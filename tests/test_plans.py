@@ -494,3 +494,40 @@ def test_kmeans_assignment_is_map_only_broadcast(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("FileScan parquet") == 1  # one scan of the points
+
+
+def test_token_budget_single_shuffle(spark):
+    """q_sample_token_budget: one scan, one exchange (the per-lang
+    running-sum window) — the budget cut must add no distributed cost
+    beyond the window itself."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_sample_token_budget"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_grouping_id_is_expand_plus_two_phase(spark):
+    """q_agg_grouping_id: the cube is ONE Expand over the scan feeding a
+    partial+final hash aggregate (single exchange) — not a union of
+    per-level scans."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_grouping_id"](spark, SF_T2))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_joins_stay_broadcast(spark):
+    """q_text_bm25: the df table and 1-row corpus stats must arrive as
+    broadcasts (2 BroadcastHashJoin + the stats BroadcastNestedLoopJoin);
+    a SortMergeJoin here would mean the postings join shuffled the
+    corpus against a table that fits in memory by Heaps' law."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_text_bm25"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

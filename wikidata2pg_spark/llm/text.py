@@ -850,8 +850,12 @@ def q_text_bm25(spark, sf_dir):
     Plan shape at 100 TB: the term filter pushes into the postings build
     (only matching (doc, term) rows shuffle), doc lengths are a narrow
     per-doc projection joined on doc_id, and the df table and the 1-row
-    corpus stats (N, sum dl) are broadcast — one scan of documents feeds
-    both branches; no all-docs shuffle.
+    corpus stats (N, sum dl) are broadcast; no all-docs shuffle. The
+    dl/stats/tf branches each rescan the column-pruned documents
+    projection (Catalyst does not share scans across sibling aggregates);
+    a real corpus build amortizes that by materializing the tokenized
+    projection once — the length/stats pass is cheap relative to the
+    postings pass either way.
 
     Cross-engine determinism: tf/df/N/dl are exact integers, avgdl is
     bigint/bigint (double division in BOTH engines), and the floating
