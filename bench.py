@@ -55,13 +55,15 @@ r5 attacks both sides of that floor (VERDICT r4 task 3):
   the plans parallelize when the input has >1 split, without touching
   query code.
 
-One multifile row reads "backwards" by design: asof_join is the only
-headline query that is SCHEDULING-bound rather than decode-bound (a
-single cheap events scan + one window shuffle), so the multifile pass
-adds 8 scan tasks + AQE stage planning without any decode time to win
-back — measured ~10-30 ms slower than its single-file row (r5: +73 ms
-with the old two-scan shape; the r6 single-scan rewrite shrank it to
-floor scale, and at real scale per-task scheduling amortizes to noise).
+Two multifile rows read "backwards" by design: asof_join and tfidf are
+SCHEDULING-bound rather than decode-bound (asof: one cheap events scan
++ one window shuffle; tfidf: documents is only 5,000 rows at sf0.1), so
+the multifile pass adds 8 scan tasks + AQE stage planning without any
+decode time to win back — measured ~10-50 ms slower than their
+single-file rows (asof r5: +73 ms with the old two-scan shape; the r6
+single-scan rewrite shrank it to floor scale). At real scale per-task
+scheduling amortizes to noise; every decode-bound row gets faster with
+splits, which is the claim the demo exists to prove.
 
 Resilience (r1 lesson — one hung query erased all nine good timings):
 each query's timing is flushed to stderr the moment it completes, a
