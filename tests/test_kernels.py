@@ -260,3 +260,61 @@ def test_pq_adc_recall_floor_vs_exact(spark):
         assert len(got[q]) == PQ_K
         recalls.append(len(exact & got[q]) / PQ_K)
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_pq_adc_equals_numpy_reference(spark):
+    """Full triple certification for q_vec_pq_adc (the q_cluster_kmeans
+    treatment): a plain numpy recomputation of the ENTIRE pipeline —
+    grouped Lloyd training, code assignment, ADC tables, ranked top-k —
+    must reproduce the distributed result exactly, ties and all."""
+    from wikidata2pg_spark.llm.clustering import (
+        DSUB,
+        KC,
+        M,
+        PQ_ITERS,
+        PQ_K,
+        PQ_NQ,
+        SCALE,
+    )
+    from wikidata2pg_spark.registry import all_queries
+
+    rows = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    x = np.floor(np.array([r.embedding for r in rows], dtype=np.float64) * SCALE + 0.5)
+    subs = [x[:, s * DSUB : (s + 1) * DSUB] for s in range(M)]
+    codebooks = []
+    for s in range(M):
+        cents = subs[s][:KC].copy()
+        for _ in range(PQ_ITERS):
+            d = ((subs[s][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for j in range(KC):
+                m = a == j
+                if m.sum():
+                    cents[j] = subs[s][m].sum(axis=0) / m.sum()
+        codebooks.append(cents)
+    codes = np.stack(
+        [
+            ((subs[s][:, None, :] - codebooks[s][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for s in range(M)
+        ],
+        axis=1,
+    )
+    expected = set()
+    for q in range(PQ_NQ):
+        dtab = np.stack(
+            [((codebooks[s] - subs[s][q]) ** 2).sum(axis=1) for s in range(M)]
+        )  # M x KC
+        adc = dtab[np.arange(M)[:, None].repeat(len(ids), 1).T, codes].sum(axis=1)
+        adc[q] = np.inf
+        order = np.lexsort((ids, adc))
+        for rank, idx in enumerate(order[:PQ_K], start=1):
+            expected.add((q, int(ids[idx]), rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in all_queries()["q_vec_pq_adc"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
