@@ -318,3 +318,35 @@ def test_pq_adc_equals_numpy_reference(spark):
         for r in all_queries()["q_vec_pq_adc"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_regression_matches_builtin_regr(spark):
+    """q_agg_regression's exact-moment OLS must agree with Spark's own
+    regr_slope/regr_intercept/regr_r2 Welford aggregates to floating
+    tolerance (the cents scaling cancels out of slope/intercept up to
+    the /100 rescale; r2 is scale-free)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    got = {
+        r.l_returnflag: (r.slope, r.intercept, r.r2)
+        for r in all_queries()["q_agg_regression"](spark, SF_SMOKE).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.s, r.i, r.r)
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("s"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("i"),
+            F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k, (s, i, r2) in got.items():
+        rs, ri, rr = ref[k]
+        assert abs(s - rs) < 5e-3 and abs(i - ri) < 5e-2 and abs(r2 - rr) < 5e-4, (
+            k,
+            got[k],
+            ref[k],
+        )

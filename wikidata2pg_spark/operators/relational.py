@@ -1338,3 +1338,88 @@ def q_agg_grouping_id(spark, sf_dir):
             (F.sum("cents").cast("double") / 100).alias("total"),
         )
     )
+
+
+@query(
+    "q_agg_regression",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS dxy
+  FROM s
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       floor((dxy / dx / 100.0) * 10000 + 0.5) / 10000 AS slope,
+       floor(((syd - dxy / dx * sxd) / nd / 100.0) * 100 + 0.5) / 100
+         AS intercept,
+       floor((dxy / dx * dxy / dy) * 10000 + 0.5) / 10000 AS r2
+FROM d JOIN s USING (l_returnflag)
+""",
+)
+def q_agg_regression(spark, sf_dir):
+    """Per-group ordinary least squares — price-per-unit slope, intercept,
+    and R^2 of extendedprice against quantity per return flag. Same
+    determinism recipe as the q_agg_stats r6 rewrite: all five statistics
+    derive from EXACT integer moment sums (quantity integral, price as
+    cents, running sums decimal(38,0) against 64-bit overflow), so both
+    engines hold identical integers, cast identically, and evaluate one
+    shared floating tree; floor-rounding keeps the 2/4-decimal outputs
+    half-rule-free and sign-safe. R^2 is computed as slope * dxy/dy
+    (== dxy^2/(dx*dy)) with the SAME association order on both sides —
+    dxy*dxy would overflow nothing but associativity must still match.
+    Spark ships regr_slope/regr_r2 built-ins (Welford streams); this form
+    is the one that hash-checks cross-engine, and it is still a single
+    partial-aggregable groupBy at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(F.col("x"))).alias("sx"),
+            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            F.sum(dec(F.col("y"))).alias("sy"),
+            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        )
+    )
+    n = dec(F.col("n"))
+    d = s.select(
+        "l_returnflag",
+        F.col("n"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("dx"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("dy"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
+    )
+    fl = lambda c, m: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
+    slope_c = F.col("dxy") / F.col("dx")  # cents per unit
+    return d.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        fl(slope_c / F.lit(100.0), 10000).alias("slope"),
+        fl((F.col("syd") - slope_c * F.col("sxd")) / F.col("nd") / F.lit(100.0), 100).alias(
+            "intercept"
+        ),
+        fl(slope_c * F.col("dxy") / F.col("dy"), 10000).alias("r2"),
+    )
