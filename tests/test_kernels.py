@@ -350,3 +350,56 @@ def test_regression_matches_builtin_regr(spark):
             got[k],
             ref[k],
         )
+
+
+def test_hybrid_rrf_matches_pandas_recomputation(spark):
+    """q_retrieval_hybrid_rrf third-engine check: recompute both rankings
+    (token-set Jaccard, cosine) and the RRF fusion in plain python from
+    the raw tables and demand identical fused output, ranks and all."""
+    from wikidata2pg_spark.llm.retrieval import K_FUSE, NQ, RRF_K, TOPN
+    from wikidata2pg_spark.registry import all_queries
+
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    }
+    expected = set()
+    for q in range(NQ):
+        lex = sorted(
+            (
+                (-len(docs[q] & docs[d]) / len(docs[q] | docs[d]), d)
+                for d in docs
+                if d != q and docs[q] & docs[d]
+            ),
+        )[:TOPN]
+        lex_r = {d: i + 1 for i, (_, d) in enumerate(lex)}
+        qa = vecs[q]
+        dense = sorted(
+            (
+                (-float(qa @ vecs[d]) / (np.linalg.norm(qa) * np.linalg.norm(vecs[d])), d)
+                for d in vecs
+                if d != q
+            ),
+        )[:TOPN]
+        dense_r = {d: i + 1 for i, (_, d) in enumerate(dense)}
+        fused = sorted(
+            (
+                (
+                    -(1.0 / (RRF_K + lex_r[d]) if d in lex_r else 0.0)
+                    - (1.0 / (RRF_K + dense_r[d]) if d in dense_r else 0.0),
+                    d,
+                )
+                for d in set(lex_r) | set(dense_r)
+            ),
+        )[:K_FUSE]
+        for rank, (_, d) in enumerate(fused, start=1):
+            expected.add((q, d, rank))
+    got = {
+        (r.query_id, r.doc_id, r.fused_rank)
+        for r in all_queries()["q_retrieval_hybrid_rrf"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected

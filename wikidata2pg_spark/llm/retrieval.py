@@ -1,0 +1,174 @@
+"""Hybrid retrieval: lexical + dense rankings fused with reciprocal-rank
+fusion (RRF, Cormack et al. 2009 — the fusion rule Elasticsearch/OpenSearch
+ship for BM25+kNN hybrid search). The modern RAG retrieval stack is
+exactly this shape: a term-based ranking and an embedding ranking each
+see matches the other misses, and rank-based fusion needs no score
+calibration between them.
+
+Hash-certifiability: ranks are integers once each ranking is
+deterministic — lexical scores are exact-integer Jaccard ratios, dense
+scores are cosine folds over identical doubles with one association
+order on BOTH engines (we do NOT use DuckDB's list_cosine_similarity:
+its internal summation order is not ours to pin), every ranking breaks
+ties by doc id, and the RRF sum adds its two reciprocal terms in one
+fixed order. The fixture's embeddings table is row-aligned with
+documents (vec_id == doc_id, both 0..N-1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+NQ = 8  # query docs: doc_id < 8 (the q_vec_pq_adc convention)
+TOPN = 10  # per-ranking candidate depth
+K_FUSE = 5  # fused results per query
+RRF_K = 60  # the standard RRF constant
+
+
+def _rrf_sql() -> str:
+    cos = (
+        "list_reduce(list_transform(list_zip(q.v, c.v), r -> r[1] * r[2]), (a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_transform(q.v, x -> x * x), (a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_transform(c.v, x -> x * x), (a, b) -> a + b)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+), lex_pairs AS (
+  SELECT q.doc_id AS qid, d.doc_id AS did, count(*) AS ns
+  FROM toks q JOIN toks d ON q.tok = d.tok AND q.doc_id < {NQ} AND d.doc_id != q.doc_id
+  GROUP BY 1, 2
+), lex_rank AS (
+  SELECT qid, did, CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY CAST(p.ns AS DOUBLE) / (sq.n + sd.n - p.ns) DESC, did ASC
+         ) AS BIGINT) AS r
+  FROM lex_pairs p
+  JOIN sizes sq ON sq.doc_id = p.qid
+  JOIN sizes sd ON sd.doc_id = p.did
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dense_rank_ AS (
+  SELECT q.vec_id AS qid, c.vec_id AS did, CAST(row_number() OVER (
+           PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id ASC
+         ) AS BIGINT) AS r
+  FROM vecs q JOIN vecs c ON q.vec_id < {NQ} AND c.vec_id != q.vec_id
+), fused AS (
+  SELECT COALESCE(l.qid, d.qid) AS query_id,
+         COALESCE(l.did, d.did) AS doc_id,
+         COALESCE(1.0 / ({RRF_K} + l.r), 0.0) + COALESCE(1.0 / ({RRF_K} + d.r), 0.0)
+           AS rrf
+  FROM (SELECT * FROM lex_rank WHERE r <= {TOPN}) l
+  FULL OUTER JOIN (SELECT * FROM dense_rank_ WHERE r <= {TOPN}) d
+    ON l.qid = d.qid AND l.did = d.did
+)
+SELECT query_id, doc_id, fused_rank,
+       floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+FROM (
+  SELECT query_id, doc_id, rrf, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC
+         ) AS INTEGER) AS fused_rank
+  FROM fused
+) z
+WHERE fused_rank <= {K_FUSE}
+"""
+
+
+@query("q_retrieval_hybrid_rrf", oracle=_rrf_sql())
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid search, hash-certified end-to-end: per query doc, a lexical
+    top-10 (exact token-set Jaccard via the postings join — the
+    q_dedup_ngram_jaccard kernel shape with the query side filtered to
+    {NQ} docs, so the join is postings x tiny-broadcast) and a dense
+    top-10 (cosine over the row-aligned embeddings, identical fold order
+    in both engines), fused with RRF: score = 1/(60+r_lex) + 1/(60+r_dense),
+    missing list membership contributing 0, final top-5 by (score, doc_id).
+
+    Plan at 100 TB: the lexical side shuffles only postings that match a
+    query token (query term set broadcast); the dense side is the
+    broadcast-queries x corpus map-only pass of q_sim_query_topk; fusion
+    itself joins two <= NQ x 10-row frames — negligible. Rank integers
+    make fusion immune to score-scale drift between the two retrievers,
+    which is exactly why RRF is the production default for BM25 + kNN."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("tok"))
+    sizes = d.select("doc_id", F.size("toks").alias("n"))
+    qt = toks.filter(F.col("doc_id") < NQ).select(
+        F.col("doc_id").alias("qid"), "tok"
+    )
+    pairs = (
+        F.broadcast(qt)
+        .join(toks.withColumnRenamed("doc_id", "did"), "tok")
+        .filter(F.col("did") != F.col("qid"))
+        .groupBy("qid", "did")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    jac = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "qid").withColumnRenamed("n", "nq"), "qid")
+        .join(sizes.withColumnRenamed("doc_id", "did").withColumnRenamed("n", "nd"), "did")
+        .select(
+            "qid",
+            "did",
+            (F.col("ns").cast("double") / (F.col("nq") + F.col("nd") - F.col("ns"))).alias(
+                "score"
+            ),
+        )
+    )
+    w_lex = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
+    lex = (
+        jac.withColumn("r", F.row_number().over(w_lex).cast("long"))
+        .filter(F.col("r") <= TOPN)
+        .select("qid", "did", "r")
+    )
+
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = vecs.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    dot = fold(F.zip_with(F.col("qvec"), F.col("v"), lambda x, y: x * y))
+    nrm = lambda c: F.sqrt(fold(F.transform(c, lambda x: x * x)))  # noqa: E731
+    cos = dot / (nrm(F.col("qvec")) * nrm(F.col("v")))
+    w_dense = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
+    dense = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("did"), cos.alias("score"))
+        .withColumn("r", F.row_number().over(w_dense).cast("long"))
+        .filter(F.col("r") <= TOPN)
+        .select("qid", "did", "r")
+    )
+
+    rec = lambda c: F.coalesce(1.0 / (F.lit(RRF_K) + c), F.lit(0.0))  # noqa: E731
+    fused = (
+        lex.withColumnRenamed("r", "rl")
+        .join(dense.withColumnRenamed("r", "rd"), ["qid", "did"], "full_outer")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("did").alias("doc_id"),
+            (rec(F.col("rl")) + rec(F.col("rd"))).alias("rrf_raw"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_raw").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("fused_rank") <= K_FUSE)
+        .select(
+            "query_id",
+            "doc_id",
+            "fused_rank",
+            (F.floor(F.col("rrf_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("rrf"),
+        )
+    )
