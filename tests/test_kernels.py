@@ -403,3 +403,28 @@ def test_hybrid_rrf_matches_pandas_recomputation(spark):
         for r in all_queries()["q_retrieval_hybrid_rrf"](spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_skewkurt_matches_builtin(spark):
+    """q_agg_skewkurt's exact-moment form must agree with Spark's own
+    skewness()/kurtosis() (population skew, EXCESS kurtosis) to the 4dp
+    output precision — pins both the moment algebra and the convention."""
+    from wikidata2pg_spark.registry import all_queries
+
+    got = {
+        r.l_returnflag: (r.skewness, r.kurtosis)
+        for r in all_queries()["q_agg_skewkurt"](spark, SF_SMOKE).collect()
+    }
+    ref = {
+        r.l_returnflag: (r.s, r.k)
+        for r in load(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.skewness("l_extendedprice").alias("s"),
+            F.kurtosis("l_extendedprice").alias("k"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k, (sk, ku) in got.items():
+        assert abs(sk - ref[k][0]) < 5e-4 and abs(ku - ref[k][1]) < 5e-4, (k, got[k], ref[k])

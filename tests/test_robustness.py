@@ -294,6 +294,7 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_grouping_id",
         "q_agg_regression",
         "q_retrieval_hybrid_rrf",
+        "q_agg_skewkurt",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1423,3 +1423,98 @@ def q_agg_regression(spark, sf_dir):
         ),
         fl(slope_c * F.col("dxy") / F.col("dy"), 10000).alias("r2"),
     )
+
+
+@query(
+    "q_agg_skewkurt",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(y AS HUGEINT)) AS s1,
+         sum(CAST(y2 AS HUGEINT)) AS s2,
+         sum(CAST(y2 AS HUGEINT) * y) AS s3,
+         sum(CAST(y2 AS HUGEINT) * y2) AS s4
+  FROM (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y2
+    FROM lineitem
+  ) t GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s
+), m AS (
+  SELECT l_returnflag, n,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM d
+)
+SELECT l_returnflag, n,
+       floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000 AS skewness,
+       floor((m4 / (m2 * m2) - 3.0) * 10000 + 0.5) / 10000 AS kurtosis
+FROM m
+""",
+)
+def q_agg_skewkurt(spark, sf_dir):
+    """Population skewness and excess kurtosis per group — the 3rd/4th
+    standardized moments (distribution-shape monitoring: drift detection
+    flags a feature whose skew/kurtosis moves even when mean/variance
+    hold). Same determinism recipe as q_agg_stats/q_agg_regression taken
+    one moment higher: price becomes exact cents, y^2 stays in long,
+    y^3/y^4 accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB) —
+    sum(y^4) reaches ~1e34 at sf0.1, far beyond int64 but exact in both
+    — then ONE cast of each exact integer sum to double (IEEE
+    correctly-rounded, identical in both engines even above 2^53) feeds
+    one shared floating tree. Standardized moments are scale-invariant,
+    so the cents scaling cancels without a rescale; m2^1.5 is written
+    m2*sqrt(m2) (pow() implementations differ); the floor rounding is
+    half-rule-free and sign-safe. Still one partial-aggregable groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    t = li.select(
+        "l_returnflag", y.alias("y"), (y * y).alias("y2")
+    )
+    s = t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("y"))).alias("s1"),
+        F.sum(dec(F.col("y2"))).alias("s2"),
+        F.sum(dec(F.col("y2")) * dec(F.col("y"))).alias("s3"),
+        F.sum(dec(F.col("y2")) * dec(F.col("y2"))).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d = s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s1").cast("double") / nd).alias("m1"),
+        (F.col("s2").cast("double") / nd).alias("r2"),
+        (F.col("s3").cast("double") / nd).alias("r3"),
+        (F.col("s4").cast("double") / nd).alias("r4"),
+    )
+    m1 = F.col("m1")
+    m = d.select(
+        "l_returnflag",
+        "n",
+        (F.col("r2") - m1 * m1).alias("m2"),
+        (F.col("r3") - F.lit(3.0) * m1 * F.col("r2") + F.lit(2.0) * m1 * m1 * m1).alias("m3"),
+        (
+            F.col("r4")
+            - F.lit(4.0) * m1 * F.col("r3")
+            + F.lit(6.0) * m1 * m1 * F.col("r2")
+            - F.lit(3.0) * m1 * m1 * m1 * m1
+        ).alias("m4"),
+    )
+    fl4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        "n",
+        fl4(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
+        fl4(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("kurtosis"),
+    )

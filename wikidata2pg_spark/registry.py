@@ -70,7 +70,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # test_driver_window_ordering_is_pinned, must lead r7): q_text_bm25,
 # q_sample_token_budget, q_cluster_kmeans, q_pipeline_neardup,
 # q_vec_pq_adc, q_stream_stream_left, q_agg_grouping_id,
-# q_agg_regression, q_retrieval_hybrid_rrf.
+# q_agg_regression, q_retrieval_hybrid_rrf, q_agg_skewkurt.
 _ROUND6_PRIORITY = (
     # --- tier A: never driver-tested (8) ---
     "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
