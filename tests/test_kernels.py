@@ -163,6 +163,19 @@ def test_cell_topk_kernel_keeps_all_boundary_ties():
     assert list(out["neighbor_id"]) == [10, 3, 5]  # smallest ids among ties
 
 
+def _seqsum(a, axis=-1):
+    """Sequential left-fold sum along `axis` — np.sum uses PAIRWISE
+    summation, which differs from the engines' pinned sequential fold in
+    the last ulp for ~37% of 8-term double sums (r6 review measurement);
+    near-tied distances would then flip argmins/ranks in the reference
+    only. This matches aggregate(.., 0.0, +) / list_reduce exactly."""
+    a = np.moveaxis(np.asarray(a, dtype=np.float64), axis, -1)
+    acc = a[..., 0].copy()
+    for i in range(1, a.shape[-1]):
+        acc = acc + a[..., i]
+    return acc
+
+
 def _numpy_kmeans(rows):
     """Reference Lloyd with the exact same determinism contract as
     q_cluster_kmeans: fixed-point floor scaling, init = K lowest vec_id,
@@ -179,7 +192,7 @@ def _numpy_kmeans(rows):
     sses = []
 
     def dists(c):
-        return ((x[:, None, :].astype(np.float64) - c[None, :, :]) ** 2).sum(axis=2)
+        return _seqsum((x[:, None, :].astype(np.float64) - c[None, :, :]) ** 2, axis=2)
 
     for _ in range(ITERS):
         d = dists(cents)
@@ -287,7 +300,7 @@ def test_pq_adc_equals_numpy_reference(spark):
     for s in range(M):
         cents = subs[s][:KC].copy()
         for _ in range(PQ_ITERS):
-            d = ((subs[s][:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d = _seqsum((subs[s][:, None, :] - cents[None, :, :]) ** 2, axis=2)
             a = d.argmin(axis=1)
             for j in range(KC):
                 m = a == j
@@ -296,8 +309,7 @@ def test_pq_adc_equals_numpy_reference(spark):
         codebooks.append(cents)
     codes = np.stack(
         [
-            ((subs[s][:, None, :] - codebooks[s][None, :, :]) ** 2)
-            .sum(axis=2)
+            _seqsum((subs[s][:, None, :] - codebooks[s][None, :, :]) ** 2, axis=2)
             .argmin(axis=1)
             for s in range(M)
         ],
@@ -306,9 +318,9 @@ def test_pq_adc_equals_numpy_reference(spark):
     expected = set()
     for q in range(PQ_NQ):
         dtab = np.stack(
-            [((codebooks[s] - subs[s][q]) ** 2).sum(axis=1) for s in range(M)]
+            [_seqsum((codebooks[s] - subs[s][q]) ** 2, axis=1) for s in range(M)]
         )  # M x KC
-        adc = dtab[np.arange(M)[:, None].repeat(len(ids), 1).T, codes].sum(axis=1)
+        adc = _seqsum(dtab[np.arange(M)[:, None].repeat(len(ids), 1).T, codes], axis=1)
         adc[q] = np.inf
         order = np.lexsort((ids, adc))
         for rank, idx in enumerate(order[:PQ_K], start=1):
@@ -380,7 +392,7 @@ def test_hybrid_rrf_matches_pandas_recomputation(spark):
         qa = vecs[q]
         dense = sorted(
             (
-                (-float(qa @ vecs[d]) / (np.linalg.norm(qa) * np.linalg.norm(vecs[d])), d)
+                (-float(_seqsum(qa * vecs[d])) / (np.sqrt(float(_seqsum(qa * qa))) * np.sqrt(float(_seqsum(vecs[d] * vecs[d])))), d)
                 for d in vecs
                 if d != q
             ),

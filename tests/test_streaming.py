@@ -208,3 +208,51 @@ def test_transform_with_state_final_equals_batch(spark):
     got = {r.user_id: (r.n, r.ntypes, round(r.sum_value, 2)) for r in final.collect()}
     exp = {r.user_id: (r.n, r.ntypes, round(r.sum_value, 2)) for r in want.collect()}
     assert got == exp
+
+
+def test_stream_left_frontier_rule_matches_spark_watermark(spark, tmp_path):
+    """r6 review repro pinned: Spark ms-floors each input's max event
+    time before subtracting the watermark delay, and left-state eviction
+    is STRICT — an unmatched error exactly at (or within the sub-ms
+    sliver above) the frontier is withheld. The q_stream_stream_left
+    oracle must mirror both (it originally used the full-us max and <=,
+    which emitted a row Spark withholds)."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.oracle import compare, duck_connection
+    from wikidata2pg_spark.registry import all_oracles, all_queries
+
+    for name, micro in (("subms", 500), ("wholems", 0)):
+        d = tmp_path / name
+        shutil.copytree(SF_T2, d)
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 12, 0, 0, micro), 1, "purchase", 1.0, "{}"),
+            # unmatched error exactly at least(max_err, max_pur) - 2h
+            (2, dt.datetime(2024, 1, 1, 10, 0, 0, micro), 2, "error", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 12, 30, 0, micro + 200 if micro else 0), 3, "error", 1.0, "{}"),
+        ]
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pylist(
+                [dict(zip(schema.names, r)) for r in rows], schema=schema
+            ),
+            d / "events.parquet",
+        )
+        df = all_queries()["q_stream_stream_left"](spark, str(d))
+        errs = compare(
+            "q_stream_stream_left", df, duck_connection(str(d)), all_oracles()["q_stream_stream_left"]
+        )
+        assert not errs, (name, errs)

@@ -129,16 +129,24 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
         .select("qid", "did", "r")
     )
 
+    # reuse similarity.py's pinned-fold helpers (ONE place owns the
+    # cross-engine fold order), and compute each vector's norm ONCE —
+    # inlining the norm fold in the cosine expression would re-run it per
+    # (query, candidate) pair inside the crossJoin (review r6)
+    from wikidata2pg_spark.llm.similarity import _norm, _vec_double
+
     vecs = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+        "vec_id", _vec_double(F.col("embedding")).alias("v")
+    ).withColumn("cn", _norm(F.col("v")))
     qv = vecs.filter(F.col("vec_id") < NQ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec"), F.col("cn").alias("qn")
     )
-    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
-    dot = fold(F.zip_with(F.col("qvec"), F.col("v"), lambda x, y: x * y))
-    nrm = lambda c: F.sqrt(fold(F.transform(c, lambda x: x * x)))  # noqa: E731
-    cos = dot / (nrm(F.col("qvec")) * nrm(F.col("v")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    cos = dot / (F.col("qn") * F.col("cn"))
     w_dense = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
     dense = (
         vecs.crossJoin(F.broadcast(qv))

@@ -702,8 +702,15 @@ WITH e AS (
   SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT least((SELECT max(err_ts) FROM e),
-               (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOUR AS w
+  -- Spark truncates each input's max event time to MILLISECONDS before
+  -- subtracting the delay (EventTimeWatermarkExec divides us by 1000),
+  -- and left-state eviction is STRICT (err_ts < watermark) — an
+  -- unmatched error exactly at the frontier stays withheld. Mirror both,
+  -- or a fixture landing an error in the sub-ms sliver at the frontier
+  -- flips the hash (review repro, r6).
+  SELECT least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
+               date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+         - INTERVAL 2 HOUR AS w
 ), matched AS (
   SELECT e.err_id, p.purchase_id, e.user_id, e.err_ts, p.purchase_ts
   FROM e JOIN p ON e.user_id = p.user_id
@@ -714,7 +721,7 @@ SELECT err_id, purchase_id, user_id, err_ts, purchase_ts FROM matched
 UNION ALL
 SELECT e.err_id, NULL, e.user_id, e.err_ts, CAST(NULL AS TIMESTAMP)
 FROM e, wm
-WHERE e.err_id NOT IN (SELECT err_id FROM matched) AND e.err_ts <= wm.w
+WHERE e.err_id NOT IN (SELECT err_id FROM matched) AND e.err_ts < wm.w
 """,
 )
 def q_stream_stream_left(spark, sf_dir):
@@ -728,11 +735,14 @@ def q_stream_stream_left(spark, sf_dir):
     "no match" final.
 
     Hash-certified WITH the frontier rule stated honestly in the oracle:
-    after an availableNow drain the unmatched errors whose err_ts still
-    sits above the final watermark remain in state (measured: exactly the
-    max-err_ts row at sf0.001 — its "no purchase yet" verdict is
-    genuinely not final), so the oracle is the batch left join MINUS
-    null-matched rows above `least(max_err, max_purchase) - 2h`. That
+    after an availableNow drain the unmatched errors whose err_ts is not
+    STRICTLY below the final watermark remain in state (measured:
+    exactly the max-err_ts row at sf0.001 — its "no purchase yet"
+    verdict is genuinely not final), so the oracle is the batch left
+    join MINUS null-matched rows at or above
+    `least(ms_floor(max_err), ms_floor(max_purchase)) - 2h` — the
+    ms-floor and the strict bound mirror Spark's watermark arithmetic
+    exactly (review repro: an error in the sub-ms frontier sliver). That
     set is a pure function of the DATA (final watermark does not depend
     on micro-batch boundaries), which is what makes this key hashable
     while the update-mode emission trail (T6) is not. At 100 TB the same
