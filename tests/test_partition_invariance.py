@@ -73,6 +73,8 @@ KEYS = [
     "q_sim_query_topk",  # query replication must reach every corpus block
     "q_dedup_incremental",  # corpus/batch split + keeper choice at any split
     "q_text_line_dedup",  # global first-occurrence keep at any split
+    "q_funnel_conversion",  # chained stage windows must not depend on splits
+    "q_agg_mad",  # two exact percentile passes at any split count
     "q_sink_zorder",  # dim min/max + morton layout derived from split scans
     "q_sink_compact",  # footer-derived output count over a split input
     "q_scan_schema_evolution",  # merged footer schema across split files

@@ -295,6 +295,10 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_regression",
         "q_retrieval_hybrid_rrf",
         "q_agg_skewkurt",
+        "q_funnel_conversion",
+        "q_cohort_retention",
+        "q_join_bloom_prefilter",
+        "q_agg_mad",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -501,3 +501,61 @@ def q_join_spatial_grid(spark, sf_dir):
         # No distinct needed: for a fixed pair, a's single home cell meets
         # exactly one of b's nine replicas, so each pair matches once.
     )
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+)
+GROUP BY l_returnflag
+""",
+)
+def q_join_bloom_prefilter(spark, sf_dir):
+    """Semi-join with an explicit Bloom prefilter — the 100 TB pattern for
+    "filter a huge fact by a dim that is selective but too big to
+    broadcast". Phase 1 builds the dim's Bloom bucket set (two xxhash64
+    functions into m=2^16 buckets) and broadcasts THAT — the bucket set is
+    bounded by m rows no matter how large the dim grows, so the fact side
+    never shuffles for the prefilter; a candidate must hit on BOTH hashes
+    (FPR ~= load^2). Phase 2 runs the exact semi-join over the survivors
+    only, so the expensive join moves ~selectivity+FPR of the fact instead
+    of all of it. The result is EXACTLY the plain semi-join (the Bloom
+    phase only drops guaranteed non-members), which is what the oracle
+    pins. Spark 3.3+'s runtime row-group Bloom (InjectRuntimeFilter) does
+    this automatically for shuffle joins; the explicit form also covers
+    sinks/streams where the rule does not fire. At production scale m
+    scales with |dim| (~10 bits/key); 2^16 is sized for the fixtures.
+    Test coverage: test_behavioral.py asserts the phase-1 survivor count
+    at sf0.01 is well under the fact size AND above the true match count."""
+    m = 1 << 16
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 250000)
+        )
+        .select("o_orderkey")
+    )
+    h = lambda c, seed: F.pmod(F.xxhash64(F.col(c), F.lit(seed)), F.lit(m))  # noqa: E731
+    bset = dim.select(
+        F.explode(F.array(h("o_orderkey", 1), h("o_orderkey", 2))).alias("b")
+    ).distinct()
+    li = load(spark, sf_dir, "lineitem")
+    survivors = li.join(
+        F.broadcast(bset), h("l_orderkey", 1) == F.col("b"), "leftsemi"
+    ).join(F.broadcast(bset), h("l_orderkey", 2) == F.col("b"), "leftsemi")
+    exact = survivors.join(
+        F.broadcast(dim), F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

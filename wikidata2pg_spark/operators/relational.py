@@ -1518,3 +1518,61 @@ def q_agg_skewkurt(spark, sf_dir):
         fl4(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
         fl4(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("kurtosis"),
     )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, count(*) AS n, quantile_cont(cents, 0.5) AS med
+  FROM c GROUP BY l_returnflag
+), d AS (
+  SELECT c.l_returnflag, m.n, m.med,
+         abs(CAST(c.cents AS DOUBLE) - m.med) AS dev
+  FROM c JOIN m USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+       floor(max(med) / 100 * 100 + 0.5) / 100 AS median_price,
+       floor(quantile_cont(dev, 0.5) / 100 * 10000 + 0.5) / 10000 AS mad_price
+FROM d GROUP BY l_returnflag
+""",
+)
+def q_agg_mad(spark, sf_dir):
+    """Median absolute deviation per group — the robust-statistics twin of
+    q_agg_stats' stddev. Two exact percentile passes over INTEGER CENTS:
+    the first median interpolates two integers (a + (b-a)*0.5 — exact in
+    doubles: the halves land on the .5 grid), so every deviation
+    |cents - med| is an exact multiple of 0.5, and the second median
+    interpolates .5-grid values onto the exact .25 grid. Both engines
+    therefore hold bit-identical doubles end-to-end; the only
+    non-representable step is the final /100 to dollars, one correctly-
+    rounded division of identical inputs, floor-rounded for display.
+    Plan shape: groupBy percentile (sort-based exact, partial-merge per
+    group) -> broadcast the 3-row median table back onto lineitem ->
+    second groupBy percentile. Two shuffles on the same 3-value key; at
+    100 TB the same shape holds because the per-group median table stays
+    tiny regardless of fact size (it is |groups| rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    c = li.select("l_returnflag", cents.alias("cents"))
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("cents", F.lit(0.5)).alias("med"),
+    )
+    d = c.join(F.broadcast(m), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("dev"),
+    )
+    return d.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.floor(F.max("med") / 100 * 100 + F.lit(0.5)) / 100).alias("median_price"),
+        (
+            F.floor(F.percentile("dev", F.lit(0.5)) / 100 * 10000 + F.lit(0.5)) / 10000
+        ).alias("mad_price"),
+    )

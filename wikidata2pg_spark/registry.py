@@ -70,7 +70,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # test_driver_window_ordering_is_pinned, must lead r7): q_text_bm25,
 # q_sample_token_budget, q_cluster_kmeans, q_pipeline_neardup,
 # q_vec_pq_adc, q_stream_stream_left, q_agg_grouping_id,
-# q_agg_regression, q_retrieval_hybrid_rrf, q_agg_skewkurt.
+# q_agg_regression, q_retrieval_hybrid_rrf, q_agg_skewkurt,
+# q_funnel_conversion, q_cohort_retention, q_join_bloom_prefilter,
+# q_agg_mad.
 _ROUND6_PRIORITY = (
     # --- tier A: never driver-tested (8) ---
     "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
@@ -125,6 +127,7 @@ def _load_modules() -> None:
     import wikidata2pg_spark.operators.joins  # noqa: F401
     import wikidata2pg_spark.operators.windows  # noqa: F401
     import wikidata2pg_spark.operators.graph  # noqa: F401
+    import wikidata2pg_spark.operators.behavioral  # noqa: F401
     import wikidata2pg_spark.operators.subqueries  # noqa: F401
 
 
