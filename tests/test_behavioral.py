@@ -126,3 +126,27 @@ def test_mad_matches_numpy(spark):
         assert r.n == len(a)
         assert abs(r.median_price - np.floor(med / 100 * 100 + 0.5) / 100) < 1e-9
         assert abs(r.mad_price - np.floor(mad / 100 * 10000 + 0.5) / 10000) < 1e-9
+
+
+def test_gini_matches_numpy(spark):
+    out = {
+        r.l_returnflag: r for r in all_queries()["q_agg_gini"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            int(np.floor(r.l_extendedprice * 100 + 0.5))
+        )
+    for flag, cents in groups.items():
+        x = np.sort(np.array(cents, dtype=np.int64))
+        n = len(x)
+        s1 = int(np.sum(np.arange(1, n + 1, dtype=np.int64) * x))
+        t = int(x.sum())
+        gini = (2 * s1 - (n + 1) * t) / (n * t)
+        r = out[flag]
+        assert r.n == n
+        assert abs(r.gini - np.floor(gini * 1e6 + 0.5) / 1e6) < 1e-9
+        assert 0.0 <= r.gini < 1.0

@@ -299,6 +299,8 @@ def test_driver_window_ordering_is_pinned():
         "q_cohort_retention",
         "q_join_bloom_prefilter",
         "q_agg_mad",
+        "q_wd_dump_diff",
+        "q_agg_gini",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

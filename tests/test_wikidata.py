@@ -246,3 +246,50 @@ def test_cli_parquet_export(spark, tmp_path):
     again = run_import(spark, str(gz), None, tables=["wd_labels"],
                        load_partitions=2, parquet_dir=str(out))
     assert again["wd_labels"] == counts["wd_labels"]
+
+
+def test_dump_diff_classifies_all_statuses(spark):
+    """dump_diff's four-way classification, including the 'removed' branch
+    the fixture-backed q_wd_dump_diff cannot reach (a revision-cutoff
+    snapshot never deletes an entity)."""
+    import json
+
+    def mk(id_, rev, labels=None, nclaims=0):
+        e = {"id": id_, "type": "item", "lastrevid": rev}
+        if labels:
+            e["labels"] = {
+                k: {"language": k, "value": f"{id_}-{k}"} for k in labels
+            }
+        if nclaims:
+            e["claims"] = {
+                "P1": [
+                    {
+                        "mainsnak": {
+                            "snaktype": "value",
+                            "property": "P1",
+                            "datavalue": {"type": "string", "value": "x"},
+                        },
+                        "type": "statement",
+                        "rank": "normal",
+                    }
+                ]
+                * nclaims
+            }
+        return json.dumps(e, separators=(",", ":"))
+
+    def parsed(lines):
+        raw = spark.createDataFrame([(l,) for l in lines], "line string")
+        return flatten.parse_entities(flatten.clean_dump_lines(raw))
+
+    old = parsed([mk("Q1", 1, ["en"]), mk("Q2", 5, ["en", "de"], nclaims=2),
+                  mk("Q3", 9, ["fr"])])
+    new = parsed([mk("Q2", 6, ["en", "es"], nclaims=3),
+                  mk("Q3", 9, ["fr"]), mk("Q4", 2, ["en"])])
+    out = {r.id: r for r in flatten.dump_diff(new, old).collect()}
+    assert out["Q1"].status == "removed" and out["Q1"].new_rev is None
+    assert out["Q2"].status == "changed"
+    assert (out["Q2"].labels_added, out["Q2"].labels_removed) == (1, 1)  # es in, de out
+    assert out["Q2"].claims_delta == 1
+    assert out["Q3"].status == "unchanged" and out["Q3"].claims_delta == 0
+    assert out["Q4"].status == "added" and out["Q4"].old_rev is None
+    assert out["Q4"].labels_added == 1

@@ -1576,3 +1576,63 @@ def q_agg_mad(spark, sf_dir):
             F.floor(F.percentile("dev", F.lit(0.5)) / 100 * 10000 + F.lit(0.5)) / 10000
         ).alias("mad_price"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY floor(l_extendedprice * 100 + 0.5), l_orderkey, l_linenumber
+         ) AS i
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS t,
+         sum(CAST(i AS HUGEINT) * x) AS s1
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       floor(CAST(2 * s1 - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM s
+""",
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of revenue concentration per group, from the
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ascending-sorted exact integer cents. Ties cannot perturb the value
+    (equal x commute under the rank weights: the tied block contributes
+    x*sum(i) for ANY ordering), but the tiebreaker is still pinned so the
+    intermediate rows are engine-identical. All moments are exact integers
+    (decimal(38,0) against overflow — at 1e9-row groups i*x reaches 1e16);
+    the single double division is correctly rounded on both sides, then
+    floor-rounded (int-ratio class). Plan: one per-group sort window +
+    one partial-aggregable groupBy on the same key — for groups too fat
+    for one task's sort, the two-pass ordered_bucket global-rank pattern
+    (q_win_ntile_distributed) is the drop-in scale path."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    w = W.partitionBy("l_returnflag").orderBy("x", "l_orderkey", "l_linenumber")
+    c = li.select(
+        "l_returnflag", cents.alias("x"), "l_orderkey", "l_linenumber"
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("t"),
+        F.sum(dec(F.col("i") * F.col("x"))).alias("s1"),
+    )
+    n = dec(F.col("n"))
+    num = (F.lit(2) * F.col("s1") - (n + F.lit(1)) * F.col("t")).cast("double")
+    den = (n * F.col("t")).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )

@@ -287,3 +287,60 @@ def item_edges(parsed: DataFrame) -> DataFrame:
         "property",
         F.variant_get(F.col("dv"), "$.value.id", "string").alias("dst"),
     )
+
+
+def dump_diff(parsed_new: DataFrame, parsed_old: DataFrame) -> DataFrame:
+    """Classify every entity across two parsed snapshots as added /
+    removed / changed / unchanged, with label-language add/remove counts
+    and the statement-count delta. Each side is deduped to its latest
+    revision first; the diff itself is ONE full outer join on id (both
+    dedups and the join share the id hash partitioning, so the whole diff
+    costs one exchange per snapshot). The query-registry twin is
+    q_wd_dump_diff (queries.py) whose DuckDB oracle mirrors this shape."""
+    empty_keys = F.array().cast("array<string>")
+
+    def side(df: DataFrame) -> DataFrame:
+        lat = latest_revisions(df).filter(F.col("e.id").isNotNull())
+        nclaims = F.coalesce(
+            F.aggregate(
+                F.map_values(F.col("e.claims")),
+                F.lit(0),
+                lambda acc, v: acc + F.size(v),
+            ),
+            F.lit(0),
+        )
+        return lat.select(
+            F.col("e.id").alias("id"),
+            F.col("e.lastrevid").alias("rev"),
+            F.coalesce(F.map_keys(F.col("e.labels")), empty_keys).alias("lk"),
+            nclaims.alias("nc"),
+        )
+
+    o = side(parsed_old).select(
+        F.col("id").alias("o_id"),
+        F.col("rev").alias("old_rev"),
+        F.col("lk").alias("o_lk"),
+        F.col("nc").alias("o_nc"),
+    )
+    n = side(parsed_new)
+    j = n.join(o, n["id"] == o["o_id"], "full_outer")
+    ecol = lambda c: F.coalesce(c, empty_keys)  # noqa: E731
+    return j.select(
+        F.coalesce(F.col("id"), F.col("o_id")).alias("id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("id").isNull(), "removed")
+        .when(F.col("rev") == F.col("old_rev"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+        "old_rev",
+        F.col("rev").alias("new_rev"),
+        F.size(F.array_except(ecol(F.col("lk")), ecol(F.col("o_lk"))))
+        .cast("long")
+        .alias("labels_added"),
+        F.size(F.array_except(ecol(F.col("o_lk")), ecol(F.col("lk"))))
+        .cast("long")
+        .alias("labels_removed"),
+        (F.coalesce(F.col("nc"), F.lit(0)) - F.coalesce(F.col("o_nc"), F.lit(0)))
+        .cast("long")
+        .alias("claims_delta"),
+    )

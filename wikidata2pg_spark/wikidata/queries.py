@@ -717,3 +717,65 @@ def q_wd_subclass_closure(spark, sf_dir):
     )
     reach = semi_naive_closure(e, max_depth=4)
     return reach.select("src", "dst", F.col("depth").cast("long").alias("min_depth"))
+
+
+@query(
+    "q_wd_dump_diff",
+    oracle=f"""
+WITH {entities_cte()},
+  olds(line) AS (SELECT line FROM (
+    SELECT line, row_number() OVER (
+      PARTITION BY json_extract_string(line, '$.id')
+      ORDER BY json_extract(line, '$.lastrevid')::BIGINT DESC, line DESC) AS rn
+    FROM ent WHERE json_extract(line, '$.lastrevid')::BIGINT <= 99) WHERE rn = 1),
+  news(line) AS (SELECT line FROM (
+    SELECT line, row_number() OVER (
+      PARTITION BY json_extract_string(line, '$.id')
+      ORDER BY json_extract(line, '$.lastrevid')::BIGINT DESC, line DESC) AS rn
+    FROM ent) WHERE rn = 1),
+  o AS (SELECT json_extract_string(line, '$.id') AS id,
+               json_extract(line, '$.lastrevid')::BIGINT AS rev,
+               coalesce(json_keys(line, '$.labels'), []) AS lk,
+               (SELECT coalesce(sum(json_array_length(
+                    json_extract(line, '$.claims.' || p))), 0)
+                FROM unnest(coalesce(json_keys(line, '$.claims'), [])) AS t(p))
+                 AS nc
+        FROM olds WHERE json_extract_string(line, '$.id') IS NOT NULL),
+  n AS (SELECT json_extract_string(line, '$.id') AS id,
+               json_extract(line, '$.lastrevid')::BIGINT AS rev,
+               coalesce(json_keys(line, '$.labels'), []) AS lk,
+               (SELECT coalesce(sum(json_array_length(
+                    json_extract(line, '$.claims.' || p))), 0)
+                FROM unnest(coalesce(json_keys(line, '$.claims'), [])) AS t(p))
+                 AS nc
+        FROM news WHERE json_extract_string(line, '$.id') IS NOT NULL)
+SELECT coalesce(n.id, o.id) AS id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN n.rev = o.rev THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.rev AS old_rev, n.rev AS new_rev,
+       CAST(len(list_filter(coalesce(n.lk, []),
+                k -> NOT list_contains(coalesce(o.lk, []), k))) AS BIGINT)
+         AS labels_added,
+       CAST(len(list_filter(coalesce(o.lk, []),
+                k -> NOT list_contains(coalesce(n.lk, []), k))) AS BIGINT)
+         AS labels_removed,
+       CAST(coalesce(n.nc, 0) - coalesce(o.nc, 0) AS BIGINT) AS claims_delta
+FROM n FULL OUTER JOIN o ON n.id = o.id
+""",
+)
+def q_wd_dump_diff(spark, sf_dir):
+    """Incremental-dump diff — the update workflow of a dump importer:
+    given yesterday's snapshot (here: latest revision per id with
+    lastrevid <= 99) and today's full dump, classify every entity as
+    added / removed / changed / unchanged and quantify the change
+    (label languages added/removed, statement-count delta). One parse
+    feeds both snapshots; the diff is a single full outer join on id.
+    At dump scale both snapshot dedups shuffle on id and the join reuses
+    that partitioning, so the whole diff is one exchange over the dump
+    plus map-side JSON work. The fixture has no 'removed' row (a
+    cutoff snapshot is always a subset) — the branch is exercised in
+    tests/test_wikidata.py with a synthetic deletion instead."""
+    parsed = _parsed(spark)
+    return flatten.dump_diff(parsed, parsed.filter(F.col("e.lastrevid") <= 99))
