@@ -150,3 +150,56 @@ def test_gini_matches_numpy(spark):
         assert r.n == n
         assert abs(r.gini - np.floor(gini * 1e6 + 0.5) / 1e6) < 1e-9
         assert 0.0 <= r.gini < 1.0
+
+
+def test_ewma_matches_sequential_recurrence_exactly(spark):
+    """The EWMA key claims BIT-IDENTICAL doubles (alpha=0.5 scaling is
+    exact) — so the reference comparison is ==, not approx."""
+    out = {
+        r.event_id: r.ewma
+        for r in all_queries()["q_time_ewma"](spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    n_checked = 0
+    for evs in by_user.values():
+        evs.sort()
+        vals = [v for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            frame = vals[max(0, i - 19) : i + 1]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = acc * 0.5 + 0.5 * x
+            assert out[eid] == acc, eid
+            n_checked += 1
+    assert n_checked == len(out) > 0
+
+
+def test_dupspans_flags_known_duplicated_text(spark):
+    out = {r.doc_id: r for r in all_queries()["q_text_dupspans"](spark, SF_SMOKE).collect()}
+    assert out, "non-empty"
+    flagged = [r for r in out.values() if r.n_dup_spans > 0]
+    assert flagged, "fixture corpus contains cross-doc duplicated spans"
+    for r in out.values():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_ratio - np.floor(r.n_dup_spans * 10000 / r.n_spans + 0.5) / 10000) < 1e-12
+    # spot-check one flagged pair: its shared shingle really appears in
+    # two different documents' text
+    docs = {d.doc_id: d.text for d in load(spark, SF_SMOKE, "documents").collect()}
+
+    def shingles(txt):
+        t = txt.split(" ")
+        return {" ".join(t[i : i + 8]) for i in range(len(t) - 7)}
+
+    some = flagged[0].doc_id
+    mine = shingles(docs[some])
+    assert any(
+        other != some and mine & shingles(txt) for other, txt in docs.items()
+    ), "flagged doc shares at least one 8-gram with another doc"

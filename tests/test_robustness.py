@@ -301,6 +301,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_mad",
         "q_wd_dump_diff",
         "q_agg_gini",
+        "q_time_ewma",
+        "q_text_dupspans",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -891,3 +891,67 @@ def q_text_bm25(spark, sf_dir):
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
     )
     return joined.groupBy("doc_id").agg(F.round(F.sum(term), 4).alias("bm25"))
+
+
+@query(
+    "q_text_dupspans",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id, array_to_string(t[u.i + 1:u.i + 8], ' ') AS sh
+  FROM t, LATERAL (SELECT unnest(range(len(t) - 7))) u(i)
+  WHERE len(t) >= 8
+), g AS (
+  SELECT sh FROM s GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT s.doc_id, count(*) AS n_spans,
+       count(g.sh) AS n_dup_spans,
+       floor(CAST(count(g.sh) AS DOUBLE) * 10000 / count(*) + 0.5) / 10000
+         AS dup_ratio
+FROM s LEFT JOIN g ON s.sh = g.sh
+GROUP BY s.doc_id
+""",
+)
+def q_text_dupspans(spark, sf_dir):
+    """Exact duplicated-span detection — the substring-level dedup signal
+    (which exact-substring training-data dedup keys on, as opposed to the
+    whole-doc similarity of minhash/simhash): shingle every document into
+    8-token windows, find shingles appearing in >= 2 distinct documents,
+    and score each doc by its fraction of cross-document spans. Map-side
+    shingling (transform over token positions — no self-join), one
+    shuffle on the shingle to build the shared set, one shuffle back to
+    the doc rollup. The shingle STRING is the join key so both engines
+    agree exactly; at 100 TB you would key on a 128-bit shingle hash
+    instead to shuffle fixed-width keys (same plan shape). Docs shorter
+    than 8 tokens have no spans and are excluded on both sides.
+    dup_ratio is an int ratio -> floor pattern with the single-division
+    op order."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 8)
+    s = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 8),"
+                " i -> array_join(slice(t, i + 1, 8), ' '))"
+            )
+        ).alias("sh"),
+    )
+    g = (
+        s.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh", F.lit(1).alias("dup"))
+    )
+    j = s.join(g, "sh", "left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count("dup").alias("n_dup_spans"),
+        (
+            F.floor(
+                F.count("dup").cast("double") * 10000 / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            / 10000
+        ).alias("dup_ratio"),
+    )

@@ -516,3 +516,47 @@ def q_win_moving_median(spark, sf_dir):
         "event_id",
         F.round((lo + hi) / 2.0, 4).alias("med5"),
     )
+
+
+@query(
+    "q_time_ewma",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
+  FROM events WHERE user_id < 200
+)
+SELECT event_id, user_id, ts, value,
+       list_reduce(lv, (acc, x) -> acc * 0.5 + 0.5 * x) AS ewma
+FROM w
+""",
+)
+def q_time_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha=0.5) — the recurrence
+    y_i = 0.5*y_{i-1} + 0.5*x_i seeded with the frame's oldest value,
+    over a 20-row lookback. Recurrences have no built-in window aggregate
+    in either engine; the distributed form is a pinned-order fold over
+    the bounded frame (the kmeans/PQ hash-certification recipe applied
+    to a recurrence): collect_list over the (ts, event_id)-ordered frame
+    is frame-ordered, alpha=0.5 makes every multiply an EXACT power-of-2
+    scaling, so the only rounding is one addition per fold step — and
+    both engines fold the identical sequence in the identical order,
+    giving bit-identical doubles with NO display rounding. Spark's
+    left-fold seeds with element 1 to match DuckDB list_reduce's
+    no-init semantics (fold starts at element 2). The 20-row truncation
+    bounds per-row state at O(frame) — beyond it the dropped terms carry
+    weight < 2^-20. One key-partitioned window, no shuffle beyond it."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(arr, 2, 19),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + F.lit(0.5) * x,
+    )
+    return e.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
