@@ -531,3 +531,60 @@ def test_bm25_joins_stay_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """q_funnel_conversion: four chained stage windows must share ONE user
+    exchange (plus the single-partition final rollup) over one scan — the
+    naive formulation is four self-joins / four scans."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_funnel_conversion"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 4
+
+
+def test_bloom_prefilter_never_sort_merges(spark):
+    """q_join_bloom_prefilter: all three join phases (two Bloom-bucket
+    semis + the exact semi) are broadcasts; the fact side must never
+    shuffle for the filter."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_join_bloom_prefilter"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_mad_two_scan_two_shuffle(spark):
+    """q_agg_mad is inherently two-pass (median, then deviations from it):
+    exactly two scans of lineitem, the per-group median arriving back as
+    a broadcast, and two group-key exchanges — no more."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_mad"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_gini_reuses_window_partitioning(spark):
+    """q_agg_gini: the rank window hash-partitions on the group key, and
+    the moment aggregation must REUSE that partitioning — one scan, one
+    exchange, no second shuffle for the groupBy."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_gini"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ewma_single_window_exchange(spark):
+    """q_time_ewma: one scan, one user exchange, one Window — the fold
+    runs inside the frame with no extra distribution step."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_time_ewma"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
