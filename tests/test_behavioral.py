@@ -203,3 +203,36 @@ def test_dupspans_flags_known_duplicated_text(spark):
     assert any(
         other != some and mine & shingles(txt) for other, txt in docs.items()
     ), "flagged doc shares at least one 8-gram with another doc"
+
+
+def test_entropy_matches_scipy_style_reference(spark):
+    out = {r.event_type: r for r in all_queries()["q_agg_entropy"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select("event_type", F.hour("ts").alias("h")).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.event_type, {}).setdefault(r.h, 0)
+        groups[r.event_type][r.h] += 1
+    for et, hist in groups.items():
+        c = np.array(list(hist.values()), dtype=np.float64)
+        n = c.sum()
+        h = np.log(n) - float((c * np.log(c)).sum()) / n
+        assert out[et].n == int(n)
+        assert abs(out[et].entropy - h) < 0.006  # round(,2) + ulp
+        assert 0.0 <= out[et].entropy <= np.log(24) + 0.01
+
+
+def test_mom_growth_recurrence(spark):
+    rows = all_queries()["q_time_mom_growth"](spark, SF_SMOKE).collect()
+    by_prio: dict = {}
+    for r in rows:
+        by_prio.setdefault(r.o_orderpriority, []).append(r)
+    assert len(by_prio) == 5
+    for prio, rs in by_prio.items():
+        rs.sort(key=lambda r: r.month)
+        assert rs[0].mom_growth is None, "first month has no predecessor"
+        for prev, cur in zip(rs, rs[1:]):
+            expect = np.floor(
+                (cur.revenue_cents - prev.revenue_cents) * 10000 / prev.revenue_cents
+                + 0.5
+            ) / 10000
+            assert cur.mom_growth == expect

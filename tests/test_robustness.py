@@ -303,6 +303,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_gini",
         "q_time_ewma",
         "q_text_dupspans",
+        "q_agg_entropy",
+        "q_time_mom_growth",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

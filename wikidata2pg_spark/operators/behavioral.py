@@ -200,3 +200,101 @@ def q_cohort_retention(spark, sf_dir):
             / 10000
         ).alias("retention"),
     )
+
+
+@query(
+    "q_agg_entropy",
+    oracle="""
+WITH b AS (
+  SELECT event_type, extract(hour FROM ts::TIMESTAMP) AS hr, count(*) AS c
+  FROM events GROUP BY event_type, hr
+), s AS (
+  SELECT event_type, sum(c) AS n FROM b GROUP BY event_type
+)
+SELECT b.event_type, CAST(max(s.n) AS BIGINT) AS n,
+       round(ln(CAST(max(s.n) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(max(s.n) AS DOUBLE), 2) AS entropy
+FROM b JOIN s USING (event_type)
+GROUP BY b.event_type
+""",
+)
+def q_agg_entropy(spark, sf_dir):
+    """Shannon entropy of each event type's hour-of-day distribution —
+    the usage-diversity profile (uniform usage -> ln(24), one burst hour
+    -> 0). Computed as ln(n) - (1/n)*sum(c*ln(c)) from EXACT integer
+    bucket counts, so the only cross-engine divergence is ulp noise in
+    the transcendental ln and the summation order — the class FIXTURES
+    rule 1 leaves on round(,2) (a transcendental result has measure-zero
+    probability of sitting on a half boundary, unlike int ratios). Two
+    partial-aggregable groupBys, the second over <= 24*|types| rows."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    s = b.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = b.join(F.broadcast(s), "event_type")
+    nd = F.max("n").cast("double")
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.log(nd)
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / nd,
+            2,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_time_mom_growth",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate::TIMESTAMP) AS DATE) AS month,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_orderpriority, month
+), g AS (
+  SELECT o_orderpriority, month, rev,
+         lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month) AS prev
+  FROM m
+)
+SELECT o_orderpriority, month, CAST(rev AS BIGINT) AS revenue_cents,
+       floor(CAST(rev - prev AS DOUBLE) * 10000 / prev + 0.5) / 10000
+         AS mom_growth
+FROM g
+""",
+)
+def q_time_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per order priority — the
+    period-over-period report every finance dashboard runs. Monthly
+    revenue is an exact integer (cents), the lag is a key-partitioned
+    window over the SAME grouping the rollup produced (one exchange for
+    both), and growth is an int ratio under the floor pattern with the
+    single-division op order; months with no predecessor yield NULL on
+    both sides. Negative growth floors identically — both engines hold
+    the same double before the floor."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev"
+        )
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    g = m.withColumn("prev", F.lag("rev").over(w))
+    return g.select(
+        "o_orderpriority",
+        "month",
+        F.col("rev").cast("long").alias("revenue_cents"),
+        (
+            F.floor(
+                (F.col("rev") - F.col("prev")).cast("double")
+                * 10000
+                / F.col("prev")
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mom_growth"),
+    )
