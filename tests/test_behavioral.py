@@ -236,3 +236,40 @@ def test_mom_growth_recurrence(spark):
                 + 0.5
             ) / 10000
             assert cur.mom_growth == expect
+
+
+def test_weighted_median_matches_reference(spark):
+    out = {
+        r.l_returnflag: r
+        for r in all_queries()["q_agg_weighted_median"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (int(np.floor(r.l_extendedprice * 100 + 0.5)), int(r.l_quantity))
+        )
+    for flag, pairs in groups.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        wmed = None
+        for cents, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                wmed = cents
+                break
+        r = out[flag]
+        assert r.total_weight == total
+        assert r.wmedian_price == np.floor(wmed / 100 * 100 + 0.5) / 100
+
+
+def test_funnel_latency_consistent_with_funnel(spark):
+    lat = all_queries()["q_funnel_time_to_convert"](spark, SF_SMOKE).collect()[0]
+    fun = all_queries()["q_funnel_conversion"](spark, SF_SMOKE).collect()[0]
+    assert lat.n_converted == fun.purchase_users > 0
+    assert 0 < lat.min_hours <= lat.median_hours <= lat.max_hours
+    # the whole funnel is step-bounded at 24h per stage -> total <= 72h
+    assert lat.max_hours <= 72.0

@@ -305,6 +305,8 @@ def test_driver_window_ordering_is_pinned():
         "q_text_dupspans",
         "q_agg_entropy",
         "q_time_mom_growth",
+        "q_agg_weighted_median",
+        "q_funnel_time_to_convert",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

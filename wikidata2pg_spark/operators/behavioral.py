@@ -298,3 +298,80 @@ def q_time_mom_growth(spark, sf_dir):
             / 10000
         ).alias("mom_growth"),
     )
+
+
+@query(
+    "q_funnel_time_to_convert",
+    oracle="""
+WITH w1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END)
+           OVER (PARTITION BY user_id) AS t1,
+         event_type, ts::TIMESTAMP AS ts
+  FROM events
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1
+                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t2 FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t2
+                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2
+), w4 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t3
+                      AND ts <= t3 + INTERVAL 24 HOUR THEN ts END)
+              OVER (PARTITION BY user_id) AS t4 FROM w3
+), u AS (
+  SELECT user_id, max(t1) AS t1, max(t4) AS t4 FROM w4 GROUP BY user_id
+), lat AS (
+  SELECT epoch_us(t4) - epoch_us(t1) AS us FROM u WHERE t4 IS NOT NULL
+)
+SELECT count(*) AS n_converted,
+       floor(quantile_cont(us, 0.5) / 3600000000.0 * 1000 + 0.5) / 1000
+         AS median_hours,
+       floor(CAST(min(us) AS DOUBLE) / 3600000000.0 * 1000 + 0.5) / 1000
+         AS min_hours,
+       floor(CAST(max(us) AS DOUBLE) / 3600000000.0 * 1000 + 0.5) / 1000
+         AS max_hours
+FROM lat
+""",
+)
+def q_funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency rollup over the q_funnel_conversion stage logic:
+    among users completing the whole signup->purchase funnel, the median
+    / min / max signup-to-purchase latency. Latencies are EXACT integer
+    microseconds (unix_micros twin of epoch_us), the median interpolates
+    integers onto the exact .5 grid, and the hour conversion is a single
+    correctly-rounded division of identical doubles, floor-rounded at
+    3dp. Same single user-shuffle plan as the funnel; the latency set
+    collapses to |converters| rows before the global aggregate."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    step = F.expr(f"INTERVAL {_STEP_HOURS} HOURS")
+
+    def stage(prev, etype):
+        cond = (F.col("event_type") == etype) & (F.col("ts") >= F.col(prev)) & (
+            F.col("ts") <= F.col(prev) + step
+        )
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    d = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn("t2", stage("t1", "view"))
+        .withColumn("t3", stage("t2", "click"))
+        .withColumn("t4", stage("t3", "purchase"))
+    )
+    u = d.groupBy("user_id").agg(F.max("t1").alias("t1"), F.max("t4").alias("t4"))
+    lat = u.filter(F.col("t4").isNotNull()).select(
+        (F.unix_micros("t4") - F.unix_micros("t1")).alias("us")
+    )
+    hours = lambda c: F.floor(c / F.lit(3600000000.0) * 1000 + F.lit(0.5)) / 1000  # noqa: E731
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        hours(F.percentile("us", F.lit(0.5))).alias("median_hours"),
+        hours(F.min("us").cast("double")).alias("min_hours"),
+        hours(F.max("us").cast("double")).alias("max_hours"),
+    )

@@ -1636,3 +1636,74 @@ def q_agg_gini(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, w
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS total
+  FROM c
+)
+SELECT l_returnflag,
+       CAST(max(total) AS BIGINT) AS total_weight,
+       floor(CAST(min(CASE WHEN 2 * cum >= total THEN cents END) AS DOUBLE)
+             / 100 * 100 + 0.5) / 100 AS wmedian_price
+FROM r GROUP BY l_returnflag
+""",
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Quantity-weighted LOWER median of price per group: the smallest
+    price whose cumulative weight reaches half the total — the
+    no-interpolation definition, so the answer is an EXACT integer cent
+    value and the whole computation is integer arithmetic (zero float
+    hazard; the /100 display division is one correctly-rounded op on
+    identical inputs). The prefix weights come from a running-sum window
+    ordered by (cents, w); ties in cents produce the same qualifying
+    minimum whatever their internal order because the candidate value —
+    not the row — is selected. One sort window + one aggregate sharing
+    the group key's partitioning, the q_agg_gini plan shape."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents", "w")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("total_weight"),
+        (
+            F.floor(
+                F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("cents")))
+                .cast("double")
+                / 100
+                * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("wmedian_price"),
+    )
