@@ -307,6 +307,7 @@ def test_driver_window_ordering_is_pinned():
         "q_time_mom_growth",
         "q_agg_weighted_median",
         "q_funnel_time_to_convert",
+        "q_stream_full_outer",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

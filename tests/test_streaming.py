@@ -256,3 +256,68 @@ def test_stream_left_frontier_rule_matches_spark_watermark(spark, tmp_path):
             "q_stream_stream_left", df, duck_connection(str(d)), all_oracles()["q_stream_stream_left"]
         )
         assert not errs, (name, errs)
+
+
+def test_stream_full_outer_frontier_rule_both_sides(spark, tmp_path):
+    """The full-outer key's two eviction bounds, probed at the edges:
+    unmatched errors emit iff err_ts < W (strict), unmatched purchases
+    iff purchase_ts < W - 1h (strict, shifted by the range width), with
+    W ms-floored. Probes sit 1 ms below, exactly at, in the sub-ms
+    sliver above, and 1 ms above each bound; the oracle must agree with
+    Spark on every one."""
+    import datetime as dt
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.oracle import compare, duck_connection
+    from wikidata2pg_spark.registry import all_oracles, all_queries
+
+    base = dt.datetime(2024, 1, 10, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    ms = dt.timedelta(milliseconds=1)
+    us = dt.timedelta(microseconds=1)
+    # sub-ms maxima exercise the ms-floor: W = base+8h+123ms
+    max_e = base + 10 * h + 123456 * us
+    max_p = base + 10 * h + 987654 * us
+    w = base + 8 * h + 123 * ms
+    b = w - h
+    rows = [(1, max_e, 1, "error", 1.0, "{}"), (2, max_p, 2, "purchase", 1.0, "{}")]
+    eid = 8000
+    for t in (w - ms, w, w + 999 * us, w + ms):
+        eid += 1
+        rows.append((eid, t, 50 + eid, "error", 1.0, "{}"))
+    pid = 9000
+    for t in (b - ms, b, b + 999 * us, b + ms):
+        pid += 1
+        rows.append((pid, t, 50 + pid, "purchase", 1.0, "{}"))
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    d = tmp_path / "frontier_full"
+    shutil.copytree(SF_T2, d)
+    pq.write_table(
+        pa.Table.from_pylist([dict(zip(schema.names, r)) for r in rows], schema=schema),
+        d / "events.parquet",
+    )
+    df = all_queries()["q_stream_full_outer"](spark, str(d))
+    errs = compare(
+        "q_stream_full_outer",
+        df,
+        duck_connection(str(d)),
+        all_oracles()["q_stream_full_outer"],
+    )
+    assert not errs, errs
+    out = df.collect()
+    got_e = sorted(r.err_id for r in out if r.err_id is not None and r.purchase_id is None)
+    got_p = sorted(r.purchase_id for r in out if r.purchase_id is not None and r.err_id is None)
+    assert got_e == [8001], got_e  # only the 1ms-below-W probe emits
+    assert got_p == [9001], got_p  # only the 1ms-below-(W-1h) probe emits

@@ -776,3 +776,92 @@ def q_stream_stream_left(spark, sf_dir):
         "left_outer",
     ).select("err_id", "purchase_id", "user_id", "err_ts", "purchase_ts")
     return run_available_now(spark, joined, output_mode="append")
+
+
+@query(
+    "q_stream_full_outer",
+    oracle="""
+WITH e AS (
+  SELECT event_id AS err_id, user_id, ts::TIMESTAMP AS err_ts
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  -- identical watermark arithmetic to q_stream_stream_left (ms-floor,
+  -- strict eviction); the RIGHT side's finality bound is shifted by the
+  -- range width: a purchase at time t can match errors up to t + 1h, so
+  -- "no error matched" is final only when t + 1h < W, i.e. t < W - 1h
+  -- (strict — pinned by the crafted frontier fixture in
+  -- tests/test_streaming.py: a probe exactly at W-1h stays withheld,
+  -- one 1 ms below emits).
+  SELECT least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
+               date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+         - INTERVAL 2 HOUR AS w
+), matched AS (
+  SELECT e.err_id, p.purchase_id, e.user_id, e.err_ts, p.purchase_ts
+  FROM e JOIN p ON e.user_id = p.user_id
+   AND p.purchase_ts >= e.err_ts - INTERVAL 1 HOUR
+   AND p.purchase_ts <= e.err_ts
+)
+SELECT err_id, purchase_id, user_id, err_ts, purchase_ts FROM matched
+UNION ALL
+SELECT e.err_id, NULL, e.user_id, e.err_ts, CAST(NULL AS TIMESTAMP)
+FROM e, wm
+WHERE e.err_id NOT IN (SELECT err_id FROM matched) AND e.err_ts < wm.w
+UNION ALL
+SELECT NULL, p.purchase_id, p.user_id, CAST(NULL AS TIMESTAMP), p.purchase_ts
+FROM p, wm
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM matched)
+  AND p.purchase_ts < wm.w - INTERVAL 1 HOUR
+""",
+)
+def q_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join — both sides' unmatched rows emit
+    with NULL partners once the global watermark proves no match can
+    arrive. Extends q_stream_stream_left's frontier rule to the right
+    side, whose finality bound is SHIFTED BY THE RANGE WIDTH: an
+    unmatched error is final when err_ts < W, but an unmatched purchase
+    at t can still match errors arriving up to t + 1h, so it emits only
+    when t < W - 1h. Both bounds are STRICT and W ms-floors each input's
+    max event time before subtracting the 2 h delay — all three facts
+    pinned empirically with a crafted frontier fixture (probes 1 ms
+    either side of, exactly at, and in the sub-ms sliver above each
+    bound). As with the left key, the final watermark is a pure function
+    of the data, which is what makes the availableNow drain hashable.
+    At 100 TB the two bounds are exactly the state-store eviction
+    frontiers — state is bounded by delay + range width."""
+    err = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "2 hours")
+    )
+    pur = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("err_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("purchase_ts") <= F.col("err_ts")),
+        "full_outer",
+    ).select(
+        "err_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "err_ts",
+        "purchase_ts",
+    )
+    return run_available_now(spark, joined, output_mode="append")
