@@ -24,10 +24,10 @@ from wikidata2pg_spark.tables import load
 
 _STEP_HOURS = 24  # max gap between consecutive funnel stages
 
-
-@query(
-    "q_funnel_conversion",
-    oracle="""
+# Shared funnel-stage CTE prefix (w1..w4 + the per-user rollup `u` holding
+# t1..t4) — both funnel oracles build on it so the stage definition cannot
+# drift between keys.
+_FUNNEL_CTE = """
 WITH w1 AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END)
@@ -50,6 +50,42 @@ WITH w1 AS (
   SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
   FROM w4 GROUP BY user_id
 )
+"""
+
+
+def _funnel_stage_times(spark, sf_dir):
+    """Per-user funnel stage timestamps t1..t4 (the Spark twin of
+    _FUNNEL_CTE's `u`): t_k = first qualifying event within _STEP_HOURS of
+    t_{k-1}, all four as chained unordered-frame windows over ONE user
+    partitioning. Both funnel keys derive from this single definition."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    step = F.expr(f"INTERVAL {_STEP_HOURS} HOURS")
+
+    def stage(prev, etype):
+        cond = (F.col("event_type") == etype) & (F.col("ts") >= F.col(prev)) & (
+            F.col("ts") <= F.col(prev) + step
+        )
+        return F.min(F.when(cond, F.col("ts"))).over(w)
+
+    d = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn("t2", stage("t1", "view"))
+        .withColumn("t3", stage("t2", "click"))
+        .withColumn("t4", stage("t3", "purchase"))
+    )
+    return d.groupBy("user_id").agg(
+        *[F.max(t).alias(t) for t in ("t1", "t2", "t3", "t4")]
+    )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle=_FUNNEL_CTE
+    + """
 SELECT count(t1) AS signup_users,
        count(t2) AS view_users,
        count(t3) AS click_users,
@@ -72,28 +108,7 @@ def q_funnel_conversion(spark, sf_dir):
     formulation self-joins events once per stage). Conversion ratios are
     exact-integer counts under the floor pattern. Discriminating at every
     sf (e.g. sf0.01: 150 -> 39 -> 16 -> 5)."""
-    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = W.partitionBy("user_id")
-    step = F.expr(f"INTERVAL {_STEP_HOURS} HOURS")
-
-    def stage(prev, etype):
-        cond = (F.col("event_type") == etype) & (F.col("ts") >= F.col(prev)) & (
-            F.col("ts") <= F.col(prev) + step
-        )
-        return F.min(F.when(cond, F.col("ts"))).over(w)
-
-    d = (
-        e.withColumn(
-            "t1",
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
-        )
-        .withColumn("t2", stage("t1", "view"))
-        .withColumn("t3", stage("t2", "click"))
-        .withColumn("t4", stage("t3", "purchase"))
-    )
-    u = d.groupBy("user_id").agg(
-        *[F.max(t).alias(t) for t in ("t1", "t2", "t3", "t4")]
-    )
+    u = _funnel_stage_times(spark, sf_dir)
     counts = u.agg(
         F.count("t1").alias("signup_users"),
         F.count("t2").alias("view_users"),
@@ -302,28 +317,9 @@ def q_time_mom_growth(spark, sf_dir):
 
 @query(
     "q_funnel_time_to_convert",
-    oracle="""
-WITH w1 AS (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END)
-           OVER (PARTITION BY user_id) AS t1,
-         event_type, ts::TIMESTAMP AS ts
-  FROM events
-), w2 AS (
-  SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1
-                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
-              OVER (PARTITION BY user_id) AS t2 FROM w1
-), w3 AS (
-  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t2
-                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
-              OVER (PARTITION BY user_id) AS t3 FROM w2
-), w4 AS (
-  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t3
-                      AND ts <= t3 + INTERVAL 24 HOUR THEN ts END)
-              OVER (PARTITION BY user_id) AS t4 FROM w3
-), u AS (
-  SELECT user_id, max(t1) AS t1, max(t4) AS t4 FROM w4 GROUP BY user_id
-), lat AS (
+    oracle=_FUNNEL_CTE
+    + """
+, lat AS (
   SELECT epoch_us(t4) - epoch_us(t1) AS us FROM u WHERE t4 IS NOT NULL
 )
 SELECT count(*) AS n_converted,
@@ -345,26 +341,7 @@ def q_funnel_time_to_convert(spark, sf_dir):
     correctly-rounded division of identical doubles, floor-rounded at
     3dp. Same single user-shuffle plan as the funnel; the latency set
     collapses to |converters| rows before the global aggregate."""
-    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = W.partitionBy("user_id")
-    step = F.expr(f"INTERVAL {_STEP_HOURS} HOURS")
-
-    def stage(prev, etype):
-        cond = (F.col("event_type") == etype) & (F.col("ts") >= F.col(prev)) & (
-            F.col("ts") <= F.col(prev) + step
-        )
-        return F.min(F.when(cond, F.col("ts"))).over(w)
-
-    d = (
-        e.withColumn(
-            "t1",
-            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
-        )
-        .withColumn("t2", stage("t1", "view"))
-        .withColumn("t3", stage("t2", "click"))
-        .withColumn("t4", stage("t3", "purchase"))
-    )
-    u = d.groupBy("user_id").agg(F.max("t1").alias("t1"), F.max("t4").alias("t4"))
+    u = _funnel_stage_times(spark, sf_dir)
     lat = u.filter(F.col("t4").isNotNull()).select(
         (F.unix_micros("t4") - F.unix_micros("t1")).alias("us")
     )
