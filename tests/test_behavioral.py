@@ -273,3 +273,27 @@ def test_funnel_latency_consistent_with_funnel(spark):
     assert 0 < lat.min_hours <= lat.median_hours <= lat.max_hours
     # the whole funnel is step-bounded at 24h per stage -> total <= 72h
     assert lat.max_hours <= 72.0
+
+
+def test_bag_setops_multiplicities(spark):
+    """EXCEPT ALL keeps max(m-n,0) copies; INTERSECT ALL keeps min(m,n) —
+    verified per custkey against plain counts."""
+    o = load(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderstatus").collect()
+    m: dict = {}
+    n: dict = {}
+    for r in o:
+        if r.o_orderstatus == "O":
+            m[r.o_custkey] = m.get(r.o_custkey, 0) + 1
+        elif r.o_orderstatus == "F":
+            n[r.o_custkey] = n.get(r.o_custkey, 0) + 1
+    exc: dict = {}
+    for r in all_queries()["q_except_all"](spark, SF_SMOKE).collect():
+        exc[r.o_custkey] = exc.get(r.o_custkey, 0) + 1
+    inter: dict = {}
+    for r in all_queries()["q_intersect_all"](spark, SF_SMOKE).collect():
+        inter[r.o_custkey] = inter.get(r.o_custkey, 0) + 1
+    for k in set(m) | set(n):
+        assert exc.get(k, 0) == max(m.get(k, 0) - n.get(k, 0), 0), k
+        assert inter.get(k, 0) == min(m.get(k, 0), n.get(k, 0)), k
+    assert any(v > 1 for v in exc.values()), "multiplicities actually exercised"
+    assert any(v > 1 for v in inter.values())

@@ -308,6 +308,9 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_weighted_median",
         "q_funnel_time_to_convert",
         "q_stream_full_outer",
+        "q_except_all",
+        "q_intersect_all",
+        "q_fn_date2",
     }
     never = [k for k in qs if k not in tested]
     for k in never:
