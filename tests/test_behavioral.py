@@ -297,3 +297,29 @@ def test_bag_setops_multiplicities(spark):
         assert inter.get(k, 0) == min(m.get(k, 0), n.get(k, 0)), k
     assert any(v > 1 for v in exc.values()), "multiplicities actually exercised"
     assert any(v > 1 for v in inter.values())
+
+
+def test_bitmap_distinct_equals_count_distinct_and_merges(spark):
+    got = {
+        r.event_type: r.distinct_users
+        for r in all_queries()["q_agg_bitmap_distinct"](spark, SF_T2).collect()
+    }
+    want = {
+        r.event_type: r.d
+        for r in load(spark, SF_T2, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+    # the shard level really merges: a single-shard variant must agree
+    e = load(spark, SF_T2, "events")
+    single = {
+        r.event_type: r.d
+        for r in e.groupBy("event_type", F.bitmap_bucket_number("user_id").alias("b"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("d"))
+        .collect()
+    }
+    assert single == got

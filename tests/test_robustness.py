@@ -311,6 +311,7 @@ def test_driver_window_ordering_is_pinned():
         "q_except_all",
         "q_intersect_all",
         "q_fn_date2",
+        "q_agg_bitmap_distinct",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

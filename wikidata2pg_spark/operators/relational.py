@@ -1782,3 +1782,37 @@ def q_fn_date2(spark, sf_dir):
             "days_since_fix"
         ),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+""",
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps — the scalable exact
+    alternative to both count(DISTINCT) (whose partials carry raw values)
+    and HLL (approximate, q_agg_hll_mergeable): ids map to (bucket, bit)
+    positions, per-shard bitmaps build map-side with
+    bitmap_construct_agg, shards merge associatively with bitmap_or_agg
+    (the step that makes the partial state mergeable across executors /
+    days / tables), and the count is the sum of per-bucket popcounts —
+    buckets partition the id space, so the sum is exact. The deliberate
+    extra shard level (user_id % 4) exercises the merge path the same
+    way a per-day rollup table would. Partial state is bounded by the id
+    range, not the row count; the oracle is plain count(DISTINCT) —
+    results must be EQUAL, unlike the HLL key's invariant checks."""
+    e = load(spark, sf_dir, "events")
+    shards = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+        (F.col("user_id") % 4).alias("shard"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    buckets = shards.groupBy("event_type", "bkt").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users")
+    )
