@@ -278,21 +278,21 @@ def test_funnel_latency_consistent_with_funnel(spark):
 def test_bag_setops_multiplicities(spark):
     """EXCEPT ALL keeps max(m-n,0) copies; INTERSECT ALL keeps min(m,n) —
     verified per custkey against plain counts."""
+    from collections import Counter
+
     o = load(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderstatus").collect()
-    m: dict = {}
-    n: dict = {}
-    for r in o:
-        if r.o_orderstatus == "O":
-            m[r.o_custkey] = m.get(r.o_custkey, 0) + 1
-        elif r.o_orderstatus == "F":
-            n[r.o_custkey] = n.get(r.o_custkey, 0) + 1
-    exc: dict = {}
-    for r in all_queries()["q_except_all"](spark, SF_SMOKE).collect():
-        exc[r.o_custkey] = exc.get(r.o_custkey, 0) + 1
-    inter: dict = {}
-    for r in all_queries()["q_intersect_all"](spark, SF_SMOKE).collect():
-        inter[r.o_custkey] = inter.get(r.o_custkey, 0) + 1
-    for k in set(m) | set(n):
+    m = Counter(r.o_custkey for r in o if r.o_orderstatus == "O")
+    n = Counter(r.o_custkey for r in o if r.o_orderstatus == "F")
+    exc = Counter(
+        r.o_custkey for r in all_queries()["q_except_all"](spark, SF_SMOKE).collect()
+    )
+    inter = Counter(
+        r.o_custkey
+        for r in all_queries()["q_intersect_all"](spark, SF_SMOKE).collect()
+    )
+    # include the OUTPUT keys too: a buggy op emitting custkeys outside
+    # both input sides must fail, not dodge the loop
+    for k in set(m) | set(n) | set(exc) | set(inter):
         assert exc.get(k, 0) == max(m.get(k, 0) - n.get(k, 0), 0), k
         assert inter.get(k, 0) == min(m.get(k, 0), n.get(k, 0)), k
     assert any(v > 1 for v in exc.values()), "multiplicities actually exercised"
@@ -312,14 +312,22 @@ def test_bitmap_distinct_equals_count_distinct_and_merges(spark):
         .collect()
     }
     assert got == want
-    # the shard level really merges: a single-shard variant must agree
+    # exercise the bitmap_or_agg merge path with a DIFFERENT sharding —
+    # if the associative merge were broken, a 7-way split would disagree
+    # with the key's 4-way split (and with count distinct)
     e = load(spark, SF_T2, "events")
-    single = {
+    resharded = {
         r.event_type: r.d
-        for r in e.groupBy("event_type", F.bitmap_bucket_number("user_id").alias("b"))
+        for r in e.groupBy(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("b"),
+            (F.col("user_id") % 7).alias("shard"),
+        )
         .agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+        .groupBy("event_type", "b")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
         .groupBy("event_type")
         .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("d"))
         .collect()
     }
-    assert single == got
+    assert resharded == got

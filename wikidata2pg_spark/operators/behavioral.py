@@ -27,7 +27,7 @@ _STEP_HOURS = 24  # max gap between consecutive funnel stages
 # Shared funnel-stage CTE prefix (w1..w4 + the per-user rollup `u` holding
 # t1..t4) — both funnel oracles build on it so the stage definition cannot
 # drift between keys.
-_FUNNEL_CTE = """
+_FUNNEL_CTE = f"""
 WITH w1 AS (
   SELECT user_id,
          min(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END)
@@ -36,15 +36,15 @@ WITH w1 AS (
   FROM events
 ), w2 AS (
   SELECT *, min(CASE WHEN event_type = 'view' AND ts >= t1
-                      AND ts <= t1 + INTERVAL 24 HOUR THEN ts END)
+                      AND ts <= t1 + INTERVAL {_STEP_HOURS} HOUR THEN ts END)
               OVER (PARTITION BY user_id) AS t2 FROM w1
 ), w3 AS (
   SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t2
-                      AND ts <= t2 + INTERVAL 24 HOUR THEN ts END)
+                      AND ts <= t2 + INTERVAL {_STEP_HOURS} HOUR THEN ts END)
               OVER (PARTITION BY user_id) AS t3 FROM w2
 ), w4 AS (
   SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t3
-                      AND ts <= t3 + INTERVAL 24 HOUR THEN ts END)
+                      AND ts <= t3 + INTERVAL {_STEP_HOURS} HOUR THEN ts END)
               OVER (PARTITION BY user_id) AS t4 FROM w3
 ), u AS (
   SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4

@@ -1749,42 +1749,6 @@ def q_intersect_all(spark, sf_dir):
 
 
 @query(
-    "q_fn_date2",
-    oracle="""
-SELECT o_orderkey,
-       CAST(o_orderdate::TIMESTAMP + INTERVAL 3 MONTH AS DATE) AS plus_3m,
-       last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       CAST(quarter(o_orderdate::TIMESTAMP) AS INT) AS qtr,
-       CAST(isodow(o_orderdate::TIMESTAMP) AS INT) AS iso_dow,
-       CAST(week(o_orderdate::TIMESTAMP) AS INT) AS iso_week,
-       CAST(date_diff('day', DATE '1995-06-17',
-                      CAST(o_orderdate AS DATE)) AS INT) AS days_since_fix
-FROM orders WHERE o_orderkey < 2000
-""",
-)
-def q_fn_date2(spark, sf_dir):
-    """Calendar arithmetic beyond F3: month addition WITH end-of-month
-    clamping (Jan 31 + 1 month = Feb 29/28 — add_months and DuckDB's
-    +INTERVAL agree on the clamp), last_day, quarter, ISO day-of-week
-    (Spark's dayofweek is Sunday=1 — weekday()+1 is the ISO twin of
-    DuckDB's isodow), ISO week number, and signed day differences across
-    a fixed epoch. All map-side codegen; no shuffle at any scale."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.add_months(d, 3).alias("plus_3m"),
-        F.last_day(d).alias("month_end"),
-        F.quarter(d).alias("qtr"),
-        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
-        F.weekofyear(d).cast("int").alias("iso_week"),
-        F.datediff(d, F.lit("1995-06-17").cast("date")).cast("int").alias(
-            "days_since_fix"
-        ),
-    )
-
-
-@query(
     "q_agg_bitmap_distinct",
     oracle="""
 SELECT event_type, count(DISTINCT user_id) AS distinct_users
