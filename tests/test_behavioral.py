@@ -331,3 +331,40 @@ def test_bitmap_distinct_equals_count_distinct_and_merges(spark):
         .collect()
     }
     assert resharded == got
+
+
+def test_ohlc_bars_match_sequential_reference(spark):
+    out = {
+        (r.event_type, r.bucket): r
+        for r in all_queries()["q_time_ohlc"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    bars: dict = {}
+    for r in rows:
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        bars.setdefault((r.event_type, b), []).append((r.ts, r.event_id, r.value))
+    assert set(out) == set(bars)
+    for key, evs in bars.items():
+        evs.sort()
+        r = out[key]
+        assert r.open == evs[0][2] and r.close == evs[-1][2]
+        vals = [v for _, _, v in evs]
+        assert r.high == max(vals) and r.low == min(vals) and r.n == len(evs)
+
+
+def test_balanced_sample_is_balanced_and_deterministic(spark):
+    from collections import Counter
+
+    rows = all_queries()["q_sample_balanced"](spark, SF_T2).collect()
+    per_class = Counter(r.lang for r in rows)
+    truth = Counter(
+        r.lang for r in load(spark, SF_T2, "documents").select("lang").collect()
+    )
+    k = min(truth.values())
+    assert set(per_class) == set(truth)
+    assert all(v == k for v in per_class.values()), per_class
+    # selection is a pure function of the data: rerun == same set
+    again = {(r.lang, r.doc_id) for r in all_queries()["q_sample_balanced"](spark, SF_T2).collect()}
+    assert again == {(r.lang, r.doc_id) for r in rows}

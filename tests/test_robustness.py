@@ -312,6 +312,8 @@ def test_driver_window_ordering_is_pinned():
         "q_intersect_all",
         "q_fn_date2",
         "q_agg_bitmap_distinct",
+        "q_time_ohlc",
+        "q_sample_balanced",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -191,3 +191,42 @@ def q_sample_token_budget(spark, sf_dir):
     return c.filter(F.col("cum_tok") - F.col("n_tok") < 3000).select(
         "doc_id", "lang", "n_tok", "cum_tok"
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+), k AS (
+  SELECT min(c) AS k FROM (SELECT count(*) AS c FROM documents GROUP BY lang)
+)
+SELECT lang, doc_id FROM r, k WHERE rn <= k.k
+""",
+)
+def q_sample_balanced(spark, sf_dir):
+    """Class-balanced downsampling — equalize every language's document
+    count to the SMALLEST class (the classic class-balancing step before
+    fine-tuning on skewed data): rank each class's members in
+    deterministic content-hash order (md5 of the id — agrees
+    byte-for-byte across engines and partitionings, the q_sample_hash
+    recipe) and keep the first k of each, k = min class size. One
+    class-keyed rank window + a broadcast 1-row threshold — the take-k
+    never collects a class to one machine beyond its sort, and at 100 TB
+    the same plan holds because k derives from a partial-aggregable
+    count. Balance (every class exactly k) is asserted in pytest."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    k = d.groupBy("lang").count().agg(F.min("count").alias("k"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("lang", "doc_id")
+    )

@@ -560,3 +560,60 @@ def q_time_ewma(spark, sf_dir):
         lambda acc, x: acc * F.lit(0.5) + F.lit(0.5) * x,
     )
     return e.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))
+
+
+@query(
+    "q_time_ohlc",
+    oracle="""
+WITH x AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS bucket, event_type,
+         ts::TIMESTAMP AS ts, event_id, value
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM x
+)
+SELECT event_type, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n
+FROM r GROUP BY event_type, bucket
+""",
+)
+def q_time_ohlc(spark, sf_dir):
+    """OHLC bars — open/high/low/close per (event_type, hour), the
+    canonical financial downsample. Open/close are SELECTED raw values
+    (first/last by (ts, event_id) — unique tiebreaker per FIXTURES rule
+    2), not arithmetic, so no rounding is needed anywhere: every output
+    is byte-identical on both engines. Two opposite-direction
+    row_number windows + the rollup all share one (type, bucket) hash
+    partitioning — a single exchange; at 100 TB this is the standard
+    one-shuffle bar builder (min_by/max_by would save the windows but
+    have no deterministic tiebreak in either engine)."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
