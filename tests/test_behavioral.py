@@ -368,3 +368,41 @@ def test_balanced_sample_is_balanced_and_deterministic(spark):
     # selection is a pure function of the data: rerun == same set
     again = {(r.lang, r.doc_id) for r in all_queries()["q_sample_balanced"](spark, SF_T2).collect()}
     assert again == {(r.lang, r.doc_id) for r in rows}
+
+
+def test_ratio_to_report_sums_to_one_per_customer(spark):
+    rows = all_queries()["q_win_ratio_to_report"](spark, SF_SMOKE).collect()
+    per_cust: dict = {}
+    for r in rows:
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    for ck, rs in per_cust.items():
+        total = sum(r.price_cents for r in rs)
+        s = sum(r.share_of_customer for r in rs)
+        # floor rounding at 6dp: each share loses < 1e-6
+        assert abs(s - 1.0) <= len(rs) * 1e-6, (ck, s)
+        for r in rs:
+            assert abs(r.share_of_customer - r.price_cents / total) < 2e-6
+
+
+def test_iqr_outliers_match_numpy(spark):
+    out = {
+        r.l_returnflag: r
+        for r in all_queries()["q_agg_iqr_outliers"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            np.floor(r.l_extendedprice * 100 + 0.5)
+        )
+    for flag, cents in groups.items():
+        a = np.array(cents, dtype=np.float64)
+        q1, q3 = np.percentile(a, [25, 75])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        r = out[flag]
+        assert r.n == len(a)
+        assert r.n_outliers == int(((a < lo) | (a > hi)).sum())
+        assert abs(r.fence_lo - np.floor(lo / 100 * 100 + 0.5) / 100) < 1e-9
+        assert abs(r.fence_hi - np.floor(hi / 100 * 100 + 0.5) / 100) < 1e-9

@@ -314,6 +314,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_bitmap_distinct",
         "q_time_ohlc",
         "q_sample_balanced",
+        "q_win_ratio_to_report",
+        "q_agg_iqr_outliers",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1780,3 +1780,64 @@ def q_agg_bitmap_distinct(spark, sf_dir):
     return buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users")
     )
+
+
+@query(
+    "q_agg_iqr_outliers",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), q AS (
+  SELECT l_returnflag,
+         quantile_cont(cents, 0.25) AS q1,
+         quantile_cont(cents, 0.75) AS q3
+  FROM c GROUP BY l_returnflag
+), f AS (
+  SELECT l_returnflag, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT c.l_returnflag,
+       count(*) AS n,
+       count(*) FILTER (WHERE CAST(c.cents AS DOUBLE) < f.lo
+                           OR CAST(c.cents AS DOUBLE) > f.hi) AS n_outliers,
+       floor(max(f.lo) / 100 * 100 + 0.5) / 100 AS fence_lo,
+       floor(max(f.hi) / 100 * 100 + 0.5) / 100 AS fence_hi
+FROM c JOIN f USING (l_returnflag)
+GROUP BY c.l_returnflag
+""",
+)
+def q_agg_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier audit per group: IQR = Q3 - Q1 over exact
+    integer cents (quartile interpolation lands on the exact .25 grid —
+    same argument as q_agg_mad), fences at 1.5*IQR, outliers counted
+    against the fences with both engines holding bit-identical fence
+    doubles (the 1.5*(q3-q1) product is exact: a .25-grid value times
+    1.5 stays on the .125 grid). Two-pass like MAD: quartiles shuffle
+    once per group key, broadcast back, one counting pass — the standard
+    data-quality screen before training-data ingestion."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    c = li.select("l_returnflag", cents.alias("cents"))
+    q = c.groupBy("l_returnflag").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    f = q.select(
+        "l_returnflag",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    j = c.join(F.broadcast(f), "l_returnflag")
+    out_cond = (F.col("cents").cast("double") < F.col("lo")) | (
+        F.col("cents").cast("double") > F.col("hi")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(out_cond.cast("long")).cast("long").alias("n_outliers"),
+        (F.floor(F.max("lo") / 100 * 100 + F.lit(0.5)) / 100).alias("fence_lo"),
+        (F.floor(F.max("hi") / 100 * 100 + F.lit(0.5)) / 100).alias("fence_hi"),
+    )

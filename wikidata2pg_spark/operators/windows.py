@@ -617,3 +617,44 @@ def q_time_ohlc(spark, sf_dir):
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_win_ratio_to_report",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_custkey, o_orderkey, cents AS price_cents,
+       floor(CAST(cents AS DOUBLE) * 1000000
+             / sum(cents) OVER (PARTITION BY o_custkey) + 0.5) / 1000000
+         AS share_of_customer
+FROM c
+""",
+)
+def q_win_ratio_to_report(spark, sf_dir):
+    """RATIO_TO_REPORT — each order's share of its customer's total
+    spend, the classic reporting window function Oracle/Teradata ship
+    natively and Spark composes as value / sum() OVER (partition). Exact
+    integer cents over an unordered-frame window sum (one exchange, no
+    sort), int-ratio floor pattern with the single-division op order.
+    Numerator and denominator are both exact, so shares per partition
+    sum to ~1 by construction (asserted in pytest)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = o.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    w = Window.partitionBy("o_custkey")
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("cents").alias("price_cents"),
+        (
+            F.floor(
+                F.col("cents").cast("double") * 1000000 / F.sum("cents").over(w)
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("share_of_customer"),
+    )
