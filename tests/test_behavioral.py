@@ -406,3 +406,48 @@ def test_iqr_outliers_match_numpy(spark):
         assert r.n_outliers == int(((a < lo) | (a > hi)).sum())
         assert abs(r.fence_lo - np.floor(lo / 100 * 100 + 0.5) / 100) < 1e-9
         assert abs(r.fence_hi - np.floor(hi / 100 * 100 + 0.5) / 100) < 1e-9
+
+
+def test_streaks_match_sequential_reference(spark):
+    import datetime as dt
+
+    out = {r.user_id: r for r in all_queries()["q_time_streaks"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    days: dict = {}
+    for r in rows:
+        days.setdefault(r.user_id, set()).add(r.ts.date())
+    for uid, ds in days.items():
+        sd = sorted(ds)
+        streaks = [1]
+        for a, b in zip(sd, sd[1:]):
+            if b - a == dt.timedelta(days=1):
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        r = out[uid]
+        assert r.longest_streak == max(streaks)
+        assert r.n_streaks == len(streaks)
+        assert r.first_day == sd[0]
+
+
+def test_churn_counts_match_reference(spark):
+    out = {r.week: r for r in all_queries()["q_agg_churn"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    act: dict = {}
+    for r in rows:
+        monday = (r.ts - __import__("datetime").timedelta(days=r.ts.weekday())).date()
+        act.setdefault(monday, set()).add(r.user_id)
+    weeks = sorted(act)
+    assert set(out) == set(weeks[:-1]), "last week has no successor"
+    for w, nxt in zip(weeks, weeks[1:]):
+        churned = act[w] - act[nxt]
+        r = out[w]
+        assert r.active_users == len(act[w])
+        assert r.churned_users == len(churned)
+
+
+def test_exists_flag_keeps_every_row(spark):
+    rows = all_queries()["q_subquery_exists_flag"](spark, SF_SMOKE).collect()
+    n_cust = load(spark, SF_SMOKE, "customer").filter(F.col("c_custkey") < 300).count()
+    assert len(rows) == n_cust, "mark join must not filter"
+    assert any(r.has_urgent for r in rows) and any(not r.has_urgent for r in rows)

@@ -316,6 +316,9 @@ def test_driver_window_ordering_is_pinned():
         "q_sample_balanced",
         "q_win_ratio_to_report",
         "q_agg_iqr_outliers",
+        "q_time_streaks",
+        "q_agg_churn",
+        "q_subquery_exists_flag",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

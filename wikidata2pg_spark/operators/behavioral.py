@@ -352,3 +352,124 @@ def q_funnel_time_to_convert(spark, sf_dir):
         hours(F.min("us").cast("double")).alias("min_hours"),
         hours(F.max("us").cast("double")).alias("max_hours"),
     )
+
+
+@query(
+    "q_time_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts::TIMESTAMP) AS DATE)
+           AS day
+  FROM events
+), g AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM d
+), s AS (
+  SELECT user_id, min(day) AS streak_start, count(*) AS streak_days
+  FROM g GROUP BY user_id, grp
+)
+SELECT user_id, max(streak_days) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       min(streak_start) AS first_day
+FROM s GROUP BY user_id
+""",
+)
+def q_time_streaks(spark, sf_dir):
+    """Gaps-and-islands over calendar days: each user's LONGEST run of
+    consecutive active days, streak count, and first active day — the
+    engagement-streak metric, and the canonical dense-grouping trick
+    (day minus its rank is constant exactly within a consecutive run,
+    so one subtraction replaces any iterative chaining). Distinct from
+    q_time_sessionize_batch: that splits on a TIME gap, this on missing
+    CALENDAR DAYS. One user-keyed exchange serves the distinct, the
+    rank window, and both rollups."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+@query(
+    "q_agg_churn",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts::TIMESTAMP) AS DATE)
+           AS week
+  FROM events
+), w AS (SELECT DISTINCT week FROM a), nxt AS (
+  SELECT w.week,
+         (SELECT min(w2.week) FROM w AS w2 WHERE w2.week > w.week) AS next_week
+  FROM w
+)
+SELECT a.week, count(*) AS active_users,
+       count(*) FILTER (WHERE r.user_id IS NULL) AS churned_users,
+       floor(CAST(count(*) FILTER (WHERE r.user_id IS NULL) AS DOUBLE)
+             * 10000 / count(*) + 0.5) / 10000 AS churn_rate
+FROM a
+JOIN nxt ON a.week = nxt.week
+LEFT JOIN a AS r ON r.user_id = a.user_id AND r.week = nxt.next_week
+WHERE nxt.next_week IS NOT NULL
+GROUP BY a.week
+""",
+)
+def q_agg_churn(spark, sf_dir):
+    """Week-over-week churn: of the users active in week W, the share
+    with NO activity in the next observed week — the retention
+    complement every growth dashboard tracks. The (user, week) activity
+    set joins against itself shifted by one week (a self left-join on
+    the same user partitioning — Catalyst reuses the exchange), churn is
+    a null-probe count, and the rate is an int ratio under the floor
+    pattern. 'Next week' is the next OBSERVED week, so a dark week
+    doesn't churn everyone twice; the last week has no successor and is
+    excluded on both sides."""
+    e = load(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    weeks = a.select("week").distinct()
+    w2 = weeks.select(F.col("week").alias("next_week"))
+    nxt = (
+        weeks.join(w2, F.col("next_week") > F.col("week"))
+        .groupBy("week")
+        .agg(F.min("next_week").alias("next_week"))
+    )
+    r = a.select(F.col("user_id").alias("r_user"), F.col("week").alias("r_week"))
+    j = (
+        a.join(F.broadcast(nxt), "week")
+        .join(
+            r,
+            (F.col("r_user") == F.col("user_id"))
+            & (F.col("r_week") == F.col("next_week")),
+            "left",
+        )
+    )
+    return j.groupBy("week").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(F.col("r_user").isNull().cast("long")).cast("long").alias(
+            "churned_users"
+        ),
+        (
+            F.floor(
+                F.sum(F.col("r_user").isNull().cast("long")).cast("double")
+                * 10000
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("churn_rate"),
+    )

@@ -14,6 +14,8 @@ a nested-loop shape would fail CI.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
@@ -111,3 +113,39 @@ def q_join_lateral(spark, sf_dir):
     load(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_cust")
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
     return spark.sql(_LATERAL_SQL.format(cust="v_lat_cust", orders="v_lat_orders"))
+
+
+@query(
+    "q_subquery_exists_flag",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS has_urgent
+FROM customer c WHERE c.c_custkey < 300
+""",
+)
+def q_subquery_exists_flag(spark, sf_dir):
+    """EXISTS as a PROJECTED flag (the 'mark join') — unlike
+    q_subquery_exists, no row is filtered: every customer survives with
+    a boolean feature column, the shape feature-engineering pipelines
+    emit. DuckDB plans the projected EXISTS as a mark join natively; the
+    Spark formulation is its classic expansion — left join against the
+    distinct probe keys, flag = probe IS NOT NULL — which keeps the
+    probe side deduped BEFORE the join (no row multiplication) and
+    broadcastable when selective. Same result set, engine-idiomatic
+    plans on each side."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("u_key"))
+        .distinct()
+    )
+    return c.join(
+        F.broadcast(urgent), F.col("c_custkey") == F.col("u_key"), "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("u_key").isNotNull().alias("has_urgent"),
+    )
