@@ -431,11 +431,13 @@ def test_streaks_match_sequential_reference(spark):
 
 
 def test_churn_counts_match_reference(spark):
+    import datetime as dt
+
     out = {r.week: r for r in all_queries()["q_agg_churn"](spark, SF_SMOKE).collect()}
     rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
     act: dict = {}
     for r in rows:
-        monday = (r.ts - __import__("datetime").timedelta(days=r.ts.weekday())).date()
+        monday = (r.ts - dt.timedelta(days=r.ts.weekday())).date()
         act.setdefault(monday, set()).add(r.user_id)
     weeks = sorted(act)
     assert set(out) == set(weeks[:-1]), "last week has no successor"
