@@ -453,3 +453,24 @@ def test_exists_flag_keeps_every_row(spark):
     n_cust = load(spark, SF_SMOKE, "customer").filter(F.col("c_custkey") < 300).count()
     assert len(rows) == n_cust, "mark join must not filter"
     assert any(r.has_urgent for r in rows) and any(not r.has_urgent for r in rows)
+
+
+def test_lm_score_matches_reference_and_ranks_rare_docs_high(spark):
+    import math
+    from collections import Counter
+
+    out = {r.doc_id: r for r in all_queries()["q_text_lm_score"](spark, SF_SMOKE).collect()}
+    docs = {d.doc_id: d.text.split(" ") for d in load(spark, SF_SMOKE, "documents").collect()}
+    freq = Counter(t for toks in docs.values() for t in toks)
+    total = sum(freq.values())
+    scores = {}
+    for did, toks in docs.items():
+        nll = sum(-math.log(freq[t] / total) for t in toks) / len(toks)
+        scores[did] = nll
+        r = out[did]
+        assert r.n_toks == len(toks)
+        assert abs(r.avg_nll - nll) < 0.006, did
+    # sanity: the metric separates docs (not constant; the synthetic
+    # corpus is near-uniform so the spread is modest)
+    vals = sorted(scores.values())
+    assert vals[-1] - vals[0] > 0.1

@@ -319,6 +319,7 @@ def test_driver_window_ordering_is_pinned():
         "q_time_streaks",
         "q_agg_churn",
         "q_subquery_exists_flag",
+        "q_text_lm_score",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -955,3 +955,45 @@ def q_text_dupspans(spark, sf_dir):
             / 10000
         ).alias("dup_ratio"),
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), total AS (
+  SELECT count(*) AS t FROM toks
+)
+SELECT toks.doc_id,
+       count(*) AS n_toks,
+       round(sum(-ln(CAST(freq.c AS DOUBLE) / (SELECT t FROM total)))
+             / count(*), 2) AS avg_nll
+FROM toks JOIN freq USING (tok)
+GROUP BY toks.doc_id
+""",
+)
+def q_text_lm_score(spark, sf_dir):
+    """Unigram language-model quality score — each document's average
+    negative log-likelihood under the corpus's own unigram distribution
+    (the CCNet-style 'perplexity proxy': documents full of rare tokens
+    score high, formulaic ones low; the standard cheap filter before an
+    expensive LM pass). Two corpus aggregates (token freqs + total) and
+    one join back to the token stream — freqs follow Heaps' law so the
+    frequency table broadcasts at any corpus size; Spark's plan is scan
+    -> explode -> broadcast join -> per-doc agg with no fact shuffle
+    except the doc rollup. p = c/T is an int ratio (identical doubles);
+    ln is transcendental so the per-doc mean rides on ulp noise only —
+    round(,2) per FIXTURES rule 1."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("t"))
+    j = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("c").cast("double") / F.col("t"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(F.sum(nll) / F.count(F.lit(1)), 2).alias("avg_nll"),
+    )
