@@ -474,3 +474,22 @@ def test_lm_score_matches_reference_and_ranks_rare_docs_high(spark):
     # corpus is near-uniform so the spread is modest)
     vals = sorted(scores.values())
     assert vals[-1] - vals[0] > 0.1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    tol = {r.event_id: r for r in all_queries()["q_join_asof_tolerance"](spark, SF_SMOKE).collect()}
+    plain = {r.event_id: r for r in all_queries()["q_join_asof"](spark, SF_SMOKE).collect()}
+    assert set(tol) == set(plain)
+    n_nulled = 0
+    for eid, p in plain.items():
+        t = tol[eid]
+        if p.last_purchase_ts is None:
+            assert t.recent_purchase_ts is None
+        elif p.err_ts - p.last_purchase_ts <= dt.timedelta(hours=2):
+            assert t.recent_purchase_ts == p.last_purchase_ts
+        else:
+            assert t.recent_purchase_ts is None
+            n_nulled += 1
+    assert n_nulled > 0, "tolerance actually nulls stale matches on the fixture"

@@ -84,6 +84,7 @@ KEYS = [
     "q_time_ohlc",  # first/last selection at any split count
     "q_sample_balanced",  # hash-rank take-k at any split count
     "q_time_streaks",  # dense-grouping rank trick at any split count
+    "q_join_asof_tolerance",  # asof window + tolerance at any split count
     "q_sink_zorder",  # dim min/max + morton layout derived from split scans
     "q_sink_compact",  # footer-derived output count over a split input
     "q_scan_schema_evolution",  # merged footer schema across split files

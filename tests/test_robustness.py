@@ -320,6 +320,7 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_churn",
         "q_subquery_exists_flag",
         "q_text_lm_score",
+        "q_join_asof_tolerance",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

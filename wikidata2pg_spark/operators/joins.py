@@ -559,3 +559,52 @@ def q_join_bloom_prefilter(spark, sf_dir):
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS err_ts,
+       CASE WHEN p.ts IS NOT NULL
+             AND e.ts::TIMESTAMP - p.ts::TIMESTAMP <= INTERVAL 2 HOUR
+            THEN p.ts::TIMESTAMP END AS recent_purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts::TIMESTAMP >= p.ts::TIMESTAMP
+""",
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a tolerance bound (pandas merge_asof's
+    `tolerance=` semantics): the latest same-user purchase at-or-before
+    each error, but only if it happened within the last 2 hours —
+    otherwise NULL, because a stale match is as useless as none for
+    "what did the user buy just before the error". Same single-scan
+    tag-and-union window as q_join_asof (one shuffle, no pandas); the
+    tolerance is a post-window NULL-out, which costs nothing and keeps
+    the window state identical. The comparison runs on exact integer
+    microseconds on both sides."""
+    e = load(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    u = e.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        is_p.alias("is_p"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_p_ts"))
+        <= 2 * 3600 * 1_000_000
+    )
+    return u.filter(F.col("is_p") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.when(within, F.col("last_p_ts")).alias("recent_purchase_ts"),
+    )

@@ -77,7 +77,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_funnel_time_to_convert, q_stream_full_outer, q_except_all,
 # q_intersect_all, q_fn_date2, q_agg_bitmap_distinct, q_time_ohlc,
 # q_sample_balanced, q_win_ratio_to_report, q_agg_iqr_outliers,
-# q_time_streaks, q_agg_churn, q_subquery_exists_flag, q_text_lm_score.
+# q_time_streaks, q_agg_churn, q_subquery_exists_flag, q_text_lm_score,
+# q_join_asof_tolerance.
 _ROUND6_PRIORITY = (
     # --- tier A: never driver-tested (8) ---
     "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
