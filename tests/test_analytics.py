@@ -1,0 +1,143 @@
+"""Semantics tests for the analytics/DQ family (interval union, event
+transitions, time-weighted average, Benford, referential integrity) —
+each checked against an INDEPENDENT pure-Python formulation or a crafted
+corruption fixture, not just the DuckDB oracle the driver re-runs."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE, SF_T2
+from wikidata2pg_spark.registry import all_queries
+from wikidata2pg_spark.tables import load
+
+SPAN_US = 30 * 60 * 1_000_000
+
+
+def _micros(ts):
+    import datetime as dt
+
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def test_interval_union_matches_bruteforce(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_time_interval_union"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(_micros(r.ts))
+    for uid, starts in by_user.items():
+        starts.sort()
+        islands = []
+        for s in starts:
+            e = s + SPAN_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        got = out[uid]
+        assert got.n_islands == len(islands), uid
+        assert got.covered_micros == sum(e - s for s, e in islands), uid
+        assert got.longest_micros == max(e - s for s, e in islands), uid
+    assert set(out) == set(by_user)
+    # fixture discriminates: somebody merged at least two spans
+    assert any(r.longest_micros > SPAN_US for r in out.values())
+
+
+def test_transitions_rows_normalize_and_count_pairs(spark):
+    out = all_queries()["q_seq_transitions"](spark, SF_T2).collect()
+    assert out
+    by_from: dict = {}
+    for r in out:
+        assert r.n >= 1
+        by_from.setdefault(r.from_type, []).append(r)
+    for rows in by_from.values():
+        assert abs(sum(r.prob for r in rows) - 1.0) < 1e-4
+    n_events = load(spark, SF_T2, "events").count()
+    n_users = (
+        load(spark, SF_T2, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n for r in out) == n_events - n_users  # pairs = sum(len-1)
+
+
+def test_twa_matches_bruteforce(spark):
+    out = {
+        r.user_id: r for r in all_queries()["q_time_twa"](spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, int(math.floor(r.value * 100 + 0.5)))
+        )
+    for uid, evs in by_user.items():
+        evs.sort()
+        sw = sd = 0
+        for (t, _, v), (t2, _, _) in zip(evs, evs[1:]):
+            sw += v * (t2 - t)
+            sd += t2 - t
+        if sd == 0:
+            assert uid not in out
+            continue
+        exp = math.floor(sw / sd / 100.0 * 10000 + 0.5) / 10000
+        assert out[uid].twa == pytest.approx(exp, abs=1e-9), uid
+        assert out[uid].n_gaps == len(evs) - 1
+        lo = min(v for _, _, v in evs) / 100.0
+        hi = max(v for _, _, v in evs) / 100.0
+        assert lo - 1e-4 <= out[uid].twa <= hi + 1e-4
+
+
+def test_benford_shares_and_expectations(spark):
+    from wikidata2pg_spark.operators.analytics import _BENFORD
+
+    out = all_queries()["q_dq_benford"](spark, SF_T2).collect()
+    assert {r.digit for r in out} <= set(range(1, 10))
+    assert sum(r.n for r in out) == load(spark, SF_T2, "orders").count()
+    assert abs(sum(r.obs_share for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert r.exp_share == pytest.approx(_BENFORD[r.digit])
+        assert 0.0 <= r.obs_share <= 1.0
+
+
+def test_referential_clean_fixture_has_zero_orphans(spark):
+    out = {r.fk: r for r in all_queries()["q_dq_referential"](spark, SF_T2).collect()}
+    assert len(out) == 4
+    li = load(spark, SF_T2, "lineitem").count()
+    assert out["lineitem.l_orderkey->orders"].n_rows == li
+    assert all(r.n_orphans == 0 for r in out.values())
+
+
+def test_referential_detects_injected_orphans(spark, tmp_path):
+    # fixture copy with 7 dangling part keys and 3 dangling custkeys
+    for t in ("lineitem", "orders", "part", "supplier", "customer"):
+        tb = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+        if t == "lineitem":
+            df = tb.to_pandas()
+            df.loc[df.index[:7], "l_partkey"] = 999_999_999
+            import pyarrow as pa
+
+            tb = pa.Table.from_pandas(df, schema=tb.schema, preserve_index=False)
+        if t == "orders":
+            df = tb.to_pandas()
+            df.loc[df.index[:3], "o_custkey"] = -5
+            import pyarrow as pa
+
+            tb = pa.Table.from_pandas(df, schema=tb.schema, preserve_index=False)
+        pq.write_table(tb, str(tmp_path / f"{t}.parquet"))
+    out = {
+        r.fk: r
+        for r in all_queries()["q_dq_referential"](spark, str(tmp_path)).collect()
+    }
+    assert out["lineitem.l_partkey->part"].n_orphans == 7
+    assert out["orders.o_custkey->customer"].n_orphans == 3
+    assert out["lineitem.l_suppkey->supplier"].n_orphans == 0

@@ -588,3 +588,53 @@ def test_ewma_single_window_exchange(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_interval_union_single_user_exchange(spark):
+    """q_time_interval_union: the running-max window, the island-number
+    window, AND both rollups (user_id+island, then user_id) must all ride
+    ONE user_id hash exchange over one scan — HashPartitioning(user_id)
+    satisfies the (user_id, island) clustering, so Catalyst adds no
+    second shuffle."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_time_interval_union"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_twa_single_user_exchange(spark):
+    """q_time_twa: lead window + per-user rollup share one user_id
+    exchange; the decimal sums stay partial-aggregable."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_time_twa"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_transitions_shrink_before_normalize(spark):
+    """q_seq_transitions: the only full-data exchange is the user_id lead
+    window; the pair rollup and the row-normalizing window run over the
+    <=|types|^2-row matrix (two more exchanges that move nothing)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_seq_transitions"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_referential_dims_broadcast(spark):
+    """q_dq_referential: every dimension probe is a broadcast join and no
+    audit sort-merges at fixture scale; each branch reduces to one row
+    before the union (the four SinglePartition exchanges carry 1 row
+    each)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_dq_referential"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0

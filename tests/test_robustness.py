@@ -321,6 +321,11 @@ def test_driver_window_ordering_is_pinned():
         "q_subquery_exists_flag",
         "q_text_lm_score",
         "q_join_asof_tolerance",
+        "q_time_interval_union",
+        "q_seq_transitions",
+        "q_time_twa",
+        "q_dq_benford",
+        "q_dq_referential",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1,0 +1,349 @@
+"""Warehouse-audit and sequence-analytics operators: interval union
+(gaps-and-islands coverage), event-transition matrix, time-weighted
+average, Benford first-digit audit, and referential-integrity audit —
+the data-quality / sessions-adjacent rollups every analytics warehouse
+ships (SURVEY.md §2 events + DQ families).
+
+Determinism recipe (FIXTURES.md + verify-skill rules):
+  * every timestamp becomes exact integer microseconds (unix_micros /
+    epoch_us) before any arithmetic — interval merging, gap weighting
+    and coverage sums are pure int64/decimal, zero float hazard;
+  * monetary values become exact integer cents via floor(x*100+0.5);
+  * ratios of exact integers use the single-division floor pattern
+    floor(v*10^n / s + 0.5)/10^n on BOTH sides;
+  * every window ORDER BY ends with the unique event_id tiebreaker.
+
+Scale notes:
+  * interval union / transitions / TWA are one shuffle on user_id with
+    all windows sharing that single partitioning (Catalyst chains the
+    Window nodes after one Exchange), then a tiny re-agg;
+  * Benford reduces to 9 rows before its share window;
+  * the referential audit's dimension joins (part/supplier/customer)
+    broadcast; the lineitem->orders probe is a keyed shuffle join — at
+    100 TB that is the correct plan (orders is not broadcastable), and
+    each audit emits ONE row so the union moves nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.tables import load
+
+_SPAN_MIN = 30  # each event opens a 30-minute activity interval
+
+
+@query(
+    "q_time_interval_union",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS s,
+         epoch_us(ts::TIMESTAMP) + {_SPAN_MIN} * 60 * 1000000 AS e
+  FROM events
+), g AS (
+  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS pmax
+  FROM s
+), f AS (
+  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new_i
+  FROM g
+), i AS (
+  SELECT *, sum(new_i) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS island
+  FROM f
+), isl AS (
+  SELECT user_id, island, min(s) AS i_start, max(e) AS i_end
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_islands,
+       CAST(sum(i_end - i_start) AS BIGINT) AS covered_micros,
+       CAST(max(i_end - i_start) AS BIGINT) AS longest_micros
+FROM isl GROUP BY user_id
+""",
+)
+def q_time_interval_union(spark, sf_dir):
+    """Interval union (gaps-and-islands): each event opens a 30-minute
+    activity interval [ts, ts+30min); overlapping or touching intervals
+    per user merge into islands; output per user = island count, total
+    covered time, longest island. The classic distributed formulation:
+    a running max of interval-end over the PRECEDING frame marks island
+    starts (s > max-end-so-far), a running sum of those marks numbers
+    the islands — no self-join, no iteration. All three windows and the
+    island rollup share ONE user_id hash partitioning (single Exchange);
+    arithmetic is exact integer microseconds end-to-end, so both engines
+    hold identical int64s and no rounding exists anywhere. At 100 TB
+    this is the standard one-shuffle coverage operator (contrast the
+    O(n^2) overlap self-join)."""
+    span_us = _SPAN_MIN * 60 * 1_000_000
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span_us)).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e.withColumn("pmax", F.max("e").over(wprev))
+    f = g.withColumn(
+        "new_i",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+    )
+    i = f.withColumn("island", F.sum("new_i").over(wrun))
+    isl = i.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_micros"),
+        F.max(F.col("i_end") - F.col("i_start")).alias("longest_micros"),
+    )
+
+
+@query(
+    "q_seq_transitions",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts::TIMESTAMP, event_id) AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       floor(CAST(n AS DOUBLE) * 1000000 / sum(n) OVER (PARTITION BY from_type)
+             + 0.5) / 1000000 AS prob
+FROM p
+""",
+)
+def q_seq_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    count (event_type -> next event_type) adjacent pairs (lead over the
+    (ts, event_id)-ordered user partition), then the row-normalized
+    transition probability per source type. One shuffle on user_id for
+    the lead, a partial-aggregable rollup to <=|types|^2 rows, and the
+    normalizing window runs over that tiny matrix — the standard
+    clickstream/sequence-mining building block (next-page prediction,
+    session flow graphs). Probabilities are exact-integer ratios under
+    the single-division floor pattern; per-row probs sum to ~1 per
+    source (asserted in pytest)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    p = t.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wnorm = Window.partitionBy("from_type")
+    prob = (
+        F.floor(
+            F.col("n").cast("double") * 1000000 / F.sum("n").over(wnorm)
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return p.select("from_type", "to_type", "n", prob.alias("prob"))
+
+
+@query(
+    "q_time_twa",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+), g AS (
+  SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t_next
+  FROM x
+), w AS (
+  SELECT user_id, v_cents, t_next - t AS dt FROM g WHERE t_next IS NOT NULL
+), s AS (
+  SELECT user_id, sum(v_cents * dt) AS sw, sum(dt) AS sd,
+         count(*) AS n
+  FROM w GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       floor(CAST(sw AS DOUBLE) / CAST(sd AS DOUBLE) / 100.0 * 10000 + 0.5)
+         / 10000 AS twa
+FROM s WHERE sd > 0
+""",
+)
+def q_time_twa(spark, sf_dir):
+    """Time-weighted average (the TimescaleDB `time_weight('LOCF')`
+    rollup): each observation's value holds until the user's next event,
+    so TWA = sum(value * gap) / sum(gap) per user — the honest average
+    of an irregularly-sampled series, where the plain avg() over-weights
+    bursts. Values become exact integer cents and gaps exact integer
+    microseconds, so every product is an exact int64 (<= 5e4 cents *
+    2.6e12 us ~ 1.3e17 < 2^63); the per-user SUMS accumulate in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) since they can pass 2^63 —
+    both exact, one cast each to double, one shared floating tree with
+    the single-division floor pattern. One shuffle on user_id (lead
+    window + rollup co-partitioned); partial-aggregable at any scale."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.withColumn("t_next", F.lead("t").over(w)).filter(
+        F.col("t_next").isNotNull()
+    )
+    dt = F.col("t_next") - F.col("t")
+    s = g.select(
+        "user_id", (F.col("v_cents") * dt).alias("vdt"), dt.alias("dt")
+    ).groupBy("user_id").agg(
+        F.sum(F.col("vdt").cast("decimal(38,0)")).alias("sw"),
+        F.sum(F.col("dt").cast("decimal(38,0)")).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    twa = (
+        F.floor(
+            F.col("sw").cast("double") / F.col("sd").cast("double") / F.lit(100.0)
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return s.filter(F.col("sd") > 0).select(
+        "user_id", F.col("n").cast("long").alias("n_gaps"), twa.alias("twa")
+    )
+
+
+# 4-decimal Benford expectations log10(1 + 1/d), pinned as literals on
+# BOTH sides: computing them in-engine would make the hash depend on two
+# libm implementations agreeing to the last ulp for no analytical gain.
+_BENFORD = {
+    1: 0.3010, 2: 0.1761, 3: 0.1249, 4: 0.0969, 5: 0.0792,
+    6: 0.0669, 7: 0.0580, 8: 0.0512, 9: 0.0458,
+}
+
+
+@query(
+    "q_dq_benford",
+    oracle="""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), d AS (
+  SELECT digit, count(*) AS n FROM c GROUP BY digit
+)
+SELECT digit, n,
+       floor(CAST(n AS DOUBLE) * 1000000 / sum(n) OVER () + 0.5) / 1000000
+         AS obs_share,
+       CAST(CASE digit WHEN 1 THEN 0.3010 WHEN 2 THEN 0.1761
+                       WHEN 3 THEN 0.1249 WHEN 4 THEN 0.0969
+                       WHEN 5 THEN 0.0792 WHEN 6 THEN 0.0669
+                       WHEN 7 THEN 0.0580 WHEN 8 THEN 0.0512
+                       WHEN 9 THEN 0.0458 END AS DOUBLE) AS exp_share
+FROM d
+""",
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: the observed share of each leading
+    significant digit vs the Benford expectation log10(1+1/d). The
+    leading digit is read from the DIGITS of the exact integer cents
+    (string head), never via log10 of a double — scaling by 100 cannot
+    change a leading significant digit, and the string route keeps both
+    engines in exact-integer land. The rollup collapses to 9 rows before
+    the share window, so the global window is free; expectations are
+    pinned 4-decimal literals (see _BENFORD). Output: digit, count,
+    observed share (floor-pattern 6dp), expected share."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    d = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wall = Window.partitionBy()
+    obs = (
+        F.floor(
+            F.col("n").cast("double") * 1000000 / F.sum("n").over(wall)
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    exp = F.lit(None).cast("double")
+    for k in sorted(_BENFORD, reverse=True):
+        exp = F.when(F.col("digit") == k, F.lit(_BENFORD[k])).otherwise(exp)
+    return d.select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp.alias("exp_share"),
+    )
+
+
+_FK_AUDITS = (
+    # (label, fact table, fk col, dim table, pk col, dim broadcastable)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+)
+
+
+@query(
+    "q_dq_referential",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows,
+       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part', count(*),
+       count(*) FILTER (WHERE p.p_partkey IS NULL)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', count(*),
+       count(*) FILTER (WHERE s.s_suppkey IS NULL)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer', count(*),
+       count(*) FILTER (WHERE c.c_custkey IS NULL)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_dq_referential(spark, sf_dir):
+    """Referential-integrity audit: for each declared foreign key, the
+    fact row count and the number of orphans (fact rows whose key has no
+    dimension match) — the first gate any warehouse load runs. Each
+    probe is a single left join projected to the two key columns +
+    count_if(pk IS NULL): the small dimensions (part/supplier/customer)
+    broadcast, the lineitem->orders probe shuffles on the key — the
+    right plan at 100 TB, where orders cannot broadcast and an orphan
+    scan must stream. Each audit reduces to ONE row before the union.
+    Orphan injection is covered in tests/test_analytics.py by rewriting
+    a fixture copy with dangling keys and asserting the exact count."""
+    out = None
+    for label, fact, fk, dim, pk, small in _FK_AUDITS:
+        f = load(spark, sf_dir, fact).select(fk)
+        d = load(spark, sf_dir, dim).select(pk)
+        if small:
+            d = F.broadcast(d)
+        row = (
+            f.join(d, f[fk] == d[pk], "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -134,6 +134,7 @@ def _load_modules() -> None:
     import wikidata2pg_spark.operators.windows  # noqa: F401
     import wikidata2pg_spark.operators.graph  # noqa: F401
     import wikidata2pg_spark.operators.behavioral  # noqa: F401
+    import wikidata2pg_spark.operators.analytics  # noqa: F401
     import wikidata2pg_spark.operators.subqueries  # noqa: F401
 
 
