@@ -141,3 +141,96 @@ def test_referential_detects_injected_orphans(spark, tmp_path):
     assert out["lineitem.l_partkey->part"].n_orphans == 7
     assert out["orders.o_custkey->customer"].n_orphans == 3
     assert out["lineitem.l_suppkey->supplier"].n_orphans == 0
+
+
+def test_pareto_matches_bruteforce(spark):
+    out = {
+        r.l_partkey: r for r in all_queries()["q_pareto_abc"](spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey", "l_extendedprice")
+        .collect()
+    )
+    rev: dict = {}
+    for r in rows:
+        rev[r.l_partkey] = rev.get(r.l_partkey, 0) + int(
+            math.floor(r.l_extendedprice * 100 + 0.5)
+        )
+    total = sum(rev.values())
+    cum = 0
+    for pk in sorted(rev, key=lambda k: (-rev[k], k)):
+        cum += rev[pk]
+        got = out[pk]
+        assert got.revenue_cents == rev[pk]
+        exp_share = math.floor(cum * 1000000 / total + 0.5) / 1000000
+        assert got.cum_share == pytest.approx(exp_share, abs=1e-9)
+        exp_cls = "A" if cum * 10 <= total * 7 else ("B" if cum * 10 <= total * 9 else "C")
+        assert got.abc_class == exp_cls, pk
+    assert {r.abc_class for r in out.values()} == {"A", "B", "C"}
+
+
+def _py_ntile(keys_in_order, n=5):
+    """SQL NTILE semantics: first N%n buckets get ceil, rest floor."""
+    N = len(keys_in_order)
+    q, r = divmod(N, n)
+    scores, i = {}, 0
+    for b in range(1, n + 1):
+        size = q + (1 if b <= r else 0)
+        for k in keys_in_order[i : i + size]:
+            scores[k] = b
+        i += size
+    return scores
+
+
+def test_rfm_matches_python_ntile(spark):
+    out = {r.o_custkey: r for r in all_queries()["q_orders_rfm"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    agg: dict = {}
+    for r in rows:
+        d = r.o_orderdate.date()
+        c = agg.setdefault(r.o_custkey, [None, 0, 0])
+        c[0] = d if c[0] is None else max(c[0], d)
+        c[1] += 1
+        c[2] += int(math.floor(r.o_totalprice * 100 + 0.5))
+    dmax = max(v[0] for v in agg.values())
+    rd = {k: (dmax - v[0]).days for k, v in agg.items()}
+    r_sc = _py_ntile(sorted(agg, key=lambda k: (-rd[k], k)))
+    f_sc = _py_ntile(sorted(agg, key=lambda k: (agg[k][1], k)))
+    m_sc = _py_ntile(sorted(agg, key=lambda k: (agg[k][2], k)))
+    assert set(out) == set(agg)
+    for k, row in out.items():
+        assert row.r_days == rd[k]
+        assert row.f == agg[k][1]
+        assert row.m_cents == agg[k][2]
+        assert (row.r_score, row.f_score, row.m_score) == (r_sc[k], f_sc[k], m_sc[k]), k
+
+
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    out = {r.l_returnflag: r for r in all_queries()["q_agg_corr_matrix"](spark, SF_T2).collect()}
+    rows = load(spark, SF_T2, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (
+                int(r.l_quantity),
+                int(math.floor(r.l_extendedprice * 100 + 0.5)),
+                int(math.floor(r.l_discount * 10000 + 0.5)),
+            )
+        )
+    for flag, triples in by_flag.items():
+        a = np.array(triples, dtype=np.float64)
+        c = np.corrcoef(a.T)
+        got = out[flag]
+        assert got.n == len(triples)
+        assert got.corr_qty_price == pytest.approx(c[0, 1], abs=2e-4)
+        assert got.corr_qty_disc == pytest.approx(c[0, 2], abs=2e-4)
+        assert got.corr_price_disc == pytest.approx(c[1, 2], abs=2e-4)
+        for v in (got.corr_qty_price, got.corr_qty_disc, got.corr_price_disc):
+            assert -1.0 <= v <= 1.0

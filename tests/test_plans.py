@@ -638,3 +638,31 @@ def test_referential_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_pareto_prefix_sum_is_distributed(spark):
+    """q_pareto_abc: the global cumulative revenue must be the two-pass
+    prefix-sum (pid-bucketed window + broadcast offsets), never a
+    total-order window — the only single-partition stage is the P-row
+    offsets window, so no full-data Exchange SinglePartition appears
+    before the final result."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_pareto_abc"](spark, SF_T2))
+    # the localCheckpoint collapses the per-part aggregate to ONE lineitem
+    # scan; every downstream branch reads the materialized RDD
+    assert plan.count("FileScan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert plan.count("BroadcastHashJoin") >= 1  # offsets stitched broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_matrix_single_aggregation(spark):
+    """q_agg_corr_matrix: all ten moment sums ride ONE partial-aggregable
+    groupBy — one scan, one group-key exchange, no window."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_corr_matrix"](spark, SF_T2))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 0

@@ -326,6 +326,9 @@ def test_driver_window_ordering_is_pinned():
         "q_time_twa",
         "q_dq_benford",
         "q_dq_referential",
+        "q_pareto_abc",
+        "q_orders_rfm",
+        "q_agg_corr_matrix",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -347,3 +347,263 @@ def q_dq_referential(spark, sf_dir):
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "q_pareto_abc",
+    oracle="""
+WITH r AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(cents) OVER () AS BIGINT) AS total
+  FROM r
+)
+SELECT l_partkey, cents AS revenue_cents,
+       floor(CAST(cum AS DOUBLE) * 1000000 / total + 0.5) / 1000000
+         AS cum_share,
+       CASE WHEN cum * 10 <= total * 7 THEN 'A'
+            WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS abc_class
+FROM c
+""",
+)
+def q_pareto_abc(spark, sf_dir):
+    """Pareto / ABC inventory analysis: parts ranked by revenue, each
+    with its CUMULATIVE share of total revenue and the classic A (top
+    70% of revenue) / B (to 90%) / C class. The global running sum is
+    the q_pack_sequences distributed prefix-sum shape, not a
+    single-task total-order window: deterministic ordered buckets on
+    descending revenue (ordered_bucket — a pure function of the row),
+    within-bucket cumulative sums in parallel, and broadcast P-row
+    bucket offsets stitched on top; the only single-partition stage is
+    the P-row offset window. Revenue is exact integer cents, the ABC
+    boundary test is pure integer arithmetic (cum*10 <= total*7 — no
+    double ever decides a class), and the displayed share uses the
+    single-division floor pattern."""
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    r = (
+        li.select("l_partkey", cents.alias("c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("neg", -F.col("cents"))
+        # Materialize the per-part aggregate ONCE: three consumers read it
+        # (the bucket range probe, the within-bucket window, the bucket
+        # totals) and Catalyst does not dedupe sibling subtrees — without
+        # this the plan re-scans lineitem four times (observed; the
+        # q_dedup_semantic_cluster precedent). The checkpoint holds only
+        # |parts| rows, negligible at any scale next to a lineitem scan.
+        .localCheckpoint()
+    )
+    parts = ordered_bucket(r, "neg", 8)
+    win = (
+        Window.partitionBy("pid")
+        .orderBy("neg", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = parts.withColumn("cum_in", F.sum("cents").over(win))
+    sums = parts.groupBy("pid").agg(F.sum("cents").alias("bucket_cents"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = sums.select(
+        "pid",
+        F.coalesce(F.sum("bucket_cents").over(woff), F.lit(0)).alias("poff"),
+        F.sum("bucket_cents").over(wtot).alias("total"),
+    )
+    c = ranked.join(F.broadcast(offs), "pid").withColumn(
+        "cum", F.col("poff") + F.col("cum_in")
+    )
+    share = (
+        F.floor(
+            F.col("cum").cast("double") * 1000000 / F.col("total") + F.lit(0.5)
+        )
+        / 1000000
+    )
+    klass = (
+        F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+    )
+    return c.select(
+        "l_partkey",
+        F.col("cents").alias("revenue_cents"),
+        share.alias("cum_share"),
+        klass.alias("abc_class"),
+    )
+
+
+def _ntile5(base, metric, descending, out):
+    """Distributed NTILE(5) over (metric [DESC], o_custkey) — the
+    q_win_ntile_distributed bucket arithmetic on top of the two-pass
+    _global_rank, packaged for the three RFM scores. Never funnels the
+    data through one task; ties break on the unique custkey."""
+    from wikidata2pg_spark.operators.windows import _global_rank
+
+    proj = base.select(
+        "o_custkey", (-F.col(metric) if descending else F.col(metric)).alias("_m")
+    )
+    ranked = _global_rank(proj, "_m", "o_custkey")
+    rn, n = F.col("global_rank"), F.col("n_total")
+    q = (n / 5).cast("long")
+    r = n % 5
+    boundary = r * (q + F.lit(1))
+    tile = F.when(rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1).otherwise(
+        r + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    return ranked.select("o_custkey", tile.cast("int").alias(out))
+
+
+@query(
+    "q_orders_rfm",
+    oracle="""
+WITH g AS (SELECT max(o_orderdate::TIMESTAMP)::DATE AS dmax FROM orders),
+c AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate::TIMESTAMP)::DATE,
+                        (SELECT dmax FROM g)) AS INT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, r_days, f, m_cents,
+       CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY f ASC, o_custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY m_cents ASC, o_custkey) AS INT) AS m_score
+FROM c
+""",
+)
+def q_orders_rfm(spark, sf_dir):
+    """RFM customer segmentation — recency (days since last order, vs
+    the corpus max date), frequency (order count), monetary (exact cent
+    total), each scored 1-5 by quintile so 5 is always "best" (most
+    recent / most frequent / highest spend). The three quintiles are
+    distributed NTILEs (two-pass _global_rank + the exact SQL NTILE
+    bucket arithmetic, q_win_ntile_distributed's shape) over the
+    per-customer AGGREGATE — orders shuffles once on o_custkey, the
+    three rankings then move only one row per customer and never pass the
+    table through a single task. All three metrics are exact integers;
+    ties break on the unique custkey."""
+    o = load(spark, sf_dir, "orders")
+    dmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("dmax"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("dlast"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "o_custkey",
+            F.datediff("dmax", "dlast").cast("int").alias("r_days"),
+            "f",
+            "m_cents",
+        )
+    )
+    r = _ntile5(c, "r_days", True, "r_score")
+    fsc = _ntile5(c, "f", False, "f_score")
+    m = _ntile5(c, "m_cents", False, "m_score")
+    return (
+        c.join(r, "o_custkey").join(fsc, "o_custkey").join(m, "o_custkey")
+    )
+
+
+@query(
+    "q_agg_corr_matrix",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS z
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(z AS HUGEINT)) AS sz,
+         sum(CAST(x * x AS HUGEINT)) AS sxx,
+         sum(CAST(y * y AS HUGEINT)) AS syy,
+         sum(CAST(z * z AS HUGEINT)) AS szz,
+         sum(CAST(x * y AS HUGEINT)) AS sxy,
+         sum(CAST(x * z AS HUGEINT)) AS sxz,
+         sum(CAST(y * z AS HUGEINT)) AS syz
+  FROM b GROUP BY l_returnflag
+), d AS (
+  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+         CAST(n * szz - sz * sz AS DOUBLE) AS dz,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+         CAST(n * sxz - sx * sz AS DOUBLE) AS dxz,
+         CAST(n * syz - sy * sz AS DOUBLE) AS dyz
+  FROM s
+)
+SELECT l_returnflag, n,
+       floor(dxy / sqrt(dx * dy) * 10000 + 0.5) / 10000 AS corr_qty_price,
+       floor(dxz / sqrt(dx * dz) * 10000 + 0.5) / 10000 AS corr_qty_disc,
+       floor(dyz / sqrt(dy * dz) * 10000 + 0.5) / 10000 AS corr_price_disc
+FROM d
+""",
+)
+def q_agg_corr_matrix(spark, sf_dir):
+    """Pairwise correlation matrix (quantity x price x discount per
+    return flag) — the q_agg_stats/q_agg_regression exact-moment recipe
+    extended to every off-diagonal pair: all inputs become exact
+    integers (quantity integral, price cents, discount basis points),
+    the ten moment sums accumulate in decimal(38,0) / HUGEINT (sum(y^2)
+    passes 2^63 at sf0.1 while each ROW product stays in int64), and
+    each correlation is ONE shared floating tree dab/sqrt(da*db) over
+    one correctly-rounded cast per sum — sqrt is IEEE-exact, so both
+    engines produce bit-identical doubles before the floor rounding,
+    which itself can never emit -0.0 (integer 0 / 10^4 is +0.0: the
+    signed-zero class that broke round(corr,2) in r5 is structurally
+    absent). Still a single partial-aggregable groupBy at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    z = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    b = li.select("l_returnflag", x.alias("x"), y.alias("y"), z.alias("z"))
+    s = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("z"))).alias("sxz"),
+        F.sum(dec(F.col("y") * F.col("z"))).alias("syz"),
+    )
+    n = dec(F.col("n"))
+    d = s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("dx"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("dy"),
+        (n * F.col("szz") - F.col("sz") * F.col("sz")).cast("double").alias("dz"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
+        (n * F.col("sxz") - F.col("sx") * F.col("sz")).cast("double").alias("dxz"),
+        (n * F.col("syz") - F.col("sy") * F.col("sz")).cast("double").alias("dyz"),
+    )
+    fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return d.select(
+        "l_returnflag",
+        "n",
+        fl(F.col("dxy") / F.sqrt(F.col("dx") * F.col("dy"))).alias("corr_qty_price"),
+        fl(F.col("dxz") / F.sqrt(F.col("dx") * F.col("dz"))).alias("corr_qty_disc"),
+        fl(F.col("dyz") / F.sqrt(F.col("dy") * F.col("dz"))).alias("corr_price_disc"),
+    )
