@@ -234,3 +234,47 @@ def test_corr_matrix_matches_numpy(spark):
         assert got.corr_price_disc == pytest.approx(c[1, 2], abs=2e-4)
         for v in (got.corr_qty_price, got.corr_qty_disc, got.corr_price_disc):
             assert -1.0 <= v <= 1.0
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    out = {
+        r.event_id: r
+        for r in all_queries()["q_join_asof_forward"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    purchases: dict = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r.ts)
+    errors = [r for r in rows if r.event_type == "error"]
+    assert set(out) == {r.event_id for r in errors}
+    n_match = 0
+    for r in errors:
+        cand = [t for t in purchases.get(r.user_id, []) if t >= r.ts]
+        exp = min(cand) if cand else None
+        assert out[r.event_id].next_purchase_ts == exp, r.event_id
+        n_match += exp is not None
+    assert 0 < n_match < len(errors), "fixture should have matches AND nulls"
+
+
+def test_lexical_diversity_matches_bruteforce(spark):
+    from collections import Counter
+
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_text_lexical_diversity"](spark, SF_SMOKE).collect()
+    }
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert set(out) == {d.doc_id for d in docs}
+    for d in docs:
+        c = Counter(d.text.split(" "))
+        got = out[d.doc_id]
+        total, types = sum(c.values()), len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        assert (got.n_tokens, got.n_types, got.n_hapax) == (total, types, hapax)
+        assert got.ttr == pytest.approx(
+            math.floor(types * 1000000 / total + 0.5) / 1000000, abs=1e-9
+        )
+        assert got.n_hapax <= got.n_types <= got.n_tokens

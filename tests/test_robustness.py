@@ -329,6 +329,8 @@ def test_driver_window_ordering_is_pinned():
         "q_pareto_abc",
         "q_orders_rfm",
         "q_agg_corr_matrix",
+        "q_join_asof_forward",
+        "q_text_lexical_diversity",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -997,3 +997,50 @@ def q_text_lm_score(spark, sf_dir):
         F.count(F.lit(1)).alias("n_toks"),
         F.round(F.sum(nll) / F.count(F.lit(1)), 2).alias("avg_nll"),
     )
+
+
+@query(
+    "q_text_lexical_diversity",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, u.word AS word, count(*) AS n
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+  GROUP BY doc_id, u.word
+)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+       floor(CAST(count(*) AS DOUBLE) * 1000000 / sum(n) + 0.5) / 1000000
+         AS ttr,
+       floor(CAST(count(*) FILTER (WHERE n = 1) AS DOUBLE) * 1000000 / sum(n)
+             + 0.5) / 1000000 AS hapax_share
+FROM tf GROUP BY doc_id
+""",
+)
+def q_text_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per document: type-token ratio (distinct words
+    over total words) and hapax-legomenon share (words occurring once)
+    — the corpus-linguistics quality signals that flag boilerplate
+    (low TTR) and OCR noise (high hapax share) in pretraining data,
+    complementing q_text_quality's surface ratios. Same whitespace
+    tokenizer as every other text key. Two keyed shuffles —
+    (doc_id, word) term frequencies, then the per-doc rollup — both
+    partial-aggregable; ratios are exact-integer counts under the
+    single-division floor pattern. At 100 TB this is the word-count
+    shape, no vocab broadcast needed."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fl6 = lambda num, den: (  # noqa: E731
+        F.floor(num.cast("double") * 1000000 / den + F.lit(0.5)) / 1000000
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        fl6(F.count(F.lit(1)), F.sum("n")).alias("ttr"),
+        fl6(F.count(F.when(F.col("n") == 1, 1)), F.sum("n")).alias("hapax_share"),
+    )

@@ -608,3 +608,48 @@ def q_join_asof_tolerance(spark, sf_dir):
         F.col("ts").alias("err_ts"),
         F.when(within, F.col("last_p_ts")).alias("recent_purchase_ts"),
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts::TIMESTAMP AS err_ts,
+       (SELECT min(p.ts::TIMESTAMP) FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+          AND p.ts::TIMESTAMP >= e.ts::TIMESTAMP) AS next_purchase_ts
+FROM events e WHERE e.event_type = 'error'
+""",
+)
+def q_join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each error event, the EARLIEST same-user purchase at-or-after its
+    timestamp — "what did the user buy next after hitting the error",
+    the mirror of q_join_asof's backward direction. Same single-scan
+    tag-and-union shape, with the window flipped to the FOLLOWING
+    frame: first(purchase_ts) IGNORE NULLS over [current, +inf) in
+    (ts, is_p, event_id) ascending order — errors (is_p=0) sort BEFORE
+    same-microsecond purchases so ts-ties match, mirroring >= forward
+    semantics. One shuffle on user_id, no pandas; the oracle is the
+    definitionally-obvious correlated min() (DuckDB decorrelates it).
+    """
+    e = load(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    u = e.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        is_p.alias("is_p"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = u.withColumn("next_p_ts", F.first("p_ts", ignorenulls=True).over(w))
+    return u.filter(F.col("is_p") == 0).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("next_p_ts").alias("next_purchase_ts"),
+    )
