@@ -278,3 +278,40 @@ def test_lexical_diversity_matches_bruteforce(spark):
             math.floor(types * 1000000 / total + 0.5) / 1000000, abs=1e-9
         )
         assert got.n_hapax <= got.n_types <= got.n_tokens
+
+
+def test_zipf_matches_numpy_fit(spark):
+    import numpy as np
+    from collections import Counter
+
+    row = all_queries()["q_text_zipf"](spark, SF_SMOKE).collect()[0]
+    docs = load(spark, SF_SMOKE, "documents").select("text").collect()
+    c = Counter(w for d in docs for w in d.text.split(" "))
+    assert row.n_vocab == len(c)
+    freqs = np.array(sorted(c.values(), reverse=True), dtype=np.float64)
+    ranks = np.arange(1, len(freqs) + 1, dtype=np.float64)
+    slope, intercept = np.polyfit(np.log(ranks), np.log(freqs), 1)
+    assert row.zipf_slope == pytest.approx(slope, abs=2e-3)
+    assert row.intercept == pytest.approx(intercept, abs=2e-3)
+    assert row.zipf_slope < 0  # frequency falls with rank
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_log_histogram_matches_bitlength(spark):
+    from collections import Counter
+
+    out = all_queries()["q_agg_log_histogram"](spark, SF_SMOKE).collect()
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    exp = Counter(
+        (r.l_returnflag, int(math.floor(r.l_extendedprice * 100 + 0.5)).bit_length() - 1)
+        for r in rows
+    )
+    got = {(r.l_returnflag, r.bucket): r for r in out}
+    assert set(got) == set(exp)
+    for k, r in got.items():
+        assert r.n == exp[k]
+        assert r.lo_cents == 2 ** r.bucket
+        assert r.hi_cents == 2 ** (r.bucket + 1) - 1
+    assert sum(r.n for r in out) == len(rows)

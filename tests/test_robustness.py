@@ -331,6 +331,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_corr_matrix",
         "q_join_asof_forward",
         "q_text_lexical_diversity",
+        "q_text_zipf",
+        "q_agg_log_histogram",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1044,3 +1044,100 @@ def q_text_lexical_diversity(spark, sf_dir):
         fl6(F.count(F.lit(1)), F.sum("n")).alias("ttr"),
         fl6(F.count(F.when(F.col("n") == 1, 1)), F.sum("n")).alias("hapax_share"),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+WITH tf AS (
+  SELECT u.word AS word, count(*) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS u(word)
+  GROUP BY u.word
+), r AS (
+  SELECT word, freq, row_number() OVER (ORDER BY freq DESC, word) AS rnk
+  FROM tf
+), l AS (
+  SELECT CAST(floor(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(freq) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM r
+), s AS (
+  SELECT count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x * x AS HUGEINT)) AS sxx,
+         sum(CAST(y * y AS HUGEINT)) AS syy,
+         sum(CAST(x * y AS HUGEINT)) AS sxy
+  FROM l
+), d AS (
+  SELECT CAST(n AS BIGINT) AS n_vocab,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS dy,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS dxy
+  FROM s
+)
+SELECT n_vocab,
+       floor(dxy / dx * 10000 + 0.5) / 10000 AS zipf_slope,
+       floor((syd - dxy / dx * sxd) / nd / 1000000.0 * 10000 + 0.5) / 10000
+         AS intercept,
+       floor(dxy / dx * dxy / dy * 10000 + 0.5) / 10000 AS r2
+FROM d
+""",
+)
+def q_text_zipf(spark, sf_dir):
+    """Zipf's-law fit over the corpus frequency table: OLS slope of
+    ln(freq) against ln(rank) (natural text sits near -1), with
+    intercept and R^2 — the standard corpus-health check that flags
+    template spam (flat head) and OCR noise (fat tail) in pretraining
+    data. The rank is the DISTRIBUTED two-pass _global_rank over
+    (freq DESC, word), never a single-task total-order window; the
+    regression is the exact-integer-moment recipe with one twist: the
+    transcendental ln values are snapped to fixed-point micros
+    (floor(ln(v)*1e6+0.5)) BEFORE summing, so accumulation is exact
+    integers in any order. The snap itself is the only cross-engine
+    exposure: a 1-ulp libm divergence flips a bucket only if ln lands
+    within 1 ulp of a 1e-6 boundary (~1e-9 per value — vanishing, and
+    the 4-dp output floor adds a second guard)."""
+    from wikidata2pg_spark.operators.windows import _global_rank
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("negf", -F.col("freq"))
+    )
+    ranked = _global_rank(tf, "negf", "word")
+    fp = lambda c: F.floor(F.log(c.cast("double")) * 1000000 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    l = ranked.select(fp(F.col("global_rank")).alias("x"), fp(F.col("freq")).alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = dec(F.col("n"))
+    dd = s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("dx"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("dy"),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
+    )
+    fl4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    slope = F.col("dxy") / F.col("dx")
+    return dd.select(
+        "n_vocab",
+        fl4(slope).alias("zipf_slope"),
+        fl4((F.col("syd") - slope * F.col("sxd")) / F.col("nd") / F.lit(1000000.0)).alias(
+            "intercept"
+        ),
+        fl4(slope * F.col("dxy") / F.col("dy")).alias("r2"),
+    )

@@ -607,3 +607,50 @@ def q_agg_corr_matrix(spark, sf_dir):
         fl(F.col("dxz") / F.sqrt(F.col("dx") * F.col("dz"))).alias("corr_qty_disc"),
         fl(F.col("dyz") / F.sqrt(F.col("dy") * F.col("dz"))).alias("corr_price_disc"),
     )
+
+
+@query(
+    "q_agg_log_histogram",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         length(printf('%b', CAST(floor(l_extendedprice * 100 + 0.5)
+                                  AS BIGINT))) - 1 AS bucket
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(bucket AS INT) AS bucket,
+       CAST((1::BIGINT << bucket) AS BIGINT) AS lo_cents,
+       CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi_cents,
+       count(*) AS n
+FROM c GROUP BY l_returnflag, bucket
+""",
+)
+def q_agg_log_histogram(spark, sf_dir):
+    """Log2-bucketed histogram (the HdrHistogram / DDSketch bucket
+    family with gamma=2): each price lands in bucket floor(log2(cents)),
+    computed as the bit LENGTH of the exact integer cents minus one —
+    pure integer arithmetic, no transcendental anywhere, so the bucket
+    id can never disagree between engines. Log buckets give constant
+    RELATIVE error at any magnitude, which is why latency/money
+    distributions standardize on them over linear bins (q_agg_histogram
+    is the linear counterpart). One partial-aggregable groupBy; bucket
+    bounds are exact shifted integers."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    bucket = (F.length(F.bin(cents)) - 1).cast("int")
+    return (
+        li.select("l_returnflag", bucket.alias("bucket"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            "bucket",
+            # pyspark's shiftleft() helper only takes a literal shift; the
+            # SQL form accepts the bucket column
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_cents"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").alias(
+                "hi_cents"
+            ),
+            "n",
+        )
+    )
