@@ -9,6 +9,7 @@ import math
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, SF_T2
 from wikidata2pg_spark.registry import all_queries
@@ -315,3 +316,120 @@ def test_log_histogram_matches_bitlength(spark):
         assert r.lo_cents == 2 ** r.bucket
         assert r.hi_cents == 2 ** (r.bucket + 1) - 1
     assert sum(r.n for r in out) == len(rows)
+
+
+def test_anomaly_matches_bruteforce(spark):
+    out = {
+        (r.user_id, r.event_id): r
+        for r in all_queries()["q_time_anomaly"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, int(math.floor(r.value * 100 + 0.5)))
+        )
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for i, (_, eid, v) in enumerate(evs):
+            frame = [x[2] for x in evs[max(0, i - 20) : i]]
+            n = len(frame)
+            if n < 5:
+                continue
+            s, s2 = sum(frame), sum(x * x for x in frame)
+            if (n * v - s) ** 2 > 9 * (n * s2 - s * s) and n * s2 - s * s > 0:
+                z = (n * v - s) / math.sqrt(n * s2 - s * s)
+                expected[(uid, eid)] = math.floor(z * 10000 + 0.5) / 10000
+    assert set(out) == set(expected)
+    assert expected, "fixture should contain anomalies"
+    for k, z in expected.items():
+        assert out[k].z == pytest.approx(z, abs=1e-9), k
+        assert abs(out[k].z) > 3 - 1e-6  # |z| beyond the 3-sigma fence
+
+
+def test_attribution_shares_and_counts(spark):
+    out = all_queries()["q_attribution_last_touch"](spark, SF_T2).collect()
+    n_purch = (
+        load(spark, SF_T2, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert sum(r.n for r in out) == n_purch
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    touches = {r.touch for r in out}
+    assert "purchase" not in touches  # a purchase never credits itself
+    assert touches <= {"signup", "view", "click", "error", "none"}
+
+
+def test_attribution_matches_bruteforce(spark):
+    from collections import Counter
+
+    out = {r.touch: r.n for r in all_queries()["q_attribution_last_touch"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    cnt: Counter = Counter()
+    lim = 24 * 3600 * 1_000_000
+    for evs in by_user.values():
+        # touches sort before purchases at equal (ts, is-touch) rank
+        evs.sort(key=lambda r: (_micros(r.ts), r.event_type == "purchase", r.event_id))
+        last = None
+        for r in evs:
+            if r.event_type != "purchase":
+                last = r
+            else:
+                if last is not None and _micros(r.ts) - _micros(last.ts) <= lim:
+                    cnt[last.event_type] += 1
+                else:
+                    cnt["none"] += 1
+    assert out == dict(cnt)
+
+
+def test_mmr_matches_bruteforce(spark):
+    from wikidata2pg_spark.llm.retrieval import K_CAND, K_MMR, NQ, _FP
+
+    out = all_queries()["q_retrieval_mmr"](spark, SF_SMOKE).collect()
+    vecs = {
+        r.vec_id: [int(math.floor(float(x) * _FP + 0.5)) for x in r.embedding]
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    expected = []
+    for qid in range(NQ):
+        rel = {
+            c: dot(vecs[qid], vecs[c]) for c in vecs if c != qid
+        }
+        cand = sorted(rel, key=lambda c: (-rel[c], c))[:K_CAND]
+        sel = [max(cand, key=lambda c: (rel[c], -c))]
+        scores = {sel[0]: rel[sel[0]]}
+        while len(sel) < K_MMR:
+            best, best_score = None, None
+            for c in cand:
+                if c in sel:
+                    continue
+                pen = max(dot(vecs[c], vecs[s]) for s in sel)
+                sc = rel[c] - pen
+                if best is None or sc > best_score or (sc == best_score and c < best):
+                    best, best_score = c, sc
+            sel.append(best)
+            scores[best] = best_score
+        for rank, c in enumerate(sel, 1):
+            expected.append((qid, rank, c, scores[c]))
+    got = sorted((r.query_id, r.rank, r.vec_id, r.mmr_score) for r in out)
+    assert got == sorted(expected)
+    # diversity actually engaged: for some query the 2nd pick is NOT the
+    # 2nd-most-relevant candidate
+    plain_second = set()
+    for qid in range(NQ):
+        rel = {c: dot(vecs[qid], vecs[c]) for c in vecs if c != qid}
+        order = sorted(rel, key=lambda c: (-rel[c], c))
+        plain_second.add((qid, order[1]))
+    mmr_second = {(r.query_id, r.vec_id) for r in out if r.rank == 2}
+    assert mmr_second != plain_second

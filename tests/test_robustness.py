@@ -333,6 +333,9 @@ def test_driver_window_ordering_is_pinned():
         "q_text_lexical_diversity",
         "q_text_zipf",
         "q_agg_log_histogram",
+        "q_time_anomaly",
+        "q_attribution_last_touch",
+        "q_retrieval_mmr",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -180,3 +180,175 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
             (F.floor(F.col("rrf_raw") * 1000000 + F.lit(0.5)) / 1000000).alias("rrf"),
         )
     )
+
+
+K_CAND = 20  # MMR candidate pool per query
+K_MMR = 5  # reranked results per query
+_FP = 1_000_000  # fixed-point scale for embedding components
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR oracle (the kmeans/PQ hash-certification
+    recipe): candidate relevance and pairwise penalties are EXACT
+    integer dot products of fixed-point vectors, and with lambda = 1/2
+    the argmax of lambda*rel - (1-lambda)*penalty is the argmax of the
+    pure-integer rel - max_penalty — the whole selection trace is
+    integer-decided, so a 5-step CTE unroll reproduces Spark's loop
+    bit-for-bit."""
+    steps = []
+    union = "SELECT qid, vec_id FROM sel1"
+    for k in range(2, K_MMR + 1):
+        steps.append(f"""
+t{k} AS (
+  SELECT c.qid, c.vec_id, CAST(c.rel - max(p.s) AS BIGINT) AS score
+  FROM cand c
+  JOIN pw p ON p.qid = c.qid AND p.ai = c.vec_id
+  JOIN ({union}) s ON s.qid = p.qid AND s.vec_id = p.bi
+  WHERE NOT EXISTS (SELECT 1 FROM ({union}) x
+                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+  GROUP BY c.qid, c.vec_id, c.rel
+), sel{k} AS (
+  SELECT qid, vec_id, score, {k} AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, vec_id) AS rn2
+    FROM t{k}) z WHERE rn2 = 1
+)""")
+        union += f" UNION ALL SELECT qid, vec_id FROM sel{k}"
+    final_union = " UNION ALL ".join(
+        f"SELECT qid, vec_id, score, rank FROM sel{k}"
+        for k in range(1, K_MMR + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_FP} + 0.5) AS BIGINT)) AS f
+  FROM embeddings
+), q AS (SELECT vec_id AS qid, f AS qf FROM v WHERE vec_id < {NQ}),
+d AS (
+  SELECT q.qid, v.vec_id, v.f,
+         CAST(list_sum(list_transform(list_zip(q.qf, v.f),
+                                      r -> r[1] * r[2])) AS BIGINT) AS rel
+  FROM q, v WHERE v.vec_id <> q.qid
+), cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, vec_id) AS rn
+    FROM d) z WHERE rn <= {K_CAND}
+), pw AS (
+  SELECT a.qid, a.vec_id AS ai, b.vec_id AS bi,
+         CAST(list_sum(list_transform(list_zip(a.f, b.f),
+                                      r -> r[1] * r[2])) AS BIGINT) AS s
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+), sel1 AS (
+  SELECT qid, vec_id, CAST(rel AS BIGINT) AS score, 1 AS rank
+  FROM cand WHERE rn = 1
+),{",".join(steps)}
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(score AS BIGINT) AS mmr_score
+FROM ({final_union}) u
+"""
+
+
+@query("q_retrieval_mmr", oracle=_mmr_sql())
+def q_retrieval_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998)
+    with lambda = 1/2 — the diversity pass RAG stacks run over the
+    raw top-k so five near-duplicate passages don't fill the context
+    window. Greedy: seed with the most relevant candidate, then
+    repeatedly take argmax of lambda*rel(q,d) - (1-lambda)*max_{s in
+    S} sim(d,s).
+
+    Hash-certification: vectors snap to fixed-point micros, so
+    relevance and penalties are EXACT integer dot products (|component|
+    <= ~3.2e5 fp, 64 dims => |dot| < 7e12, comfortably int64), and
+    lambda = 1/2 turns the argmax objective into the pure-integer
+    rel - max_penalty — every selection decision is integer-compared
+    with a vec_id tiebreak, making the full greedy trace bit-exact
+    against the oracle's 5-step CTE unroll.
+
+    Scale shape: the candidate generation is the q_sim_query_topk map
+    pass (corpus x broadcast query block, SALTED two-phase top-20 so no
+    single task ever sees a query's full corpus ranking); the greedy
+    loop then runs on localCheckpointed 20-row-per-query candidates —
+    4 tiny co-partitioned joins, independent of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    fp = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * _FP + F.lit(0.5)).cast("long"),
+    )
+    v = emb.select("vec_id", fp.alias("f"))
+    q = v.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("f").alias("qf")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "f", dot(F.col("qf"), F.col("f")).alias("rel"))
+    )
+    # salted two-phase top-K_CAND: local winners per (qid, salt), then the
+    # exact global top per qid over <= 32*K_CAND survivors
+    salted = d.withColumn("salt", F.pmod(F.hash("vec_id"), F.lit(32)))
+    w1 = Window.partitionBy("qid", "salt").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= K_CAND)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= K_CAND)
+        .select("qid", "vec_id", "f", "rel", "rn")
+        # 20 rows/query; materialize once so the 4 greedy iterations do
+        # not each re-run the corpus pass (sibling-subtree recompute)
+        .localCheckpoint()
+    )
+    sel = cand.filter(F.col("rn") == 1).select(
+        "qid",
+        "vec_id",
+        F.col("rel").alias("score"),
+        F.lit(1).alias("rank"),
+        "f",
+    )
+    selected = sel
+    for k in range(2, K_MMR + 1):
+        remaining = cand.join(
+            selected.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        pairs = remaining.join(
+            selected.select(
+                "qid", F.col("f").alias("sf")
+            ),
+            "qid",
+        ).select(
+            "qid", "vec_id", "rel", dot(F.col("f"), F.col("sf")).alias("p")
+        )
+        scored = pairs.groupBy("qid", "vec_id").agg(
+            F.max("rel").alias("rel"), F.max("p").alias("mp")
+        )
+        wk = Window.partitionBy("qid").orderBy(
+            (F.col("rel") - F.col("mp")).desc(), F.col("vec_id").asc()
+        )
+        pick = (
+            scored.withColumn("rn2", F.row_number().over(wk))
+            .filter(F.col("rn2") == 1)
+            .select(
+                "qid",
+                "vec_id",
+                (F.col("rel") - F.col("mp")).alias("score"),
+                F.lit(k).alias("rank"),
+            )
+            .join(cand.select("qid", "vec_id", "f"), ["qid", "vec_id"])
+        )
+        selected = selected.unionByName(pick.select(*selected.columns))
+    return selected.select(
+        F.col("qid").alias("query_id"),
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.col("score").cast("long").alias("mmr_score"),
+    )

@@ -654,3 +654,170 @@ def q_agg_log_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+@query(
+    "q_time_anomaly",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT *,
+         count(v) OVER fr AS n,
+         sum(v) OVER fr AS s,
+         sum(v * v) OVER fr AS s2
+  FROM x
+  WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+), f AS (
+  SELECT user_id, event_id, t, v,
+         CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+         CAST(s2 AS BIGINT) AS s2
+  FROM w WHERE n >= 5
+)
+SELECT user_id, event_id, v AS v_cents,
+       floor((CAST(n AS DOUBLE) * v - CAST(s AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             * 10000 + 0.5) / 10000 AS z
+FROM f
+WHERE (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)
+  AND n * s2 - s * s > 0
+""",
+)
+def q_time_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection with an EXACT-INTEGER decision
+    rule: each event is compared to its user's trailing 20-observation
+    baseline (frame EXCLUDES the current row), and flagged when
+    |v - mean| > 3*sigma. The flag never touches a double: the
+    inequality is algebraically cleared of divisions and square roots —
+    (n*v - s)^2 > 9*(n*s2 - s^2) over exact integer cents (every term
+    bounded far below 2^63 by the 21-row frame) — so both engines make
+    the IDENTICAL keep/drop decision on every row; the threshold
+    boundary that plagues float z-scores cannot flip. The displayed z
+    itself is one shared floating tree over the same exact integers,
+    floor-rounded. One user_id exchange, three frame aggregates in one
+    Window node; at 100 TB this is the standard streaming-compatible
+    trailing-baseline screen (no global statistics, no second pass)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = (
+        e.withColumn("n", F.count("v").over(fr))
+        .withColumn("s", F.sum("v").over(fr))
+        .withColumn("s2", F.sum(F.col("v") * F.col("v")).over(fr))
+        .filter(F.col("n") >= 5)
+    )
+    nv_s = F.col("n") * F.col("v") - F.col("s")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    nd = F.col("n").cast("double")
+    z = (
+        (nd * F.col("v") - F.col("s").cast("double"))
+        / F.sqrt(
+            nd * F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double")
+        )
+    )
+    return (
+        w.filter((nv_s * nv_s > 9 * var_n2) & (var_n2 > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("v").alias("v_cents"),
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
+        )
+    )
+
+
+_TOUCH_HOURS = 24
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+         CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS is_t,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS t_type,
+         CASE WHEN event_type <> 'purchase' THEN ts::TIMESTAMP END AS t_ts
+  FROM events
+), w AS (
+  SELECT *,
+         last_value(t_type IGNORE NULLS) OVER fr AS last_type,
+         last_value(t_ts IGNORE NULLS) OVER fr AS last_ts
+  FROM u
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, is_t DESC, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT CASE WHEN last_ts IS NOT NULL
+               AND epoch_us(ts) - epoch_us(last_ts)
+                   <= CAST({_TOUCH_HOURS} AS BIGINT) * 3600 * 1000000
+              THEN last_type ELSE 'none' END AS touch
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT touch, count(*) AS n,
+       floor(CAST(count(*) AS DOUBLE) * 1000000 / sum(count(*)) OVER () + 0.5)
+         / 1000000 AS share
+FROM p GROUP BY touch
+""",
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent NON-purchase event within the preceding 24 h
+    ('none' when cold), then rolled up to credit share per touch type —
+    the baseline attribution model every growth team runs first. Same
+    single-scan tag-and-union as-of shape as q_join_asof (touches sort
+    before a same-microsecond purchase so ties credit the touch), the
+    tolerance as a post-window null-out on exact integer microseconds,
+    and a rollup to <=|types| rows before the share window. One
+    user_id exchange end-to-end."""
+    e = load(spark, sf_dir, "events")
+    is_t = (F.col("event_type") != "purchase").cast("int")
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        is_t.alias("is_t"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "t_type"
+        ),
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("t_ts"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_t").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = u.withColumn(
+        "last_type", F.last("t_type", ignorenulls=True).over(fr)
+    ).withColumn("last_ts", F.last("t_ts", ignorenulls=True).over(fr))
+    within = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_ts"))
+        <= _TOUCH_HOURS * 3600 * 1_000_000
+    )
+    p = w.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("last_ts").isNotNull() & within, F.col("last_type"))
+        .otherwise(F.lit("none"))
+        .alias("touch")
+    )
+    g = p.groupBy("touch").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    share = (
+        F.floor(
+            F.col("n").cast("double") * 1000000 / F.sum("n").over(wall)
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    return g.select("touch", "n", share.alias("share"))
