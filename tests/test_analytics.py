@@ -433,3 +433,111 @@ def test_mmr_matches_bruteforce(spark):
         plain_second.add((qid, order[1]))
     mmr_second = {(r.query_id, r.vec_id) for r in out if r.rank == 2}
     assert mmr_second != plain_second
+
+
+def test_cusum_matches_bruteforce(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_time_cusum"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, int(math.floor(r.value * 100 + 0.5)))
+        )
+    K, H = 1600, 16000
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        s = sum(v for _, _, v in evs)
+        S = 0
+        alarms, first, peak = 0, None, 0
+        for _, eid, v in evs:
+            S = max(0, S + n * v - s - K * n)  # the textbook recursion
+            if S > H * n:
+                alarms += 1
+                if first is None:
+                    first = eid
+                peak = max(peak, S)
+        if alarms:
+            expected[uid] = (alarms, first, math.floor(peak / n + 0.5))
+    assert {
+        u: (r.n_alarms, r.first_alarm_event, r.peak_cents)
+        for u, r in out.items()
+    } == expected
+    assert expected and len(expected) < len(by_user)  # discriminates
+
+
+def test_chi2_matches_scipy_free_reference(spark):
+    out = all_queries()["q_dq_chi2"](spark, SF_T2).collect()
+    assert len(out) == 1
+    row = out[0]
+    rows = load(spark, SF_T2, "events").select("ts", "event_type").collect()
+    from collections import Counter
+
+    cells = Counter(
+        ((_micros(r.ts) // 86_400_000_000) % 7, r.event_type) for r in rows
+    )
+    n = sum(cells.values())
+    rtot = Counter()
+    ctot = Counter()
+    for (d, t), o in cells.items():
+        rtot[d] += o
+        ctot[t] += o
+    chi2 = 0.0
+    for (d, t), o in sorted(cells.items()):
+        e = rtot[d] * ctot[t] / n
+        chi2 += (o - e) ** 2 / e
+    assert row.chi2 == pytest.approx(chi2, abs=1e-4)  # 4dp display floor
+    assert row.dof == (len(rtot) - 1) * (len(ctot) - 1)
+    assert row.n_cells == len(cells)
+
+
+def test_winsorized_mean_matches_bruteforce(spark):
+    out = {
+        r.flag: r
+        for r in all_queries()["q_agg_winsorized_mean"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            int(math.floor(r.l_extendedprice * 100 + 0.5))
+        )
+    for flag, cs in by_flag.items():
+        cs.sort()
+        n = len(cs)
+        lo = cs[math.ceil(5 * n / 100) - 1]
+        hi = cs[math.ceil(95 * n / 100) - 1]
+        wm = math.floor(sum(min(max(c, lo), hi) for c in cs) / n + 0.5)
+        m = math.floor(sum(cs) / n + 0.5)
+        r = out[flag]
+        assert (r.n, r.lo_cents, r.hi_cents) == (n, lo, hi), flag
+        assert (r.winsor_mean_cents, r.mean_cents) == (wm, m), flag
+        assert r.winsor_mean_cents != r.mean_cents  # clamp engaged
+        assert lo < hi
+
+
+def test_mix_temperature_upsamples_low_resource(spark):
+    out = {r.lang: r for r in all_queries()["q_mix_temperature"](spark, SF_T2).collect()}
+    docs = load(spark, SF_T2, "documents").groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in docs}
+    total = sum(counts.values())
+    sumw = sum(math.sqrt(c) for _, c in sorted(counts.items()))
+    assert set(out) == set(counts)
+    for lang, r in out.items():
+        assert r.n_docs == counts[lang]
+        assert r.share == pytest.approx(math.sqrt(counts[lang]) / sumw, abs=1e-6)
+        raw_share = counts[lang] / total
+        if raw_share < 1 / len(counts):  # low-resource => upsampled
+            assert r.share > raw_share
+        else:
+            assert r.share < raw_share
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-4
+    assert sum(r.target_docs for r in out.values()) <= 10000

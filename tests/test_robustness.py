@@ -336,6 +336,10 @@ def test_driver_window_ordering_is_pinned():
         "q_time_anomaly",
         "q_attribution_last_touch",
         "q_retrieval_mmr",
+        "q_time_cusum",
+        "q_dq_chi2",
+        "q_agg_winsorized_mean",
+        "q_mix_temperature",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

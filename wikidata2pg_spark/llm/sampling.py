@@ -230,3 +230,62 @@ def q_sample_balanced(spark, sf_dir):
         .filter(F.col("rn") <= F.col("k"))
         .select("lang", "doc_id")
     )
+
+
+_MIX_BUDGET = 10000  # document budget the temperature mix allocates
+
+
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         sqrt(CAST(count(*) AS DOUBLE)) AS w
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT list(w ORDER BY lang) AS ws FROM g
+), tot AS (
+  SELECT list_reduce(ws, (acc, x) -> acc + x) AS sumw FROM s
+)
+SELECT g.lang, g.n_docs,
+       floor(g.w * 1000000 / tot.sumw + 0.5) / 1000000 AS share,
+       CAST(floor(g.w * {_MIX_BUDGET} / tot.sumw) AS BIGINT) AS target_docs
+FROM g CROSS JOIN tot
+""",
+)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-weighted corpus mixing (the multilingual upsampling
+    rule of mC4/XLM-R: p_l ~ n_l^alpha) with alpha = 1/2 — low-resource
+    languages are upsampled relative to their raw share, and alpha = 1/2
+    keeps every weight a CORRECTLY-ROUNDED sqrt of an exact integer
+    count (IEEE-754 guarantees sqrt, unlike pow/ln), so both engines
+    hold the identical double per language. The one order-sensitive
+    float reduction (sum of weights) is a pinned-order left fold over
+    the lang-sorted weight list (the EWMA/kmeans recipe); shares and
+    the budget allocation are then single divisions of identical
+    doubles (floor-displayed / floor-allocated). Plan: one scan to a
+    partial-aggregable per-lang count (|langs| rows), a 1-row broadcast
+    of the weight sum, zero wide operations — at 100 TB the mixture
+    table costs one pass regardless of corpus size."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    )
+    arr = g.agg(F.array_sort(F.collect_list(F.struct("lang", "w"))).alias("a"))
+    ws = F.transform(F.col("a"), lambda x: x["w"])
+    sumw = F.aggregate(
+        F.slice(ws, 2, 10000), F.element_at(ws, 1), lambda acc, x: acc + x
+    )
+    tot = arr.select(sumw.alias("sumw"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.floor(F.col("w") * 1000000 / F.col("sumw") + F.lit(0.5)) / 1000000).alias(
+            "share"
+        ),
+        F.floor(F.col("w") * _MIX_BUDGET / F.col("sumw"))
+        .cast("long")
+        .alias("target_docs"),
+    )

@@ -821,3 +821,272 @@ def q_attribution_last_touch(spark, sf_dir):
         / 1000000
     )
     return g.select("touch", "n", share.alias("share"))
+
+
+_CUSUM_K = 1600  # slack per observation, integer cents
+_CUSUM_H = 16000  # alarm threshold, integer cents
+
+
+@query(
+    "q_time_cusum",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), u AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+            sum(v) OVER (PARTITION BY user_id) AS s
+  FROM x
+), p AS (
+  SELECT *, sum(n * v - s - {_CUSUM_K} * n) OVER w AS pre
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT *, pre - least(0, min(pre) OVER w) AS sn
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), a AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY t, event_id) AS rn
+  FROM c WHERE sn > {_CUSUM_H} * n
+)
+SELECT user_id,
+       count(*) AS n_alarms,
+       max(CASE WHEN rn = 1 THEN event_id END) AS first_alarm_event,
+       CAST(floor(CAST(max(sn) AS DOUBLE) / any_value(n) + 0.5) AS BIGINT)
+         AS peak_cents
+FROM a GROUP BY user_id
+""",
+)
+def q_time_cusum(spark, sf_dir):
+    """CUSUM change-point detection per user — the classic
+    drift-from-baseline alarm (Page 1954): S_i = max(0, S_{{i-1}} +
+    (x_i - mean - k)), alarm when S_i > h. The recursion is NEVER
+    folded: S_i = P_i - min(0, min_{{j<=i}} P_j) where P is the plain
+    prefix sum of the deviations, so the whole detector is two
+    cumulative windows — fully distributed, no per-user collect.
+    Every quantity is cleared to exact integers by scaling through n
+    (the user's observation count): a_t = n*v_t - s - k*n, alarm test
+    S_i > h*n — both engines make the identical keep/drop decision on
+    every row (|a_t| <= n*max_cents ~ 5.5e6 at sf0.1; the prefix sum
+    stays far below 2^63 even at 1000x the per-user activity).
+    Output is the per-user alarm digest (count, first alarm event,
+    peak n-normalized excursion in cents via one floored division).
+    One user_id exchange shared by all windows, then a tiny re-agg;
+    the shape is streaming-compatible (prefix state only)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = e.withColumn("n", F.count(F.lit(1)).over(wu)).withColumn(
+        "s", F.sum("v").over(wu)
+    )
+    a = F.col("n") * F.col("v") - F.col("s") - _CUSUM_K * F.col("n")
+    p = u.withColumn("pre", F.sum(a).over(run))
+    c = p.withColumn(
+        "sn", F.col("pre") - F.least(F.lit(0), F.min("pre").over(run))
+    )
+    alarms = (
+        c.filter(F.col("sn") > _CUSUM_H * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("t", "event_id")
+            ),
+        )
+    )
+    return alarms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_alarms"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id"))).alias(
+            "first_alarm_event"
+        ),
+        F.floor(
+            F.max("sn").cast("double") / F.any_value("n") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("peak_cents"),
+    )
+
+
+@query(
+    "q_dq_chi2",
+    oracle="""
+WITH x AS (
+  SELECT CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) % 7 AS BIGINT)
+           AS day, event_type AS et
+  FROM events
+), cells AS (
+  SELECT day, et, CAST(count(*) AS BIGINT) AS o FROM x GROUP BY day, et
+), r AS (SELECT day, sum(o) AS r FROM cells GROUP BY day),
+c AS (SELECT et, sum(o) AS c FROM cells GROUP BY et),
+n AS (SELECT sum(o) AS n FROM cells),
+t AS (
+  SELECT cells.day, cells.et,
+         CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
+           * CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
+           / CAST(n.n * r.r * c.c AS DOUBLE) AS term
+  FROM cells JOIN r USING (day) JOIN c USING (et) CROSS JOIN n
+), arr AS (
+  SELECT list(term ORDER BY day, et) AS terms,
+         count(*) AS n_cells,
+         count(DISTINCT day) AS nd, count(DISTINCT et) AS nt
+  FROM t
+)
+SELECT floor(list_reduce(terms, (acc, x) -> acc + x) * 10000 + 0.5) / 10000
+         AS chi2,
+       CAST((nd - 1) * (nt - 1) AS BIGINT) AS dof,
+       CAST(n_cells AS BIGINT) AS n_cells
+FROM arr
+""",
+)
+def q_dq_chi2(spark, sf_dir):
+    """Chi-square test of independence between day-of-week and event
+    type — the standard drift/DQ check that a categorical mix is stable
+    across a second dimension. Exactness: the day key is pure integer
+    arithmetic on epoch microseconds (no timezone/engine calendar in
+    play), observed counts and all marginals are exact integers, and
+    each cell's term is algebraically cleared to
+    (n*O - r*c)^2 / (n*r*c) — the numerator difference is an EXACT
+    int64 (|n*O| <= 1e10 at sf0.1), so each term is two IEEE-identical
+    double ops. The cross-cell sum (the one order-sensitive float
+    reduction) is a pinned-order left fold over the (day, et)-sorted
+    term list — bit-identical in both engines (the EWMA/kmeans
+    recipe), then one floor-round for display. Plan: one scan,
+    map-side-combined groupBy to <=42 cells, marginals re-aggregated
+    from the cells (no second scan), broadcast joins, single-row out."""
+    e = load(spark, sf_dir, "events").select(
+        (F.floor(F.unix_micros("ts") / F.lit(86400000000)) % 7)
+        .cast("long")
+        .alias("day"),
+        F.col("event_type").alias("et"),
+    )
+    cells = e.groupBy("day", "et").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("day").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("et").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    d = (
+        F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    ).cast("double")
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    t = (
+        cells.join(F.broadcast(r), "day")
+        .join(F.broadcast(c), "et")
+        .crossJoin(F.broadcast(n))
+        .select("day", "et", (d * d / den).alias("term"))
+    )
+    arr = t.agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "et", "term"))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("day").alias("nd"),
+        F.countDistinct("et").alias("nt"),
+    )
+    terms = F.transform(F.col("a"), lambda x: x["term"])
+    chi2 = F.aggregate(
+        F.slice(terms, 2, 10000),
+        F.element_at(terms, 1),
+        lambda acc, x: acc + x,
+    )
+    return arr.select(
+        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+        ((F.col("nd") - 1) * (F.col("nt") - 1)).cast("long").alias("dof"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+
+
+@query(
+    "q_agg_winsorized_mean",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), g AS (
+  SELECT flag, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM x GROUP BY flag, cents
+), w AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+            sum(cnt) OVER (PARTITION BY flag) AS tot
+  FROM g
+), b AS (
+  SELECT flag, any_value(tot) AS tot,
+         min(CASE WHEN cum >= CAST(floor((5 * tot + 99) / 100) AS BIGINT)
+                  THEN cents END) AS lo,
+         min(CASE WHEN cum >= CAST(floor((95 * tot + 99) / 100) AS BIGINT)
+                  THEN cents END) AS hi
+  FROM w GROUP BY flag
+)
+SELECT g.flag, any_value(b.tot) AS n,
+       any_value(b.lo) AS lo_cents, any_value(b.hi) AS hi_cents,
+       CAST(floor(CAST(sum(least(greatest(g.cents, b.lo), b.hi) * g.cnt)
+                       AS DOUBLE) / any_value(b.tot) + 0.5) AS BIGINT)
+         AS winsor_mean_cents,
+       CAST(floor(CAST(sum(g.cents * g.cnt) AS DOUBLE)
+                  / any_value(b.tot) + 0.5) AS BIGINT) AS mean_cents
+FROM g JOIN b USING (flag)
+GROUP BY g.flag
+""",
+)
+def q_agg_winsorized_mean(spark, sf_dir):
+    """5/95 winsorized mean of extended price per return flag — the
+    outlier-robust mean every metrics pipeline reports next to the raw
+    one. Percentiles use the LOWER (no-interpolation) definition at
+    rank ceil(p*n), so cut points are exact integer cents selected by a
+    cumulative count — the whole computation stays in integers except
+    two final floored divisions (the weighted-median recipe). The scan
+    is first collapsed to a (flag, cents) value histogram (map-side
+    combinable, orders of magnitude smaller than the table), the
+    cumulative window runs over the HISTOGRAM not the raw rows — the
+    distributed exact-percentile shape that survives 100 TB (no
+    full-table sort; the flag-partitioned window sorts only distinct
+    values). Cut points broadcast back; clamp + integer dot product."""
+    x = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = x.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wf = Window.partitionBy("flag")
+    wc = wf.orderBy("cents").rangeBetween(Window.unboundedPreceding, 0)
+    w = g.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "tot", F.sum("cnt").over(wf)
+    )
+    k05 = F.floor((5 * F.col("tot") + 99) / 100)
+    k95 = F.floor((95 * F.col("tot") + 99) / 100)
+    b = w.groupBy("flag").agg(
+        F.any_value("tot").alias("tot"),
+        F.min(F.when(F.col("cum") >= k05, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= k95, F.col("cents"))).alias("hi"),
+    )
+    j = g.join(F.broadcast(b), "flag")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return j.groupBy("flag").agg(
+        F.any_value("tot").alias("n"),
+        F.any_value("lo").alias("lo_cents"),
+        F.any_value("hi").alias("hi_cents"),
+        F.floor(
+            F.sum(clamped * F.col("cnt")).cast("double")
+            / F.any_value("tot")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("winsor_mean_cents"),
+        F.floor(
+            F.sum(F.col("cents") * F.col("cnt")).cast("double")
+            / F.any_value("tot")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_cents"),
+    )
