@@ -541,3 +541,69 @@ def test_mix_temperature_upsamples_low_resource(spark):
             assert r.share < raw_share
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-4
     assert sum(r.target_docs for r in out.values()) <= 10000
+
+
+def test_basket_rules_matches_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    out = {
+        (r.ant, r.cons): r
+        for r in all_queries()["q_orders_basket_rules"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n = len(baskets)
+    sup = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for p in items:
+            sup[p] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair[(a, b)] += 1
+    expected = {}
+    for (a, b), sab in pair.items():
+        if sab < 2:
+            continue
+        for ant, cons in ((a, b), (b, a)):
+            if 10 * sab >= sup[ant]:
+                conf = math.floor(sab * 1000000 / sup[ant] + 0.5) / 1000000
+                lift = (
+                    math.floor(n * sab * 10000 / (sup[ant] * sup[cons]) + 0.5)
+                    / 10000
+                )
+                expected[(ant, cons)] = (sab, conf, lift)
+    assert {k: (r.sab, r.conf, r.lift) for k, r in out.items()} == expected
+    assert expected
+    assert all(r.lift > 1 for r in out.values())  # co-purchase => lift > 1
+
+
+def test_collocations_matches_bruteforce(spark):
+    from collections import Counter
+
+    out = all_queries()["q_text_collocations"](spark, SF_SMOKE).collect()
+    texts = [r.text for r in load(spark, SF_SMOKE, "documents").collect()]
+    uni = Counter()
+    big = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    U = sum(uni.values())
+    N = sum(big.values())
+    scored = {
+        (w1, w2): (c * U) * U / ((N * uni[w1]) * uni[w2])
+        for (w1, w2), c in big.items()
+    }
+    order = sorted(scored, key=lambda k: (-scored[k], k))[:20]
+    got = [(r.w1, r.w2) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == order
+    for r in out:
+        assert r.n_pairs == big[(r.w1, r.w2)]
+        assert r.lift == pytest.approx(scored[(r.w1, r.w2)], abs=1e-4)
+    assert len(out) == 20
+    assert out[0].lift > 1  # top collocation is an actual attractor

@@ -340,6 +340,8 @@ def test_driver_window_ordering_is_pinned():
         "q_dq_chi2",
         "q_agg_winsorized_mean",
         "q_mix_temperature",
+        "q_orders_basket_rules",
+        "q_text_collocations",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -10,7 +10,7 @@ combine.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
@@ -1140,4 +1140,98 @@ def q_text_zipf(spark, sf_dir):
             "intercept"
         ),
         fl4(slope * F.col("dxy") / F.col("dy")).alias("r2"),
+    )
+
+
+_COLL_TOPK = 20  # collocations reported
+
+
+@query(
+    "q_text_collocations",
+    oracle=f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT u.word AS w, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(text, ' ')) AS u(word) GROUP BY 1
+),
+utot AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
+big AS (
+  SELECT r[1] AS w1, r[2] AS w2
+  FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(r)
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM big),
+sc AS (
+  SELECT bc.w1, bc.w2, bc.c,
+         ((CAST(bc.c AS DOUBLE) * utot.u) * utot.u)
+           / ((CAST(btot.n AS DOUBLE) * u1.c) * u2.c) AS lift_raw
+  FROM bc
+  JOIN uni u1 ON u1.w = bc.w1
+  JOIN uni u2 ON u2.w = bc.w2
+  CROSS JOIN utot CROSS JOIN btot
+)
+SELECT w1, w2, c AS n_pairs, CAST(rk AS INT) AS rank,
+       floor(lift_raw * 10000 + 0.5) / 10000 AS lift
+FROM (SELECT *, row_number() OVER (ORDER BY lift_raw DESC, w1, w2) AS rk
+      FROM sc) z
+WHERE rk <= {_COLL_TOPK}
+""",
+)
+def q_text_collocations(spark, sf_dir):
+    """Collocation mining: the corpus's top-20 adjacent word
+    pairs by pointwise-lift P(xy)/(P(x)P(y)) — the PMI ranking (Church
+    & Hanks 1990) minus the log, which is order-preserving and keeps
+    the statistic transcendental-free: lift = (c_xy*U*U)/(N*c_x*c_y)
+    over exact integer counts, computed as a pinned association of
+    IEEE multiplies and ONE division, so both engines hold the
+    IDENTICAL double and the DESC ranking cannot diverge (ties break
+    on the words). Plan: one tokenize pass feeds both the unigram agg
+    and the in-array bigram zip (zip_with over adjacent slices — no
+    self-join, no posexplode matching), counts are map-side
+    combinable, corpus totals are 1-row broadcasts, and the final
+    top-k window runs over the bigram-type table (vocabulary-sized,
+    tiny vs the corpus). The classic phrase-detection pass (word2vec
+    preprocessing) runs exactly like this at corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    uni = (
+        d.select(F.explode(t).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    utot = uni.agg(F.sum("c").alias("u"))
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    btot = big.agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        bc.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                (F.col("c").cast("double") * F.col("u")) * F.col("u")
+                / ((F.col("n").cast("double") * F.col("c1")) * F.col("c2"))
+            ).alias("lift_raw"),
+        )
+    )
+    wk = Window.orderBy(F.col("lift_raw").desc(), "w1", "w2")
+    return (
+        sc.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _COLL_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pairs"),
+            F.col("rk").cast("int").alias("rank"),
+            (F.floor(F.col("lift_raw") * 10000 + F.lit(0.5)) / 10000).alias("lift"),
+        )
     )

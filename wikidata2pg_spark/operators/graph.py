@@ -253,3 +253,84 @@ def q_graph_triangles(spark, sf_dir):
             F.col("e2.v").alias("c"),
         )
     )
+
+
+@query(
+    "q_orders_basket_rules",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+sup AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS s FROM lp GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+r AS (
+  SELECT u AS ant, v AS cons, n_orders AS sab FROM e
+  UNION ALL
+  SELECT v AS ant, u AS cons, n_orders AS sab FROM e
+)
+SELECT r.ant, r.cons, r.sab,
+       floor(CAST(r.sab AS DOUBLE) * 1000000 / sa.s + 0.5) / 1000000 AS conf,
+       floor(CAST(n.n * r.sab AS DOUBLE) * 10000 / (sa.s * sb.s) + 0.5) / 10000
+         AS lift
+FROM r
+JOIN sup sa ON sa.p = r.ant
+JOIN sup sb ON sb.p = r.cons
+CROSS JOIN n
+WHERE 10 * r.sab >= sa.s
+""",
+)
+def q_orders_basket_rules(spark, sf_dir):
+    """Association rules (Agrawal & Srikant's Apriori output stage) over
+    the co-purchase pairs: every directed rule ant -> cons with pair
+    support >= 2 orders and confidence >= 10% — the classic
+    market-basket report (support / confidence / lift). Decisions are
+    pure integers: the confidence threshold is the cross-multiplied
+    10*sup(ab) >= sup(a) (never a float compare), supports are exact
+    order counts; conf and lift are then single divisions of exact
+    integers under the floor pattern (lift's numerator N*sup_ab stays
+    far below 2^63 at any plausible SF). Plan: reuses the bounded
+    bipartite projection of q_graph_copurchase (<=21 pairs/order), the
+    part-support table is dimension-sized (broadcast both probes), the
+    order count is a 1-row broadcast — one shuffle total beyond the
+    pair mining. Both orientations of each unordered pair are scored."""
+    edges = copurchase_edges(spark, sf_dir)
+    lp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sup = lp.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    n = load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    r = edges.select(
+        F.col("u").alias("ant"), F.col("v").alias("cons"), F.col("n_orders").alias("sab")
+    ).unionByName(
+        edges.select(
+            F.col("v").alias("ant"),
+            F.col("u").alias("cons"),
+            F.col("n_orders").alias("sab"),
+        )
+    )
+    j = (
+        r.join(F.broadcast(sup.withColumnRenamed("s", "sa")), F.col("ant") == F.col("p"))
+        .drop("p")
+        .join(F.broadcast(sup.withColumnRenamed("s", "sb")), F.col("cons") == F.col("p"))
+        .drop("p")
+        .crossJoin(F.broadcast(n))
+        .filter(10 * F.col("sab") >= F.col("sa"))
+    )
+    conf = (
+        F.floor(F.col("sab").cast("double") * 1000000 / F.col("sa") + F.lit(0.5))
+        / 1000000
+    )
+    lift = (
+        F.floor(
+            (F.col("n") * F.col("sab")).cast("double")
+            * 10000
+            / (F.col("sa") * F.col("sb"))
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return j.select("ant", "cons", "sab", conf.alias("conf"), lift.alias("lift"))
