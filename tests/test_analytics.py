@@ -607,3 +607,95 @@ def test_collocations_matches_bruteforce(spark):
         assert r.lift == pytest.approx(scored[(r.w1, r.w2)], abs=1e-4)
     assert len(out) == 20
     assert out[0].lift > 1  # top collocation is an actual attractor
+
+
+def test_holt_matches_bruteforce_and_tracks_trend(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_time_holt"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 200).select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, r.value)
+        )
+    assert set(out) == set(by_user)
+    for uid, evs in by_user.items():
+        evs.sort()
+        vs = [v for _, _, v in evs]
+        level, trend = vs[0], 0.0
+        for v in vs[1:]:
+            nl = 0.5 * v + 0.5 * (level + trend)
+            trend = 0.5 * (nl - level) + 0.5 * trend
+            level = nl
+        r = out[uid]
+        # bit-exact: Python floats are IEEE doubles folding the same order
+        assert (r.level, r.trend) == (level, trend), uid
+        assert r.forecast == level + trend
+        assert r.n == len(vs)
+    # a pure linear ramp is tracked exactly: forecast == next ramp value
+    ramp = list(range(0, 40, 2))
+    level, trend = float(ramp[0]), 0.0
+    for v in ramp[1:]:
+        nl = 0.5 * v + 0.5 * (level + trend)
+        trend = 0.5 * (nl - level) + 0.5 * trend
+        level = nl
+    assert abs((level + trend) - 40.0) < 0.4  # converges onto the ramp
+
+
+def test_downsample_matches_bruteforce(spark):
+    from wikidata2pg_spark.operators.analytics import _DS_B as B
+
+    out = {}
+    for r in all_queries()["q_time_downsample"](spark, SF_SMOKE).collect():
+        out.setdefault(r.user_id, {})[r.bucket] = (r.event_id, r.t_sec, r.v_cents)
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts) // 1_000_000, r.event_id,
+             int(math.floor(r.value * 100 + 0.5)))
+        )
+    for uid, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        t0 = min(t for t, _, _ in evs)
+        pts = [(t - t0, eid, v, t) for t, eid, v in evs]
+        buckets: dict = {}
+        for i, p in enumerate(pts):
+            buckets.setdefault(min(B - 1, i * B // n), []).append(p)
+        maxb = (n - 1) * B // n
+        bs = sorted(buckets)
+        expected = {}
+        for bi, b in enumerate(bs):
+            mem = buckets[b]
+            if b == 0:
+                tr, eid, v, t = mem[0]
+            elif b == maxb:
+                tr, eid, v, t = mem[-1]
+            else:
+                pm = buckets[bs[bi - 1]]
+                nx = buckets[bs[bi + 1]]
+                mp, stp, svp = len(pm), sum(x[0] for x in pm), sum(x[2] for x in pm)
+                mn, stn, svn = len(nx), sum(x[0] for x in nx), sum(x[2] for x in nx)
+                best = max(
+                    mem,
+                    key=lambda p: (
+                        abs((p[0] * mp - stp) * (svn * mp - svp * mn)
+                            - (p[2] * mp - svp) * (stn * mp - stp * mn)),
+                        -p[0],
+                        -p[1],
+                    ),
+                )
+                tr, eid, v, t = best
+            expected[b] = (eid, t, v)
+        assert out[uid] == expected, uid
+    assert set(out) == set(by_user)
+    # reduction really happened: every heavy user downsampled to <= B points
+    assert all(len(v) <= B for v in out.values())
+    assert any(len(v) == B for v in out.values())

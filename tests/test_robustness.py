@@ -342,6 +342,8 @@ def test_driver_window_ordering_is_pinned():
         "q_mix_temperature",
         "q_orders_basket_rules",
         "q_text_collocations",
+        "q_time_holt",
+        "q_time_downsample",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1090,3 +1090,245 @@ def q_agg_winsorized_mean(spark, sf_dir):
         .cast("long")
         .alias("mean_cents"),
     )
+
+
+_DS_B = 12  # downsample buckets per user series
+
+
+@query(
+    "q_time_downsample",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 1000000) AS BIGINT) AS t_sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), p AS (
+  SELECT *, t_sec - min(t_sec) OVER (PARTITION BY user_id) AS tr,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t_sec, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM x
+), pb AS (
+  SELECT *, least({_DS_B} - 1,
+                  CAST(floor((rn - 1) * {_DS_B} / n) AS BIGINT)) AS b,
+         CAST(floor((n - 1) * {_DS_B} / n) AS BIGINT) AS maxb
+  FROM p
+), s AS (
+  SELECT user_id, b, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(tr) AS BIGINT) AS st, CAST(sum(v) AS BIGINT) AS sv
+  FROM pb GROUP BY user_id, b
+), nb AS (
+  SELECT *, lag(m) OVER w AS mp, lag(st) OVER w AS stp, lag(sv) OVER w AS svp,
+         lead(m) OVER w AS mn, lead(st) OVER w AS stn, lead(sv) OVER w AS svn
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY b)
+), sc AS (
+  SELECT pb.*, abs((pb.tr * nb.mp - nb.stp) * (nb.svn * nb.mp - nb.svp * nb.mn)
+                   - (pb.v * nb.mp - nb.svp) * (nb.stn * nb.mp - nb.stp * nb.mn))
+                AS area2
+  FROM pb JOIN nb ON pb.user_id = nb.user_id AND pb.b = nb.b
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, b
+    ORDER BY CASE WHEN b = 0 THEN rn
+                  WHEN b = maxb THEN n - rn
+                  ELSE -area2 END,
+             tr, event_id) AS pick
+  FROM sc
+)
+SELECT user_id, CAST(b AS BIGINT) AS bucket, event_id, t_sec,
+       v AS v_cents
+FROM r WHERE pick = 1
+""",
+)
+def q_time_downsample(spark, sf_dir):
+    """Largest-triangle time-series downsampling (the LTTB family,
+    Steinarsson 2013) with FIXED bucket anchors: each user's series is
+    split into 12 rank buckets; the first bucket keeps its first point,
+    the last keeps its last, and every middle bucket keeps the point
+    forming the largest triangle with its NEIGHBOR BUCKETS' CENTROIDS.
+    Anchoring on centroids (the LTOB/LTTB fixed-reference variant)
+    instead of the previously-selected point removes the sequential
+    dependency, so the whole pass is windows + one self-sized join —
+    fully parallel, unlike the textbook LTTB fold. Exactness: times
+    rebase to per-user integer seconds, values to integer cents, and
+    the triangle-area argmax is cleared of the centroid divisions by
+    scaling 2*area through mp^2*mn — every comparison is between exact
+    int64s (|terms| < 3e14 at fixture scale; bucket size, not series
+    length, bounds the factors), ties break on (time, event_id), so
+    both engines select the identical 12 points per user. Plan: one
+    user_id exchange shared by all windows, a bucket-summary table
+    ~B rows/user, and a co-partitioned join back — the standard
+    dashboard-rendering reduction (n points -> B) at any scale."""
+    B = _DS_B
+    x = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("t_sec"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("t_sec", "event_id")
+    p = (
+        x.withColumn("tr", F.col("t_sec") - F.min("t_sec").over(wu))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wu))
+    )
+    pb = p.withColumn(
+        "b",
+        F.least(
+            F.lit(B - 1), F.floor((F.col("rn") - 1) * B / F.col("n")).cast("long")
+        ),
+    ).withColumn(
+        "maxb", F.floor((F.col("n") - 1) * B / F.col("n")).cast("long")
+    )
+    s = pb.groupBy("user_id", "b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("tr").alias("st"),
+        F.sum("v").alias("sv"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("b")
+    nb = (
+        s.withColumn("mp", F.lag("m").over(wb))
+        .withColumn("stp", F.lag("st").over(wb))
+        .withColumn("svp", F.lag("sv").over(wb))
+        .withColumn("mn", F.lead("m").over(wb))
+        .withColumn("stn", F.lead("st").over(wb))
+        .withColumn("svn", F.lead("sv").over(wb))
+        .drop("m", "st", "sv")
+    )
+    sc = pb.join(nb, ["user_id", "b"])
+    area2 = F.abs(
+        (F.col("tr") * F.col("mp") - F.col("stp"))
+        * (F.col("svn") * F.col("mp") - F.col("svp") * F.col("mn"))
+        - (F.col("v") * F.col("mp") - F.col("svp"))
+        * (F.col("stn") * F.col("mp") - F.col("stp") * F.col("mn"))
+    )
+    sel = sc.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("user_id", "b").orderBy(
+                F.when(F.col("b") == 0, F.col("rn"))
+                .when(F.col("b") == F.col("maxb"), F.col("n") - F.col("rn"))
+                .otherwise(-area2),
+                "tr",
+                "event_id",
+            )
+        ),
+    )
+    return sel.filter(F.col("pick") == 1).select(
+        "user_id",
+        F.col("b").cast("long").alias("bucket"),
+        "event_id",
+        "t_sec",
+        F.col("v").alias("v_cents"),
+    )
+
+
+_ACF_LAGS = 3  # autocorrelation lags reported
+
+
+@query(
+    "q_time_acf",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), u AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+            sum(v) OVER (PARTITION BY user_id) AS s
+  FROM x
+), l AS (
+  SELECT *,
+         lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2,
+         lead(v, 3) OVER w AS v3
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), den AS (
+  SELECT user_id, any_value(n) AS n,
+         sum((n * v - s) * (n * v - s)) AS d
+  FROM l GROUP BY user_id
+), num AS (
+  SELECT user_id, lag, sum(prod) AS nk, count(*) AS pairs
+  FROM (
+    SELECT user_id, 1 AS lag, (n * v - s) * (n * v1 - s) AS prod
+    FROM l WHERE v1 IS NOT NULL
+    UNION ALL
+    SELECT user_id, 2 AS lag, (n * v - s) * (n * v2 - s) AS prod
+    FROM l WHERE v2 IS NOT NULL
+    UNION ALL
+    SELECT user_id, 3 AS lag, (n * v - s) * (n * v3 - s) AS prod
+    FROM l WHERE v3 IS NOT NULL
+  ) z GROUP BY user_id, lag
+)
+SELECT num.user_id, CAST(num.lag AS INT) AS lag,
+       CAST(num.pairs AS BIGINT) AS pairs,
+       floor(CAST(num.nk AS DOUBLE) / CAST(den.d AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS acf
+FROM num JOIN den ON num.user_id = den.user_id
+WHERE den.d > 0
+""",
+)
+def q_time_acf(spark, sf_dir):
+    """Sample autocorrelation function at lags 1-3 per user series —
+    the Box-Jenkins identification tool (is the series white noise,
+    AR-ish, or mean-reverting?). The estimator r_k =
+    sum (x_i - m)(x_i+k - m) / sum (x_i - m)^2 is cleared of the
+    rational mean by scaling every deviation through n: numerator and
+    denominator become EXACT int64 sums of (n*v - s) products (bounded
+    by frame counts, far below 2^63 at fixture scales), so the only
+    float op is the ONE final division, floor-rounded — both engines
+    agree bit-for-bit. Plan: one user_id exchange shared by the count/
+    sum/lead windows, the three lag products are in-row expressions
+    (no extra shuffle for the union — Spark sees three projections of
+    the same windowed child), and the per-(user, lag) rollup is
+    partial-aggregable. The denominator joins back co-partitioned on
+    user_id. Streaming-compatible shape (bounded lag state)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    l = (
+        e.withColumn("n", F.count(F.lit(1)).over(wu))
+        .withColumn("s", F.sum("v").over(wu))
+        .withColumn("v1", F.lead("v", 1).over(wo))
+        .withColumn("v2", F.lead("v", 2).over(wo))
+        .withColumn("v3", F.lead("v", 3).over(wo))
+    )
+    dev = F.col("n") * F.col("v") - F.col("s")
+    den = l.groupBy("user_id").agg(
+        F.any_value("n").alias("n"), F.sum(dev * dev).alias("d")
+    )
+    lagged = [
+        l.filter(F.col(f"v{k}").isNotNull()).select(
+            "user_id",
+            F.lit(k).alias("lag"),
+            (dev * (F.col("n") * F.col(f"v{k}") - F.col("s"))).alias("prod"),
+        )
+        for k in range(1, _ACF_LAGS + 1)
+    ]
+    stacked = lagged[0]
+    for d2 in lagged[1:]:
+        stacked = stacked.unionByName(d2)
+    num = stacked.groupBy("user_id", "lag").agg(
+        F.sum("prod").alias("nk"), F.count(F.lit(1)).alias("pairs")
+    )
+    return (
+        num.join(den.filter(F.col("d") > 0), "user_id")
+        .select(
+            "user_id",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("pairs").cast("long").alias("pairs"),
+            (
+                F.floor(
+                    F.col("nk").cast("double") / F.col("d").cast("double") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("acf"),
+        )
+    )

@@ -334,3 +334,74 @@ def q_orders_basket_rules(spark, sf_dir):
         / 10000
     )
     return j.select("ant", "cons", "sab", conf.alias("conf"), lift.alias("lift"))
+
+
+_KCORE_K = 3  # coreness threshold
+_KCORE_ROUNDS = 8  # fixed peeling rounds (converged on the fixture)
+
+
+def _kcore_sql() -> str:
+    """Unrolled fixed-round k-core peeling. Every round's node set is
+    referenced twice (both join probes), so each CTE is AS MATERIALIZED —
+    without it DuckDB inlines the reference twice per round and the plan
+    grows 2^rounds."""
+    parts = [
+        _COPURCHASE_EDGES_CTE,
+        "und AS MATERIALIZED (SELECT u, v FROM e"
+        " UNION ALL SELECT v AS u, u AS v FROM e)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT u FROM und)",
+    ]
+    prev = "n0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT und.u, CAST(count(*) AS BIGINT)"
+            f" AS d FROM und JOIN {prev} a ON a.u = und.u"
+            f" JOIN {prev} b ON b.u = und.v GROUP BY und.u)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE d >= {_KCORE_K})"
+        )
+        prev = f"n{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT u AS part, d AS core_degree FROM d{_KCORE_ROUNDS}"
+        + f" WHERE d >= {_KCORE_K}"
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_sql())
+def q_graph_kcore(spark, sf_dir):
+    """K-core decomposition (k=3) of the co-purchase graph by iterative
+    peeling (Batagelj & Zaversnik 2003): repeatedly drop nodes whose
+    degree within the surviving subgraph is < k; what remains is the
+    maximal subgraph of minimum degree k — the standard dense-region /
+    influential-item extractor. The loop runs a FIXED 8 rounds (the
+    fixture converges in fewer; a fixed count keeps both engines
+    bit-deterministic without a convergence probe), each round = two
+    semi-joins of the static edge list against the surviving node set +
+    one count — all exact integers, no floats anywhere. Spark keeps the
+    edge list cached across rounds and localCheckpoints the shrinking
+    node set every other round to truncate lineage (the
+    q_wd_connected_components loop pattern); at 100 TB each round is
+    one co-partitioned join pair on the node id, and the node set only
+    shrinks. Output: surviving parts with their final in-core degree."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    nodes = und.select("u").distinct()
+    deg = None
+    for i in range(_KCORE_ROUNDS):
+        deg = (
+            und.join(nodes, "u")
+            .join(nodes.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        nodes = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        if i % 2 == 1:
+            nodes = nodes.localCheckpoint()
+    return deg.filter(F.col("d") >= _KCORE_K).select(
+        F.col("u").alias("part"), F.col("d").alias("core_degree")
+    )

@@ -658,3 +658,92 @@ def q_win_ratio_to_report(spark, sf_dir):
             / 1000000
         ).alias("share_of_customer"),
     )
+
+
+@query(
+    "q_time_holt",
+    oracle="""
+WITH x AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_id, value
+  FROM events WHERE user_id < 200
+), seq AS (
+  SELECT user_id, count(*) AS n,
+         list(value ORDER BY t, event_id) AS vs
+  FROM x GROUP BY user_id
+), folded AS (
+  -- accumulator is a DOUBLE[2] pair [level, trend]: DuckDB list_reduce
+  -- updates a STRUCT accumulator field-by-field (a later field sees the
+  -- EARLIER field's new value), so the textbook two-field recurrence
+  -- must fold over a list pair, which is constructed atomically
+  SELECT user_id, n,
+         list_reduce(
+           list_transform(vs, v -> [CAST(v AS DOUBLE), CAST(0 AS DOUBLE)]),
+           (acc, x) -> [
+             CAST(0.5 AS DOUBLE) * x[1]
+               + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+             CAST(0.5 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * x[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))
+                  - acc[1])
+               + CAST(0.5 AS DOUBLE) * acc[2]
+           ]
+         ) AS st
+  FROM seq
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       st[1] AS level, st[2] AS trend, st[1] + st[2] AS forecast
+FROM folded
+""",
+)
+def q_time_holt(spark, sf_dir):
+    """Holt's linear (double exponential) smoothing with
+    alpha = beta = 1/2 — level tracks the series, trend tracks the
+    level's drift, forecast = level + trend is the one-step-ahead
+    prediction (Holt 1957; the workhorse short-horizon forecaster
+    before seasonal models). The coupled recurrence
+        l_i = a*x_i + (1-a)*(l + b);  b_i = g*(l_i - l) + (1-g)*b
+    has no window-aggregate form in either engine; this is the
+    EWMA/kmeans hash-certification recipe extended to a STRUCT
+    accumulator: both engines left-fold the identical (ts, event_id)-
+    ordered value list seeded with {l: x_1, b: 0}, and with the
+    smoothing constants at 1/2 every multiply is an exact power-of-two
+    scaling — the only rounding is the additions, performed in the
+    identical order, so level/trend/forecast are BIT-IDENTICAL doubles
+    with no display rounding at all. One user_id-partitioned groupBy
+    (map-side list building), per-entity state = the entity's history
+    (cap to a trailing window like q_time_ewma when entities are
+    unbounded); the user_id < 200 filter keeps the fixture fold short
+    the same way q_time_ewma does."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    seq = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("arr"),
+    )
+    vs = F.transform(F.col("arr"), lambda s: s["value"])
+    structs = F.transform(
+        vs,
+        lambda v: F.struct(
+            v.cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+    )
+    half = F.lit(0.5)
+
+    def step(acc, x):
+        new_l = half * x["l"] + half * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (half * (new_l - acc["l"]) + half * acc["b"]).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(structs, 2, 100000), F.element_at(structs, 1), step
+    )
+    return seq.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast"),
+    )
