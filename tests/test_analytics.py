@@ -699,3 +699,176 @@ def test_downsample_matches_bruteforce(spark):
     # reduction really happened: every heavy user downsampled to <= B points
     assert all(len(v) <= B for v in out.values())
     assert any(len(v) == B for v in out.values())
+
+
+def test_kcore_matches_networkx_free_peeling(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from wikidata2pg_spark.operators.graph import _KCORE_K, _KCORE_ROUNDS
+
+    out = {r.part: r.core_degree for r in all_queries()["q_graph_kcore"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    adj: dict = {}
+    for (a, b), c in pair.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    deg = {}
+    for _ in range(_KCORE_ROUNDS):
+        deg = {u: len(adj[u] & nodes) for u in nodes}
+        nodes = {u for u, d in deg.items() if d >= _KCORE_K}
+    expected = {u: d for u, d in deg.items() if d >= _KCORE_K}
+    assert out == expected
+    assert expected
+    # true k-core property on the converged fixture: min in-core degree >= k
+    assert all(len(adj[u] & set(expected)) >= _KCORE_K for u in expected)
+    # sf0.001's graph is dense (every node has degree >= k, nothing peels);
+    # discrimination shows at sf0.01, where peeling halves the node set
+    core_t2 = all_queries()["q_graph_kcore"](spark, SF_T2).count()
+    nodes_t2 = (
+        load(spark, SF_T2, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .count()
+        .count()
+    )
+    assert 0 < core_t2 < nodes_t2  # peeling removed something
+
+
+def test_acf_matches_bruteforce_and_white_noise_bounds(spark):
+    out: dict = {}
+    for r in all_queries()["q_time_acf"](spark, SF_SMOKE).collect():
+        out[(r.user_id, r.lag)] = r
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, int(math.floor(r.value * 100 + 0.5)))
+        )
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        vs = [v for _, _, v in evs]
+        n, s = len(vs), sum(vs)
+        d = sum((n * v - s) ** 2 for v in vs)
+        if d == 0:
+            continue
+        for k in (1, 2, 3):
+            if n <= k:
+                continue
+            nk = sum(
+                (n * vs[i] - s) * (n * vs[i + k] - s) for i in range(n - k)
+            )
+            expected[(uid, k)] = (
+                n - k,
+                math.floor(nk / d * 1000000 + 0.5) / 1000000,
+            )
+    assert {k: (r.pairs, r.acf) for k, r in out.items()} == expected
+    # acf is a normalized correlation: |r_k| <= 1 always
+    assert all(-1.0 <= r.acf <= 1.0 for r in out.values())
+    assert expected
+
+
+def test_cohort_ltv_matches_bruteforce(spark):
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in all_queries()["q_cohort_ltv"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value").collect()
+    import datetime as dt
+
+    def week(ts):
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    first: dict = {}
+    for r in rows:
+        w = week(r.ts)
+        if r.user_id not in first or w < first[r.user_id]:
+            first[r.user_id] = w
+    size: dict = {}
+    for w in first.values():
+        size[w] = size.get(w, 0) + 1
+    rev: dict = {}
+    for r in rows:
+        cw = first[r.user_id]
+        off = (week(r.ts) - cw).days // 7
+        rev[(cw, off)] = rev.get((cw, off), 0) + int(
+            math.floor(r.value * 100 + 0.5)
+        )
+    assert set(out) == set(rev)
+    for cw in {k[0] for k in rev}:
+        cum = 0
+        for off in sorted(k[1] for k in rev if k[0] == cw):
+            cum += rev[(cw, off)]
+            r = out[(cw, off)]
+            assert r.rev_cents == rev[(cw, off)]
+            assert r.cum_rev_cents == cum
+            assert r.cohort_size == size[cw]
+            assert r.ltv_cents == math.floor(cum / size[cw] + 0.5)
+    # LTV curves are monotone non-decreasing per cohort
+    for cw in size:
+        curve = [
+            out[k].ltv_cents for k in sorted(k for k in out if k[0] == cw)
+        ]
+        assert curve == sorted(curve)
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    out = {r.flag: r for r in all_queries()["q_agg_spearman"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (int(math.floor(r.l_quantity + 0.5)),
+             int(math.floor(r.l_extendedprice * 100 + 0.5)))
+        )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + j + 1) / 2  # average of 1-based positions i+1..j
+            for k in order[i:j]:
+                ranks[k] = r
+            i = j
+        return ranks
+
+    for flag, pairs in by_flag.items():
+        qs = avg_ranks([p[0] for p in pairs])
+        cs = avg_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        mq, mc = sum(qs) / n, sum(cs) / n
+        num = sum((a - mq) * (b - mc) for a, b in zip(qs, cs))
+        den = math.sqrt(
+            sum((a - mq) ** 2 for a in qs) * sum((b - mc) ** 2 for b in cs)
+        )
+        r = out[flag]
+        assert r.n == n
+        assert r.rho == pytest.approx(num / den, abs=2e-6), flag
+        assert -1.0 <= r.rho <= 1.0
+    # the synthetic fixture draws quantity and price independently, so
+    # rho sits strictly inside the open interval (never degenerate +-1)
+    assert set(out) == set(by_flag)
+    assert all(-1.0 < r.rho < 1.0 for r in out.values())

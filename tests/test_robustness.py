@@ -344,6 +344,10 @@ def test_driver_window_ordering_is_pinned():
         "q_text_collocations",
         "q_time_holt",
         "q_time_downsample",
+        "q_graph_kcore",
+        "q_time_acf",
+        "q_cohort_ltv",
+        "q_agg_spearman",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

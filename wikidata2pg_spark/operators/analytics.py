@@ -1332,3 +1332,103 @@ def q_time_acf(spark, sf_dir):
             ).alias("acf"),
         )
     )
+
+
+@query(
+    "q_agg_spearman",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), qh AS (
+  SELECT flag, q, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY flag, q
+), qr AS (
+  SELECT flag, q,
+         2 * sum(cnt) OVER (PARTITION BY flag ORDER BY q) - cnt + 1 AS rq
+  FROM qh
+), ch AS (
+  SELECT flag, c, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY flag, c
+), cr AS (
+  SELECT flag, c,
+         2 * sum(cnt) OVER (PARTITION BY flag ORDER BY c) - cnt + 1 AS rc
+  FROM ch
+), r AS (
+  SELECT x.flag, qr.rq, cr.rc
+  FROM x JOIN qr ON x.flag = qr.flag AND x.q = qr.q
+         JOIN cr ON x.flag = cr.flag AND x.c = cr.c
+), m AS (
+  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rq) AS BIGINT) AS sx, CAST(sum(rc) AS BIGINT) AS sy,
+         CAST(sum(rq * rq) AS BIGINT) AS sxx,
+         CAST(sum(rc * rc) AS BIGINT) AS syy,
+         CAST(sum(rq * rc) AS BIGINT) AS sxy
+  FROM r GROUP BY flag
+)
+SELECT flag, n,
+       floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             * 1000000 + 0.5) / 1000000 AS rho
+FROM m
+""",
+)
+def q_agg_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — Pearson on AVERAGE ranks, the tie-correct textbook
+    definition, and the robust complement to q_agg_corr_matrix's
+    Pearson. Exactness: ranks are computed on VALUE HISTOGRAMS (the
+    winsorized-mean shape — the rank window sorts distinct values, not
+    rows), and the average rank of a tie group, (2*cum - cnt + 1)/2,
+    is kept DOUBLED so it stays an exact integer; all five moment sums
+    are then exact int64 (|sum(rq*rc)| <= n*(2n)^2 ~ 9e17 at sf0.1).
+    The final rho combines them in one pinned IEEE double tree (the
+    int64->double casts round identically in both engines) with a
+    single floor-round — the doubling cancels between numerator and
+    denominator. Plan: two histogram windows partitioned by flag, two
+    co-partitioned hash joins back to the fact rows (at 100 TB the
+    cents histogram is not broadcastable; the join key carries the
+    flag so both joins share the fact's partitioning), one moment agg."""
+    x = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+
+    def ranks(col):
+        h = x.groupBy("flag", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = (
+            Window.partitionBy("flag")
+            .orderBy(col)
+            .rangeBetween(Window.unboundedPreceding, 0)
+        )
+        return h.select(
+            "flag",
+            col,
+            (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).alias(f"r_{col}"),
+        )
+
+    r = x.join(ranks("q"), ["flag", "q"]).join(ranks("c"), ["flag", "c"])
+    m = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_q").alias("sx"),
+        F.sum("r_c").alias("sy"),
+        F.sum(F.col("r_q") * F.col("r_q")).alias("sxx"),
+        F.sum(F.col("r_c") * F.col("r_c")).alias("syy"),
+        F.sum(F.col("r_q") * F.col("r_c")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho_raw = (
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        "flag",
+        "n",
+        (F.floor(rho_raw * 1000000 + F.lit(0.5)) / 1000000).alias("rho"),
+    )

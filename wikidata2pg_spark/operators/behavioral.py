@@ -473,3 +473,95 @@ def q_agg_churn(spark, sf_dir):
             / 10000
         ).alias("churn_rate"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts::TIMESTAMP)) AS DATE)
+           AS cohort_week
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), s AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM f GROUP BY cohort_week
+), p AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts::TIMESTAMP) AS DATE))
+              / 7 AS BIGINT) AS week_offset,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase'
+), w AS (
+  SELECT cohort_week, week_offset,
+         CAST(sum(cents) AS BIGINT) AS rev_cents
+  FROM p GROUP BY cohort_week, week_offset
+), c AS (
+  SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                                      ORDER BY week_offset) AS BIGINT)
+              AS cum_rev_cents
+  FROM w
+)
+SELECT c.cohort_week, c.week_offset, c.rev_cents, c.cum_rev_cents,
+       s.cohort_size,
+       CAST(floor(CAST(c.cum_rev_cents AS DOUBLE) / s.cohort_size + 0.5)
+            AS BIGINT) AS ltv_cents
+FROM c JOIN s USING (cohort_week)
+""",
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curve: cohort = ISO week of the user's
+    first purchase; for each cohort x week-offset, the purchase revenue
+    earned that week, the running total, and LTV-per-user (cumulative
+    revenue / cohort size) — the revenue twin of q_cohort_retention's
+    activity triangle and the curve a growth team integrates to price
+    acquisition. Money is exact integer cents, the running total an
+    integer cumulative window over the tiny (cohort x offset) matrix,
+    LTV one floored division. Plan: one user-keyed first-purchase agg
+    (broadcastable), the fact scan joins it on user_id (co-partitioned
+    shuffle at 100 TB — users not broadcastable at the extreme, and
+    the join key is the natural event partitioning), rollup to the
+    triangle BEFORE the cumulative window (window moves |cohorts| x
+    |offsets| rows, not events)."""
+    e = load(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase")
+    f = pur.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    s = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    p = pur.join(f, "user_id").select(
+        "cohort_week",
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = p.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    wc = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = w.withColumn("cum_rev_cents", F.sum("rev_cents").over(wc))
+    return c.join(F.broadcast(s), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "rev_cents",
+        "cum_rev_cents",
+        "cohort_size",
+        F.floor(
+            F.col("cum_rev_cents").cast("double") / F.col("cohort_size")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ltv_cents"),
+    )
