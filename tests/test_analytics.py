@@ -872,3 +872,137 @@ def test_spearman_matches_scipy_free_reference(spark):
     # rho sits strictly inside the open interval (never degenerate +-1)
     assert set(out) == set(by_flag)
     assert all(-1.0 < r.rho < 1.0 for r in out.values())
+
+
+def test_theilsen_matches_bruteforce(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_agg_theilsen"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").filter(F.col("user_id") < 100).select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts) // 1_000_000, int(math.floor(r.value * 100 + 0.5)))
+        )
+    for uid, evs in by_user.items():
+        slopes = sorted(
+            (v2 - v1) / (t2 - t1)
+            for i, (t1, v1) in enumerate(evs)
+            for t2, v2 in evs[i + 1 :]
+            if t2 != t1
+            for t1, v1, t2, v2 in [(t1, v1, t2, v2) if t1 < t2 else (t2, v2, t1, v1)]
+        )
+        m = len(slopes)
+        slope = slopes[(m + 1) // 2 - 1]
+        resid = sorted(v - slope * t for t, v in evs)
+        inter = resid[(len(resid) + 1) // 2 - 1]
+        r = out[uid]
+        assert r.n_pairs == m, uid
+        assert r.slope_cps == math.floor(slope * 1000000 + 0.5) / 1000000, uid
+        assert r.intercept_cents == math.floor(inter * 100 + 0.5) / 100, uid
+    assert set(out) == set(by_user)
+
+
+def test_theilsen_robust_to_outlier_vs_ols(spark):
+    # Theil-Sen on a clean ramp with one wild outlier recovers slope ~2
+    import pyarrow as pa
+
+    ts = [1_700_000_000_000_000 + i * 1_000_000 for i in range(21)]
+    vals = [2.0 * i for i in range(21)]
+    vals[10] = 10_000.0  # outlier
+    tb = pa.table(
+        {
+            "event_id": list(range(21)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": [7] * 21,
+            "event_type": ["view"] * 21,
+            "value": vals,
+            "props": ["{}"] * 21,
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(tb, os.path.join(td, "events.parquet"))
+        out = all_queries()["q_agg_theilsen"](spark, td).collect()
+    assert len(out) == 1
+    assert abs(out[0].slope_cps - 200.0) < 1.0  # 2 units = 200 cents/sec
+
+
+def test_cdc_chunks_match_bruteforce(spark):
+    from collections import Counter
+
+    from wikidata2pg_spark.llm.dedup import _CDC_M, _CDC_MASK, _CDC_POW, _CDC_W
+
+    out = {r.chunk_md5: r for r in all_queries()["q_dedup_cdc_chunks"](spark, SF_SMOKE).collect()}
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    occ: Counter = Counter()
+    docset: dict = {}
+    lens: dict = {}
+    import hashlib
+
+    for d in docs:
+        t = d.text
+        L = len(t)
+        if L < _CDC_W:
+            continue
+        codes = [ord(c) for c in t]
+        ends = [
+            i + _CDC_W - 1
+            for i in range(1, L - _CDC_W + 2)
+            if sum(
+                codes[i + j - 1] * _CDC_POW[j] for j in range(_CDC_W)
+            ) % _CDC_M % _CDC_MASK == 0
+        ]
+        ends = [e for e in ends if e < L] + [L]
+        s = 1
+        for e in ends:
+            chunk = t[s - 1 : e]
+            hh = hashlib.md5(chunk.encode()).hexdigest()
+            occ[hh] += 1
+            docset.setdefault(hh, set()).add(d.doc_id)
+            lens[hh] = len(chunk)
+            s = e + 1
+    expected = {
+        h: (lens[h], occ[h], len(ds), min(ds))
+        for h, ds in docset.items()
+        if len(ds) > 1
+    }
+    assert {
+        h: (r.chunk_len, r.n_occurrences, r.n_docs, r.first_doc)
+        for h, r in out.items()
+    } == expected
+    assert expected  # the fixture does contain cross-doc boilerplate
+
+
+def test_cdc_boundaries_stable_under_prefix_insert(spark):
+    # content-defined property: prepending text shifts only the FIRST
+    # chunk; later chunk hashes are unchanged (fixed-size blocks break)
+    import hashlib
+
+    from wikidata2pg_spark.llm.dedup import _CDC_M, _CDC_MASK, _CDC_POW, _CDC_W
+
+    def chunks(t):
+        L = len(t)
+        codes = [ord(c) for c in t]
+        ends = [
+            i + _CDC_W - 1
+            for i in range(1, L - _CDC_W + 2)
+            if sum(codes[i + j - 1] * _CDC_POW[j] for j in range(_CDC_W))
+            % _CDC_M % _CDC_MASK == 0
+        ]
+        ends = [e for e in ends if e < L] + [L]
+        out, s = [], 1
+        for e in ends:
+            out.append(hashlib.md5(t[s - 1 : e].encode()).hexdigest())
+            s = e + 1
+        return out
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    shifted = "INSERTED PREFIX " + base
+    c1, c2 = chunks(base), chunks(shifted)
+    assert len(c1) > 3
+    assert c1[1:] == c2[-(len(c1) - 1):]  # tail chunks identical

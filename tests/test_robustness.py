@@ -348,6 +348,8 @@ def test_driver_window_ordering_is_pinned():
         "q_time_acf",
         "q_cohort_ltv",
         "q_agg_spearman",
+        "q_agg_theilsen",
+        "q_dedup_cdc_chunks",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -633,3 +633,129 @@ def q_pipeline_neardup(spark, sf_dir):
         F.col("cluster").alias("component"),
         (F.col("id") == F.col("cluster")).alias("is_canonical"),
     )
+
+
+_CDC_B = 131  # polynomial base of the 16-gram rolling hash
+_CDC_M = 1 << 20  # hash modulus
+_CDC_W = 16  # window (minimum chunk granularity)
+_CDC_MASK = 64  # boundary when hash % 64 == 0 -> ~64-char expected chunks
+_CDC_POW = [pow(_CDC_B, _CDC_W - 1 - j, _CDC_M) for j in range(_CDC_W)]
+
+
+def _cdc_sql() -> str:
+    pow_sql = "[" + ",".join(str(p) for p in _CDC_POW) + "]"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS codes
+  FROM documents
+), h AS (
+  SELECT doc_id, text, L,
+         list_filter(range(1, L - {_CDC_W} + 2),
+           i -> list_sum(list_transform(range(0, {_CDC_W}),
+                  j -> codes[i + j] * ({pow_sql})[j + 1]))
+                % {_CDC_M} % {_CDC_MASK} = 0) AS bpos
+  FROM d WHERE L >= {_CDC_W}
+), ends AS (
+  SELECT doc_id, text,
+         list_append(list_filter(list_transform(bpos, p -> p + {_CDC_W} - 1),
+                                 e -> e < L), L) AS es
+  FROM h
+), ch AS (
+  SELECT doc_id, text,
+         unnest(list_transform(range(1, len(es) + 1),
+           k -> {{'s': CASE WHEN k = 1 THEN 1 ELSE es[k - 1] + 1 END,
+                 'e': es[k]}})) AS c
+  FROM ends
+), chunks AS (
+  SELECT doc_id, md5(substr(text, c.s, c.e - c.s + 1)) AS chunk_md5,
+         CAST(c.e - c.s + 1 AS BIGINT) AS chunk_len
+  FROM ch
+)
+SELECT chunk_md5, any_value(chunk_len) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+@query("q_dedup_cdc_chunks", oracle=_cdc_sql())
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (the FastCDC/rsync family): a 16-char
+    polynomial rolling hash over each document cuts a chunk wherever
+    hash % 64 == 0, so chunk boundaries are a pure function of LOCAL
+    content — insert a word at the front and, unlike fixed-size
+    blocks, every later boundary stays put. The output is the
+    cross-document duplicate-chunk report (chunk hash, length,
+    occurrence/document counts): the byte-granular dedup signal that
+    catches shared boilerplate exact-dedup misses and MinHash only
+    scores, and the storage-dedup primitive. Exactness: the hash is
+    pure integer modular arithmetic (codes * precomputed B^j mod 2^20,
+    every term positive, far below 2^63), boundary positions are
+    integer comparisons, chunk extraction is substring on agreed
+    1-based offsets, and the report is exact counting on md5 keys —
+    no floats anywhere. Plan: the whole chunker is per-row expression
+    work (nested higher-order functions — zero Python, zero shuffle),
+    then ONE map-side-combinable groupBy on chunk_md5; at 100 TB that
+    single exchange moves (hash, len) pairs, not text."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.length("text").alias("L"),
+        F.transform(
+            F.split("text", ""), lambda c: F.ascii(c).cast("long")
+        ).alias("codes"),
+    ).filter(F.col("L") >= _CDC_W)
+    powarr = F.array(*[F.lit(p) for p in _CDC_POW])
+    gram = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(_CDC_W - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(F.col("codes"), (i + j).cast("int"))
+        * F.element_at(powarr, (j + 1).cast("int")),
+    )
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.col("L") - _CDC_W + 1),
+        lambda i: (gram(i) % _CDC_M) % _CDC_MASK == 0,
+    )
+    ends = F.concat(
+        F.filter(
+            F.transform(bpos, lambda p: p + _CDC_W - 1),
+            lambda e: e < F.col("L"),
+        ),
+        F.array(F.col("L").cast("int")),
+    )
+    h = d.select("doc_id", "text", ends.alias("es"))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("es")),
+        lambda k: F.struct(
+            F.when(k == 1, F.lit(1))
+            .otherwise(F.element_at(F.col("es"), (k - 1).cast("int")) + 1)
+            .alias("s"),
+            F.element_at(F.col("es"), k.cast("int")).alias("e"),
+        ),
+    )
+    ch = h.select("doc_id", "text", F.explode(spans).alias("c"))
+    chunks = ch.select(
+        "doc_id",
+        F.md5(
+            F.col("text").substr(
+                F.col("c.s"), F.col("c.e") - F.col("c.s") + F.lit(1)
+            )
+        ).alias("chunk_md5"),
+        (F.col("c.e") - F.col("c.s") + 1).cast("long").alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.any_value("chunk_len").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1432,3 +1432,97 @@ def q_agg_spearman(spark, sf_dir):
         "n",
         (F.floor(rho_raw * 1000000 + F.lit(0.5)) / 1000000).alias("rho"),
     )
+
+
+@query(
+    "q_agg_theilsen",
+    oracle="""
+WITH x AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 1000000) AS BIGINT) AS t,
+         event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE user_id < 100
+), p AS (
+  SELECT a.user_id, CAST(b.v - a.v AS DOUBLE) / (b.t - a.t) AS slope
+  FROM x a JOIN x b ON a.user_id = b.user_id
+  WHERE a.t < b.t
+), r AS (
+  SELECT user_id, slope,
+         row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM p
+), sl AS (
+  SELECT user_id, slope, CAST(m AS BIGINT) AS n_pairs
+  FROM r WHERE rn = CAST(floor((m + 1) / 2) AS BIGINT)
+), res AS (
+  SELECT x.user_id, sl.slope, sl.n_pairs, x.v - sl.slope * x.t AS resid
+  FROM x JOIN sl ON x.user_id = sl.user_id
+), ri AS (
+  SELECT user_id, slope, n_pairs, resid,
+         row_number() OVER (PARTITION BY user_id ORDER BY resid) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS k
+  FROM res
+)
+SELECT user_id, n_pairs,
+       floor(slope * 1000000 + 0.5) / 1000000 AS slope_cps,
+       floor(resid * 100 + 0.5) / 100 AS intercept_cents
+FROM ri WHERE rn = CAST(floor((k + 1) / 2) AS BIGINT)
+""",
+)
+def q_agg_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend per user: the median of all pairwise
+    slopes (up to 29.3% outlier breakdown vs OLS's zero), plus the
+    companion robust intercept = median residual at that slope — the
+    estimator monitoring teams use when q_agg_regression's OLS line
+    chases spikes. Determinism: each slope is ONE IEEE division of
+    exact integers (cents over whole seconds, same-second pairs
+    excluded), so both engines hold identical doubles; the median is
+    the LOWER order statistic (row_number, no interpolation) and ties
+    in the sort are harmless because the VALUE is selected; residuals
+    reuse the selected slope in one shared multiply-subtract tree.
+    Plan: the pairwise self-join is co-partitioned on user_id and the
+    quadratic blowup is bounded per entity (<=C(99,2) pairs at the
+    fixture cap; the user_id < 100 filter bounds the demo exactly like
+    q_time_ewma) — at scale you run this on bounded per-entity windows
+    or sampled pairs, never across entities. One exchange feeds join,
+    both windows, and the residual re-join."""
+    x = load(spark, sf_dir, "events").filter(F.col("user_id") < 100).select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    a, b = x.alias("a"), x.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / (F.col("b.t") - F.col("a.t"))
+        ).alias("slope"),
+    )
+    wp = Window.partitionBy("user_id")
+    r = p.withColumn(
+        "rn", F.row_number().over(wp.orderBy("slope"))
+    ).withColumn("m", F.count(F.lit(1)).over(wp))
+    sl = r.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2)).select(
+        "user_id", "slope", F.col("m").alias("n_pairs")
+    )
+    res = x.join(sl, "user_id").withColumn(
+        "resid", F.col("v") - F.col("slope") * F.col("t")
+    )
+    ri = res.withColumn(
+        "rn", F.row_number().over(wp.orderBy("resid"))
+    ).withColumn("k", F.count(F.lit(1)).over(wp))
+    return ri.filter(F.col("rn") == F.floor((F.col("k") + 1) / 2)).select(
+        "user_id",
+        "n_pairs",
+        (F.floor(F.col("slope") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "slope_cps"
+        ),
+        (F.floor(F.col("resid") * 100 + F.lit(0.5)) / 100).alias(
+            "intercept_cents"
+        ),
+    )
