@@ -1006,3 +1006,55 @@ def test_cdc_boundaries_stable_under_prefix_insert(spark):
     c1, c2 = chunks(base), chunks(shifted)
     assert len(c1) > 3
     assert c1[1:] == c2[-(len(c1) - 1):]  # tail chunks identical
+
+
+def test_delta_method_matches_bruteforce(spark):
+    out = {r.arm: r for r in all_queries()["q_ab_delta_method"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    per_user: dict = {}
+    for r in rows:
+        x, y = per_user.setdefault(r.user_id, [0, 0])
+        if r.event_type == "purchase":
+            x += int(math.floor(r.value * 100 + 0.5))
+        per_user[r.user_id] = [x, y + 1]
+    for arm in (0, 1):
+        xs = [(x, y) for u, (x, y) in per_user.items() if u % 2 == arm]
+        n = len(xs)
+        sx, sy = sum(x for x, _ in xs), sum(y for _, y in xs)
+        r_hat = sx / sy
+        dev = [x - r_hat * y for x, y in xs]
+        mean_dev = sum(dev) / n
+        var_dev = sum((d - mean_dev) ** 2 for d in dev) / (n - 1)
+        se = math.sqrt(var_dev / n) / (sy / n)
+        got = out[arm]
+        assert got.n == n
+        assert got.ratio_cents_per_event == pytest.approx(r_hat, abs=2e-6)
+        assert got.se == pytest.approx(se, rel=1e-3)
+        assert got.ci_lo == pytest.approx(r_hat - 1.96 * se, rel=1e-3)
+        assert got.ci_hi == pytest.approx(r_hat + 1.96 * se, rel=1e-3)
+        assert got.ci_lo < got.ratio_cents_per_event < got.ci_hi
+    # both arms draw from the same generator: the CIs overlap
+    assert out[0].ci_lo < out[1].ci_hi and out[1].ci_lo < out[0].ci_hi
+
+
+def test_dpp_join_matches_unpartitioned_baseline(spark):
+    out = {
+        r.o_orderpriority: (r.n, r.sum_cents)
+        for r in all_queries()["q_join_dpp"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    ).collect()
+    expected: dict = {}
+    for r in rows:
+        if (r.o_orderdate.month - 1) // 3 + 1 != 1:
+            continue
+        n, s = expected.get(r.o_orderpriority, (0, 0))
+        expected[r.o_orderpriority] = (
+            n + 1,
+            s + int(math.floor(r.o_totalprice * 100 + 0.5)),
+        )
+    assert out == expected
+    assert expected

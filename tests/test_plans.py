@@ -666,3 +666,17 @@ def test_corr_matrix_single_aggregation(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 0
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_join_dpp"](spark, SF_T2)
+    plan = _plan(df).lower()
+    assert "dynamicpruning" in plan  # runtime partition filter injected
+    # the pruning subquery hangs off the fact scan's PartitionFilters and
+    # is fed by a broadcast of the filtered dim (AQE spelling or classic)
+    import re
+
+    assert re.search(r"partitionfilters: \[[^\n]*dynamicpruning", plan)
+    assert "subqueryadaptivebroadcast" in plan or "subquerybroadcast" in plan

@@ -350,6 +350,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_spearman",
         "q_agg_theilsen",
         "q_dedup_cdc_chunks",
+        "q_ab_delta_method",
+        "q_join_dpp",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

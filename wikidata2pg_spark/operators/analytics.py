@@ -1526,3 +1526,101 @@ def q_agg_theilsen(spark, sf_dir):
             "intercept_cents"
         ),
     )
+
+
+@query(
+    "q_ab_delta_method",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM u GROUP BY arm
+), d AS (
+  SELECT arm, n, CAST(sx AS DOUBLE) / sy AS r,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+  FROM m
+), s AS (
+  SELECT arm, n, r,
+         sqrt(((sxxd - 2 * r * sxyd + r * r * syyd)
+               - nd * (sxd / nd - r * (syd / nd))
+                    * (sxd / nd - r * (syd / nd)))
+              / (nd - 1) / nd) / (syd / nd) AS se
+  FROM d
+)
+SELECT CAST(arm AS BIGINT) AS arm, n,
+       floor(r * 1000000 + 0.5) / 1000000 AS ratio_cents_per_event,
+       floor(se * 1000000 + 0.5) / 1000000 AS se,
+       floor((r - 1.96 * se) * 1000000 + 0.5) / 1000000 AS ci_lo,
+       floor((r + 1.96 * se) * 1000000 + 0.5) / 1000000 AS ci_hi
+FROM s
+""",
+)
+def q_ab_delta_method(spark, sf_dir):
+    """Ratio-metric inference for A/B tests via the delta method
+    (Deng et al., KDD 2018's formulation): the experiment unit is the
+    USER, the metric is revenue-per-event = sum(x_u)/sum(y_u), and the
+    naive per-event variance is wrong because events cluster within
+    users — the delta method corrects it from the per-user moment sums:
+    Var(R) ~ (s_x^2 - 2R s_xy + R^2 s_y^2) / (n * ybar^2). Arms are a
+    deterministic unit split (user_id % 2 — the fixture stand-in for a
+    salted assignment hash). Exactness: x (purchase cents) and y
+    (event counts) are exact integers, all six moment sums are exact
+    int64, and R/SE/CI are ONE pinned IEEE tree over their casts
+    (1.96 parses to the identical double in both engines), floored at
+    6dp. Plan: one user-keyed partial agg (events -> |users| rows),
+    one 2-row arm agg — the whole analysis is two map-side-combinable
+    aggregations regardless of event volume, which is why this exact
+    shape is the standard 100 TB experimentation readout."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    r = sxd / F.col("sy")
+    mean_dev = sxd / nd - r * (syd / nd)
+    se = (
+        F.sqrt(
+            ((sxxd - 2 * r * sxyd + r * r * syyd) - nd * mean_dev * mean_dev)
+            / (nd - 1)
+            / nd
+        )
+        / (syd / nd)
+    )
+    f6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return m.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        f6(r).alias("ratio_cents_per_event"),
+        f6(se).alias("se"),
+        f6(r - 1.96 * se).alias("ci_lo"),
+        f6(r + 1.96 * se).alias("ci_hi"),
+    )

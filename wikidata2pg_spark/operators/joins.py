@@ -653,3 +653,76 @@ def q_join_asof_forward(spark, sf_dir):
         F.col("ts").alias("err_ts"),
         F.col("next_p_ts").alias("next_purchase_ts"),
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+WITH f AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         strftime(date_trunc('month', o_orderdate::TIMESTAMP), '%Y-%m') AS om
+  FROM orders
+), d AS (
+  SELECT om, CAST(floor((CAST(substr(om, 6, 2) AS BIGINT) - 1) / 3)
+                  AS BIGINT) + 1 AS quarter
+  FROM (SELECT DISTINCT om FROM f) z
+)
+SELECT f.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(f.cents) AS BIGINT) AS sum_cents
+FROM f JOIN d ON f.om = d.om
+WHERE d.quarter = 1
+GROUP BY f.o_orderpriority
+""",
+)
+def q_join_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is a month-partitioned
+    parquet copy of orders (a content-stamped derived artifact, the
+    q_join_bucketed pattern) and the dim side is a tiny month->quarter
+    table filtered to Q1; Catalyst injects the dim's surviving join
+    keys as a runtime partition filter on the fact SCAN, so only the
+    ~1/4 of partition directories matching Q1 months are read at all —
+    the star-schema accelerant that matters most at 100 TB, where a
+    static planner cannot know the filter's partition set.
+    tests/test_plans.py asserts the scan carries a dynamicpruning
+    expression AND that the pruned scan reads fewer files than the
+    partition total. The dim broadcasts; money is exact integer cents
+    computed AT WRITE TIME so the aggregate is pure int64."""
+    import os
+    import shutil
+
+    from wikidata2pg_spark.util import tmpdir_for
+
+    om = F.date_format("o_orderdate", "yyyy-MM")
+    loc = tmpdir_for(sf_dir, "dpp-orders-by-month", "orders")
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+                om.alias("om"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("om")
+            .parquet(loc)
+        )
+    fact = spark.read.parquet(loc)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(om.alias("om"))
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.floor((F.substring("om", 6, 2).cast("long") - 1) / 3).cast("long")
+            + 1,
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("quarter") == 1)), "om")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
