@@ -1058,3 +1058,148 @@ def test_dpp_join_matches_unpartitioned_baseline(spark):
         )
     assert out == expected
     assert expected
+
+
+def test_survival_km_matches_lifelines_free_reference(spark):
+    from wikidata2pg_spark.operators.behavioral import _KM_VALUE
+
+    out = {r.t_days: r for r in all_queries()["q_survival_km"](spark, SF_SMOKE).collect()}
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    span: dict = {}
+    conv: dict = {}
+    for r in rows:
+        d = _micros(r.ts) // 86_400_000_000
+        lo, hi = span.get(r.user_id, (d, d))
+        span[r.user_id] = (min(lo, d), max(hi, d))
+        if r.event_type == "purchase" and r.value >= _KM_VALUE:
+            conv[r.user_id] = min(conv.get(r.user_id, d), d)
+    obs = [
+        (conv[u] - lo, 1) if u in conv else (hi - lo, 0)
+        for u, (lo, hi) in span.items()
+    ]
+    n = len(obs)
+    times = sorted({t for t, _ in obs})
+    s = 1.0
+    at_risk = n
+    for t in times:
+        d = sum(1 for tt, ev in obs if tt == t and ev == 1)
+        c = sum(1 for tt, ev in obs if tt == t and ev == 0)
+        s *= 1 - d / at_risk
+        r = out[t]
+        assert (r.n_risk, r.d_events, r.n_censored) == (at_risk, d, c), t
+        assert r.survival == pytest.approx(s, abs=2e-6), t
+        at_risk -= d + c
+    assert set(out) == set(times)
+    # survival is monotone non-increasing and the fixture censors someone
+    curve = [out[t].survival for t in times]
+    assert all(a >= b for a, b in zip(curve, curve[1:]))
+    assert any(r.n_censored > 0 for r in out.values())
+    assert any(r.d_events > 0 for r in out.values())
+
+
+def test_link_predict_matches_bruteforce(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    out = {
+        (r.part_a, r.part_b): r
+        for r in all_queries()["q_graph_link_predict"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    adj: dict = {}
+    edges = set()
+    for (a, b), c in pair.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            edges.add((a, b))
+    expected = {}
+    for a in adj:
+        for b in adj:
+            if a >= b or (a, b) in edges:
+                continue
+            inter = len(adj[a] & adj[b])
+            if inter >= 2:
+                jac = math.floor(
+                    inter * 10000 / (len(adj[a]) + len(adj[b]) - inter) + 0.5
+                ) / 10000
+                expected[(a, b)] = (inter, len(adj[a]), len(adj[b]), jac)
+    assert {
+        k: (r.common_neighbors, r.deg_a, r.deg_b, r.jaccard)
+        for k, r in out.items()
+    } == expected
+    assert expected
+    # predictions are strictly non-edges with meaningful overlap
+    assert all(k not in edges for k in out)
+    assert all(0 < r.jaccard <= 1 for r in out.values())
+
+
+def test_drawdown_matches_bruteforce(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_time_drawdown"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        if r.event_type not in ("purchase", "error"):
+            continue
+        cents = int(math.floor(r.value * 100 + 0.5))
+        by_user.setdefault(r.user_id, []).append(
+            (
+                _micros(r.ts),
+                r.event_id,
+                cents if r.event_type == "purchase" else -cents,
+            )
+        )
+    for uid, evs in by_user.items():
+        evs.sort()
+        cum = 0
+        peak = maxcum = None
+        maxdd, trough = 0, None
+        for _, eid, v in evs:
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            maxcum = cum if maxcum is None else max(maxcum, cum)
+            dd = peak - cum
+            if dd > maxdd or trough is None:
+                maxdd, trough = dd, eid
+        r = out[uid]
+        assert r.max_drawdown_cents == maxdd, uid
+        assert r.trough_event == trough, uid
+        assert r.peak_cum_cents == maxcum, uid
+    assert set(out) == set(by_user)
+    assert any(r.max_drawdown_cents > 0 for r in out.values())
+
+
+def test_binary_hamming_matches_bruteforce(spark):
+    from wikidata2pg_spark.llm.similarity import _BQ_K, _BQ_NQ
+
+    out = {}
+    for r in all_queries()["q_vec_binary_hamming"](spark, SF_SMOKE).collect():
+        out.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.hamming))
+    vecs = {
+        r.vec_id: [1 if x > 0 else 0 for x in r.embedding]
+        for r in load(spark, SF_SMOKE, "embeddings").collect()
+    }
+    for qid in range(_BQ_NQ):
+        dists = sorted(
+            (sum(a != b for a, b in zip(vecs[qid], vecs[c])), c)
+            for c in vecs
+            if c != qid
+        )[:_BQ_K]
+        got = sorted(out[qid])
+        assert [(i + 1, c, h) for i, (h, c) in enumerate(dists)] == got, qid
+    assert set(out) == set(range(_BQ_NQ))

@@ -352,6 +352,10 @@ def test_driver_window_ordering_is_pinned():
         "q_dedup_cdc_chunks",
         "q_ab_delta_method",
         "q_join_dpp",
+        "q_survival_km",
+        "q_graph_link_predict",
+        "q_time_drawdown",
+        "q_vec_binary_hamming",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -506,3 +506,95 @@ def q_sim_query_topk(spark, sf_dir):
         "query_id BIGINT, neighbor_id BIGINT, sim DOUBLE",
     )
     return _global_topk(local, k, id_col="query_id")
+
+
+_BQ_NQ = 8  # query vectors: vec_id < 8 (the retrieval-family convention)
+_BQ_K = 10  # Hamming neighbors returned per query
+
+
+@query(
+    "q_vec_binary_hamming",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 33),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END))
+           AS BIGINT) AS w1,
+         CAST(list_sum(list_transform(range(33, 65),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 33) ELSE 0 END))
+           AS BIGINT) AS w2
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM v
+  WHERE vec_id < {_BQ_NQ}
+), d AS (
+  SELECT q.query_id, v.vec_id,
+         CAST(bit_count(xor(v.w1, q.q1)) + bit_count(xor(v.w2, q.q2))
+              AS BIGINT) AS hamming
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rk AS INT) AS rank, vec_id, hamming
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, vec_id) AS rk
+      FROM d) z
+WHERE rk <= {_BQ_K}
+""",
+)
+def q_vec_binary_hamming(spark, sf_dir):
+    """Binary-quantized ANN: each 64-dim embedding collapses to a
+    64-bit sign code (two 32-bit words, so no signed-overflow edge) and
+    neighbor search becomes Hamming distance = popcount(xor) — the
+    1-bit quantization behind modern binary-embedding retrieval, with
+    32x memory compression and register-speed distances where
+    q_sim_query_topk pays a float dot product per pair. Everything is
+    INTEGER: bit packing, xor, popcount, the (distance, vec_id)
+    ranking — no float exists anywhere in the operator, so the top-10
+    per query is trivially bit-stable. Plan: codes are a narrow
+    map-only projection (the 100 TB win: the candidate scan reads 16
+    bytes/vector, not 256); the 8-query block broadcasts; per-query
+    top-k is a partitioned rank over the distance column. The standard
+    production shape re-ranks these candidates with exact float
+    distances — that second stage IS q_sim_query_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+
+    def word(lo: int, hi: int):
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.when(
+                F.element_at(F.col("embedding"), j.cast("int")) > 0,
+                F.element_at(pow2, (j - lo + 1).cast("int")),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    v = emb.select("vec_id", word(1, 32).alias("w1"), word(33, 64).alias("w2"))
+    q = v.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    d = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+                + F.bit_count(F.col("w2").bitwiseXOR(F.col("q2")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        d.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _BQ_K)
+        .select("query_id", F.col("rk").cast("int").alias("rank"), "vec_id", "hamming")
+    )

@@ -1624,3 +1624,90 @@ def q_ab_delta_method(spark, sf_dir):
         f6(r - 1.96 * se).alias("ci_lo"),
         f6(r + 1.96 * se).alias("ci_hi"),
     )
+
+
+@query(
+    "q_time_drawdown",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
+  FROM events WHERE event_type IN ('purchase', 'error')
+), c0 AS (
+  SELECT *, sum(v) OVER w AS cum
+  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT *, max(cum) OVER w AS peak
+  FROM c0 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT user_id, event_id, t, peak - cum AS dd, cum
+  FROM c
+), m AS (
+  SELECT user_id, max(dd) AS max_dd FROM d GROUP BY user_id
+), a AS (
+  SELECT d.user_id, d.event_id, d.dd, d.cum,
+         row_number() OVER (PARTITION BY d.user_id ORDER BY d.t, d.event_id)
+           AS rn
+  FROM d JOIN m ON d.user_id = m.user_id AND d.dd = m.max_dd
+)
+SELECT a.user_id, a.dd AS max_drawdown_cents, a.event_id AS trough_event,
+       (SELECT max(cum) FROM d WHERE d.user_id = a.user_id)
+         AS peak_cum_cents
+FROM a WHERE rn = 1
+""",
+)
+def q_time_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's NET-revenue curve (purchases
+    credit, errors debit — a signed P&L so the curve actually dips) —
+    the risk metric every trading/revenue dashboard carries: the
+    deepest drop from a running peak, with the event where the trough
+    is FIRST reached. Nested windows do it in one pass: cumulative
+    sum, running max of that sum, drawdown = peak - cum — EXACT cents
+    (DuckDB nests the window pair; Spark chains two Window nodes over
+    the same partitioning), so every comparison and the argmax
+    tie-break ((t, event_id) order on equal depth) is integer-decided.
+    One user_id exchange shared by both windows and the rollup; at
+    100 TB this is the standard single-shuffle prefix-statistic shape
+    (contrast the O(n^2) pairwise peak-trough join)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    x = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.when(F.col("event_type") == "purchase", cents)
+            .otherwise(-cents)
+            .alias("v"),
+        )
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = x.withColumn("cum", F.sum("v").over(run)).withColumn(
+        "peak", F.max("cum").over(run)
+    )
+    d = c.withColumn("dd", F.col("peak") - F.col("cum"))
+    m = d.groupBy("user_id").agg(
+        F.max("dd").alias("max_dd"), F.max("cum").alias("peak_cum_cents")
+    )
+    a = d.join(m, "user_id").filter(F.col("dd") == F.col("max_dd"))
+    first = a.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("t", "event_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    return first.select(
+        "user_id",
+        F.col("dd").alias("max_drawdown_cents"),
+        F.col("event_id").alias("trough_event"),
+        "peak_cum_cents",
+    )

@@ -565,3 +565,140 @@ def q_cohort_ltv(spark, sf_dir):
         .cast("long")
         .alias("ltv_cents"),
     )
+
+
+_KM_VALUE = 150  # the event of interest: first purchase >= this value
+
+
+@query(
+    "q_survival_km",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts::TIMESTAMP)) / 86400000000) AS BIGINT)
+           AS d0,
+         CAST(floor(epoch_us(max(ts::TIMESTAMP)) / 86400000000) AS BIGINT)
+           AS d1
+  FROM events GROUP BY user_id
+), hp AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(min(ts::TIMESTAMP)) / 86400000000) AS BIGINT)
+           AS dd
+  FROM events
+  WHERE event_type = 'purchase' AND value >= {_KM_VALUE}
+  GROUP BY user_id
+), u AS (
+  SELECT coalesce(hp.dd, x.d1) - x.d0 AS t,
+         CASE WHEN hp.dd IS NULL THEN 0 ELSE 1 END AS ev
+  FROM x LEFT JOIN hp USING (user_id)
+), g AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c
+  FROM u GROUP BY t
+), r AS (
+  SELECT *,
+         CAST((SELECT count(*) FROM u) AS BIGINT)
+           - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM g
+), arr AS (
+  SELECT list(t ORDER BY t) AS ts, list(n_risk ORDER BY t) AS ns,
+         list(d ORDER BY t) AS ds, list(c ORDER BY t) AS cs,
+         list(1 - CAST(d AS DOUBLE) / n_risk ORDER BY t) AS terms
+  FROM r
+), s AS (
+  SELECT unnest(range(1, len(ts) + 1)) AS k, ts, ns, ds, cs, terms
+  FROM arr
+)
+SELECT ts[k] AS t_days, ns[k] AS n_risk, ds[k] AS d_events,
+       cs[k] AS n_censored,
+       floor(list_reduce(terms[1:k], (a, b) -> a * b) * 1000000 + 0.5)
+         / 1000000 AS survival
+FROM s
+""",
+)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion: duration = days from a user's
+    first event to their first purchase of value >= 150 (the event of
+    interest); users who never convert are right-CENSORED at their last
+    observed day — the estimator conversion/churn teams use because a
+    naive average-time-to-convert silently drops exactly the users who
+    haven't converted yet.
+    S(t) = prod over event-times <= t of (1 - d_i/n_i). Exactness:
+    durations, death/censor counts and risk sets are pure integers
+    (risk set via one exclusive-frame cumulative window, never a
+    self-join); each KM factor is ONE division of exact ints; prefix
+    products are per-prefix left folds over the time-sorted factor
+    list (seeded 1.0 — exact against DuckDB's no-init list_reduce
+    since 1.0*x == x), so survival is bit-identical before one 6dp
+    display floor. Plan: events collapse to per-user rows in one
+    map-side-combinable agg; everything after runs on <= |distinct
+    durations| rows (~30) — at 100 TB the curve costs one scan."""
+    e = load(spark, sf_dir, "events")
+    day = lambda c: F.floor(F.unix_micros(c) / F.lit(86400000000)).cast(  # noqa: E731
+        "long"
+    )
+    x = e.groupBy("user_id").agg(
+        day(F.min("ts")).alias("d0"), day(F.max("ts")).alias("d1")
+    )
+    hp = (
+        e.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") >= _KM_VALUE)
+        )
+        .groupBy("user_id")
+        .agg(day(F.min("ts")).alias("dd"))
+    )
+    u = x.join(hp, "user_id", "left").select(
+        (F.coalesce(F.col("dd"), F.col("d1")) - F.col("d0")).alias("t"),
+        F.when(F.col("dd").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
+    )
+    g = u.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
+    )
+    wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    n_total = u.agg(F.count(F.lit(1)).alias("nt"))
+    r = g.crossJoin(F.broadcast(n_total)).withColumn(
+        "n_risk",
+        F.col("nt")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)),
+    )
+    arr = r.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    "n_risk",
+                    "d",
+                    "c",
+                    (
+                        1 - F.col("d").cast("double") / F.col("n_risk")
+                    ).alias("term"),
+                )
+            )
+        ).alias("a")
+    )
+    terms = F.transform(F.col("a"), lambda s: s["term"])
+    ks = F.sequence(F.lit(1), F.size("a"))
+    rows = F.transform(
+        ks,
+        lambda k: F.struct(
+            F.element_at(F.col("a"), k.cast("int"))["t"].alias("t_days"),
+            F.element_at(F.col("a"), k.cast("int"))["n_risk"].alias("n_risk"),
+            F.element_at(F.col("a"), k.cast("int"))["d"].alias("d_events"),
+            F.element_at(F.col("a"), k.cast("int"))["c"].alias("n_censored"),
+            (
+                F.floor(
+                    F.aggregate(
+                        F.slice(terms, 1, k.cast("int")),
+                        F.lit(1.0),
+                        lambda acc, x: acc * x,
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("survival"),
+        ),
+    )
+    return arr.select(F.explode(rows).alias("r")).select("r.*")

@@ -405,3 +405,83 @@ def q_graph_kcore(spark, sf_dir):
     return deg.filter(F.col("d") >= _KCORE_K).select(
         F.col("u").alias("part"), F.col("d").alias("core_degree")
     )
+
+
+@query(
+    "q_graph_link_predict",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT e1.u AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+  GROUP BY e1.u, e2.v
+), cand AS (
+  SELECT w.a, w.b, w.inter
+  FROM wedge w
+  WHERE w.inter >= 2
+    AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.b)
+)
+SELECT c.a AS part_a, c.b AS part_b, c.inter AS common_neighbors,
+       da.d AS deg_a, db.d AS deg_b,
+       floor(CAST(c.inter AS DOUBLE) * 10000 / (da.d + db.d - c.inter) + 0.5)
+         / 10000 AS jaccard
+FROM cand c JOIN deg da ON da.u = c.a JOIN deg db ON db.u = c.b
+""",
+)
+def q_graph_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    on the co-purchase graph: for every NON-edge pair sharing >= 2
+    neighbors, the neighbor-set Jaccard — the classic 'frequently
+    bought together' candidate generator for pairs never yet
+    co-ordered. The wedge enumeration (two hops a->w->b with a < b) is
+    the same bounded self-join as q_graph_triangles: output is
+    sum-of-deg^2 bounded, and on a projection whose per-order basket
+    caps the degree the blowup is structural, not data-sized. The
+    anti-join removes existing edges; intersection counts, degrees and
+    the >= 2 threshold are pure integers; Jaccard's denominator
+    |N(a) u N(b)| = deg_a + deg_b - inter is exact inclusion-exclusion
+    — one floored division at the end. Plan: one shuffle for wedges on
+    the middle node, degree table broadcasts, anti-join co-partitioned
+    on the pair. At 100 TB you cap hub degrees first (the standard
+    mitigation) — the plan shape is unchanged."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.v") == F.col("e2.u")) & (F.col("e1.u") < F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= 2)
+    )
+    cand = wedge.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))
+    j = cand.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    return j.select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("inter").alias("common_neighbors"),
+        "deg_a",
+        "deg_b",
+        (
+            F.floor(
+                F.col("inter").cast("double")
+                * 10000
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter"))
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("jaccard"),
+    )
