@@ -1203,3 +1203,131 @@ def test_binary_hamming_matches_bruteforce(spark):
         got = sorted(out[qid])
         assert [(i + 1, c, h) for i, (h, c) in enumerate(dists)] == got, qid
     assert set(out) == set(range(_BQ_NQ))
+
+
+def test_ks_test_matches_bruteforce(spark):
+    out = all_queries()["q_agg_ks_test"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    s1 = sorted(
+        int(math.floor(x.value * 100 + 0.5))
+        for x in rows
+        if x.event_type == "purchase"
+    )
+    s2 = sorted(
+        int(math.floor(x.value * 100 + 0.5))
+        for x in rows
+        if x.event_type == "view"
+    )
+    n1, n2 = len(s1), len(s2)
+    import bisect
+
+    best, best_at = -1, None
+    for v in sorted(set(s1) | set(s2)):
+        c1 = bisect.bisect_right(s1, v)
+        c2 = bisect.bisect_right(s2, v)
+        diff = abs(n2 * c1 - n1 * c2)
+        if diff > best:
+            best, best_at = diff, v
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.ks_at_cents == best_at
+    assert r.ks_d == math.floor(best * 1e6 / (n1 * n2) + 0.5) / 1e6
+    # statistic is a genuine ECDF gap: in (0, 1] and non-trivial here
+    assert 0 < r.ks_d <= 1
+
+
+def test_reorder_interval_matches_bruteforce(spark):
+    out = {
+        r.o_custkey: r
+        for r in all_queries()["q_orders_reorder_interval"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(
+            (_micros(r.o_orderdate) // 86_400_000_000, r.o_orderkey)
+        )
+    expected = {}
+    for ck, ds in by_cust.items():
+        if len(ds) < 2:
+            continue
+        ds.sort()
+        gaps = sorted(b[0] - a[0] for a, b in zip(ds, ds[1:]))
+        n = len(gaps)
+        expected[ck] = (
+            n + 1,
+            gaps[0],
+            gaps[(n + 1) // 2 - 1],
+            gaps[-1],
+            math.floor(sum(gaps) * 100 / n + 0.5) / 100,
+        )
+    assert {
+        k: (
+            r.n_orders,
+            r.min_gap_days,
+            r.median_gap_days,
+            r.max_gap_days,
+            r.avg_gap_days,
+        )
+        for k, r in out.items()
+    } == expected
+    assert expected
+
+
+def test_topk_paths_matches_bruteforce(spark):
+    from collections import Counter
+
+    out = [
+        (r.rank, r.path, r.n_users)
+        for r in all_queries()["q_seq_topk_paths"](spark, SF_SMOKE)
+        .orderBy("rank")
+        .collect()
+    ]
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (_micros(r.ts), r.event_id, r.event_type)
+        )
+    cnt = Counter(
+        ">".join(et for _, _, et in sorted(evs)[:5])
+        for evs in by_user.values()
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert out == [(i + 1, p, n) for i, (p, n) in enumerate(ranked)]
+    assert out
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_text_ngram_novelty"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    grams = {}
+    for r in rows:
+        tk = r.text.split(" ")
+        if len(tk) < 3:
+            continue
+        grams[r.doc_id] = {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        }
+    first: dict = {}
+    for did in sorted(grams):
+        for g in grams[did]:
+            first.setdefault(g, did)
+    for did, gs in grams.items():
+        novel = sum(1 for g in gs if first[g] == did)
+        r = out[did]
+        assert (r.n_ngrams, r.n_novel) == (len(gs), novel), did
+        assert r.novelty == math.floor(novel * 1e4 / len(gs) + 0.5) / 1e4
+    assert set(out) == set(grams)
+    # the corpus-order attribution must make SOME later doc non-novel
+    assert any(r.n_novel < r.n_ngrams for r in out.values())

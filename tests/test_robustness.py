@@ -356,6 +356,10 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_link_predict",
         "q_time_drawdown",
         "q_vec_binary_hamming",
+        "q_agg_ks_test",
+        "q_orders_reorder_interval",
+        "q_seq_topk_paths",
+        "q_text_ngram_novelty",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1235,3 +1235,75 @@ def q_text_collocations(spark, sf_dir):
             (F.floor(F.col("lift_raw") * 10000 + F.lit(0.5)) / 10000).alias("lift"),
         )
     )
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS ng
+  FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+  WHERE len(tk) >= 3
+), f AS (
+  SELECT doc_id, ng, min(doc_id) OVER (PARTITION BY ng) AS first_doc
+  FROM g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       floor(CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) * 10000 / count(*) + 0.5) / 10000
+         AS novelty
+FROM f GROUP BY doc_id
+""",
+)
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty in corpus (doc_id) order: the share
+    of a document's distinct word 3-grams whose FIRST corpus occurrence
+    is this document — the incremental-contribution signal dedup
+    pipelines use to rank near-redundant crawl snapshots (a doc whose
+    n-grams all appeared earlier adds nothing to a training mix even if
+    no single earlier doc matches it, which is exactly the case
+    pairwise MinHash misses). First-occurrence attribution is one
+    min(doc_id) window per trigram partition over the DISTINCT
+    (doc, trigram) set; counts are integers and the ratio is one
+    floored division. Docs with < 3 tokens have no trigram and drop
+    out (documented; the oracle prunes identically). Plan: explode ->
+    distinct is the heavy shuffle (keyed on the trigram, the right key
+    — attribution needs global grouping by gram); the per-doc rollup
+    re-shuffles only (doc_id, flag) pairs. At 100 TB you'd hash the
+    grams to 64-bit first (q_dedup_exact's trick) — same plan shape."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i.cast("int")),
+            F.element_at(t, (i + 1).cast("int")),
+            F.element_at(t, (i + 2).cast("int")),
+        ),
+    )
+    g = (
+        d.filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(tri).alias("ng"))
+        .distinct()
+    )
+    f = g.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("ng"))
+    )
+    novel = F.sum(
+        F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+    )
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        novel.alias("n_novel"),
+        (
+            F.floor(novel.cast("double") * 10000 / F.count(F.lit(1)) + F.lit(0.5))
+            / 10000
+        ).alias("novelty"),
+    )

@@ -1711,3 +1711,165 @@ def q_time_drawdown(spark, sf_dir):
         F.col("event_id").alias("trough_event"),
         "peak_cum_cents",
     )
+
+
+@query(
+    "q_agg_ks_test",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+), g AS (
+  SELECT v, CAST(sum(is1) AS BIGINT) AS d1,
+         CAST(sum(1 - is1) AS BIGINT) AS d2
+  FROM s GROUP BY v
+), c AS (
+  SELECT v,
+         sum(d1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c1,
+         sum(d2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c2
+  FROM g
+), t AS (
+  SELECT CAST(sum(is1) AS BIGINT) AS n1,
+         CAST(sum(1 - is1) AS BIGINT) AS n2
+  FROM s
+), d AS (
+  SELECT c.v, abs(t.n2 * c.c1 - t.n1 * c.c2) AS diff, t.n1, t.n2
+  FROM c CROSS JOIN t
+)
+SELECT n1, n2,
+       -(max(row(diff, -v)))[2] AS ks_at_cents,
+       floor(CAST(max(diff) AS DOUBLE) * 1000000 / (n1 * n2) + 0.5)
+         / 1000000 AS ks_d
+FROM d GROUP BY n1, n2
+""",
+)
+def q_agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the purchase and
+    view value distributions — the standard nonparametric
+    did-the-distribution-shift test (drift monitors, A/B guardrails).
+    D = max_x |F1(x) - F2(x)| is computed EXACTLY: both ECDFs live on
+    the pooled distinct cent values via one cumulative window, and the
+    max is taken over the INTEGER cross-multiplied gap
+    |n2*c1 - n1*c2| (the common-denominator trick — no float enters
+    until one final shared-order division). The argmax location
+    tie-breaks to the smallest value via max(struct(diff, -v)).
+    Plan: one groupBy on cents collapses the scan to |distinct values|
+    rows, the ECDF window runs on that tiny set, and totals broadcast —
+    at 100 TB the statistic costs one map-side-combinable aggregation."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is1"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is1").alias("d1"), F.sum(1 - F.col("is1")).alias("d2")
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "v",
+        F.sum("d1").over(wc).alias("c1"),
+        F.sum("d2").over(wc).alias("c2"),
+    )
+    t = s.agg(F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2"))
+    d = c.crossJoin(F.broadcast(t)).withColumn(
+        "diff", F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))
+    )
+    best = d.groupBy("n1", "n2").agg(
+        F.max("diff").alias("dnum"),
+        (-F.max(F.struct(F.col("diff"), (-F.col("v")).alias("nv")))["nv"]).alias(
+            "ks_at_cents"
+        ),
+    )
+    return best.select(
+        "n1",
+        "n2",
+        "ks_at_cents",
+        (
+            F.floor(
+                F.col("dnum").cast("double")
+                * 1000000
+                / (F.col("n1") * F.col("n2"))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ks_d"),
+    )
+
+
+@query(
+    "q_orders_reorder_interval",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day
+  FROM orders
+), g AS (
+  SELECT o_custkey,
+         day - lag(day) OVER (PARTITION BY o_custkey
+                              ORDER BY day, o_orderkey) AS gap
+  FROM o
+), f AS (
+  SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(count(*) + 1 AS BIGINT) AS n_orders,
+       min(gap) AS min_gap_days,
+       (list(gap ORDER BY gap))[CAST(floor((count(*) + 1) / 2) AS INT)]
+         AS median_gap_days,
+       max(gap) AS max_gap_days,
+       floor(CAST(sum(gap) AS DOUBLE) * 100 / count(*) + 0.5) / 100
+         AS avg_gap_days
+FROM f GROUP BY o_custkey
+""",
+)
+def q_orders_reorder_interval(spark, sf_dir):
+    """Inter-purchase interval profile per repeat customer — the
+    replenishment-cycle metric behind reorder reminders and churn-risk
+    clocks: for every customer with >= 2 orders, the min / lower-median
+    / max / mean of the day gaps between consecutive orders. Gaps are
+    exact integer day differences ((date, orderkey)-ordered lag over
+    one customer partition); the lower median indexes the sorted gap
+    list at floor((n+1)/2) so no interpolation float exists, and the
+    mean is one floor-rounded division of exact integers. Plan: one
+    shuffle on o_custkey shared by the lag window and the rollup —
+    the same single-exchange prefix shape as q_time_drawdown; output
+    is bounded by |repeat customers|."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = o.withColumn("gap", F.col("day") - F.lag("day").over(wl)).filter(
+        F.col("gap").isNotNull()
+    )
+    agg = g.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).alias("n_orders"),
+        F.min("gap").alias("min_gap_days"),
+        F.element_at(
+            F.array_sort(F.collect_list("gap")),
+            F.floor((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("median_gap_days"),
+        F.max("gap").alias("max_gap_days"),
+        (
+            F.floor(
+                F.sum("gap").cast("double") * 100 / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("avg_gap_days"),
+    )
+    return agg

@@ -702,3 +702,73 @@ def q_survival_km(spark, sf_dir):
         ),
     )
     return arr.select(F.explode(rows).alias("r")).select("r.*")
+
+
+_PATH_LEN = 5  # events per user kept for the path signature
+_PATH_TOPK = 10  # paths returned
+
+
+@query(
+    "q_seq_topk_paths",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP), event_id)
+           AS rn
+  FROM events
+), p AS (
+  SELECT user_id,
+         array_to_string(list(event_type ORDER BY rn), '>') AS path
+  FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id
+), c AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY path
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT)
+           AS rank,
+         path, n_users
+  FROM c
+) z WHERE rank <= {_PATH_TOPK}
+""",
+)
+def q_seq_topk_paths(spark, sf_dir):
+    """Top-10 opening clickstream paths: each user's first 5 events
+    (ts, event_id)-ordered collapse to a 'view>click>purchase' path
+    signature, counted across users — the entry-path mining view every
+    product-analytics tool ships (where do journeys actually start?).
+    Purely categorical: ordered string concat, integer counts, and a
+    (count DESC, path ASC) total order, so the hash is trivially
+    stable. Plan: one user_id shuffle for the row_number + per-user
+    collapse (map-side combinable), then the path rollup reduces to
+    |distinct paths| rows (<= 5^|event types|-ish in practice) before
+    the tiny global top-k — the same narrow-rollup shape as
+    q_topk_per_group, and at 100 TB the only full-data exchange is the
+    one keyed on user_id."""
+    e = load(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    )
+    p = (
+        e.select("user_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    wk = W.orderBy(F.col("n_users").desc(), "path")
+    return (
+        c.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= _PATH_TOPK)
+        .select("rank", "path", "n_users")
+    )
