@@ -1331,3 +1331,126 @@ def test_ngram_novelty_matches_bruteforce(spark):
     assert set(out) == set(grams)
     # the corpus-order attribution must make SOME later doc non-novel
     assert any(r.n_novel < r.n_ngrams for r in out.values())
+
+
+def test_mannwhitney_matches_bruteforce(spark):
+    out = all_queries()["q_agg_mannwhitney"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    s1 = [
+        int(math.floor(x.value * 100 + 0.5))
+        for x in rows
+        if x.event_type == "purchase"
+    ]
+    s2 = [
+        int(math.floor(x.value * 100 + 0.5))
+        for x in rows
+        if x.event_type == "view"
+    ]
+    pooled = sorted(s1 + s2)
+    # midrank x2 per value: 2*avg(1-based positions of the tie block)
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank2 = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+    n1, n2 = len(s1), len(s2)
+    r1_x2 = sum(rank2[v] for v in s1)
+    u1_x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.u1_x2 == u1_x2
+    assert r.u2_x2 == r1_x2 - n1 * (n1 + 1)
+    assert r.u1_x2 + r.u2_x2 == 2 * n1 * n2  # U1 + U2 identity
+    assert r.auc == math.floor(u1_x2 * 1e6 / (2 * n1 * n2) + 0.5) / 1e6
+    assert 0 < r.auc < 1
+
+
+def test_bfs_matches_python_bfs(spark):
+    from collections import deque
+
+    out = {
+        r.part: r.dist
+        for r in all_queries()["q_graph_bfs"](spark, SF_SMOKE).collect()
+    }
+    from wikidata2pg_spark.operators.graph import _BFS_DEPTH
+
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from itertools import combinations
+    from collections import Counter
+
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    adj: dict = {}
+    for (a, b), c in pair.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    dist = {src: 0}
+    dq = deque([src])
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= _BFS_DEPTH:
+            continue
+        for m in sorted(adj[n]):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                dq.append(m)
+    assert out == dist
+    # the horizon is binding OR the component is exhausted — either way
+    # multiple levels must exist for the test to discriminate
+    assert max(out.values()) >= 2
+
+
+def test_recall_eval_matches_numpy(spark):
+    import numpy as np
+
+    from wikidata2pg_spark.llm.similarity import _BQ_K, _BQ_NQ
+
+    out = {
+        r.query_id: r
+        for r in all_queries()["q_retrieval_recall_eval"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    for qid in range(_BQ_NQ):
+        qv = vecs[qid]
+        cos = sorted(
+            (
+                -float(
+                    np.dot(qv, vecs[c])
+                    / (np.linalg.norm(qv) * np.linalg.norm(vecs[c]))
+                ),
+                c,
+            )
+            for c in ids
+            if c != qid
+        )[:_BQ_K]
+        exact = {c for _, c in cos}
+        sign = {c: tuple(1 if x > 0 else 0 for x in vecs[c]) for c in ids}
+        ham = sorted(
+            (sum(a != b for a, b in zip(sign[qid], sign[c])), c)
+            for c in ids
+            if c != qid
+        )[:_BQ_K]
+        approx = {c for _, c in ham}
+        n = len(exact & approx)
+        r = out[qid]
+        assert r.n_overlap == n, qid
+        assert r.recall == math.floor(n * 1e4 / _BQ_K + 0.5) / 1e4
+    assert set(out) == set(range(_BQ_NQ))
+    # quantization must lose SOMETHING somewhere or the audit is vacuous
+    assert any(r.n_overlap < _BQ_K for r in out.values())
+    assert sum(r.n_overlap for r in out.values()) > 0

@@ -360,6 +360,9 @@ def test_driver_window_ordering_is_pinned():
         "q_orders_reorder_interval",
         "q_seq_topk_paths",
         "q_text_ngram_novelty",
+        "q_agg_mannwhitney",
+        "q_graph_bfs",
+        "q_retrieval_recall_eval",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -508,6 +508,23 @@ def q_sim_query_topk(spark, sf_dir):
     return _global_topk(local, k, id_col="query_id")
 
 
+def _sign_word(lo: int, hi: int):
+    """Pack sign bits of embedding[lo..hi] (1-based, inclusive) into one
+    64-bit word — shared by q_vec_binary_hamming and the recall-eval key
+    so the quantization convention cannot drift between the index build
+    and its quality audit."""
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    return F.aggregate(
+        F.sequence(F.lit(lo), F.lit(hi)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(F.col("embedding"), j.cast("int")) > 0,
+            F.element_at(pow2, (j - lo + 1).cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
 _BQ_NQ = 8  # query vectors: vec_id < 8 (the retrieval-family convention)
 _BQ_K = 10  # Hamming neighbors returned per query
 
@@ -558,21 +575,9 @@ def q_vec_binary_hamming(spark, sf_dir):
     production shape re-ranks these candidates with exact float
     distances — that second stage IS q_sim_query_topk."""
     emb = load(spark, sf_dir, "embeddings")
-
-    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
-
-    def word(lo: int, hi: int):
-        return F.aggregate(
-            F.sequence(F.lit(lo), F.lit(hi)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc
-            + F.when(
-                F.element_at(F.col("embedding"), j.cast("int")) > 0,
-                F.element_at(pow2, (j - lo + 1).cast("int")),
-            ).otherwise(F.lit(0).cast("long")),
-        )
-
-    v = emb.select("vec_id", word(1, 32).alias("w1"), word(33, 64).alias("w2"))
+    v = emb.select(
+        "vec_id", _sign_word(1, 32).alias("w1"), _sign_word(33, 64).alias("w2")
+    )
     q = v.filter(F.col("vec_id") < _BQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("w1").alias("q1"),
@@ -597,4 +602,127 @@ def q_vec_binary_hamming(spark, sf_dir):
         d.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _BQ_K)
         .select("query_id", F.col("rk").cast("int").alias("rank"), "vec_id", "hamming")
+    )
+
+
+@query(
+    "q_retrieval_recall_eval",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST(list_sum(list_transform(range(1, 33),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END))
+           AS BIGINT) AS w1,
+         CAST(list_sum(list_transform(range(33, 65),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 33) ELSE 0 END))
+           AS BIGINT) AS w2,
+         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                     (a, b) -> a + b) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe, w1 AS q1, w2 AS q2, nrm AS qn
+  FROM v WHERE vec_id < {_BQ_NQ}
+), ham AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             bit_count(xor(v.w1, q.q1)) + bit_count(xor(v.w2, q.q2)),
+             v.vec_id) AS rk
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rk <= {_BQ_K}
+), cos AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(range(1, 65),
+                         j -> q.qe[j] * v.emb[j]), (a, b) -> a + b)
+               / (sqrt(q.qn) * sqrt(v.nrm)) DESC,
+             v.vec_id) AS rk
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rk <= {_BQ_K}
+)
+SELECT cos.query_id,
+       CAST(count(ham.vec_id) AS BIGINT) AS n_overlap,
+       floor(CAST(count(ham.vec_id) AS DOUBLE) * 10000 / {_BQ_K} + 0.5)
+         / 10000 AS recall
+FROM cos LEFT JOIN ham
+  ON cos.query_id = ham.query_id AND cos.vec_id = ham.vec_id
+GROUP BY cos.query_id
+""",
+)
+def q_retrieval_recall_eval(spark, sf_dir):
+    """Recall@10 of the binary-sign Hamming index against exact cosine
+    ground truth, per query — the quality audit every ANN deployment
+    runs before trusting an index (is 32x compression costing recall?).
+    Ground truth cosine is bit-reproducible WITHOUT rounding: dot and
+    norms are left-fold sums in one fixed order (Spark aggregate seeded
+    0.0 == DuckDB list_reduce since 0.0 + x == x), sqrt and one
+    division are correctly-rounded IEEE ops, and ranking ties break on
+    vec_id. The Hamming side reuses _sign_word, so this key audits THE
+    production index, not a re-derivation. Overlap counts and the
+    recall ratio are integers + one floored division. Plan: both
+    rankings share the one corpus scan; the 8-query block broadcasts
+    twice; the overlap join moves 8*k rows. At 100 TB ground truth is
+    the expensive brute-force pass you run on a SAMPLE of queries —
+    exactly this shape with the query filter as the sample."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        _sign_word(1, 32).alias("w1"),
+        _sign_word(33, 64).alias("w2"),
+        nrm.alias("nrm"),
+    )
+    q = v.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    hamming = F.bit_count(F.col("w1").bitwiseXOR(F.col("q1"))) + F.bit_count(
+        F.col("w2").bitwiseXOR(F.col("q2"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(hamming, "vec_id")
+    ham = (
+        pairs.withColumn("rk", F.row_number().over(wh))
+        .filter(F.col("rk") <= _BQ_K)
+        .select("query_id", "vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    cos_sim = dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nrm")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc(cos_sim), F.col("vec_id")
+    )
+    cos = (
+        pairs.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _BQ_K)
+        .select("query_id", "vec_id")
+    )
+    hit = cos.join(
+        ham.withColumn("h", F.lit(1)), ["query_id", "vec_id"], "left"
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("h").alias("n_overlap"),
+        (
+            F.floor(
+                F.count("h").cast("double") * 10000 / F.lit(_BQ_K)
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("recall"),
     )

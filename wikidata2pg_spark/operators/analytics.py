@@ -1873,3 +1873,95 @@ def q_orders_reorder_interval(spark, sf_dir):
         ).alias("avg_gap_days"),
     )
     return agg
+
+
+@query(
+    "q_agg_mannwhitney",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'view')
+), g AS (
+  SELECT v, CAST(sum(is1) AS BIGINT) AS cnt1,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM s GROUP BY v
+), r AS (
+  SELECT cnt1,
+         2 * coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS rank2
+  FROM g
+), t AS (
+  SELECT CAST(sum(is1) AS BIGINT) AS n1,
+         CAST(sum(1 - is1) AS BIGINT) AS n2
+  FROM s
+)
+SELECT t.n1, t.n2,
+       2 * t.n1 * t.n2 + t.n1 * (t.n1 + 1)
+         - CAST(sum(r.cnt1 * r.rank2) AS BIGINT) AS u1_x2,
+       CAST(sum(r.cnt1 * r.rank2) AS BIGINT) - t.n1 * (t.n1 + 1) AS u2_x2,
+       floor(CAST(2 * t.n1 * t.n2 + t.n1 * (t.n1 + 1)
+                  - sum(r.cnt1 * r.rank2) AS DOUBLE) * 1000000
+             / (2 * t.n1 * t.n2) + 0.5) / 1000000 AS auc
+FROM r CROSS JOIN t GROUP BY t.n1, t.n2
+""",
+)
+def q_agg_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between purchase and view
+    values — the nonparametric are-purchases-larger test, with the
+    common-language effect size U1/(n1*n2), which IS the ROC AUC of
+    'value separates purchases from views'. EXACT despite midranks:
+    tied values get the average rank, which is a half-integer, so the
+    whole computation carries 2x-scaled ranks (rank2 = 2*cum_prev +
+    cnt + 1 per distinct value) and both 2*U statistics stay pure
+    BIGINT; the AUC is one floored division at the end. The identity
+    U1 + U2 = n1*n2 is asserted by the test. Plan: identical to
+    q_agg_ks_test — one cents-keyed combine collapses the scan,
+    the rank window runs on |distinct values| rows, totals broadcast;
+    at 100 TB the test costs one map-side-combinable aggregation."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    s = e.select(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is1"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("is1").alias("cnt1"), F.count(F.lit(1)).alias("cnt")
+    )
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "cnt1",
+        (
+            2 * F.coalesce(F.sum("cnt").over(wp), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("rank2"),
+    )
+    t = s.agg(F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2"))
+    j = r.crossJoin(F.broadcast(t))
+    agg = j.groupBy("n1", "n2").agg(
+        F.sum(F.col("cnt1") * F.col("rank2")).alias("r1_x2")
+    )
+    u1_x2 = (
+        2 * F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1)
+        - F.col("r1_x2")
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        u1_x2.alias("u1_x2"),
+        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u2_x2"),
+        (
+            F.floor(
+                u1_x2.cast("double")
+                * 1000000
+                / (2 * F.col("n1") * F.col("n2"))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("auc"),
+    )

@@ -485,3 +485,66 @@ def q_graph_link_predict(spark, sf_dir):
             / 10000
         ).alias("jaccard"),
     )
+
+
+_BFS_DEPTH = 4  # BFS horizon (hops) from the minimum-id part
+
+
+def _bfs_level_sql(d: int) -> str:
+    prev = " UNION ALL ".join(
+        f"SELECT node FROM l{i}" for i in range(d)
+    )
+    return f"""l{d} AS (
+  SELECT node FROM (
+    SELECT DISTINCT und.v AS node
+    FROM und JOIN l{d - 1} ON und.u = l{d - 1}.node
+  ) x WHERE node NOT IN ({prev})
+)"""
+
+
+@query(
+    "q_graph_bfs",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+l0 AS (SELECT min(u) AS node FROM und),
+{",".join(_bfs_level_sql(d) for d in range(1, _BFS_DEPTH + 1))}
+{" UNION ALL ".join(
+    f"SELECT node AS part, CAST({d} AS BIGINT) AS dist FROM l{d}"
+    for d in range(_BFS_DEPTH + 1)
+)}
+""",
+)
+def q_graph_bfs(spark, sf_dir):
+    """Level-synchronous BFS on the co-purchase graph: hop distance
+    from the minimum-id part, horizon 4 — the distributed traversal
+    primitive under 'related products within k hops' and reachability
+    audits, and THE canonical iterative-DataFrame pattern (Pregel
+    super-steps as joins). Each level is frontier |><| edges ->
+    distinct -> anti-join visited; everything is set algebra on
+    integer ids, so determinism is structural. The oracle unrolls the
+    same four super-steps as set-difference CTEs — level-synchronous
+    BFS IS its own induction proof, no recursive-CTE path explosion.
+    Plan: per level one shuffle keyed on the frontier node; the
+    frontier stays a small fraction of edges, the visited set is the
+    anti-join build side. At 100 TB you'd checkpoint the frontier
+    every few levels and pre-partition edges by u so every super-step
+    reuses the same exchange — the loop shape here is exactly that."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    frontier = und.agg(F.min("u").alias("node"))
+    visited = frontier.withColumn("dist", F.lit(0).cast("long"))
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            und.join(frontier, und["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.withColumn("dist", F.lit(d).cast("long"))
+        )
+        frontier = nxt
+    return visited.select(F.col("node").alias("part"), "dist")
