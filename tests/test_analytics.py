@@ -1454,3 +1454,117 @@ def test_recall_eval_matches_numpy(spark):
     # quantization must lose SOMETHING somewhere or the audit is vacuous
     assert any(r.n_overlap < _BQ_K for r in out.values())
     assert sum(r.n_overlap for r in out.values()) > 0
+
+
+def test_growth_curve_matches_bruteforce(spark):
+    out = {
+        r.day: r
+        for r in all_queries()["q_agg_growth_curve"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    days: dict = {}
+    firsts: dict = {}
+    for r in rows:
+        d = _micros(r.ts) // 86_400_000_000
+        days.setdefault(d, set()).add(r.user_id)
+        firsts[r.user_id] = min(firsts.get(r.user_id, d), d)
+    from collections import Counter
+
+    new = Counter(firsts.values())
+    cum = 0
+    for d in sorted(days):
+        cum += new.get(d, 0)
+        r = out[d]
+        assert r.n_active == len(days[d]), d
+        assert r.n_new == new.get(d, 0), d
+        assert r.cum_users == cum, d
+        assert r.pct_new == math.floor(
+            new.get(d, 0) * 1e4 / len(days[d]) + 0.5
+        ) / 1e4
+    assert set(out) == set(days)
+    assert max(r.cum_users for r in out.values()) == len(firsts)
+    # growth must saturate: some later day has returning users only
+    assert any(r.n_new == 0 for r in out.values()) or any(
+        r.pct_new < 1.0 for r in out.values()
+    )
+
+
+def test_seasonal_naive_matches_bruteforce(spark):
+    out = {
+        r.event_type: r
+        for r in all_queries()["q_time_seasonal_naive"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily: dict = {}
+    for r in rows:
+        d = _micros(r.ts) // 86_400_000_000
+        k = (r.event_type, d)
+        daily[k] = daily.get(k, 0) + int(math.floor(r.value * 100 + 0.5))
+    expected = {}
+    for (et, d), actual in daily.items():
+        f = daily.get((et, d - 7))
+        if f is None:
+            continue
+        n, e, a = expected.get(et, (0, 0, 0))
+        expected[et] = (n + 1, e + abs(actual - f), a + actual)
+    for et, (n, e, a) in expected.items():
+        r = out[et]
+        assert (r.n_days, r.abs_err_cents) == (n, e), et
+        assert r.wape == math.floor(e * 1e6 / a + 0.5) / 1e6
+        assert r.mae_cents == math.floor(e * 100 / n + 0.5) / 100
+    assert set(out) == set(expected)
+    assert all(r.n_days >= 2 for r in out.values())
+
+
+def test_random_walk_matches_python_walker(spark):
+    from wikidata2pg_spark.operators.graph import (
+        _WALK_A,
+        _WALK_B,
+        _WALK_C,
+        _WALK_M,
+        _WALK_STEPS,
+    )
+
+    out = {
+        r.start: r
+        for r in all_queries()["q_graph_random_walk"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+    from itertools import combinations
+
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    adj: dict = {}
+    for (a, b), c in pair.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    for start in adj:
+        node, path = start, [start]
+        for s in range(1, _WALK_STEPS + 1):
+            node = min(
+                adj[node],
+                key=lambda nb: (
+                    (node * _WALK_A + nb * _WALK_B + s * _WALK_C) % _WALK_M,
+                    nb,
+                ),
+            )
+            path.append(node)
+        r = out[start]
+        assert r.end_node == node, start
+        assert r.path == ">".join(str(x) for x in path), start
+    assert set(out) == set(adj)
+    # walks actually move and are not all identical suffixes
+    assert any(r.end_node != r.start for r in out.values())
+    assert len({r.path for r in out.values()}) > 1

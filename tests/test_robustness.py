@@ -363,6 +363,9 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_mannwhitney",
         "q_graph_bfs",
         "q_retrieval_recall_eval",
+        "q_agg_growth_curve",
+        "q_time_seasonal_naive",
+        "q_graph_random_walk",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

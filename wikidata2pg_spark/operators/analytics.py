@@ -1965,3 +1965,148 @@ def q_agg_mannwhitney(spark, sf_dir):
             / 1000000
         ).alias("auc"),
     )
+
+
+@query(
+    "q_agg_growth_curve",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day
+  FROM events
+), act AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM d GROUP BY day
+), firsts AS (
+  SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+), new_ AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day
+)
+SELECT act.day, act.n_active,
+       coalesce(new_.n_new, 0) AS n_new,
+       sum(coalesce(new_.n_new, 0)) OVER (ORDER BY act.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users,
+       floor(CAST(coalesce(new_.n_new, 0) AS DOUBLE) * 10000
+             / act.n_active + 0.5) / 10000 AS pct_new
+FROM act LEFT JOIN new_ ON act.day = new_.day
+""",
+)
+def q_agg_growth_curve(spark, sf_dir):
+    """Audience growth curve: per active day, distinct active users,
+    first-time users, the cumulative registered-user count, and the
+    new-user share — the DAU/new/cumulative triple on every growth
+    dashboard. Cumulative distinct is NOT a running countDistinct
+    (quadratic re-scan): each user collapses to one min(day) row and
+    the curve is a plain cumulative sum over per-day new-user counts —
+    the standard exact trick that scales because state is one row per
+    user, then one row per day. All integers; the share is one floored
+    division. Plan: two map-side-combinable aggs over the same scan
+    (per-day distinct, per-user min), a broadcast-size day join, and a
+    window over |days| rows. At 100 TB the only real exchange is the
+    user_id/day shuffle feeding the two aggs."""
+    d = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        .cast("long")
+        .alias("day"),
+    )
+    act = d.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    j = act.join(new, "day", "left").withColumn(
+        "n_new", F.coalesce(F.col("n_new"), F.lit(0))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "day",
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(wc).alias("cum_users"),
+        (
+            F.floor(
+                F.col("n_new").cast("double") * 10000 / F.col("n_active")
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("pct_new"),
+    )
+
+
+@query(
+    "q_time_seasonal_naive",
+    oracle="""
+WITH r AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY event_type, day
+), j AS (
+  SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+  FROM r a JOIN r f
+    ON a.event_type = f.event_type AND f.day = a.day - 7
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(actual - forecast)) AS BIGINT) AS abs_err_cents,
+       floor(CAST(sum(abs(actual - forecast)) AS DOUBLE) * 1000000
+             / sum(actual) + 0.5) / 1000000 AS wape,
+       floor(CAST(sum(abs(actual - forecast)) AS DOUBLE) * 100
+             / count(*) + 0.5) / 100 AS mae_cents
+FROM j GROUP BY event_type
+""",
+)
+def q_time_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    revenue with the value seven days earlier and score WAPE + MAE —
+    the baseline every forecasting system must beat, and the exact
+    backtest harness (join actuals to their own lag) that evaluates a
+    real model at scale. The 7-day lag is a self-JOIN on day-7, not a
+    lag window, so calendar gaps score only genuinely comparable days.
+    Daily totals are exact integer cents; both error metrics are one
+    floored division of exact integers. Plan: one (type, day) combine
+    collapses the scan to a tiny series; the self-join and rollup run
+    on |types|*|days| rows. At 100 TB the backtest costs the one
+    events shuffle that builds the daily series."""
+    r = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a, f = r.alias("a"), r.alias("f")
+    j = a.join(
+        f,
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (F.col("f.day") == F.col("a.day") - 7),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.cents").alias("actual"),
+        F.col("f.cents").alias("forecast"),
+    )
+    err = F.sum(F.abs(F.col("actual") - F.col("forecast")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        err.alias("abs_err_cents"),
+        (
+            F.floor(err.cast("double") * 1000000 / F.sum("actual") + F.lit(0.5))
+            / 1000000
+        ).alias("wape"),
+        (
+            F.floor(err.cast("double") * 100 / F.count(F.lit(1)) + F.lit(0.5))
+            / 100
+        ).alias("mae_cents"),
+    )

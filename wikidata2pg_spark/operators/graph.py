@@ -548,3 +548,91 @@ def q_graph_bfs(spark, sf_dir):
         )
         frontier = nxt
     return visited.select(F.col("node").alias("part"), "dist")
+
+
+_WALK_STEPS = 3  # steps per walk (path length 4 nodes)
+_WALK_A, _WALK_B, _WALK_C = 1103515245, 12345, 7919  # LCG-style mixers
+_WALK_M = 2147483647  # 2^31 - 1
+
+
+def _walk_step_sql(s: int) -> str:
+    return f"""s{s} AS (
+  SELECT start, -(max(row(
+           -((n{s - 1} * {_WALK_A} + und.v * {_WALK_B} + {s} * {_WALK_C})
+             % {_WALK_M}),
+           -und.v)))[2] AS n{s},
+         any_value(path) || '>' ||
+           CAST(-(max(row(
+             -((n{s - 1} * {_WALK_A} + und.v * {_WALK_B} + {s} * {_WALK_C})
+               % {_WALK_M}),
+             -und.v)))[2] AS VARCHAR) AS path
+  FROM s{s - 1} JOIN und ON und.u = s{s - 1}.n{s - 1}
+  GROUP BY start, n{s - 1}, path
+)"""
+
+
+@query(
+    "q_graph_random_walk",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+s0 AS (SELECT DISTINCT u AS start, u AS n0, CAST(u AS VARCHAR) AS path
+       FROM und),
+{",".join(_walk_step_sql(s) for s in range(1, _WALK_STEPS + 1))}
+SELECT start, n{_WALK_STEPS} AS end_node, path FROM s{_WALK_STEPS}
+""",
+)
+def q_graph_random_walk(spark, sf_dir):
+    """Hash-seeded random walks on the co-purchase graph — the corpus
+    generator for DeepWalk/node2vec-style graph embeddings: one
+    length-4 walk from every node, where step s at node n picks the
+    neighbor minimizing ((n*A + nb*B + s*C) mod (2^31-1), nb). The
+    'randomness' is a pure integer mixing function of (node, neighbor,
+    step), so the walk corpus is REPRODUCIBLE across engines, retries
+    and partitionings — the property a training pipeline actually
+    needs from its sampler (true RNG walks can't be hash-certified;
+    at production ids you'd mod the node id into the mixer first).
+    Everything is BIGINT arithmetic + argmin via max(struct(-score,
+    -nb)); no float exists. Plan: each super-step is one join keyed on
+    the frontier node + a groupBy argmin — the BFS plan shape with a
+    combinable agg; walks from ALL nodes batch into the same three
+    exchanges, which is why this beats per-node sampling loops at
+    100 TB."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = und.select(
+        F.col("u").alias("start"),
+        F.col("u").alias("node"),
+        F.col("u").cast("string").alias("path"),
+    ).distinct()
+    for s in range(1, _WALK_STEPS + 1):
+        st = und.select(
+            F.col("u").alias(f"su{s}"), F.col("v").alias(f"sv{s}")
+        )
+        score = (
+            F.col("node") * _WALK_A
+            + F.col(f"sv{s}") * _WALK_B
+            + F.lit(s) * _WALK_C
+        ) % _WALK_M
+        nxt = (
+            cur.join(st, cur["node"] == st[f"su{s}"])
+            .groupBy("start", "node", "path")
+            .agg(
+                (
+                    -F.max(
+                        F.struct(
+                            (-score).alias("ns"),
+                            (-F.col(f"sv{s}")).alias("nv"),
+                        )
+                    )["nv"]
+                ).alias("nxt")
+            )
+        )
+        cur = nxt.select(
+            "start",
+            F.col("nxt").alias("node"),
+            F.concat_ws(">", "path", F.col("nxt").cast("string")).alias("path"),
+        )
+    return cur.select("start", F.col("node").alias("end_node"), "path")
