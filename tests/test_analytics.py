@@ -1568,3 +1568,137 @@ def test_random_walk_matches_python_walker(spark):
     # walks actually move and are not all identical suffixes
     assert any(r.end_node != r.start for r in out.values())
     assert len({r.path for r in out.values()}) > 1
+
+
+def test_duplicate_keys_clean_fixture_and_injected_dup(spark, tmp_path):
+    out = {
+        r.tbl: r
+        for r in all_queries()["q_dq_duplicate_keys"](spark, SF_SMOKE).collect()
+    }
+    assert len(out) == 8
+    from collections import Counter
+
+    for t, r in out.items():
+        assert r.n_rows == load(spark, SF_SMOKE, t).count(), t
+        if t == "lineitem":
+            # the synthetic generator does NOT make (orderkey, linenumber)
+            # unique — the audit must surface that, brute-force-checked
+            cnt = Counter(
+                (x.l_orderkey, x.l_linenumber)
+                for x in load(spark, SF_SMOKE, "lineitem")
+                .select("l_orderkey", "l_linenumber")
+                .collect()
+            )
+            assert r.n_keys == len(cnt)
+            assert r.n_dup_keys == sum(1 for c in cnt.values() if c > 1)
+            assert r.n_excess_rows == sum(c - 1 for c in cnt.values())
+            assert r.n_dup_keys > 0
+        else:
+            assert (r.n_dup_keys, r.n_excess_rows) == (0, 0), t
+            assert r.n_keys == r.n_rows, t
+    # corrupted copy: duplicate 3 order keys -> 3 dup keys, 3 excess rows
+    import pyarrow as pa
+
+    for t in (
+        "orders",
+        "customer",
+        "part",
+        "supplier",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        tb = pq.read_table(f"{SF_SMOKE}/{t}.parquet")
+        if t == "orders":
+            tb = pa.concat_tables([tb, tb.slice(0, 3)])
+        pq.write_table(tb, str(tmp_path / f"{t}.parquet"))
+    out2 = {
+        r.tbl: r
+        for r in all_queries()["q_dq_duplicate_keys"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out2["orders"].n_dup_keys == 3
+    assert out2["orders"].n_excess_rows == 3
+    assert out2["orders"].n_rows == out["orders"].n_rows + 3
+    assert out2["customer"].n_dup_keys == 0
+
+
+def test_stickiness_matches_bruteforce(spark):
+    out = {
+        r.ym: r
+        for r in all_queries()["q_cohort_stickiness"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "ts").collect()
+    days: dict = {}
+    months: dict = {}
+    for r in rows:
+        ym = r.ts.year * 100 + r.ts.month
+        d = _micros(r.ts) // 86_400_000_000
+        days.setdefault((ym, d), set()).add(r.user_id)
+        months.setdefault(ym, set()).add(r.user_id)
+    for ym, users in months.items():
+        ds = [v for (m, _), v in days.items() if m == ym]
+        dau_sum = sum(len(v) for v in ds)
+        r = out[ym]
+        assert (r.n_days, r.dau_sum, r.mau) == (len(ds), dau_sum, len(users))
+        assert r.stickiness == math.floor(
+            dau_sum * 1e4 / (len(ds) * len(users)) + 0.5
+        ) / 1e4
+        assert 0 < r.stickiness <= 1
+    assert set(out) == set(months)
+
+
+def test_modularity_matches_bruteforce(spark):
+    out = {
+        r.brand: r
+        for r in all_queries()["q_graph_modularity"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    brands = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, SF_SMOKE, "part").collect()
+    }
+    from collections import Counter
+    from itertools import combinations
+
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    edges = [(a, b) for (a, b), c in pair.items() if c >= 2]
+    m = len(edges)
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    e_in = Counter()
+    for a, b in edges:
+        if brands[a] == brands[b]:
+            e_in[brands[a]] += 1
+    nodes_by_brand: dict = {}
+    for n in deg:
+        nodes_by_brand.setdefault(brands[n], []).append(n)
+    total_q = 0.0
+    for brand, nodes in nodes_by_brand.items():
+        dc = sum(deg[n] for n in nodes)
+        r = out[brand]
+        assert (r.n_nodes, r.e_in, r.deg_sum) == (
+            len(nodes),
+            e_in.get(brand, 0),
+            dc,
+        ), brand
+        num = 4 * m * e_in.get(brand, 0) - dc * dc
+        assert r.q_contrib == math.floor(
+            float(num) * 1e6 / (4 * m * m) + 0.5
+        ) / 1e6, brand
+        total_q += e_in.get(brand, 0) / m - (dc / (2 * m)) ** 2
+    assert set(out) == set(nodes_by_brand)
+    # modularity of a real labeling is a proper score in [-1, 1]
+    assert -1.0 <= total_q <= 1.0
+    assert sum(r.deg_sum for r in out.values()) == 2 * m

@@ -366,6 +366,9 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_growth_curve",
         "q_time_seasonal_naive",
         "q_graph_random_walk",
+        "q_dq_duplicate_keys",
+        "q_cohort_stickiness",
+        "q_graph_modularity",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -2110,3 +2110,63 @@ def q_time_seasonal_naive(spark, sf_dir):
             / 100
         ).alias("mae_cents"),
     )
+
+
+_PK_AUDIT = (
+    ("orders", ("o_orderkey",)),
+    ("customer", ("c_custkey",)),
+    ("part", ("p_partkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+@query(
+    "q_dq_duplicate_keys",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{t}' AS tbl,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(sum(c - 1) AS BIGINT) AS n_excess_rows
+FROM (SELECT count(*) AS c FROM {t} GROUP BY {", ".join(ks)}) g"""
+        for t, ks in _PK_AUDIT
+    ),
+)
+def q_dq_duplicate_keys(spark, sf_dir):
+    """Primary-key uniqueness audit across every table of the schema:
+    per declared key, row count, distinct-key count, violated keys and
+    excess rows — the companion to q_dq_referential (that one audits
+    edges, this one audits identities; together they are the DQ gate a
+    warehouse runs before promoting a snapshot). The fixture itself
+    makes the audit non-vacuous: the synthetic lineitem does NOT keep
+    (l_orderkey, l_linenumber) unique, and the audit reports it. Pure integer counting
+    off one groupBy per table; each table reduces to ONE row, so the
+    union moves nothing. Plan: every branch is a map-side-combinable
+    count on the key columns with nothing else read (column pruning
+    leaves a key-only scan); at 100 TB each audit costs one pass over
+    its key columns and the branches schedule independently."""
+    outs = []
+    for t, ks in _PK_AUDIT:
+        g = (
+            load(spark, sf_dir, t)
+            .groupBy(*[F.col(k) for k in ks])
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            g.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                    "n_dup_keys"
+                ),
+                F.sum(F.col("c") - 1).alias("n_excess_rows"),
+            ).select(F.lit(t).alias("tbl"), "*")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -772,3 +772,67 @@ def q_seq_topk_paths(spark, sf_dir):
         .filter(F.col("rank") <= _PATH_TOPK)
         .select("rank", "path", "n_users")
     )
+
+
+@query(
+    "q_cohort_stickiness",
+    oracle="""
+WITH d AS (
+  SELECT CAST(year(ts::TIMESTAMP) * 100 + month(ts::TIMESTAMP) AS BIGINT)
+           AS ym,
+         CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT) AS day,
+         user_id
+  FROM events
+), dau AS (
+  SELECT ym, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY ym, day
+), mau AS (
+  SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM d GROUP BY ym
+)
+SELECT dau.ym, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(dau.dau) AS BIGINT) AS dau_sum,
+       any_value(mau.mau) AS mau,
+       floor(CAST(sum(dau.dau) AS DOUBLE) * 10000
+             / (count(*) * any_value(mau.mau)) + 0.5) / 10000
+         AS stickiness
+FROM dau JOIN mau ON dau.ym = mau.ym
+GROUP BY dau.ym
+""",
+)
+def q_cohort_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per calendar month — THE engagement ratio
+    (what share of the month's audience shows up on an average day).
+    avg-DAU/MAU is computed as one division of exact integers:
+    sum-of-daily-distincts * 10^4 / (n_days * monthly-distinct), so
+    no intermediate average float exists. Two distinct-counts share
+    the same (month, user) shuffle; the month rollup is a handful of
+    rows. At 100 TB you'd swap countDistinct for the mergeable bitmap
+    agg (q_agg_bitmap_distinct) without changing the shape — the
+    per-day and per-month states then merge map-side."""
+    e = load(spark, sf_dir, "events").select(
+        (F.year("ts") * 100 + F.month("ts")).cast("long").alias("ym"),
+        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        .cast("long")
+        .alias("day"),
+        "user_id",
+    )
+    dau = e.groupBy("ym", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = e.groupBy("ym").agg(F.countDistinct("user_id").alias("mau"))
+    j = dau.join(mau, "ym")
+    return j.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+        F.first("mau").alias("mau"),
+        (
+            F.floor(
+                F.sum("dau").cast("double")
+                * 10000
+                / (F.count(F.lit(1)) * F.first("mau"))
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("stickiness"),
+    )

@@ -636,3 +636,95 @@ def q_graph_random_walk(spark, sf_dir):
             F.concat_ws(">", "path", F.col("nxt").cast("string")).alias("path"),
         )
     return cur.select("start", F.col("node").alias("end_node"), "path")
+
+
+@query(
+    "q_graph_modularity",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+nb AS (
+  SELECT deg.u, deg.d, part.p_brand AS brand
+  FROM deg JOIN part ON part.p_partkey = deg.u
+), ein AS (
+  SELECT bu.p_brand AS brand, CAST(count(*) AS BIGINT) AS e_in
+  FROM e JOIN part bu ON bu.p_partkey = e.u
+         JOIN part bv ON bv.p_partkey = e.v
+  WHERE bu.p_brand = bv.p_brand
+  GROUP BY bu.p_brand
+), dc AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) AS BIGINT) AS deg_sum
+  FROM nb GROUP BY brand
+)
+SELECT dc.brand, dc.n_nodes, coalesce(ein.e_in, 0) AS e_in, dc.deg_sum,
+       floor(CAST(4 * m.m * coalesce(ein.e_in, 0)
+                  - dc.deg_sum * dc.deg_sum AS DOUBLE) * 1000000
+             / (4 * m.m * m.m) + 0.5) / 1000000 AS q_contrib
+FROM dc LEFT JOIN ein ON dc.brand = ein.brand CROSS JOIN m
+""",
+)
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the BRAND partition over the co-purchase
+    graph, one row per community: Q_c = e_c/m - (d_c/2m)^2 — do parts
+    of the same brand actually co-sell? (the community-quality score
+    behind every clustering-on-graphs evaluation). Exactness via the
+    common-denominator trick: Q_c * 4m^2 = 4m*e_c - d_c^2 is pure
+    BIGINT (intra-edge counts, degree sums, one global edge count),
+    and the only division is the final floored 6dp display — the same
+    pattern as q_agg_ks_test's cross-multiplied ECDF gap. Plan: the
+    brand dimension broadcasts onto both edge endpoints, degrees reuse
+    the BFS exchange shape, the edge total broadcasts as one row; at
+    100 TB the cost is the one edge-list pass (communities arrive as a
+    labeling column, never materialized as a partition-wide state)."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    brand = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nb = deg.join(
+        F.broadcast(brand), deg["u"] == brand["p_partkey"]
+    ).select("u", "d", F.col("p_brand").alias("brand"))
+    bu = brand.select(
+        F.col("p_partkey").alias("u"), F.col("p_brand").alias("brand_u")
+    )
+    bv = brand.select(
+        F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand_v")
+    )
+    ein = (
+        edges.join(F.broadcast(bu), "u")
+        .join(F.broadcast(bv), "v")
+        .filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    dc = nb.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("deg_sum")
+    )
+    j = (
+        dc.join(ein, "brand", "left")
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)))
+        .crossJoin(F.broadcast(m))
+    )
+    return j.select(
+        "brand",
+        "n_nodes",
+        "e_in",
+        "deg_sum",
+        (
+            F.floor(
+                (
+                    4 * F.col("m") * F.col("e_in")
+                    - F.col("deg_sum") * F.col("deg_sum")
+                ).cast("double")
+                * 1000000
+                / (4 * F.col("m") * F.col("m"))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("q_contrib"),
+    )
