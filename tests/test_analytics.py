@@ -1702,3 +1702,106 @@ def test_modularity_matches_bruteforce(spark):
     # modularity of a real labeling is a proper score in [-1, 1]
     assert -1.0 <= total_q <= 1.0
     assert sum(r.deg_sum for r in out.values()) == 2 * m
+
+
+def test_clustering_coeff_matches_bruteforce(spark):
+    out = {
+        r.part: r
+        for r in all_queries()["q_graph_clustering_coeff"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    from collections import Counter
+    from itertools import combinations
+
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    adj: dict = {}
+    for (a, b), c in pair.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    expected = {}
+    for n, nbrs in adj.items():
+        if len(nbrs) < 2:
+            continue
+        tri = sum(
+            1 for a, b in combinations(sorted(nbrs), 2) if b in adj[a]
+        )
+        cl = math.floor(
+            2 * tri * 1e6 / (len(nbrs) * (len(nbrs) - 1)) + 0.5
+        ) / 1e6
+        expected[n] = (len(nbrs), tri, cl)
+    assert {
+        k: (r.degree, r.n_triangles, r.clustering) for k, r in out.items()
+    } == expected
+    assert expected
+    assert any(v[1] > 0 for v in expected.values())
+    assert all(0 <= r.clustering <= 1 for r in out.values())
+
+
+def test_time_split_matches_bruteforce_and_purges(spark):
+    from wikidata2pg_spark.llm.sampling import (
+        _SPLIT_PURGE_US,
+        _SPLIT_TRAIN_PCT,
+    )
+
+    out = {
+        (r.split, r.event_type): r
+        for r in all_queries()["q_sample_time_split"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    ts = [( _micros(r.ts), r.event_type) for r in rows]
+    lo, hi = min(t for t, _ in ts), max(t for t, _ in ts)
+    cutoff = lo + (hi - lo) * _SPLIT_TRAIN_PCT // 100
+    expected: dict = {}
+    for t, et in ts:
+        s = (
+            "train"
+            if t < cutoff
+            else ("purged" if t < cutoff + _SPLIT_PURGE_US else "validation")
+        )
+        n, mn, mx = expected.get((s, et), (0, t, t))
+        expected[(s, et)] = (n + 1, min(mn, t), max(mx, t))
+    assert {
+        k: (r.n, r.min_ts_us, r.max_ts_us) for k, r in out.items()
+    } == expected
+    # all three splits exist and the purge gap really separates them
+    splits = {s for s, _ in out}
+    assert splits == {"train", "purged", "validation"}
+    max_train = max(r.max_ts_us for (s, _), r in out.items() if s == "train")
+    min_val = min(
+        r.min_ts_us for (s, _), r in out.items() if s == "validation"
+    )
+    assert min_val - max_train >= _SPLIT_PURGE_US
+
+
+def test_quantile_bands_match_python_order_stats(spark):
+    out = {
+        r.event_type: r
+        for r in all_queries()["q_agg_quantile_bands"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            int(math.floor(r.value * 100 + 0.5))
+        )
+    for et, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        r = out[et]
+        assert r.n == n
+        for p in (10, 25, 50, 75, 90):
+            rank = (p * n + 99) // 100
+            assert getattr(r, f"p{p}_cents") == vs[rank - 1], (et, p)
+        assert r.p10_cents <= r.p25_cents <= r.p50_cents
+        assert r.p50_cents <= r.p75_cents <= r.p90_cents
+    assert set(out) == set(by_type)

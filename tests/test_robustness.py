@@ -369,6 +369,9 @@ def test_driver_window_ordering_is_pinned():
         "q_dq_duplicate_keys",
         "q_cohort_stickiness",
         "q_graph_modularity",
+        "q_graph_clustering_coeff",
+        "q_sample_time_split",
+        "q_agg_quantile_bands",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -289,3 +289,72 @@ def q_mix_temperature(spark, sf_dir):
         .cast("long")
         .alias("target_docs"),
     )
+
+
+_SPLIT_TRAIN_PCT = 70  # share of the time span that is training data
+_SPLIT_PURGE_US = 86_400_000_000  # 1-day purge gap after the cutoff
+
+
+@query(
+    "q_sample_time_split",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) AS t FROM events
+), b AS (
+  SELECT min(t) + CAST(floor((max(t) - min(t)) * {_SPLIT_TRAIN_PCT} / 100)
+                       AS BIGINT) AS cutoff
+  FROM e
+), s AS (
+  SELECT e.event_type,
+         CASE WHEN e.t < b.cutoff THEN 'train'
+              WHEN e.t < b.cutoff + {_SPLIT_PURGE_US} THEN 'purged'
+              ELSE 'validation' END AS split,
+         e.t
+  FROM e CROSS JOIN b
+)
+SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+       min(t) AS min_ts_us, max(t) AS max_ts_us
+FROM s GROUP BY split, event_type
+""",
+)
+def q_sample_time_split(spark, sf_dir):
+    """Walk-forward train/validation split with a purge gap — the
+    leakage-safe split for TIME-DEPENDENT data (financial backtests,
+    churn models): train on the first 70% of the time span, discard one
+    full day after the cutoff (so no label window straddles the
+    boundary — the 'purged cross-validation' rule), validate on the
+    rest. Complements q_split_leakage_safe, which hashes ENTITIES:
+    entity hashing kills user leakage, time purging kills temporal
+    leakage — a production split often composes both. The cutoff is an
+    exact integer-microsecond expression of min/max (one floored
+    multiply-divide), assignment is pure comparison, and the audit
+    output (counts + boundaries per split x type) is all integers.
+    Plan: one 2-row agg broadcasts the cutoff; assignment is a
+    map-only projection — at 100 TB the split costs one scan and the
+    assignment column can be written back as a partition key."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("t")
+    )
+    b = e.agg(
+        (
+            F.min("t")
+            + F.floor(
+                (F.max("t") - F.min("t")) * _SPLIT_TRAIN_PCT / F.lit(100)
+            ).cast("long")
+        ).alias("cutoff")
+    )
+    s = e.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        F.when(F.col("t") < F.col("cutoff"), F.lit("train"))
+        .when(
+            F.col("t") < F.col("cutoff") + _SPLIT_PURGE_US, F.lit("purged")
+        )
+        .otherwise(F.lit("validation"))
+        .alias("split"),
+        "t",
+    )
+    return s.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("t").alias("min_ts_us"),
+        F.max("t").alias("max_ts_us"),
+    )

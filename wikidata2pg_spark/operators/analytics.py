@@ -2170,3 +2170,59 @@ def q_dq_duplicate_keys(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+_QBANDS = (10, 25, 50, 75, 90)  # nearest-rank percentiles reported
+
+
+@query(
+    "q_agg_quantile_bands",
+    oracle=f"""
+WITH x AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), l AS (
+  SELECT event_type, list(v ORDER BY v) AS vs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY event_type
+)
+SELECT event_type, n,
+       {", ".join(
+           f"vs[CAST(floor(({p} * n + 99) / 100) AS INT)] AS p{p}_cents"
+           for p in _QBANDS
+       )}
+FROM l
+""",
+)
+def q_agg_quantile_bands(spark, sf_dir):
+    """Exact nearest-rank percentile bands (P10/P25/P50/P75/P90) of the
+    value distribution per event type — the distribution summary on
+    every latency/revenue SLO dashboard, computed WITHOUT interpolation
+    so every band is an actual observed value (pure integer cents,
+    rank = ceil(p*n/100) in integer arithmetic — zero float anywhere).
+    The Spark side is the DISTRIBUTED formulation: a per-group
+    row_number over the sorted values + one count join, selecting the
+    five ranked rows with conditional aggregation — no per-group
+    collect, so a 10-billion-row group costs one sort-shuffle, while
+    the oracle indexes an ordered list (same multiset, same order
+    statistic, method-independent). At 100 TB this is the exact-
+    percentile plan you run when approx_percentile's error bound is
+    not acceptable."""
+    x = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wn = Window.partitionBy("event_type").orderBy("v")
+    n = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    j = x.withColumn("rn", F.row_number().over(wn)).join(
+        F.broadcast(n), "event_type"
+    )
+    aggs = [F.first("n").alias("n")]
+    for p in _QBANDS:
+        rank = F.floor((F.lit(p) * F.col("n") + 99) / 100).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank, F.col("v"))).alias(
+                f"p{p}_cents"
+            )
+        )
+    return j.groupBy("event_type").agg(*aggs)

@@ -728,3 +728,78 @@ def q_graph_modularity(spark, sf_dir):
             / 1000000
         ).alias("q_contrib"),
     )
+
+
+@query(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM e ab JOIN e bc ON ab.v = bc.u
+            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+), pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) x
+  GROUP BY node
+)
+SELECT deg.u AS part, deg.d AS degree,
+       coalesce(pern.n_tri, 0) AS n_triangles,
+       floor(CAST(2 * coalesce(pern.n_tri, 0) AS DOUBLE) * 1000000
+             / (deg.d * (deg.d - 1)) + 0.5) / 1000000 AS clustering
+FROM deg LEFT JOIN pern ON pern.node = deg.u
+WHERE deg.d >= 2
+""",
+)
+def q_graph_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per node of the co-purchase graph:
+    triangles_at(n) / C(deg(n), 2) — how much of each part's
+    neighborhood buys together, the node-level transitivity measure
+    (q_graph_triangles' global count, localized). Triangles enumerate
+    once via the canonical a<b<c wedge-close, then each contributes to
+    all three corners via a 3-way unpivot; degrees come from the
+    undirected edge list; the coefficient is one floored division of
+    exact integers. Degree-1 nodes have no defined coefficient and are
+    excluded (documented; the oracle prunes identically). Plan: the
+    wedge-close joins key on nodes (the triangle shuffle), the
+    per-node rollup is map-side combinable, degrees broadcast-join
+    back; at 100 TB the wedge join dominates exactly as in
+    q_graph_triangles and the same hub-capping applies."""
+    edges = copurchase_edges(spark, sf_dir).select("u", "v")
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ab = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    pern = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    j = (
+        deg.filter(F.col("d") >= 2)
+        .join(pern, deg["u"] == pern["node"], "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+    )
+    return j.select(
+        F.col("u").alias("part"),
+        F.col("d").alias("degree"),
+        F.col("n_tri").alias("n_triangles"),
+        (
+            F.floor(
+                (2 * F.col("n_tri")).cast("double")
+                * 1000000
+                / (F.col("d") * (F.col("d") - 1))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("clustering"),
+    )
