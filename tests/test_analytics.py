@@ -1805,3 +1805,109 @@ def test_quantile_bands_match_python_order_stats(spark):
         assert r.p10_cents <= r.p25_cents <= r.p50_cents
         assert r.p50_cents <= r.p75_cents <= r.p90_cents
     assert set(out) == set(by_type)
+
+
+def test_mutual_info_matches_bruteforce(spark):
+    out = all_queries()["q_agg_mutual_info"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    from collections import Counter
+
+    cells = Counter()
+    for x in rows:
+        cents = int(math.floor(x.value * 100 + 0.5))
+        y = min(cents // 5000, 6)
+        cells[(x.event_type, y)] += 1
+    n = sum(cells.values())
+    nx = Counter()
+    ny = Counter()
+    for (x, y), c in cells.items():
+        nx[x] += c
+        ny[y] += c
+    mi = 0.0
+    for x, y in sorted(cells):
+        c = cells[(x, y)]
+        mi += c / n * math.log(n * c / (nx[x] * ny[y]))
+    assert (r.n, r.n_cells) == (n, len(cells))
+    assert r.mi_nats == pytest.approx(mi, abs=2e-6)
+    # MI of a non-degenerate table is strictly positive and bounded by
+    # the smaller marginal entropy
+    hx = -sum(v / n * math.log(v / n) for v in nx.values())
+    hy = -sum(v / n * math.log(v / n) for v in ny.values())
+    assert 0 <= r.mi_nats <= min(hx, hy) + 1e-9
+
+
+def test_fanout_audit_matches_bruteforce(spark):
+    out = {
+        r.fanout: r
+        for r in all_queries()["q_join_fanout_audit"](spark, SF_SMOKE).collect()
+    }
+    from collections import Counter
+
+    li = Counter(
+        r.l_orderkey
+        for r in load(spark, SF_SMOKE, "lineitem").select("l_orderkey").collect()
+    )
+    orders = [
+        r.o_orderkey
+        for r in load(spark, SF_SMOKE, "orders").select("o_orderkey").collect()
+    ]
+    hist = Counter(li.get(ok, 0) for ok in orders)
+    total = len(orders)
+    assert {k: r.n_orders for k, r in out.items()} == dict(hist)
+    for k, r in out.items():
+        assert r.share == math.floor(hist[k] * 1e4 / total + 0.5) / 1e4
+    assert sum(r.n_orders for r in out.values()) == total
+    assert len(out) > 1  # fanout actually varies
+
+
+def test_point_in_time_features_are_leakage_free(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_feature_point_in_time"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (
+                _micros(r.ts),
+                r.event_id,
+                r.event_type,
+                int(math.floor(r.value * 100 + 0.5)),
+            )
+        )
+    expected = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        purch = [i for i, e in enumerate(evs) if e[2] == "purchase"]
+        if not purch:
+            continue
+        i = purch[-1]
+        prior = evs[:i]
+        expected[uid] = (
+            evs[i][1],
+            len(prior),
+            sum(e[3] for e in prior),
+            prior[-1][2] if prior else None,
+            (evs[i][0] - prior[-1][0]) // 60_000_000 if prior else None,
+        )
+    assert {
+        k: (
+            r.pred_event,
+            r.n_prior,
+            r.sum_prior_cents,
+            r.last_prior_type,
+            r.mins_since_prior,
+        )
+        for k, r in out.items()
+    } == expected
+    assert expected
+    # at least one user purchases on their very first event (null branch)
+    # and at least one has real history
+    assert any(v[1] > 0 for v in expected.values())

@@ -372,6 +372,9 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_clustering_coeff",
         "q_sample_time_split",
         "q_agg_quantile_bands",
+        "q_agg_mutual_info",
+        "q_join_fanout_audit",
+        "q_feature_point_in_time",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

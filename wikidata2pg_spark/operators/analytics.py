@@ -2226,3 +2226,149 @@ def q_agg_quantile_bands(spark, sf_dir):
             )
         )
     return j.groupBy("event_type").agg(*aggs)
+
+
+_MI_BUCKET_CENTS = 5000  # $50 value buckets
+_MI_BUCKET_CAP = 6  # buckets 0..6 (top bucket open-ended)
+
+
+@query(
+    "q_agg_mutual_info",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type AS x,
+         least(CAST(floor(floor(value * 100 + 0.5) / {_MI_BUCKET_CENTS})
+                    AS BIGINT), {_MI_BUCKET_CAP}) AS y
+  FROM events
+), jnt AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS nxy FROM s GROUP BY x, y
+), mx AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS nx FROM s GROUP BY x
+), my AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS ny FROM s GROUP BY y
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM s
+), terms AS (
+  SELECT jnt.x, jnt.y,
+         CAST(jnt.nxy AS DOUBLE) / tot.n
+           * ln(CAST(tot.n * jnt.nxy AS DOUBLE) / (mx.nx * my.ny)) AS term,
+         tot.n AS n
+  FROM jnt JOIN mx ON jnt.x = mx.x JOIN my ON jnt.y = my.y CROSS JOIN tot
+), folded AS (
+  SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+         list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS mi
+  FROM terms
+)
+SELECT n, n_cells, round(mi, 6) AS mi_nats FROM folded
+""",
+)
+def q_agg_mutual_info(spark, sf_dir):
+    """Mutual information (nats) between event type and the $50 value
+    bucket — the model-free dependence measure feature selection uses
+    where correlation only sees linear signal. Every count is exact;
+    each cell's term is an identically-shaped float expression on
+    exact-integer ratios; and the cell terms are summed by ONE ordered
+    left fold over the (x, y)-sorted term list on both engines (never
+    an unordered SUM — float addition does not commute across plan
+    differences), then rounded at 6dp (ln is the only
+    non-correctly-rounded op; FIXTURES rule 1). Plan: the joint table
+    is a tiny map-side-combinable rollup (|types| x 7 cells); marginals
+    re-aggregate those cells, NOT the scan; the fold runs on one row.
+    At 100 TB MI costs exactly one events pass."""
+    s = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.floor(
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                / F.lit(_MI_BUCKET_CENTS)
+            ).cast("long"),
+            F.lit(_MI_BUCKET_CAP).cast("long"),
+        ).alias("y"),
+    )
+    jnt = s.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = jnt.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = jnt.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    tot = jnt.agg(F.sum("nxy").alias("n"))
+    terms = (
+        jnt.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "n",
+            (
+                F.col("nxy").cast("double")
+                / F.col("n")
+                * F.log(
+                    (F.col("n") * F.col("nxy")).cast("double")
+                    / (F.col("nx") * F.col("ny"))
+                )
+            ).alias("term"),
+        )
+    )
+    folded = terms.agg(
+        F.first("n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("x", "y", "term"))),
+                lambda t: t["term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("mi"),
+    )
+    return folded.select("n", "n_cells", F.round("mi", 6).alias("mi_nats"))
+
+
+@query(
+    "q_join_fanout_audit",
+    oracle="""
+WITH f AS (
+  SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS fanout
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+), h AS (
+  SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders FROM f GROUP BY fanout
+), t AS (
+  SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM h
+)
+SELECT h.fanout, h.n_orders,
+       floor(CAST(h.n_orders AS DOUBLE) * 10000 / t.total + 0.5) / 10000
+         AS share
+FROM h CROSS JOIN t
+""",
+)
+def q_join_fanout_audit(spark, sf_dir):
+    """Join-multiplicity histogram for orders -> lineitem: how many
+    orders match 0, 1, 2, ... lineitems — the audit you run BEFORE
+    trusting any join: an unexpected fanout silently multiplies
+    metrics downstream (the classic double-counting bug), and a 0-band
+    exposes broken referential integrity from the other direction than
+    q_dq_referential. The LEFT join + count(right-key) counts zeros
+    correctly (count of a null column skips it). All integers plus one
+    floored share division. Plan: the per-key count is a map-side-
+    combinable agg on the join key itself (no row explosion ever
+    materializes); the histogram is |distinct fanouts| rows. At 100 TB
+    this is strictly cheaper than the join it de-risks."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    f = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    h = f.groupBy("fanout").agg(F.count(F.lit(1)).alias("n_orders"))
+    t = h.agg(F.sum("n_orders").alias("total"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "fanout",
+        "n_orders",
+        (
+            F.floor(
+                F.col("n_orders").cast("double") * 10000 / F.col("total")
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("share"),
+    )

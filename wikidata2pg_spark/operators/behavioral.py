@@ -836,3 +836,89 @@ def q_cohort_stickiness(spark, sf_dir):
             / 10000
         ).alias("stickiness"),
     )
+
+
+@query(
+    "q_feature_point_in_time",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts::TIMESTAMP) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, event_id, event_type, t,
+         CAST(count(*) OVER wprev AS BIGINT) AS n_prior,
+         CAST(coalesce(sum(cents) OVER wprev, 0) AS BIGINT)
+           AS sum_prior_cents,
+         lag(event_type) OVER w AS last_prior_type,
+         lag(t) OVER w AS last_t
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id),
+         wprev AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS pred_event, n_prior, sum_prior_cents,
+       last_prior_type,
+       CAST(floor((t - last_t) / 60000000) AS BIGINT) AS mins_since_prior
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY t DESC, event_id DESC) AS rn
+  FROM f WHERE event_type = 'purchase'
+) z WHERE rn = 1
+""",
+)
+def q_feature_point_in_time(spark, sf_dir):
+    """Point-in-time feature assembly — the feature-store primitive:
+    for each user's LAST purchase (the label event), features computed
+    ONLY from events strictly before it in (ts, event_id) order
+    (prior-event count, prior spend, last prior action, minutes since
+    it). Computing features at every row via an exclusive cumulative
+    frame + lag, then selecting the label row, is what makes the
+    assembly leakage-free BY CONSTRUCTION — no feature expression can
+    see the label row or anything after it, the bug class 'train-time
+    features used post-label data' cannot occur. All features are
+    exact integers/strings (nulls for first-event purchases). Plan:
+    ONE user_id shuffle shared by every window and the label
+    selection; adding a feature adds a column to the same exchange,
+    not a new join — exactly how a production feature store batches
+    its backfills at 100 TB."""
+    x = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    wprev = w.rowsBetween(W.unboundedPreceding, -1)
+    f = x.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "t",
+        F.count(F.lit(1)).over(wprev).alias("n_prior"),
+        F.coalesce(F.sum("cents").over(wprev), F.lit(0)).alias(
+            "sum_prior_cents"
+        ),
+        F.lag("event_type").over(w).alias("last_prior_type"),
+        F.lag("t").over(w).alias("last_t"),
+    )
+    wlast = W.partitionBy("user_id").orderBy(
+        F.col("t").desc(), F.col("event_id").desc()
+    )
+    return (
+        f.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("pred_event"),
+            "n_prior",
+            "sum_prior_cents",
+            "last_prior_type",
+            F.floor((F.col("t") - F.col("last_t")) / F.lit(60000000))
+            .cast("long")
+            .alias("mins_since_prior"),
+        )
+    )
