@@ -1911,3 +1911,137 @@ def test_point_in_time_features_are_leakage_free(spark):
     # at least one user purchases on their very first event (null branch)
     # and at least one has real history
     assert any(v[1] > 0 for v in expected.values())
+
+
+def test_minhash_fidelity_matches_bruteforce(spark):
+    import hashlib
+
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in all_queries()["q_dedup_minhash_fidelity"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: set(r.text.split(" ")) for r in rows}
+
+    def h(i, tok):
+        return int(hashlib.md5(f"{i}:{tok}".encode()).hexdigest()[:15], 16)
+
+    sig = {
+        d: [min(h(i, t) for t in ts) for i in range(16)]
+        for d, ts in toks.items()
+        if ts
+    }
+    # LSH candidates: same (slot, value) bucket of size in [2, 64]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d, s in sig.items():
+        for i, v in enumerate(s):
+            buckets[(i, v)].append(d)
+    cand = set()
+    for ds in buckets.values():
+        if 2 <= len(ds) <= 64:
+            ds = sorted(ds)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    cand.add((ds[i], ds[j]))
+    expected = {}
+    for a, b in cand:
+        inter = len(toks[a] & toks[b])
+        if inter == 0:
+            continue  # the intersection join drops empty-overlap pairs
+        union = len(toks[a] | toks[b])
+        n_eq = sum(1 for x, y in zip(sig[a], sig[b]) if x == y)
+        jac14 = math.floor(inter * 1e4 / union + 0.5)
+        expected[(a, b)] = (
+            n_eq,
+            inter,
+            union,
+            jac14 / 1e4,
+            abs(625 * n_eq - jac14),
+        )
+    assert {
+        k: (r.n_eq, r.n_inter, r.n_union, r.jaccard, r.err_1e4)
+        for k, r in out.items()
+    } == expected
+    assert expected
+    # the audit must show the estimator is informative but imperfect
+    assert any(r.err_1e4 > 0 for r in out.values())
+    assert any(r.n_eq > 0 for r in out.values())
+
+
+def test_degree_powerlaw_matches_bruteforce(spark):
+    out = all_queries()["q_graph_degree_powerlaw"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    from collections import Counter
+    from itertools import combinations
+
+    baskets: dict = {}
+    for x in rows:
+        baskets.setdefault(x.l_orderkey, set()).add(x.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    deg = Counter()
+    for (a, b), c in pair.items():
+        if c >= 2:
+            deg[a] += 1
+            deg[b] += 1
+    tail = sorted((d, n) for n, d in deg.items() if d >= 2)
+    lsum = 0.0
+    for d, _ in tail:
+        lsum += math.log(d / 1.5)
+    assert r.n_tail == len(tail)
+    assert r.max_degree == max(d for d, _ in tail)
+    assert r.alpha == pytest.approx(1.0 + len(tail) / lsum, abs=2e-4)
+    assert r.alpha > 1.0
+
+
+def test_abc_migration_matches_bruteforce(spark):
+    out = {
+        (r.class_h1, r.class_h2): r.n_parts
+        for r in all_queries()["q_orders_abc_migration"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice"
+    ).collect()
+    ts = [_micros(r.l_shipdate) for r in rows]
+    mid = min(ts) + (max(ts) - min(ts)) // 2
+
+    def classify(half_rows):
+        rev: dict = {}
+        for pk, c in half_rows:
+            rev[pk] = rev.get(pk, 0) + c
+        total = sum(rev.values())
+        cum, cls = 0, {}
+        for pk in sorted(rev, key=lambda k: (-rev[k], k)):
+            cum += rev[pk]
+            cls[pk] = (
+                "A"
+                if cum * 10 <= total * 7
+                else ("B" if cum * 10 <= total * 9 else "C")
+            )
+        return cls
+
+    h0, h1 = [], []
+    for r in rows:
+        c = int(math.floor(r.l_extendedprice * 100 + 0.5))
+        (h0 if _micros(r.l_shipdate) < mid else h1).append((r.l_partkey, c))
+    c0, c1 = classify(h0), classify(h1)
+    from collections import Counter
+
+    expected = Counter(
+        (c0.get(pk, "N"), c1.get(pk, "N")) for pk in set(c0) | set(c1)
+    )
+    assert out == dict(expected)
+    assert sum(out.values()) == len(set(c0) | set(c1))
+    # real migration: some part changed class between halves
+    assert any(a != b for a, b in out)

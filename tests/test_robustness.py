@@ -375,6 +375,9 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_mutual_info",
         "q_join_fanout_audit",
         "q_feature_point_in_time",
+        "q_dedup_minhash_fidelity",
+        "q_graph_degree_powerlaw",
+        "q_orders_abc_migration",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -759,3 +759,158 @@ def q_dedup_cdc_chunks(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+_FID_K = 16  # md5-seeded minhash slots (engine-neutral, unlike xxhash64)
+_FID_CAP = 64  # LSH bucket cap, same skew bound as q_dedup_minhash
+
+
+@query(
+    "q_dedup_minhash_fidelity",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, u.tok
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+), mh AS (
+  SELECT doc_id,
+         {", ".join(
+            f"min(('0x' || substr(md5({i} || ':' || tok), 1, 15))::BIGINT)"
+            f" AS mh{i}" for i in range(_FID_K)
+         )},
+         CAST(count(*) AS BIGINT) AS nt
+  FROM toks GROUP BY doc_id
+), banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {i} AS slot, mh{i} AS h FROM mh"
+      for i in range(_FID_K)
+  )}
+), ok_buckets AS (
+  SELECT slot, h FROM banded GROUP BY slot, h
+  HAVING count(*) BETWEEN 2 AND {_FID_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN ok_buckets ob ON a.slot = ob.slot AND a.h = ob.h
+       JOIN banded b ON b.slot = ob.slot AND b.h = ob.h
+  WHERE a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+       JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST({" + ".join(
+           f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END"
+           for k in range(_FID_K)
+       )} AS BIGINT) AS n_eq,
+       i.n_inter,
+       a.nt + b.nt - i.n_inter AS n_union,
+       floor(CAST(i.n_inter AS DOUBLE) * 10000
+             / (a.nt + b.nt - i.n_inter) + 0.5) / 10000 AS jaccard,
+       abs(625 * CAST({" + ".join(
+           f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END"
+           for k in range(_FID_K)
+       )} AS BIGINT)
+           - CAST(floor(CAST(i.n_inter AS DOUBLE) * 10000
+                  / (a.nt + b.nt - i.n_inter) + 0.5) AS BIGINT))
+         AS err_1e4
+FROM inter i JOIN mh a ON a.doc_id = i.doc_a JOIN mh b ON b.doc_id = i.doc_b
+""",
+)
+def q_dedup_minhash_fidelity(spark, sf_dir):
+    """Sketch-fidelity audit for MinHash dedup: for every LSH candidate
+    pair, the 16-slot signature-agreement estimate NEXT TO the exact
+    token-set Jaccard, and their gap — the calibration run that tells
+    you whether your banding threshold actually corresponds to the
+    similarity you think it does (q_dedup_minhash ships the index;
+    this key measures it — the same audit-the-sketch pattern as
+    q_retrieval_recall_eval). Minhashes here use the module's
+    engine-neutral md5-prefix recipe (xxhash64 has no DuckDB twin,
+    which is exactly why q_dedup_minhash is rows-only — this key is
+    the family's hash-verified fidelity witness). EVERYTHING is
+    integer: slot minima, agreement counts, estimate in 1e-4 units
+    (625 * n_eq since 10000/16 = 625), exact intersection/union, one
+    floored Jaccard division, integer error. Buckets sized [2, CAP]
+    bound skew exactly as the production key. Plan: one token shuffle
+    builds signatures AND the exact intersection probe; candidates
+    join on (slot, minhash) buckets — at 100 TB the audit rides the
+    same exchanges as the dedup itself."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .distinct()
+    )
+    mh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(i), F.col("tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh{i}")
+            for i in range(_FID_K)
+        ],
+        F.count(F.lit(1)).alias("nt"),
+    )
+    banded = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(_FID_K)])
+        ).alias("slot", "h"),
+    )
+    ok = (
+        banded.groupBy("slot", "h")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= _FID_CAP))
+        .select("slot", "h")
+    )
+    inb = banded.join(ok, ["slot", "h"])
+    cand = (
+        inb.select("slot", "h", F.col("doc_id").alias("doc_a"))
+        .join(inb.select("slot", "h", F.col("doc_id").alias("doc_b")), ["slot", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nt").alias("nt_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_FID_K)],
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nt").alias("nt_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_FID_K)],
+    )
+    j = inter.join(ma, "doc_a").join(mb, "doc_b")
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_FID_K)
+    ).cast("long")
+    n_union = F.col("nt_a") + F.col("nt_b") - F.col("n_inter")
+    jac_1e4 = F.floor(
+        F.col("n_inter").cast("double") * 10000 / n_union + F.lit(0.5)
+    ).cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_eq.alias("n_eq"),
+        "n_inter",
+        n_union.alias("n_union"),
+        (jac_1e4.cast("double") / 10000).alias("jaccard"),
+        F.abs(625 * n_eq - jac_1e4).alias("err_1e4"),
+    )

@@ -2372,3 +2372,108 @@ def q_join_fanout_audit(spark, sf_dir):
             / 10000
         ).alias("share"),
     )
+
+
+@query(
+    "q_orders_abc_migration",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey, epoch_us(l_shipdate::TIMESTAMP) AS t,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), b AS (
+  SELECT min(t) + CAST(floor((max(t) - min(t)) / 2) AS BIGINT) AS mid FROM li
+), rev AS (
+  SELECT CASE WHEN li.t < b.mid THEN 0 ELSE 1 END AS half, l_partkey,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM li CROSS JOIN b GROUP BY half, l_partkey
+), c AS (
+  SELECT half, l_partkey,
+         sum(cents) OVER (PARTITION BY half ORDER BY cents DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cents) OVER (PARTITION BY half) AS total
+  FROM rev
+), cls AS (
+  SELECT half, l_partkey,
+         CASE WHEN cum * 10 <= total * 7 THEN 'A'
+              WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS cls
+  FROM c
+)
+SELECT coalesce(h0.cls, 'N') AS class_h1, coalesce(h1.cls, 'N') AS class_h2,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM (SELECT l_partkey, cls FROM cls WHERE half = 0) h0
+FULL OUTER JOIN (SELECT l_partkey, cls FROM cls WHERE half = 1) h1
+  ON h0.l_partkey = h1.l_partkey
+GROUP BY 1, 2
+""",
+)
+def q_orders_abc_migration(spark, sf_dir):
+    """ABC-class migration matrix between the two halves of the
+    shipping timeline: how many parts moved A->C, entered (N->A), or
+    churned out (A->N) — the segment-migration view merchandisers run
+    on q_pareto_abc's classification to see assortment drift, and the
+    same transition-matrix shape as RFM migration or plan tier churn.
+    Classification reuses the pareto conventions exactly: revenue in
+    exact integer cents, (revenue DESC, partkey) order, and the
+    INTEGER boundary test cum*10 <= total*7 / *9 — no double ever
+    decides a class; the time midpoint is exact integer microseconds.
+    Parts absent from a half class as 'N' via the FULL OUTER join.
+    Plan: one lineitem pass builds both halves' revenue in a single
+    (half, part) aggregation; each half's running sum partitions by
+    half (at 100 TB swap in ordered_bucket per half, as q_pareto_abc
+    does); the matrix reduces to <= 16 rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("t"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    b = li.agg(
+        (
+            F.min("t")
+            + F.floor((F.max("t") - F.min("t")) / 2).cast("long")
+        ).alias("mid")
+    )
+    rev = (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("t") < F.col("mid"), 0).otherwise(1).alias("half"),
+            "l_partkey",
+            "cents",
+        )
+        .groupBy("half", "l_partkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("half")
+        .orderBy(F.col("cents").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("half")
+    c = rev.select(
+        "half",
+        "l_partkey",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("total"),
+    )
+    cls = c.select(
+        "half",
+        "l_partkey",
+        F.when(F.col("cum") * 10 <= F.col("total") * 7, "A")
+        .when(F.col("cum") * 10 <= F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    h0 = cls.filter(F.col("half") == 0).select(
+        "l_partkey", F.col("cls").alias("c0")
+    )
+    h1 = cls.filter(F.col("half") == 1).select(
+        "l_partkey", F.col("cls").alias("c1")
+    )
+    m = h0.join(h1, "l_partkey", "full_outer")
+    return m.groupBy(
+        F.coalesce(F.col("c0"), F.lit("N")).alias("class_h1"),
+        F.coalesce(F.col("c1"), F.lit("N")).alias("class_h2"),
+    ).agg(F.count(F.lit(1)).alias("n_parts"))

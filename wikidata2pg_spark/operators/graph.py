@@ -803,3 +803,61 @@ def q_graph_clustering_coeff(spark, sf_dir):
             / 1000000
         ).alias("clustering"),
     )
+
+
+_PL_DMIN = 2  # power-law tail start (degrees >= 2)
+
+
+@query(
+    "q_graph_degree_powerlaw",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+tail AS (SELECT u, d FROM deg WHERE d >= {_PL_DMIN})
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       max(d) AS max_degree,
+       round(1.0 + count(*) / list_reduce(
+         list(ln(d / ({_PL_DMIN} - 0.5)) ORDER BY d, u),
+         (a, b) -> a + b), 4) AS alpha
+FROM tail
+""",
+)
+def q_graph_degree_powerlaw(spark, sf_dir):
+    """Discrete Hill/MLE power-law exponent of the co-purchase degree
+    distribution (Clauset-Shalizi-Newman approximation, alpha = 1 +
+    n / sum ln(d_i/(dmin - 1/2)), dmin = 2) — the scale-free-ness
+    check that tells you whether hub-capping is mandatory before any
+    quadratic graph op (it decides q_graph_link_predict's fate at
+    100 TB). Degrees are exact integers; each log term is one
+    identically-shaped float expression; and the term sum is ONE
+    (d, node)-ordered left fold on both engines (the q_agg_mutual_info
+    discipline: never an unordered float SUM), rounded 4dp at the end.
+    Plan: one edge pass for degrees, a |tail| fold — the estimator is
+    free next to any real graph query."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    tail = deg.filter(F.col("d") >= _PL_DMIN)
+    term = F.log(F.col("d") / F.lit(_PL_DMIN - 0.5))
+    folded = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("d").alias("max_degree"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "u", term.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("lsum"),
+    )
+    return folded.select(
+        "n_tail",
+        "max_degree",
+        F.round(1.0 + F.col("n_tail") / F.col("lsum"), 4).alias("alpha"),
+    )
