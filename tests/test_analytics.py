@@ -2045,3 +2045,91 @@ def test_abc_migration_matches_bruteforce(spark):
     assert sum(out.values()) == len(set(c0) | set(c1))
     # real migration: some part changed class between halves
     assert any(a != b for a, b in out)
+
+
+def test_assortativity_matches_bruteforce(spark):
+    out = all_queries()["q_graph_assortativity"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    from collections import Counter
+    from itertools import combinations
+
+    baskets: dict = {}
+    for x in rows:
+        baskets.setdefault(x.l_orderkey, set()).add(x.l_partkey)
+    pair = Counter()
+    for items in baskets.values():
+        pair.update(combinations(sorted(items), 2))
+    edges = [(a, b) for (a, b), c in pair.items() if c >= 2]
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    exp = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    assert r.n_edges == len(edges)
+    assert r.assortativity == pytest.approx(exp, abs=2e-6)
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_hhi_matches_bruteforce(spark):
+    out = all_queries()["q_agg_hhi"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev: dict = {}
+    for x in rows:
+        rev[x.o_custkey] = rev.get(x.o_custkey, 0) + int(
+            math.floor(x.o_totalprice * 100 + 0.5)
+        )
+    total = sum(rev.values())
+    sq = sum(c * c for c in rev.values())
+    top10 = sum(
+        c for c, _ in sorted(((c, k) for k, c in rev.items()), key=lambda t: (-t[0], t[1]))[:10]
+    )
+    assert r.n_cust == len(rev)
+    assert r.hhi == math.floor(float(sq) * 1e6 / (float(total) * total) + 0.5) / 1e6
+    assert r.top10_share == math.floor(float(top10) * 1e4 / total + 0.5) / 1e4
+    # sanity: HHI of n equal customers is 1/n; real data sits above that
+    assert r.hhi >= math.floor(1e6 / len(rev)) / 1e6
+    assert r.hhi < 1
+
+
+def test_kl_drift_matches_bruteforce(spark):
+    out = {
+        r.source: r
+        for r in all_queries()["q_dq_kl_drift"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "documents").select("source", "lang").collect()
+    from collections import Counter
+
+    cells = Counter((r.source, r.lang) for r in rows)
+    ns = Counter(r.source for r in rows)
+    nl = Counter(r.lang for r in rows)
+    n = len(rows)
+    for src in ns:
+        langs = sorted(lg for (s, lg) in cells if s == src)
+        kl = 0.0
+        for lg in langs:
+            c = cells[(src, lg)]
+            kl += c / ns[src] * math.log(c * n / (ns[src] * nl[lg]))
+        r = out[src]
+        assert (r.n_docs, r.n_langs) == (ns[src], len(langs))
+        assert r.kl_nats == pytest.approx(kl, abs=2e-6)
+        assert r.kl_nats >= 0  # KL is non-negative (Gibbs)
+    assert set(out) == set(ns)

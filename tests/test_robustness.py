@@ -378,6 +378,9 @@ def test_driver_window_ordering_is_pinned():
         "q_dedup_minhash_fidelity",
         "q_graph_degree_powerlaw",
         "q_orders_abc_migration",
+        "q_graph_assortativity",
+        "q_agg_hhi",
+        "q_dq_kl_drift",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

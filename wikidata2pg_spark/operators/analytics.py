@@ -2477,3 +2477,162 @@ def q_orders_abc_migration(spark, sf_dir):
         F.coalesce(F.col("c0"), F.lit("N")).alias("class_h1"),
         F.coalesce(F.col("c1"), F.lit("N")).alias("class_h2"),
     ).agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(cents * cents) AS HUGEINT) AS sq
+  FROM r
+), topk AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS top10_cents
+  FROM (SELECT cents FROM r ORDER BY cents DESC, o_custkey LIMIT 10) z
+)
+SELECT t.n_cust,
+       floor(CAST(t.sq AS DOUBLE) * 1000000
+             / (CAST(t.total AS DOUBLE) * t.total) + 0.5) / 1000000
+         AS hhi,
+       floor(CAST(topk.top10_cents AS DOUBLE) * 10000 / t.total + 0.5)
+         / 10000 AS top10_share
+FROM t CROSS JOIN topk
+""",
+)
+def q_agg_hhi(spark, sf_dir):
+    """Customer revenue concentration: the Herfindahl-Hirschman index
+    (sum of squared revenue shares) plus the top-10-customer share —
+    the two numbers a key-account-risk review runs (HHI is the
+    antitrust-grade concentration measure; 1/HHI is the 'effective
+    number of customers'). HHI = sum(c_i^2) / total^2 keeps everything
+    integer until ONE final division: squared cents sums exceed int64
+    range at warehouse scale, so the accumulator is Spark DECIMAL(38)
+    against DuckDB HUGEINT — both exact. The top-10 slice is a
+    (cents DESC, custkey) TakeOrdered, never a full sort. Plan: one
+    per-customer combine, a 10-row limit, two broadcast scalars — one
+    orders pass at any scale."""
+    r = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    t = r.agg(
+        F.sum("cents").alias("total"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    topk = (
+        r.orderBy(F.col("cents").desc(), "o_custkey")
+        .limit(10)
+        .agg(F.sum("cents").alias("top10_cents"))
+    )
+    j = t.crossJoin(F.broadcast(topk))
+    return j.select(
+        "n_cust",
+        (
+            F.floor(
+                F.col("sq").cast("double")
+                * 1000000
+                / (F.col("total").cast("double") * F.col("total"))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("hhi"),
+        (
+            F.floor(
+                F.col("top10_cents").cast("double") * 10000 / F.col("total")
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("top10_share"),
+    )
+
+
+@query(
+    "q_dq_kl_drift",
+    oracle="""
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS nsl
+  FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, CAST(sum(nsl) AS BIGINT) AS ns FROM c GROUP BY source
+), l AS (
+  SELECT lang, CAST(sum(nsl) AS BIGINT) AS nl FROM c GROUP BY lang
+), t AS (
+  SELECT CAST(sum(nsl) AS BIGINT) AS n FROM c
+), terms AS (
+  SELECT c.source, c.lang,
+         CAST(c.nsl AS DOUBLE) / s.ns
+           * ln(CAST(c.nsl * t.n AS DOUBLE) / (s.ns * l.nl)) AS term,
+         s.ns
+  FROM c JOIN s ON c.source = s.source JOIN l ON c.lang = l.lang
+       CROSS JOIN t
+)
+SELECT source, any_value(ns) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(list_reduce(list(term ORDER BY lang), (a, b) -> a + b), 6)
+         AS kl_nats
+FROM terms GROUP BY source
+""",
+)
+def q_dq_kl_drift(spark, sf_dir):
+    """Per-source language-distribution drift: KL(source || corpus)
+    over the lang marginal — the distribution-shift monitor a corpus
+    pipeline runs per ingest source (a source whose language mix
+    diverges from the corpus is the first sign of a scraper gone
+    wrong; same family as q_agg_mutual_info, pointed at drift).
+    Counts are exact; each cell term is one identically-shaped float
+    expression on integer ratios (absent (source, lang) cells
+    contribute exactly 0 and are skipped); per-source term sums are
+    lang-ORDERED left folds on both engines, rounded 6dp (ln is the
+    only non-correctly-rounded op). Plan: one (source, lang) combine
+    collapses the corpus; marginals re-aggregate those cells; folds
+    run on |sources| rows. One documents pass at 100 TB."""
+    c = load(spark, sf_dir, "documents").groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nsl")
+    )
+    s = c.groupBy("source").agg(F.sum("nsl").alias("ns"))
+    lt = c.groupBy("lang").agg(F.sum("nsl").alias("nl"))
+    t = c.agg(F.sum("nsl").alias("n"))
+    terms = (
+        c.join(F.broadcast(s), "source")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "lang",
+            "ns",
+            (
+                F.col("nsl").cast("double")
+                / F.col("ns")
+                * F.log(
+                    (F.col("nsl") * F.col("n")).cast("double")
+                    / (F.col("ns") * F.col("nl"))
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.first("ns").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lang", "term"))),
+                    lambda x: x["term"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+            6,
+        ).alias("kl_nats"),
+    )

@@ -861,3 +861,71 @@ def q_graph_degree_powerlaw(spark, sf_dir):
         "max_degree",
         F.round(1.0 + F.col("n_tail") / F.col("lsum"), 4).alias("alpha"),
     )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH {_COPURCHASE_EDGES_CTE},
+und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+pairs AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM und JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS assortativity
+FROM mom
+""",
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (Newman 2002): the
+    Pearson correlation of endpoint degrees over all directed edge
+    occurrences — do hub parts co-sell with hubs (r > 0, social-style)
+    or with leaves (r < 0, technological-style)? The decision feeds
+    the same hub-capping question as q_graph_degree_powerlaw. All five
+    moments are EXACT BIGINTs accumulated over the symmetrized edge
+    list (the q_agg_corr_matrix discipline — floats appear only in the
+    final closed form: two correctly-rounded sqrts, one division,
+    round 6dp). Plan: degrees broadcast onto both endpoints, the
+    moment rollup is one map-side-combinable agg over edges — at
+    100 TB the coefficient costs one edge pass."""
+    edges = copurchase_edges(spark, sf_dir)
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("a"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("b"), F.col("d").alias("y"))
+    pairs = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(F.broadcast(du), "a")
+        .join(F.broadcast(dv), "b")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    num = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return mom.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
