@@ -2133,3 +2133,97 @@ def test_kl_drift_matches_bruteforce(spark):
         assert r.kl_nats == pytest.approx(kl, abs=2e-6)
         assert r.kl_nats >= 0  # KL is non-negative (Gibbs)
     assert set(out) == set(ns)
+
+
+def test_fulfillment_latency_matches_bruteforce(spark):
+    out = {
+        r.o_orderpriority: r
+        for r in all_queries()["q_orders_fulfillment_latency"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, _micros(r.o_orderdate) // 86_400_000_000)
+        for r in load(spark, SF_SMOKE, "orders").collect()
+    }
+    lats: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        pr, od = orders[r.l_orderkey]
+        lats.setdefault(pr, []).append(
+            _micros(r.l_shipdate) // 86_400_000_000 - od
+        )
+    for pr, vs in lats.items():
+        vs.sort()
+        n = len(vs)
+        r = out[pr]
+        assert (r.n, r.min_days, r.max_days) == (n, vs[0], vs[-1])
+        assert r.p50_days == vs[(50 * n + 99) // 100 - 1]
+        assert r.p90_days == vs[(90 * n + 99) // 100 - 1]
+        assert r.avg_days == math.floor(sum(vs) * 100 / n + 0.5) / 100
+        assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
+    assert set(out) == set(lats)
+
+
+def test_vocab_growth_matches_bruteforce(spark):
+    out = {
+        r.doc_id: r
+        for r in all_queries()["q_text_vocab_growth"](spark, SF_SMOKE).collect()
+    }
+    rows = sorted(
+        load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+    seen: set = set()
+    tok_cum = 0
+    for r in rows:
+        tk = r.text.split(" ")
+        tok_cum += len(tk)
+        seen |= set(tk)
+        g = out[r.doc_id]
+        assert g.tokens_cum == tok_cum, r.doc_id
+        assert g.vocab_cum == len(seen), r.doc_id
+    assert set(out) == {r.doc_id for r in rows}
+    # Heaps: vocabulary saturates while tokens keep growing
+    last = rows[-1].doc_id
+    assert out[last].vocab_cum < out[last].tokens_cum
+
+
+def test_sample_negatives_are_valid_and_deterministic(spark):
+    import hashlib
+
+    out: dict = {}
+    for r in all_queries()["q_sample_negatives"](spark, SF_SMOKE).collect():
+        out.setdefault(r.o_custkey, []).append((r.rank, r.neg_partkey))
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders").collect()
+    }
+    pos: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        pos.setdefault(orders[r.l_orderkey], set()).add(r.l_partkey)
+    parts = [
+        r.p_partkey for r in load(spark, SF_SMOKE, "part").collect()
+    ]
+
+    def h(c, p):
+        return int(hashlib.md5(f"{c}:{p}".encode()).hexdigest()[:8], 16) % 1000
+
+    expected = {}
+    for c in pos:
+        cand = sorted(
+            (h(c, p), p)
+            for p in parts
+            if h(c, p) < 100 and p not in pos[c]
+        )[:3]
+        if cand:
+            expected[c] = [(i + 1, p) for i, (_, p) in enumerate(cand)]
+    assert {k: sorted(v) for k, v in out.items()} == expected
+    # negatives are genuinely negative
+    for c, negs in out.items():
+        for _, p in negs:
+            assert p not in pos[c]
+    assert expected

@@ -381,6 +381,9 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_assortativity",
         "q_agg_hhi",
         "q_dq_kl_drift",
+        "q_orders_fulfillment_latency",
+        "q_text_vocab_growth",
+        "q_sample_negatives",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

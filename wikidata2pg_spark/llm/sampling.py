@@ -14,7 +14,7 @@ pipeline use.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
@@ -357,4 +357,82 @@ def q_sample_time_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.min("t").alias("min_ts_us"),
         F.max("t").alias("max_ts_us"),
+    )
+
+
+_NEG_PCT = 100  # candidate pool: hash(cust:part) % 1000 < 100 (~10%)
+_NEG_K = 3  # negatives emitted per customer
+
+
+@query(
+    "q_sample_negatives",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), cust AS (SELECT DISTINCT o_custkey FROM pos),
+pool AS (
+  SELECT c.o_custkey, p.p_partkey,
+         ('0x' || substr(md5(c.o_custkey || ':' || p.p_partkey), 1, 8))
+           ::BIGINT % 1000 AS h
+  FROM cust c CROSS JOIN part p
+), cand AS (
+  SELECT pool.* FROM pool
+  WHERE h < {_NEG_PCT}
+    AND NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.o_custkey = pool.o_custkey
+                      AND pos.l_partkey = pool.p_partkey)
+)
+SELECT o_custkey, CAST(rk AS INT) AS rank, p_partkey AS neg_partkey
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY h, p_partkey) AS rk
+      FROM cand) z
+WHERE rk <= {_NEG_K}
+""",
+)
+def q_sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for recommender training: for
+    every customer, 3 parts they never purchased, drawn by content
+    hash — the (user, item-, item+) triple generator behind BPR-style
+    training, with the module's reproducibility guarantee (an RNG
+    sampler draws different negatives per rerun/partitioning; the
+    md5 recipe is a pure function of (customer, part)). The candidate
+    pool is hash-pruned to ~10% BEFORE the anti-join, which is what
+    makes the plan scale: the cross join never materializes — at
+    100 TB the pool filter becomes a hash-range band join and the
+    per-customer candidate count stays |parts|/10 regardless of
+    cluster size. Selection is (hash, partkey)-ranked, integer
+    end-to-end. Positives come from the orders |><| lineitem
+    interaction set; the anti-join is co-partitioned on customer."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    cust = pos.select("o_custkey").distinct()
+    parts = load(spark, sf_dir, "part").select("p_partkey")
+    pool = cust.crossJoin(parts).withColumn(
+        "h",
+        _hash_pct(
+            F.concat_ws(":", F.col("o_custkey"), F.col("p_partkey")), 1000
+        ),
+    )
+    cand = pool.filter(F.col("h") < _NEG_PCT).join(
+        pos.select(
+            "o_custkey", F.col("l_partkey").alias("p_partkey")
+        ),
+        ["o_custkey", "p_partkey"],
+        "left_anti",
+    )
+    wk = Window.partitionBy("o_custkey").orderBy("h", "p_partkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _NEG_K)
+        .select(
+            "o_custkey",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("p_partkey").alias("neg_partkey"),
+        )
     )

@@ -1307,3 +1307,63 @@ def q_text_ngram_novelty(spark, sf_dir):
             / 10000
         ).alias("novelty"),
     )
+
+
+@query(
+    "q_text_vocab_growth",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), firsts AS (
+  SELECT min(doc_id) AS doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS nv
+  FROM (SELECT doc_id, u.tok,
+               min(doc_id) OVER (PARTITION BY u.tok) AS fd
+        FROM documents, unnest(string_split(text, ' ')) AS u(tok)) x
+  WHERE doc_id = fd
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       sum(t.n_toks) OVER w AS tokens_cum,
+       sum(coalesce(f.nv, 0)) OVER w AS vocab_cum
+FROM toks t LEFT JOIN firsts f ON f.doc_id = t.doc_id
+WINDOW w AS (ORDER BY t.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""",
+)
+def q_text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: cumulative distinct
+    vocabulary vs cumulative token count at every document checkpoint
+    in corpus (doc_id) order — the diminishing-returns curve that
+    answers 'does more of this source still add new language?' when
+    sizing a training mix (the corpus-level twin of per-doc
+    q_text_ngram_novelty). Cumulative-distinct is NOT a running
+    countDistinct: each token attributes to its FIRST document (one
+    min window per token — the q_agg_growth_curve trick on tokens),
+    new-vocab counts roll up per doc, and both curves are plain
+    cumulative sums. All integers. Plan: the token-keyed shuffle for
+    first-occurrence attribution is the one heavy exchange (at 100 TB:
+    hash tokens to 64-bit first); the curve windows run on |docs|
+    rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = (
+        tok.withColumn(
+            "fd", F.min("doc_id").over(Window.partitionBy("tok"))
+        )
+        .filter(F.col("doc_id") == F.col("fd"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("nv"))
+    )
+    j = toks.join(firsts, "doc_id", "left").withColumn(
+        "nv", F.coalesce(F.col("nv"), F.lit(0))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "doc_id",
+        F.sum("n_toks").over(w).alias("tokens_cum"),
+        F.sum("nv").over(w).alias("vocab_cum"),
+    )

@@ -2636,3 +2636,89 @@ def q_dq_kl_drift(spark, sf_dir):
             6,
         ).alias("kl_nats"),
     )
+
+
+@query(
+    "q_orders_fulfillment_latency",
+    oracle="""
+WITH x AS (
+  SELECT o.o_orderpriority,
+         CAST(floor(epoch_us(l.l_shipdate::TIMESTAMP) / 86400000000)
+              AS BIGINT)
+           - CAST(floor(epoch_us(o.o_orderdate::TIMESTAMP) / 86400000000)
+                  AS BIGINT) AS lat_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), l AS (
+  SELECT o_orderpriority, list(lat_days ORDER BY lat_days) AS vs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       vs[1] AS min_days,
+       vs[CAST(floor((50 * n + 99) / 100) AS INT)] AS p50_days,
+       vs[CAST(floor((90 * n + 99) / 100) AS INT)] AS p90_days,
+       vs[CAST(len(vs) AS INT)] AS max_days,
+       floor(CAST(list_sum(vs) AS DOUBLE) * 100 / n + 0.5) / 100
+         AS avg_days
+FROM l
+""",
+)
+def q_orders_fulfillment_latency(spark, sf_dir):
+    """Order-to-ship latency distribution per order priority — the SLA
+    view every fulfillment dashboard leads with (does URGENT actually
+    ship faster?). Latency is an exact integer day difference across
+    the orders |><| lineitem join; min/P50/P90/max are nearest-rank
+    order statistics via the same distributed row_number + count
+    selection as q_agg_quantile_bands (the oracle indexes an ordered
+    list — same multiset, same statistic); the mean is one floored
+    division. Plan: the fact-to-fact join shuffles on the order key
+    (the right plan — orders is not broadcastable at scale), then one
+    combine per priority; the quantile window partitions by the
+    5-value priority with the latency sort."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("od"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+        .cast("long")
+        .alias("sd"),
+    )
+    x = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority", (F.col("sd") - F.col("od")).alias("lat_days")
+    )
+    wn = Window.partitionBy("o_orderpriority").orderBy("lat_days")
+    n = x.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    j = x.withColumn("rn", F.row_number().over(wn)).join(
+        F.broadcast(n), "o_orderpriority"
+    )
+    p50 = F.floor((50 * F.col("n") + 99) / 100).cast("long")
+    p90 = F.floor((90 * F.col("n") + 99) / 100).cast("long")
+    return j.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n"),
+        F.min("lat_days").alias("min_days"),
+        F.max(F.when(F.col("rn") == p50, F.col("lat_days"))).alias(
+            "p50_days"
+        ),
+        F.max(F.when(F.col("rn") == p90, F.col("lat_days"))).alias(
+            "p90_days"
+        ),
+        F.max("lat_days").alias("max_days"),
+        (
+            F.floor(
+                F.sum("lat_days").cast("double") * 100 / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("avg_days"),
+    )
