@@ -2227,3 +2227,52 @@ def test_sample_negatives_are_valid_and_deterministic(spark):
         for _, p in negs:
             assert p not in pos[c]
     assert expected
+
+
+def test_runs_test_matches_bruteforce(spark):
+    out = all_queries()["q_agg_runs_test"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("ts", "value").collect()
+    daily: dict = {}
+    for x in rows:
+        d = _micros(x.ts) // 86_400_000_000
+        daily[d] = daily.get(d, 0) + int(math.floor(x.value * 100 + 0.5))
+    vs = sorted(daily.values())
+    med = vs[(len(vs) + 1) // 2 - 1]
+    seq = [1 if daily[d] > med else 0 for d in sorted(daily)]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    sig = math.sqrt(
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (r.n1, r.n2, r.runs) == (n1, n2, runs)
+    assert r.z == pytest.approx((runs - mu) / sig, abs=2e-4)
+    # runs count is structurally bounded
+    assert 1 <= r.runs <= len(seq)
+
+
+def test_concurrency_matches_sweepline(spark):
+    out = all_queries()["q_win_concurrency"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    ts = sorted(
+        _micros(x.ts)
+        for x in load(spark, SF_SMOKE, "events").select("ts").collect()
+    )
+    pts = sorted(
+        [(t, 1) for t in ts] + [(t + 30 * 60 * 1_000_000, -1) for t in ts],
+        key=lambda p: (p[0], p[1]),
+    )
+    conc = peak = 0
+    peak_at = None
+    for t, d in pts:
+        conc += d
+        if conc > peak:
+            peak, peak_at = conc, t
+    assert r.peak_concurrency == peak
+    assert r.peak_at_us == peak_at
+    assert r.n_points == 2 * len(ts)
+    assert 1 <= peak <= len(ts)

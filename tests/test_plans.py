@@ -679,3 +679,44 @@ def test_dpp_prunes_fact_partitions(spark):
     # (the PartitionFilters bracket itself is truncated by toString's
     # field limit, so assert on the subquery node instead)
     assert "subqueryadaptivebroadcast" in plan or "subquerybroadcast" in plan
+
+
+def test_link_predict_degree_joins_broadcast(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_graph_link_predict"](spark, SF_T2))
+    assert plan.count("BroadcastHashJoin") >= 2  # deg_a and deg_b sides
+
+
+def test_point_in_time_single_user_exchange(spark):
+    """All feature windows and the label selection must share ONE
+    user_id hash exchange — adding features must not add shuffles."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_feature_point_in_time"](spark, SF_T2))
+    n_user_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    )
+    assert n_user_exchanges == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_quantile_bands_window_stays_partitioned(spark):
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_quantile_bands"](spark, SF_T2))
+    assert "Exchange hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ks_test_collapses_before_global_window(spark):
+    """The single-partition ECDF window must sit ABOVE the cents
+    groupBy (|distinct values| rows), never above the raw scan."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_agg_ks_test"](spark, SF_T2))
+    # partial aggregation on v before any SinglePartition exchange
+    pre, _, post = plan.partition("SinglePartition")
+    assert "HashAggregate" in post  # the keys=[v] combine is below it

@@ -384,6 +384,8 @@ def test_driver_window_ordering_is_pinned():
         "q_orders_fulfillment_latency",
         "q_text_vocab_growth",
         "q_sample_negatives",
+        "q_agg_runs_test",
+        "q_win_concurrency",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -2722,3 +2722,164 @@ def q_orders_fulfillment_latency(spark, sf_dir):
             / 100
         ).alias("avg_days"),
     )
+
+
+@query(
+    "q_agg_runs_test",
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT)
+           AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY day
+), med AS (
+  SELECT (list(cents ORDER BY cents))
+           [CAST(floor((count(*) + 1) / 2) AS INT)] AS m
+  FROM d
+), s AS (
+  SELECT day, CASE WHEN cents > med.m THEN 1 ELSE 0 END AS hi
+  FROM d CROSS JOIN med
+), r AS (
+  SELECT hi,
+         CASE WHEN lag(hi) OVER (ORDER BY day) IS DISTINCT FROM hi
+              THEN 1 ELSE 0 END AS brk
+  FROM s
+), agg AS (
+  SELECT CAST(sum(hi) AS BIGINT) AS n1,
+         CAST(sum(1 - hi) AS BIGINT) AS n2,
+         CAST(sum(brk) AS BIGINT) AS runs
+  FROM r
+)
+SELECT n1, n2, runs,
+       round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                       * (n1 + n2 - 1))), 4) AS z
+FROM agg
+""",
+)
+def q_agg_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the daily-revenue series: is the
+    above/below-median sequence random, or does it trend/cluster?
+    (the randomness check that completes the nonparametric battery
+    next to q_agg_ks_test / q_agg_mannwhitney / q_dq_chi2). The median
+    is the exact lower order statistic (integer cents, no
+    interpolation), the hi/lo coding and run counting (a run starts
+    where lag differs — IS DISTINCT FROM handles the first row) are
+    pure integer window ops, and only the closed-form z statistic
+    touches floats — one identically-shaped expression, round 4dp.
+    Plan: the day rollup collapses the scan; everything after runs on
+    |days| rows."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    med = d.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("cents")),
+            F.floor((F.count(F.lit(1)) + 1) / 2).cast("int"),
+        ).alias("m")
+    )
+    s = d.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("hi"),
+    )
+    wl = Window.orderBy("day")
+    r = s.select(
+        "hi",
+        F.when(
+            ~F.lag("hi").over(wl).eqNullSafe(F.col("hi")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    agg = r.agg(
+        F.sum("hi").alias("n1"),
+        F.sum(1 - F.col("hi")).alias("n2"),
+        F.sum("brk").alias("runs"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sig = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / (((n1 + n2).cast("double") * (n1 + n2)) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round((F.col("runs") - mu) / sig, 4).alias("z"),
+    )
+
+
+_CONC_SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-min session
+
+
+@query(
+    "q_win_concurrency",
+    oracle=f"""
+WITH pts AS (
+  SELECT epoch_us(ts::TIMESTAMP) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT epoch_us(ts::TIMESTAMP) + {_CONC_SPAN_US}, -1 FROM events
+), c AS (
+  SELECT t, delta,
+         sum(delta) OVER (ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM pts
+)
+SELECT max(conc) AS peak_concurrency,
+       -(max(row(conc, -t)))[2] AS peak_at_us,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM c
+""",
+)
+def q_win_concurrency(spark, sf_dir):
+    """Peak concurrency via the sweep line: every event opens a 30-min
+    session (+1 at start, -1 at expiry), the running sum over the
+    time-ordered deltas IS the live-session count, and its max is the
+    capacity number an SRE sizes for. Ends sort BEFORE starts at the
+    same instant (ORDER BY t, delta with delta -1 < +1 — the standard
+    half-open [t, t+span) convention), so a session expiring exactly
+    when another starts never double-counts. The argmax timestamp
+    tie-breaks earliest via max(struct(conc, -t)). Everything is
+    integer. Plan: the sweep is one global-ordered running sum — at
+    fixture scale a single-partition window; at 100 TB the standard
+    two-pass split (per-range partial sums + broadcast prefix offsets,
+    the q_pack_sequences/ordered_bucket machinery this repo already
+    uses for global prefix sums)."""
+    e = load(spark, sf_dir, "events").select(F.unix_micros("ts").alias("t"))
+    pts = e.select("t", F.lit(1).alias("delta")).unionByName(
+        e.select(
+            (F.col("t") + _CONC_SPAN_US).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    wc = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = pts.withColumn("conc", F.sum("delta").over(wc))
+    best = c.agg(
+        F.max("conc").alias("peak_concurrency"),
+        (
+            -F.max(
+                F.struct(F.col("conc"), (-F.col("t")).alias("nt"))
+            )["nt"]
+        ).alias("peak_at_us"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return best
