@@ -2276,3 +2276,62 @@ def test_concurrency_matches_sweepline(spark):
     assert r.peak_at_us == peak_at
     assert r.n_points == 2 * len(ts)
     assert 1 <= peak <= len(ts)
+
+
+def test_ols2_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    out = all_queries()["q_agg_ols2"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    per: dict = {}
+    for x in rows:
+        a = per.setdefault(x.l_orderkey, [0, 0, 0])
+        a[0] += 1
+        a[1] += int(math.floor(x.l_quantity + 0.5))
+        a[2] += int(math.floor(x.l_extendedprice * 100 + 0.5))
+    X = np.array([[1.0, a[0], a[1]] for a in per.values()])
+    y = np.array([float(a[2]) for a in per.values()])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert r.n == len(per)
+    assert r.beta0_cents == pytest.approx(beta[0], abs=0.5)
+    assert r.beta1 == pytest.approx(beta[1], rel=1e-4)
+    assert r.beta2 == pytest.approx(beta[2], rel=1e-4)
+    assert r.r2 == pytest.approx(1 - ss_res / ss_tot, abs=1e-4)
+    assert 0 <= r.r2 <= 1
+    # basket size and quantity genuinely explain order value here
+    assert r.r2 > 0.5
+
+
+def test_burstiness_matches_bruteforce(spark):
+    out = {
+        r.tok: r
+        for r in all_queries()["q_text_burstiness"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    from collections import Counter
+
+    percnt: dict = {}
+    for r in rows:
+        for t, c in Counter(r.text.split(" ")).items():
+            percnt.setdefault(t, []).append(c)
+    n = len(rows)
+    totals = {t: sum(cs) for t, cs in percnt.items()}
+    top = sorted(totals, key=lambda t: (-totals[t], t))[:10]
+    assert set(out) == set(top)
+    for t in top:
+        cs = percnt[t]
+        total = totals[t]
+        sq = sum(c * c for c in cs)
+        var = (n * sq - total * total) / (n - 1)
+        vmr = var / (total / n)
+        r = out[t]
+        assert (r.total, r.df) == (total, len(cs))
+        assert r.vmr == pytest.approx(vmr, abs=2e-6)
+        assert r.vmr > 0

@@ -386,6 +386,8 @@ def test_driver_window_ordering_is_pinned():
         "q_sample_negatives",
         "q_agg_runs_test",
         "q_win_concurrency",
+        "q_agg_ols2",
+        "q_text_burstiness",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -1367,3 +1367,73 @@ def q_text_vocab_growth(spark, sf_dir):
         F.sum("n_toks").over(w).alias("tokens_cum"),
         F.sum("nv").over(w).alias("vocab_cum"),
     )
+
+
+_BURST_TOPK = 10  # most frequent tokens profiled
+
+
+@query(
+    "q_text_burstiness",
+    oracle=f"""
+WITH cnt AS (
+  SELECT doc_id, u.tok, CAST(count(*) AS BIGINT) AS c
+  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+  GROUP BY doc_id, u.tok
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+top AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c * c) AS BIGINT) AS sq
+  FROM cnt GROUP BY tok
+  ORDER BY total DESC, tok LIMIT {_BURST_TOPK}
+)
+SELECT tok, total, df,
+       round((CAST(nd.n AS DOUBLE) * sq - CAST(total AS DOUBLE) * total)
+             / (CAST(nd.n AS DOUBLE) - 1) / (CAST(total AS DOUBLE) / nd.n),
+             6) AS vmr
+FROM top CROSS JOIN nd
+""",
+)
+def q_text_burstiness(spark, sf_dir):
+    """Token burstiness for the 10 most frequent tokens: the
+    variance-to-mean ratio of per-document counts (docs with zero
+    occurrences included via the moment identity — never materialized).
+    VMR ~ 1 means Poisson-like function words; VMR >> 1 means the
+    token clumps into few documents — the dispersion signal behind
+    stopword induction and topical-keyword detection (Church & Gale's
+    burstiness). Per-doc counts, document totals, df and squared sums
+    are exact integers; variance uses the n*sq - total^2 moment form
+    (zero-count docs contribute 0 to both), and the final VMR is one
+    shared-shape float expression rounded 6dp. Plan: one (doc, token)
+    combine, a token rollup, a 10-row TakeOrdered, one broadcast
+    scalar — a corpus pass at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        cnt.groupBy("tok")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        .orderBy(F.col("total").desc(), "tok")
+        .limit(_BURST_TOPK)
+    )
+    j = top.crossJoin(F.broadcast(nd))
+    ndd = F.col("n").cast("double")
+    var = (ndd * F.col("sq") - F.col("total").cast("double") * F.col("total")) / (
+        ndd - 1
+    )
+    return j.select(
+        "tok",
+        "total",
+        "df",
+        F.round(var / (F.col("total").cast("double") / F.col("n")), 6).alias(
+            "vmr"
+        ),
+    )

@@ -2883,3 +2883,112 @@ def q_win_concurrency(spark, sf_dir):
         F.count(F.lit(1)).alias("n_points"),
     )
     return best
+
+
+@query(
+    "q_agg_ols2",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS x1,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS x2,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+         CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM per
+), c AS (
+  SELECT n,
+         CAST(n AS DOUBLE) * s11 - CAST(s1 AS DOUBLE) * s1 AS a11,
+         CAST(n AS DOUBLE) * s12 - CAST(s1 AS DOUBLE) * s2 AS a12,
+         CAST(n AS DOUBLE) * s22 - CAST(s2 AS DOUBLE) * s2 AS a22,
+         CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1,
+         CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+           - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS byy,
+         s1, s2, CAST(sy AS DOUBLE) AS syd
+  FROM m
+)
+SELECT n,
+       round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6) AS beta1,
+       round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6) AS beta2,
+       round((syd - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * s1
+              - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * s2) / n,
+             2) AS beta0_cents,
+       round(((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * b1
+              + (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * b2)
+             / byy, 6) AS r2
+FROM c
+""",
+)
+def q_agg_ols2(spark, sf_dir):
+    """Two-feature OLS by exact normal equations: order value (cents)
+    regressed on basket size and total quantity — the closed-form
+    multiple regression a warehouse runs without any ML runtime
+    (q_agg_regression's simple-linear big sibling; same class as
+    q_agg_corr_matrix). ALL ten moments are exact integers (HUGEINT /
+    DECIMAL(38) where products overflow int64); the centered 2x2
+    system solves by Cramer's rule in doubles built from those exact
+    moments with one shared expression shape — betas, intercept and
+    R^2 round at the end (FIXTURES rule 1). Plan: one per-order
+    combine then a 1-row moment rollup — a full multiple regression
+    for the cost of one lineitem pass at 100 TB."""
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("x1"),
+            F.sum(
+                F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+            ).alias("x2"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(dec("x1") * dec("y")).alias("s1y"),
+        F.sum(dec("x2") * dec("y")).alias("s2y"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    a11 = nd * F.col("s11") - F.col("s1").cast("double") * F.col("s1")
+    a12 = nd * F.col("s12") - F.col("s1").cast("double") * F.col("s2")
+    a22 = nd * F.col("s22") - F.col("s2").cast("double") * F.col("s2")
+    syd = F.col("sy").cast("double")
+    b1 = nd * F.col("s1y").cast("double") - F.col("s1").cast("double") * syd
+    b2 = nd * F.col("s2y").cast("double") - F.col("s2").cast("double") * syd
+    byy = nd * F.col("syy").cast("double") - syd * syd
+    det = a11 * a22 - a12 * a12
+    beta1 = (b1 * a22 - b2 * a12) / det
+    beta2 = (b2 * a11 - b1 * a12) / det
+    return m.select(
+        "n",
+        F.round(beta1, 6).alias("beta1"),
+        F.round(beta2, 6).alias("beta2"),
+        F.round(
+            (syd - beta1 * F.col("s1") - beta2 * F.col("s2")) / F.col("n"), 2
+        ).alias("beta0_cents"),
+        F.round((beta1 * b1 + beta2 * b2) / byy, 6).alias("r2"),
+    )
