@@ -2335,3 +2335,30 @@ def test_burstiness_matches_bruteforce(spark):
         assert (r.total, r.df) == (total, len(cs))
         assert r.vmr == pytest.approx(vmr, abs=2e-6)
         assert r.vmr > 0
+
+
+def test_vec_drift_matches_numpy(spark):
+    import numpy as np
+
+    out = {
+        r.label: r
+        for r in all_queries()["q_vec_drift"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "embeddings").collect()
+    halves: dict = {}
+    for r in rows:
+        q = [math.floor(x * 1e6 + 0.5) for x in r.embedding]
+        halves.setdefault((r.label, r.vec_id % 2), []).append(q)
+    labels = {lb for lb, _ in halves}
+    for lb in labels:
+        a = np.array(halves[(lb, 0)], dtype=float)
+        b = np.array(halves[(lb, 1)], dtype=float)
+        shift = float(
+            np.sqrt(((a.mean(axis=0) - b.mean(axis=0)) ** 2).sum())
+        ) / 1e6
+        r = out[lb]
+        assert (r.n_half0, r.n_half1) == (len(a), len(b))
+        assert r.centroid_shift == pytest.approx(shift, abs=2e-6)
+        # halves sample the same distribution: shift is small but nonzero
+        assert 0 < r.centroid_shift < 1
+    assert set(out) == labels

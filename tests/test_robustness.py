@@ -388,6 +388,7 @@ def test_driver_window_ordering_is_pinned():
         "q_win_concurrency",
         "q_agg_ols2",
         "q_text_burstiness",
+        "q_vec_drift",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -726,3 +726,111 @@ def q_retrieval_recall_eval(spark, sf_dir):
             / 10000
         ).alias("recall"),
     )
+
+
+@query(
+    "q_vec_drift",
+    oracle="""
+WITH x AS (
+  SELECT label, vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
+           AS xi
+  FROM embeddings
+), s AS (
+  SELECT label, half, pos, CAST(sum(xi) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM x GROUP BY label, half, pos
+), d AS (
+  SELECT a.label, a.pos,
+         (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n) AS diff,
+         a.n AS n0, b.n AS n1
+  FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.half = 0 AND b.half = 1
+)
+SELECT label, CAST(any_value(n0) AS BIGINT) AS n_half0,
+       CAST(any_value(n1) AS BIGINT) AS n_half1,
+       round(sqrt(list_reduce(list(diff * diff ORDER BY pos),
+                              (p, q) -> p + q)) / 1000000, 6)
+         AS centroid_shift
+FROM d GROUP BY label
+""",
+)
+def q_vec_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroid of the even-id half and the odd-id half of the corpus —
+    the check a retrieval system runs when re-embedding or re-crawling
+    (did the representation of this class MOVE?); near zero here
+    because both halves sample one distribution, which is exactly the
+    null a drift alarm thresholds against. Exactness via the
+    fixed-point kmeans recipe (llm/clustering.py): coordinates
+    quantize to 1e-6 ints, per-(label, half, position) sums are
+    exact-integer and order-invariant, each centroid coordinate is ONE
+    correctly-rounded division, the squared-diff sum is a
+    position-ORDERED fold, and sqrt is IEEE — bit-identical before the
+    6dp display round. Plan: posexplode -> one (label, half, pos)
+    combine (map-side), a 64-row-per-label join and fold — one
+    embeddings pass at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "xv"),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.floor(F.col("xv") * 1000000 + F.lit(0.5)).cast("long").alias("xi"),
+    )
+    s = x.groupBy("label", "half", "pos").agg(
+        F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label",
+        "pos",
+        F.col("sx").alias("sx0"),
+        F.col("n").alias("n0"),
+    )
+    b = s.filter(F.col("half") == 1).select(
+        "label",
+        "pos",
+        F.col("sx").alias("sx1"),
+        F.col("n").alias("n1"),
+    )
+    d = a.join(b, ["label", "pos"]).select(
+        "label",
+        "pos",
+        "n0",
+        "n1",
+        (
+            F.col("sx0").cast("double") / F.col("n0")
+            - F.col("sx1").cast("double") / F.col("n1")
+        ).alias("diff"),
+    )
+    return d.groupBy("label").agg(
+        F.first("n0").alias("n_half0"),
+        F.first("n1").alias("n_half1"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "pos",
+                                    (F.col("diff") * F.col("diff")).alias(
+                                        "dd"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda t: t["dd"],
+                    ),
+                    F.lit(0.0),
+                    lambda p, q: p + q,
+                )
+            )
+            / 1000000,
+            6,
+        ).alias("centroid_shift"),
+    )
