@@ -1359,10 +1359,10 @@ def test_mannwhitney_matches_bruteforce(spark):
     rank2 = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
     n1, n2 = len(s1), len(s2)
     r1_x2 = sum(rank2[v] for v in s1)
-    u1_x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2
+    u1_x2 = r1_x2 - n1 * (n1 + 1)
     assert (r.n1, r.n2) == (n1, n2)
     assert r.u1_x2 == u1_x2
-    assert r.u2_x2 == r1_x2 - n1 * (n1 + 1)
+    assert r.u2_x2 == 2 * n1 * n2 + n1 * (n1 + 1) - r1_x2
     assert r.u1_x2 + r.u2_x2 == 2 * n1 * n2  # U1 + U2 identity
     assert r.auc == math.floor(u1_x2 * 1e6 / (2 * n1 * n2) + 0.5) / 1e6
     assert 0 < r.auc < 1
@@ -2329,7 +2329,7 @@ def test_burstiness_matches_bruteforce(spark):
         cs = percnt[t]
         total = totals[t]
         sq = sum(c * c for c in cs)
-        var = (n * sq - total * total) / (n - 1)
+        var = (n * sq - total * total) / (n * (n - 1))
         vmr = var / (total / n)
         r = out[t]
         assert (r.total, r.df) == (total, len(cs))

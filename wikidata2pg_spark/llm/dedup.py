@@ -835,13 +835,11 @@ def q_dedup_minhash_fidelity(spark, sf_dir):
     builds signatures AND the exact intersection probe; candidates
     join on (slot, minhash) buckets — at 100 TB the audit rides the
     same exchanges as the dedup itself."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-        )
-        .distinct()
+    # array_distinct already dedups within the doc and doc_id is unique
+    # per exploded row — a .distinct() here would add a full shuffle
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     mh = toks.groupBy("doc_id").agg(
         *[

@@ -1389,8 +1389,8 @@ top AS (
 )
 SELECT tok, total, df,
        round((CAST(nd.n AS DOUBLE) * sq - CAST(total AS DOUBLE) * total)
-             / (CAST(nd.n AS DOUBLE) - 1) / (CAST(total AS DOUBLE) / nd.n),
-             6) AS vmr
+             / (CAST(nd.n AS DOUBLE) * (nd.n - 1))
+             / (CAST(total AS DOUBLE) / nd.n), 6) AS vmr
 FROM top CROSS JOIN nd
 """,
 )
@@ -1426,9 +1426,9 @@ def q_text_burstiness(spark, sf_dir):
     )
     j = top.crossJoin(F.broadcast(nd))
     ndd = F.col("n").cast("double")
-    var = (ndd * F.col("sq") - F.col("total").cast("double") * F.col("total")) / (
-        ndd - 1
-    )
+    var = (
+        ndd * F.col("sq") - F.col("total").cast("double") * F.col("total")
+    ) / (ndd * (ndd - 1))
     return j.select(
         "tok",
         "total",

@@ -1772,13 +1772,19 @@ def q_agg_ks_test(spark, sf_dir):
         F.sum("is1").alias("d1"), F.sum(1 - F.col("is1")).alias("d2")
     )
     wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = g.select(
         "v",
         F.sum("d1").over(wc).alias("c1"),
         F.sum("d2").over(wc).alias("c2"),
+        # totals from the SAME collapsed stream (already one partition
+        # after the ECDF window) — never a second events aggregation
+        F.sum("d1").over(wfull).alias("n1"),
+        F.sum("d2").over(wfull).alias("n2"),
     )
-    t = s.agg(F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2"))
-    d = c.crossJoin(F.broadcast(t)).withColumn(
+    d = c.withColumn(
         "diff", F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))
     )
     best = d.groupBy("n1", "n2").agg(
@@ -1897,12 +1903,11 @@ WITH s AS (
   FROM s
 )
 SELECT t.n1, t.n2,
+       CAST(sum(r.cnt1 * r.rank2) AS BIGINT) - t.n1 * (t.n1 + 1) AS u1_x2,
        2 * t.n1 * t.n2 + t.n1 * (t.n1 + 1)
-         - CAST(sum(r.cnt1 * r.rank2) AS BIGINT) AS u1_x2,
-       CAST(sum(r.cnt1 * r.rank2) AS BIGINT) - t.n1 * (t.n1 + 1) AS u2_x2,
-       floor(CAST(2 * t.n1 * t.n2 + t.n1 * (t.n1 + 1)
-                  - sum(r.cnt1 * r.rank2) AS DOUBLE) * 1000000
-             / (2 * t.n1 * t.n2) + 0.5) / 1000000 AS auc
+         - CAST(sum(r.cnt1 * r.rank2) AS BIGINT) AS u2_x2,
+       floor(CAST(sum(r.cnt1 * r.rank2) - t.n1 * (t.n1 + 1) AS DOUBLE)
+             * 1000000 / (2 * t.n1 * t.n2) + 0.5) / 1000000 AS auc
 FROM r CROSS JOIN t GROUP BY t.n1, t.n2
 """,
 )
@@ -1914,7 +1919,9 @@ def q_agg_mannwhitney(spark, sf_dir):
     tied values get the average rank, which is a half-integer, so the
     whole computation carries 2x-scaled ranks (rank2 = 2*cum_prev +
     cnt + 1 per distinct value) and both 2*U statistics stay pure
-    BIGINT; the AUC is one floored division at the end. The identity
+    BIGINT (U1 = R1 - n1(n1+1)/2, the purchase-side statistic, so
+    AUC > 0.5 means purchases stochastically dominate); the AUC is
+    one floored division at the end. The identity
     U1 + U2 = n1*n2 is asserted by the test. Plan: identical to
     q_agg_ks_test — one cents-keyed combine collapses the scan,
     the rank window runs on |distinct values| rows, totals broadcast;
@@ -1932,6 +1939,9 @@ def q_agg_mannwhitney(spark, sf_dir):
         F.sum("is1").alias("cnt1"), F.count(F.lit(1)).alias("cnt")
     )
     wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     r = g.select(
         "cnt1",
         (
@@ -1939,13 +1949,14 @@ def q_agg_mannwhitney(spark, sf_dir):
             + F.col("cnt")
             + 1
         ).alias("rank2"),
+        F.sum("cnt1").over(wfull).alias("n1"),
+        (F.sum("cnt").over(wfull) - F.sum("cnt1").over(wfull)).alias("n2"),
     )
-    t = s.agg(F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2"))
-    j = r.crossJoin(F.broadcast(t))
-    agg = j.groupBy("n1", "n2").agg(
+    agg = r.groupBy("n1", "n2").agg(
         F.sum(F.col("cnt1") * F.col("rank2")).alias("r1_x2")
     )
-    u1_x2 = (
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    u2_x2 = (
         2 * F.col("n1") * F.col("n2")
         + F.col("n1") * (F.col("n1") + 1)
         - F.col("r1_x2")
@@ -1954,7 +1965,7 @@ def q_agg_mannwhitney(spark, sf_dir):
         "n1",
         "n2",
         u1_x2.alias("u1_x2"),
-        (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias("u2_x2"),
+        u2_x2.alias("u2_x2"),
         (
             F.floor(
                 u1_x2.cast("double")

@@ -657,8 +657,13 @@ def q_survival_km(spark, sf_dir):
         F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
     )
     wcum = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
-    n_total = u.agg(F.count(F.lit(1)).alias("nt"))
-    r = g.crossJoin(F.broadcast(n_total)).withColumn(
+    wfull = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # total-at-risk from the collapsed duration table itself (sum of
+    # deaths + censors) — re-aggregating u would re-run both events
+    # aggregations and their join a second time
+    r = g.withColumn("nt", F.sum(F.col("d") + F.col("c")).over(wfull)).withColumn(
         "n_risk",
         F.col("nt")
         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)),

@@ -130,6 +130,19 @@ def copurchase_edges(spark, sf_dir, min_orders: int = 2):
     )
 
 
+_UND_CTE = "und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)"
+
+
+def undirected_edges(edges):
+    """Symmetrize the canonical u < v co-purchase edge list into both
+    directions — ONE definition (plus the _UND_CTE oracle fragment)
+    shared by every degree/traversal key built on the graph, the same
+    no-drift discipline as copurchase_edges itself."""
+    return edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
 @query(
     "q_graph_copurchase",
     oracle=f"""
@@ -387,9 +400,7 @@ def q_graph_kcore(spark, sf_dir):
     one co-partitioned join pair on the node id, and the node set only
     shrinks. Output: surviving parts with their final in-core degree."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    und = undirected_edges(edges).localCheckpoint()
     nodes = und.select("u").distinct()
     deg = None
     for i in range(_KCORE_ROUNDS):
@@ -411,7 +422,7 @@ def q_graph_kcore(spark, sf_dir):
     "q_graph_link_predict",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 wedge AS (
   SELECT e1.u AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS inter
@@ -447,9 +458,7 @@ def q_graph_link_predict(spark, sf_dir):
     on the pair. At 100 TB you cap hub degrees first (the standard
     mitigation) — the plan shape is unchanged."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     e1, e2 = und.alias("e1"), und.alias("e2")
     wedge = (
@@ -506,7 +515,7 @@ def _bfs_level_sql(d: int) -> str:
     "q_graph_bfs",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 l0 AS (SELECT min(u) AS node FROM und),
 {",".join(_bfs_level_sql(d) for d in range(1, _BFS_DEPTH + 1))}
 {" UNION ALL ".join(
@@ -531,9 +540,7 @@ def q_graph_bfs(spark, sf_dir):
     every few levels and pre-partition edges by u so every super-step
     reuses the same exchange — the loop shape here is exactly that."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     frontier = und.agg(F.min("u").alias("node"))
     visited = frontier.withColumn("dist", F.lit(0).cast("long"))
     for d in range(1, _BFS_DEPTH + 1):
@@ -575,7 +582,7 @@ def _walk_step_sql(s: int) -> str:
     "q_graph_random_walk",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 s0 AS (SELECT DISTINCT u AS start, u AS n0, CAST(u AS VARCHAR) AS path
        FROM und),
 {",".join(_walk_step_sql(s) for s in range(1, _WALK_STEPS + 1))}
@@ -599,9 +606,7 @@ def q_graph_random_walk(spark, sf_dir):
     exchanges, which is why this beats per-node sampling loops at
     100 TB."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     cur = und.select(
         F.col("u").alias("start"),
         F.col("u").alias("node"),
@@ -642,7 +647,7 @@ def q_graph_random_walk(spark, sf_dir):
     "q_graph_modularity",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
 nb AS (
@@ -680,9 +685,7 @@ def q_graph_modularity(spark, sf_dir):
     100 TB the cost is the one edge-list pass (communities arrive as a
     labeling column, never materialized as a partition-wide state)."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     brand = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     nb = deg.join(
@@ -734,7 +737,7 @@ def q_graph_modularity(spark, sf_dir):
     "q_graph_clustering_coeff",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 tri AS (
   SELECT ab.u AS a, ab.v AS b, bc.v AS c
@@ -812,7 +815,7 @@ _PL_DMIN = 2  # power-law tail start (degrees >= 2)
     "q_graph_degree_powerlaw",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 tail AS (SELECT u, d FROM deg WHERE d >= {_PL_DMIN})
 SELECT CAST(count(*) AS BIGINT) AS n_tail,
@@ -836,9 +839,7 @@ def q_graph_degree_powerlaw(spark, sf_dir):
     Plan: one edge pass for degrees, a |tail| fold — the estimator is
     free next to any real graph query."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     tail = deg.filter(F.col("d") >= _PL_DMIN)
     term = F.log(F.col("d") / F.lit(_PL_DMIN - 0.5))
@@ -867,7 +868,7 @@ def q_graph_degree_powerlaw(spark, sf_dir):
     "q_graph_assortativity",
     oracle=f"""
 WITH {_COPURCHASE_EDGES_CTE},
-und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+{_UND_CTE},
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
 pairs AS (
   SELECT du.d AS x, dv.d AS y
@@ -901,9 +902,7 @@ def q_graph_assortativity(spark, sf_dir):
     moment rollup is one map-side-combinable agg over edges — at
     100 TB the coefficient costs one edge pass."""
     edges = copurchase_edges(spark, sf_dir)
-    und = edges.select("u", "v").unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u").alias("a"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("b"), F.col("d").alias("y"))
