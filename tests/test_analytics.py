@@ -2362,3 +2362,83 @@ def test_vec_drift_matches_numpy(spark):
         # halves sample the same distribution: shift is small but nonzero
         assert 0 < r.centroid_shift < 1
     assert set(out) == labels
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    out = {
+        r.event_id: r
+        for r in all_queries()["q_join_asof_nearest"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    purch: dict = {}
+    errs = []
+    for r in rows:
+        if r.event_type == "purchase":
+            purch.setdefault(r.user_id, []).append(_micros(r.ts))
+        elif r.event_type == "error":
+            errs.append((r.event_id, r.user_id, _micros(r.ts)))
+    for eid, uid, t in errs:
+        cand = purch.get(uid)
+        r = out[eid]
+        if not cand:
+            assert r.nearest_p_us is None and r.gap_us is None
+            continue
+        best = min(cand, key=lambda p: (abs(p - t), p))
+        assert r.nearest_p_us == best, eid
+        assert r.gap_us == best - t, eid
+    assert set(out) == {e[0] for e in errs}
+    # both directions occur in the fixture
+    assert any(r.gap_us is not None and r.gap_us < 0 for r in out.values())
+    assert any(r.gap_us is not None and r.gap_us > 0 for r in out.values())
+
+
+def test_volatility_matches_bruteforce(spark):
+    out = {
+        r.day: r
+        for r in all_queries()["q_time_volatility"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("ts", "value").collect()
+    daily: dict = {}
+    for x in rows:
+        d = _micros(x.ts) // 86_400_000_000
+        daily[d] = daily.get(d, 0) + int(math.floor(x.value * 100 + 0.5))
+    days = sorted(daily)
+    for i in range(6, len(days)):
+        win = [daily[d] for d in days[i - 6 : i + 1]]
+        n, s, sq = 7, sum(win), sum(v * v for v in win)
+        mean = math.floor(s * 100 / n + 0.5) / 100
+        std = math.sqrt((n * sq - s * s) / (n * (n - 1)))
+        r = out[days[i]]
+        assert r.cents == daily[days[i]]
+        assert r.mean_cents == mean
+        assert r.std_cents == pytest.approx(std, abs=0.01)
+        assert r.std_cents >= 0
+    assert set(out) == set(days[6:])
+
+
+def test_smoothed_rate_matches_bruteforce_and_shrinks(spark):
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_agg_smoothed_rate"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("user_id", "event_type").collect()
+    stats: dict = {}
+    for r in rows:
+        n, c = stats.get(r.user_id, (0, 0))
+        stats[r.user_id] = (n + 1, c + (r.event_type == "purchase"))
+    gn = sum(n for n, _ in stats.values())
+    gc = sum(c for _, c in stats.values())
+    grate = gc / gn
+    for uid, (n, c) in stats.items():
+        r = out[uid]
+        assert (r.n_events, r.n_conv) == (n, c)
+        assert r.raw_rate == math.floor(c * 1e4 / n + 0.5) / 1e4
+        assert r.smoothed_rate == math.floor(
+            float(c * gn + 5 * gc) * 1e6 / (gn * (n + 5)) + 0.5
+        ) / 1e6
+        # shrinkage: smoothed sits between raw and the global rate
+        lo, hi = sorted((c / n, grate))
+        assert lo - 1e-6 <= r.smoothed_rate <= hi + 1e-6
+    assert set(out) == set(stats)

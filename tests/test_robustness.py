@@ -389,6 +389,9 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_ols2",
         "q_text_burstiness",
         "q_vec_drift",
+        "q_join_asof_nearest",
+        "q_time_volatility",
+        "q_agg_smoothed_rate",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

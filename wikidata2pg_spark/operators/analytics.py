@@ -3003,3 +3003,155 @@ def q_agg_ols2(spark, sf_dir):
         ).alias("beta0_cents"),
         F.round((beta1 * b1 + beta2 * b2) / byy, 6).alias("r2"),
     )
+
+
+_VOL_WIN = 7  # rolling window (days)
+
+
+@query(
+    "q_time_volatility",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT)
+           AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY day
+), w AS (
+  SELECT day, cents,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(sum(cents) OVER win AS BIGINT) AS s,
+         CAST(sum(cents * cents) OVER win AS HUGEINT) AS sq
+  FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN {_VOL_WIN - 1} PRECEDING
+                        AND CURRENT ROW)
+)
+SELECT day, cents,
+       floor(CAST(s AS DOUBLE) * 100 / n + 0.5) / 100 AS mean_cents,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                   - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1))),
+             2) AS std_cents
+FROM w WHERE n = {_VOL_WIN}
+""",
+)
+def q_time_volatility(spark, sf_dir):
+    """Rolling 7-day volatility of daily revenue: the moving standard
+    deviation every risk/ops dashboard plots under its trend line
+    (q_time_anomaly's z-score uses the same moments — this key exposes
+    the band itself). Window moments n / sum / sum-of-squares are
+    EXACT integers (HUGEINT / decimal(38) for the squares), the sample
+    std is one shared-shape float expression (the n*sq - s^2 moment
+    identity), and partial windows are excluded (n = 7 exactly) so
+    every band is a full week. Plan: the day rollup collapses the
+    scan; the moving frame runs on |days| rows."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long")
+            .alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    win = Window.orderBy("day").rowsBetween(-(_VOL_WIN - 1), 0)
+    w = d.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).over(
+            win
+        ).alias("sq"),
+    ).filter(F.col("n") == _VOL_WIN)
+    nd = F.col("n").cast("double")
+    return w.select(
+        "day",
+        "cents",
+        (
+            F.floor(F.col("s").cast("double") * 100 / F.col("n") + F.lit(0.5))
+            / 100
+        ).alias("mean_cents"),
+        F.round(
+            F.sqrt(
+                (nd * F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s"))
+                / (nd * (F.col("n") - 1))
+            ),
+            2,
+        ).alias("std_cents"),
+    )
+
+
+_EB_PRIOR = 5  # pseudo-count weight of the corpus prior
+
+
+@query(
+    "q_agg_smoothed_rate",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS gn, CAST(sum(conv) AS BIGINT) AS gc
+  FROM u
+)
+SELECT u.user_id, u.n AS n_events, u.conv AS n_conv,
+       floor(CAST(u.conv AS DOUBLE) * 10000 / u.n + 0.5) / 10000
+         AS raw_rate,
+       floor(CAST(u.conv * g.gn + {_EB_PRIOR} * g.gc AS DOUBLE) * 1000000
+             / (g.gn * (u.n + {_EB_PRIOR})) + 0.5) / 1000000
+         AS smoothed_rate
+FROM u CROSS JOIN g
+""",
+)
+def q_agg_smoothed_rate(spark, sf_dir):
+    """Pseudo-count-smoothed per-user conversion rate: shrink each
+    user's purchase rate toward the corpus rate with a 5-event prior —
+    (conv + 5*p_global) / (n + 5), the empirical-Bayes fix for 'this
+    user is 1-for-1, is he really a 100% converter?' that makes
+    low-volume rate rankings sane. The shrunk rate is kept EXACT by
+    clearing the global-rate denominator: (conv*gn + 5*gc) /
+    (gn*(n+5)) — pure integers into ONE floored division; the raw rate
+    is the same pattern. Plan: one per-user combine, one 1-row global
+    rollup derived FROM it (never a second events scan), broadcast
+    back. One events pass at 100 TB."""
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        # two consumers (the global rollup and the projection) — pin the
+        # |users|-row aggregate so events is scanned once (the
+        # q_pareto_abc localCheckpoint precedent)
+        .localCheckpoint()
+    )
+    g = u.agg(F.sum("n").alias("gn"), F.sum("conv").alias("gc"))
+    j = u.crossJoin(F.broadcast(g))
+    return j.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("conv").alias("n_conv"),
+        (
+            F.floor(F.col("conv").cast("double") * 10000 / F.col("n") + F.lit(0.5))
+            / 10000
+        ).alias("raw_rate"),
+        (
+            F.floor(
+                (
+                    F.col("conv") * F.col("gn") + _EB_PRIOR * F.col("gc")
+                ).cast("double")
+                * 1000000
+                / (F.col("gn") * (F.col("n") + _EB_PRIOR))
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("smoothed_rate"),
+    )

@@ -726,3 +726,79 @@ def q_join_dpp(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       (SELECT epoch_us(p.ts::TIMESTAMP)
+        FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        ORDER BY abs(epoch_us(p.ts::TIMESTAMP)
+                     - epoch_us(e.ts::TIMESTAMP)),
+                 epoch_us(p.ts::TIMESTAMP)
+        LIMIT 1) AS nearest_p_us,
+       (SELECT epoch_us(p.ts::TIMESTAMP)
+        FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        ORDER BY abs(epoch_us(p.ts::TIMESTAMP)
+                     - epoch_us(e.ts::TIMESTAMP)),
+                 epoch_us(p.ts::TIMESTAMP)
+        LIMIT 1) - epoch_us(e.ts::TIMESTAMP) AS gap_us
+FROM events e WHERE e.event_type = 'error'
+""",
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """merge_asof direction='nearest': for each error, the same-user
+    purchase with the SMALLEST absolute time distance, ties to the
+    earlier purchase — completing the as-of family next to backward
+    (q_join_asof), forward (q_join_asof_forward) and tolerance
+    (q_join_asof_tolerance). One tag-and-union scan feeds BOTH
+    directional windows (last-before via the preceding frame, first
+    -after via the following frame) on ONE user_id exchange; the
+    nearest pick is a null-safe integer-microsecond comparison where
+    the <= tie rule selects the backward (earlier) candidate, exactly
+    matching the oracle's (|dt|, ts) correlated-min order. The oracle
+    is the definitionally-obvious per-row minimum; the Spark side is
+    the O(n log n) windowed formulation that actually scales."""
+    e = load(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    u = e.filter(F.col("event_type").isin("error", "purchase")).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        is_p.alias("is_p"),
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("p_t"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_p").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_p").desc(), F.col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = u.withColumn(
+        "bwd", F.last("p_t", ignorenulls=True).over(wb)
+    ).withColumn("fwd", F.first("p_t", ignorenulls=True).over(wf))
+    err = u.filter(F.col("is_p") == 0)
+    nearest = (
+        F.when(F.col("bwd").isNull(), F.col("fwd"))
+        .when(F.col("fwd").isNull(), F.col("bwd"))
+        .when(
+            F.col("t") - F.col("bwd") <= F.col("fwd") - F.col("t"),
+            F.col("bwd"),
+        )
+        .otherwise(F.col("fwd"))
+    )
+    return err.select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_p_us"),
+        (nearest - F.col("t")).alias("gap_us"),
+    )
