@@ -2442,3 +2442,145 @@ def test_smoothed_rate_matches_bruteforce_and_shrinks(spark):
         lo, hi = sorted((c / n, grate))
         assert lo - 1e-6 <= r.smoothed_rate <= hi + 1e-6
     assert set(out) == set(stats)
+
+
+def _rev_u_py(extprice, discount):
+    return int(math.floor(extprice * 100 + 0.5)) * (
+        100 - int(math.floor(discount * 100 + 0.5))
+    )
+
+
+def test_tpch_q3_matches_bruteforce(spark):
+    out = [
+        (r.l_orderkey, r.o_orderdate, r.revenue)
+        for r in all_queries()["q_sql_tpch_q3"](spark, SF_SMOKE).collect()
+    ]
+    import datetime as dt
+
+    cut = dt.datetime(1998, 1, 1)
+    seg = {
+        r.c_custkey
+        for r in load(spark, SF_SMOKE, "customer").collect()
+        if r.c_mktsegment == "BUILDING"
+    }
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate)
+        for r in load(spark, SF_SMOKE, "orders").collect()
+        if r.o_orderdate < cut
+    }
+    rev: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").collect():
+        ok = r.l_orderkey
+        if ok in orders and orders[ok][0] in seg and r.l_shipdate > cut:
+            rev[ok] = rev.get(ok, 0) + _rev_u_py(
+                r.l_extendedprice, r.l_discount
+            )
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expected = [
+        (ok, orders[ok][1], math.floor(u / 100 + 0.5) / 100)
+        for ok, u in top
+    ]
+    assert out == expected
+    assert out
+
+
+def test_tpch_q5_matches_bruteforce(spark):
+    import datetime as dt
+
+    out = {
+        r.n_name: r.revenue
+        for r in all_queries()["q_sql_tpch_q5"](spark, SF_SMOKE).collect()
+    }
+    region = {
+        r.r_regionkey
+        for r in load(spark, SF_SMOKE, "region").collect()
+        if r.r_name == "ASIA"
+    }
+    nation = {
+        r.n_nationkey: r.n_name
+        for r in load(spark, SF_SMOKE, "nation").collect()
+        if r.n_regionkey in region
+    }
+    supp = {
+        r.s_suppkey: r.s_nationkey
+        for r in load(spark, SF_SMOKE, "supplier").collect()
+        if r.s_nationkey in nation
+    }
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load(spark, SF_SMOKE, "customer").collect()
+    }
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders").collect()
+        if dt.datetime(1997, 1, 1) <= r.o_orderdate < dt.datetime(1998, 1, 1)
+    }
+    rev: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").collect():
+        ck = orders.get(r.l_orderkey)
+        if ck is None or r.l_suppkey not in supp:
+            continue
+        if cust[ck] != supp[r.l_suppkey]:
+            continue
+        nm = nation[supp[r.l_suppkey]]
+        rev[nm] = rev.get(nm, 0) + _rev_u_py(r.l_extendedprice, r.l_discount)
+    expected = {
+        nm: math.floor(u / 100 + 0.5) / 100 for nm, u in rev.items()
+    }
+    assert out == expected
+    assert out
+
+
+def test_tpch_q10_matches_bruteforce(spark):
+    import datetime as dt
+
+    out = [
+        (r.c_custkey, r.revenue)
+        for r in all_queries()["q_sql_tpch_q10"](spark, SF_SMOKE).collect()
+    ]
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders").collect()
+        if dt.datetime(1997, 1, 1) <= r.o_orderdate < dt.datetime(1997, 4, 1)
+    }
+    rev: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").collect():
+        if r.l_returnflag != "R" or r.l_orderkey not in orders:
+            continue
+        ck = orders[r.l_orderkey]
+        rev[ck] = rev.get(ck, 0) + _rev_u_py(r.l_extendedprice, r.l_discount)
+    top = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert out == [
+        (ck, math.floor(u / 100 + 0.5) / 100) for ck, u in top
+    ]
+    assert out
+
+
+def test_peak_hours_matches_bruteforce(spark):
+    out = {
+        r.event_type: r
+        for r in all_queries()["q_time_peak_hours"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    from collections import Counter
+
+    cells: dict = {}
+    for r in rows:
+        m = (_micros(r.ts) % 86_400_000_000) // 60_000_000
+        cells.setdefault(r.event_type, Counter())[m] += 1
+    for et, cnt in cells.items():
+        s = sum(c * math.sin(2 * math.pi * m / 1440) for m, c in sorted(cnt.items()))
+        c_ = sum(c * math.cos(2 * math.pi * m / 1440) for m, c in sorted(cnt.items()))
+        n = sum(cnt.values())
+        r = out[et]
+        assert r.n == n
+        assert r.peak_minute == pytest.approx(
+            (math.atan2(s, c_) / (2 * math.pi) * 1440 + 1440) % 1440,
+            abs=0.011,
+        )
+        assert r.concentration == pytest.approx(
+            math.sqrt(s * s + c_ * c_) / n, abs=2e-6
+        )
+        assert 0 <= r.peak_minute < 1440
+        assert 0 <= r.concentration <= 1
+    assert set(out) == set(cells)

@@ -392,6 +392,10 @@ def test_driver_window_ordering_is_pinned():
         "q_join_asof_nearest",
         "q_time_volatility",
         "q_agg_smoothed_rate",
+        "q_sql_tpch_q3",
+        "q_sql_tpch_q5",
+        "q_sql_tpch_q10",
+        "q_time_peak_hours",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -3155,3 +3155,291 @@ def q_agg_smoothed_rate(spark, sf_dir):
             / 1000000
         ).alias("smoothed_rate"),
     )
+
+
+# Exact-integer revenue: cents * (100 - discount%) in 1e-4-dollar units.
+_REV_U_SQL = (
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+)
+
+
+def _rev_u():
+    return F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    ) * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+
+
+@query(
+    "q_sql_tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey, o.o_orderdate,
+       floor(CAST(sum({_REV_U_SQL}) AS DOUBLE) / 100 + 0.5) / 100
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate::TIMESTAMP > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY sum({_REV_U_SQL}) DESC, l.l_orderkey LIMIT 10
+""",
+)
+def q_sql_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority), adapted to this schema: top-10
+    unshipped BUILDING-segment orders by revenue — the canonical
+    3-way fact join + filtered aggregate + top-k every SQL engine
+    benchmarks. Revenue is EXACT: cents * (100 - discount%) is a pure
+    BIGINT per line (the fixture's discounts are 2dp), summed
+    exactly, displayed with one floored division — so the top-10
+    ORDER BY compares integers, never floats (float-revenue ties are
+    the classic Q3 nondeterminism). Plan: customer (filtered to one
+    segment) broadcasts, orders|><|lineitem shuffles on the order key,
+    TakeOrderedAndProject caps the sort at 10 rows. Both date filters
+    push to the scans."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("timestamp")
+        > F.lit("1998-01-01").cast("timestamp")
+    )
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+    )
+    return (
+        j.orderBy(F.col("rev_u").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            (
+                F.floor(F.col("rev_u").cast("double") / 100 + F.lit(0.5))
+                / 100
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_sql_tpch_q5",
+    oracle=f"""
+SELECT n.n_name,
+       floor(CAST(sum({_REV_U_SQL}) AS DOUBLE) / 100 + 0.5) / 100
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def q_sql_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume), adapted: 1997 revenue per
+    ASIAN nation where the customer and supplier share the nation —
+    the 6-way snowflake join with the famous non-key join predicate
+    (c_nationkey = s_nationkey) that turns a star into a cycle.
+    Revenue uses the exact integer form (see q_sql_tpch_q3). Plan:
+    region/nation/supplier/customer all broadcast (dimension-sized);
+    the only real shuffle is orders |><| lineitem on the order key;
+    the nation equality applies as a post-join filter on broadcast
+    columns. The date filter pushes to the orders scan."""
+    r = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    j = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey", "n_name")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        (
+            F.floor(F.sum(_rev_u()).cast("double") / 100 + F.lit(0.5)) / 100
+        ).alias("revenue")
+    )
+
+
+@query(
+    "q_sql_tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       floor(CAST(sum({_REV_U_SQL}) AS DOUBLE) / 100 + 0.5) / 100
+         AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY sum({_REV_U_SQL}) DESC, c.c_custkey LIMIT 20
+""",
+)
+def q_sql_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting), adapted: top-20 customers
+    by revenue lost to returns in 1997Q1 — the returned-goods
+    churn-risk report. Same exact-integer revenue discipline as Q3,
+    so the top-20 ranking is integer-decided (tie-break custkey).
+    Plan: nation broadcasts onto customer, customer broadcasts onto
+    the orders|><|lineitem shuffle join, the returnflag and date
+    filters push to their scans, and TakeOrderedAndProject keeps 20
+    rows. At 100 TB this is the canonical star-join-with-top-k shape
+    the engine must get right."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(
+                c.select("c_custkey", "c_name", "c_acctbal", "n_name")
+            ),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_u()).alias("rev_u"))
+    )
+    return (
+        j.orderBy(F.col("rev_u").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (
+                F.floor(F.col("rev_u").cast("double") / 100 + F.lit(0.5))
+                / 100
+            ).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q_time_peak_hours",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(floor((epoch_us(ts::TIMESTAMP) % 86400000000) / 60000000)
+              AS BIGINT) AS minute,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, minute
+), t AS (
+  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+         list_reduce(list(cnt * sin(2 * pi() * minute / 1440)
+                          ORDER BY minute), (a, b) -> a + b) AS s,
+         list_reduce(list(cnt * cos(2 * pi() * minute / 1440)
+                          ORDER BY minute), (a, b) -> a + b) AS c
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       round(((atan2(s, c) / (2 * pi()) * 1440) + 1440) % 1440, 2)
+         AS peak_minute,
+       round(sqrt(s * s + c * c) / n, 6) AS concentration
+FROM t
+""",
+)
+def q_time_peak_hours(spark, sf_dir):
+    """Circular time-of-day statistics per event type: the circular
+    mean minute (where in the day activity peaks) and the resultant
+    length R in [0, 1] (how concentrated it is) — the CORRECT way to
+    average times of day, where a naive mean of 23:50 and 00:10 says
+    noon and the circular mean says midnight. Minutes collapse to at
+    most 1440 cells per type; the sin/cos term sums are minute-ORDERED
+    folds (the q_agg_mutual_info float-sum discipline — sin/cos are
+    the only non-correctly-rounded ops, bounded by the 2dp/6dp display
+    rounds); atan2/sqrt are IEEE. Plan: one (type, minute) combine
+    collapses the scan, folds run on |types| rows — one events pass at
+    100 TB."""
+    import math as _math
+
+    m = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(
+                (F.unix_micros("ts") % F.lit(86400000000)) / F.lit(60000000)
+            )
+            .cast("long")
+            .alias("minute"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    two_pi = F.lit(2 * _math.pi)
+    sin_t = F.col("cnt") * F.sin(two_pi * F.col("minute") / 1440)
+    cos_t = F.col("cnt") * F.cos(two_pi * F.col("minute") / 1440)
+
+    def fold(term, name):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("minute"), term.alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias(name)
+
+    t = m.groupBy("event_type").agg(
+        F.sum("cnt").alias("n"), fold(sin_t, "s"), fold(cos_t, "c")
+    )
+    return t.select(
+        "event_type",
+        "n",
+        F.round(
+            (
+                (F.atan2(F.col("s"), F.col("c")) / two_pi * 1440) + 1440
+            )
+            % 1440,
+            2,
+        ).alias("peak_minute"),
+        F.round(
+            F.sqrt(F.col("s") * F.col("s") + F.col("c") * F.col("c"))
+            / F.col("n"),
+            6,
+        ).alias("concentration"),
+    )
