@@ -264,3 +264,77 @@ def test_morton16_is_bijective_and_decodable(spark, pairs):
         a = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+evt_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 10_000),  # ts (seconds)
+        st.integers(-50, 50),  # signed cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(data=evt_rows)
+@settings(**SETTINGS)
+def test_drawdown_invariants_on_generated_series(spark, data):
+    """Max drawdown of ANY series is >= 0, <= peak - min cum, and the
+    nested-window formulation equals the sequential fold."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(u, i, t, v) for i, (u, t, v) in enumerate(data)],
+        "user int, eid int, t long, v long",
+    )
+    run = (
+        Window.partitionBy("user")
+        .orderBy("t", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = (
+        df.withColumn("cum", F.sum("v").over(run))
+        .withColumn("peak", F.max(F.col("cum")).over(run))
+        .groupBy("user")
+        .agg(F.max(F.col("peak") - F.col("cum")).alias("dd"))
+    )
+    by_user: dict = {}
+    for i, (u, t, v) in enumerate(data):
+        by_user.setdefault(u, []).append((t, i, v))
+    for row in got.collect():
+        evs = sorted(by_user[row.user])
+        cum = peak = dd = 0
+        first = True
+        cums = []
+        for _, _, v in evs:
+            cum += v
+            cums.append(cum)
+            peak = cum if first else max(peak, cum)
+            first = False
+            dd = max(dd, peak - cum)
+        assert row.dd == dd
+        assert 0 <= row.dd <= max(cums) - min(cums)
+
+
+@given(data=st.lists(st.integers(0, 1000), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_concurrency_sweepline_bounds_on_generated_times(spark, data):
+    """Sweep-line peak over generated start times: 1 <= peak <= n, and
+    equals the brute-force interval-stabbing maximum."""
+    from pyspark.sql import Window
+
+    span = 100
+    df = spark.createDataFrame([(t,) for t in data], "t long")
+    pts = df.select("t", F.lit(1).alias("d")).unionByName(
+        df.select((F.col("t") + span).alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    peak = pts.withColumn("c", F.sum("d").over(w)).agg(
+        F.max("c").alias("p")
+    ).collect()[0].p
+    brute = max(
+        sum(1 for s in data if s <= t < s + span) for t in data
+    )
+    assert peak == brute
+    assert 1 <= peak <= len(data)
