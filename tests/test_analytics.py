@@ -2584,3 +2584,78 @@ def test_peak_hours_matches_bruteforce(spark):
         assert 0 <= r.peak_minute < 1440
         assert 0 <= r.concentration <= 1
     assert set(out) == set(cells)
+
+
+def test_tpch_q18_matches_bruteforce(spark):
+    out = {
+        r.o_orderkey: r
+        for r in all_queries()["q_sql_tpch_q18"](spark, SF_SMOKE).collect()
+    }
+    orders = {
+        r.o_orderkey: (r.o_custkey, r.o_orderdate, r.o_totalprice)
+        for r in load(spark, SF_SMOKE, "orders").collect()
+    }
+    cust = {
+        r.c_custkey: r.c_name
+        for r in load(spark, SF_SMOKE, "customer").collect()
+    }
+    qty: dict = {}
+    for r in load(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).collect():
+        qty[r.l_orderkey] = qty.get(r.l_orderkey, 0) + int(
+            math.floor(r.l_quantity + 0.5)
+        )
+    big = {ok for ok, q in qty.items() if q > 150}
+    assert set(out) == big
+    for ok in big:
+        ck, od, tp = orders[ok]
+        r = out[ok]
+        assert (r.c_custkey, r.c_name) == (ck, cust[ck])
+        assert r.o_orderdate == od
+        assert r.totalprice_cents == int(math.floor(tp * 100 + 0.5))
+        assert r.total_qty == qty[ok]
+    assert big  # threshold actually selects something
+
+
+def test_pca_power_matches_numpy(spark):
+    import numpy as np
+
+    out = {
+        r.pos: r.loading_x1e6
+        for r in all_queries()["q_vec_pca_power"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "embeddings").collect()
+    X = np.array(
+        [[math.floor(x * 1000 + 0.5) for x in r.embedding] for r in rows],
+        dtype=object,
+    )
+    n, d = len(rows), 64
+    S = X.sum(axis=0)
+    C = n * (X.T @ X) - np.outer(S, S)  # exact ints via object dtype
+    v = np.ones(d, dtype=object)
+    for _ in range(3):
+        w = C @ v
+        m = max(abs(int(t)) for t in w)
+        v = np.array(
+            [int(math.floor(float(int(t)) * 1e6 / float(m) + 0.5)) for t in w],
+            dtype=object,
+        )
+    assert out == {i: int(v[i]) for i in range(d)}
+    # the iterate is a unit-scaled direction: max |loading| == 1e6
+    assert max(abs(x) for x in out.values()) == 1_000_000
+    # power iteration on a PSD scatter matrix monotonically improves the
+    # Rayleigh quotient and never exceeds the true top eigenvalue (random
+    # embeddings have a near-flat spectrum, so full directional
+    # convergence in 3 steps is NOT an invariant — the quotient is)
+    Cf = np.array([[float(int(c)) for c in row] for row in C])
+    lam_max = float(np.linalg.eigvalsh(Cf)[-1])
+
+    def rayleigh(vec):
+        vf = np.array([float(x) for x in vec])
+        return float(vf @ Cf @ vf) / float(vf @ vf)
+
+    got = [out[i] for i in range(d)]
+    assert rayleigh(got) >= rayleigh([1.0] * d) - 1e-6
+    assert rayleigh(got) <= lam_max * (1 + 1e-9)
+    assert set(out) == set(range(d))

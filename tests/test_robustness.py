@@ -396,6 +396,8 @@ def test_driver_window_ordering_is_pinned():
         "q_sql_tpch_q5",
         "q_sql_tpch_q10",
         "q_time_peak_hours",
+        "q_sql_tpch_q18",
+        "q_vec_pca_power",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -834,3 +834,117 @@ def q_vec_drift(spark, sf_dir):
             6,
         ).alias("centroid_shift"),
     )
+
+
+_PCA_ITERS = 3  # power-iteration steps
+_PCA_SCALE = 1_000_000  # fixed-point scale of the iterated vector
+
+
+def _pca_iter_sql(k: int) -> str:
+    prev = f"v{k - 1}"
+    return f"""w{k} AS (
+  SELECT c.i, sum(CAST(c.cij AS HUGEINT) * {prev}.v) AS w
+  FROM c JOIN {prev} ON {prev}.j = c.j GROUP BY c.i
+), v{k} AS (
+  SELECT i AS j,
+         CAST(floor(CAST(w AS DOUBLE) * {_PCA_SCALE}
+                    / CAST(max(abs(w)) OVER () AS DOUBLE) + 0.5) AS BIGINT)
+           AS v
+  FROM w{k}
+)"""
+
+
+@query(
+    "q_vec_pca_power",
+    oracle=f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1000 + 0.5) AS BIGINT)
+           AS xi
+  FROM embeddings
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS si FROM x GROUP BY i),
+p AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS pij
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+), c AS (
+  SELECT p.i, p.j,
+         CAST(nn.n AS HUGEINT) * p.pij
+           - CAST(sa.si AS HUGEINT) * sb.si AS cij
+  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN nn
+), v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM s),
+{",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))}
+SELECT j AS pos, v AS loading_x1e6 FROM v{_PCA_ITERS}
+""",
+)
+def q_vec_pca_power(spark, sf_dir):
+    """Top principal component of the embedding cloud by THREE power
+    iterations on the exact integer covariance — distributed linear
+    algebra with a bit-reproducibility certificate (the
+    llm/clustering.py fixed-point recipe applied to eigenvectors):
+    coordinates quantize to 1e-3 ints, the centered scatter matrix
+    n*P - S S^T is pure HUGEINT/decimal(38), every matvec is an
+    exact-integer join-aggregate over the 64x64 matrix, and each
+    renormalization is ONE shared-shape floored division by the max
+    |entry| (int -> double casts are IEEE-nearest in both engines, so
+    even > 2^53 magnitudes convert identically). Deterministic sign
+    and convergence come free from the fixed all-ones start. Plan: the
+    one heavy stage is the scatter build — a self-join keyed on vec_id
+    with 64x64 fan-out per vector (at 100 TB: map-side outer-product
+    partial aggregation, same exchange count); the iterations touch
+    64-row tables only. Loadings emit as exact 1e-6-scaled BIGINTs."""
+    emb = load(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xv")
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("xv") * 1000 + F.lit(0.5)).cast("long").alias("xi"),
+    )
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    s = x.groupBy("i").agg(F.sum("xi").alias("si"))
+    a = x.select("vec_id", F.col("i").alias("ia"), F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("jb"), F.col("xi").alias("xb"))
+    p = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ia").alias("i"), F.col("jb").alias("j"))
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("pij"))
+    )
+    sa = s.select(F.col("i"), F.col("si").alias("sa"))
+    sb = s.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    c = (
+        p.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (dec(F.col("n")) * F.col("pij") - dec(F.col("sa")) * F.col("sb")).alias(
+                "cij"
+            ),
+        )
+    )
+    v = s.select(F.col("i").alias("j"), F.lit(1).cast("long").alias("v"))
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            c.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(dec(F.col("cij")) * F.col("v")).alias("w"))
+        )
+        v = w.select(
+            F.col("i").alias("j"),
+            F.floor(
+                F.col("w").cast("double")
+                * _PCA_SCALE
+                / F.max(F.abs(F.col("w"))).over(wfull).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    return v.select(F.col("j").alias("pos"), F.col("v").alias("loading_x1e6"))

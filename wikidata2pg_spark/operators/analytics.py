@@ -3443,3 +3443,69 @@ def q_time_peak_hours(spark, sf_dir):
             6,
         ).alias("concentration"),
     )
+
+
+_Q18_QTY = 150  # large-volume threshold (sum of quantities per order)
+
+
+@query(
+    "q_sql_tpch_q18",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > {_Q18_QTY}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+         AS totalprice_cents,
+       CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+""",
+)
+def q_sql_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers), adapted: orders whose total
+    quantity exceeds 150, with their customers — the classic
+    HAVING-subquery-driving-a-semi-join shape (the IN-subquery
+    becomes a left-semi hash join on the order key; Catalyst plans it
+    without materializing `big` twice thanks to exchange reuse).
+    Quantities and prices are exact integers (the fixture's
+    l_quantity is integral; floor(+0.5) pins any float dust), so the
+    threshold and every output column are integer-decided. Plan: the
+    per-order quantity rollup and the main join share the order-key
+    partitioning; customer broadcasts."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("tq"))
+        .filter(F.col("tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("totalprice_cents"),
+        )
+        .agg(F.sum("qty").alias("total_qty"))
+    )
+    return j
