@@ -2659,3 +2659,49 @@ def test_pca_power_matches_numpy(spark):
     assert rayleigh(got) >= rayleigh([1.0] * d) - 1e-6
     assert rayleigh(got) <= lam_max * (1 + 1e-9)
     assert set(out) == set(range(d))
+
+
+def test_pca_project_matches_python_and_component(spark):
+    out = {
+        r.vec_id: r.score_x1e9
+        for r in all_queries()["q_vec_pca_project"](spark, SF_SMOKE).collect()
+    }
+    comp = {
+        r.pos: r.loading_x1e6
+        for r in all_queries()["q_vec_pca_power"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "embeddings").collect()
+    for r in rows:
+        q = [math.floor(x * 1000 + 0.5) for x in r.embedding]
+        assert out[r.vec_id] == sum(q[i] * comp[i] for i in range(64)), r.vec_id
+    assert set(out) == {r.vec_id for r in rows}
+    # scores separate the cloud: both signs occur
+    assert any(v > 0 for v in out.values()) and any(v < 0 for v in out.values())
+
+
+def test_anova_eta_matches_bruteforce(spark):
+    out = all_queries()["q_agg_anova_eta"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("event_type", "value").collect()
+    groups: dict = {}
+    for x in rows:
+        groups.setdefault(x.event_type, []).append(
+            int(math.floor(x.value * 100 + 0.5))
+        )
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(c * c for v in groups.values() for c in v)
+    sb_raw = 0.0
+    for et in sorted(groups):
+        sg = sum(groups[et])
+        sb_raw += float(sg) * sg / len(groups[et])
+    ssb = sb_raw - float(s) * s / n
+    sst = float(q) - float(s) * s / n
+    ssw = float(q) - sb_raw
+    assert (r.k, r.n) == (k, n)
+    assert r.eta2 == pytest.approx(ssb / sst, abs=2e-6)
+    assert r.f_stat == pytest.approx((ssb / (k - 1)) / (ssw / (n - k)), abs=2e-4)
+    assert 0 <= r.eta2 < 1
+    assert r.f_stat >= 0

@@ -398,6 +398,8 @@ def test_driver_window_ordering_is_pinned():
         "q_time_peak_hours",
         "q_sql_tpch_q18",
         "q_vec_pca_power",
+        "q_vec_pca_project",
+        "q_agg_anova_eta",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

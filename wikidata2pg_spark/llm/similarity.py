@@ -854,10 +854,7 @@ def _pca_iter_sql(k: int) -> str:
 )"""
 
 
-@query(
-    "q_vec_pca_power",
-    oracle=f"""
-WITH x AS (
+_PCA_CTE = f"""x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
          CAST(floor(unnest(embedding::DOUBLE[]) * 1000 + 0.5) AS BIGINT)
            AS xi
@@ -874,26 +871,14 @@ p AS (
            - CAST(sa.si AS HUGEINT) * sb.si AS cij
   FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j CROSS JOIN nn
 ), v0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS v FROM s),
-{",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))}
-SELECT j AS pos, v AS loading_x1e6 FROM v{_PCA_ITERS}
-""",
-)
-def q_vec_pca_power(spark, sf_dir):
-    """Top principal component of the embedding cloud by THREE power
-    iterations on the exact integer covariance — distributed linear
-    algebra with a bit-reproducibility certificate (the
-    llm/clustering.py fixed-point recipe applied to eigenvectors):
-    coordinates quantize to 1e-3 ints, the centered scatter matrix
-    n*P - S S^T is pure HUGEINT/decimal(38), every matvec is an
-    exact-integer join-aggregate over the 64x64 matrix, and each
-    renormalization is ONE shared-shape floored division by the max
-    |entry| (int -> double casts are IEEE-nearest in both engines, so
-    even > 2^53 magnitudes convert identically). Deterministic sign
-    and convergence come free from the fixed all-ones start. Plan: the
-    one heavy stage is the scatter build — a self-join keyed on vec_id
-    with 64x64 fan-out per vector (at 100 TB: map-side outer-product
-    partial aggregation, same exchange count); the iterations touch
-    64-row tables only. Loadings emit as exact 1e-6-scaled BIGINTs."""
+{",".join(_pca_iter_sql(k) for k in range(1, _PCA_ITERS + 1))}"""
+
+
+def _pca_component(spark, sf_dir):
+    """The shared fixed-point power iteration: returns (x, v) where x is
+    the quantized (vec_id, i, xi) coordinate table and v the final
+    (j, v) 1e-6-scaled component — q_vec_pca_power emits v,
+    q_vec_pca_project joins x against it."""
     emb = load(spark, sf_dir, "embeddings")
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xv")
@@ -947,4 +932,65 @@ def q_vec_pca_power(spark, sf_dir):
             .cast("long")
             .alias("v"),
         )
+    return x, v
+
+
+@query(
+    "q_vec_pca_power",
+    oracle=f"""
+WITH {_PCA_CTE}
+SELECT j AS pos, v AS loading_x1e6 FROM v{_PCA_ITERS}
+""",
+)
+def q_vec_pca_power(spark, sf_dir):
+    """Top principal component of the embedding cloud by THREE power
+    iterations on the exact integer covariance — distributed linear
+    algebra with a bit-reproducibility certificate (the
+    llm/clustering.py fixed-point recipe applied to eigenvectors):
+    coordinates quantize to 1e-3 ints, the centered scatter matrix
+    n*P - S S^T is pure HUGEINT/decimal(38), every matvec is an
+    exact-integer join-aggregate over the 64x64 matrix, and each
+    renormalization is ONE shared-shape floored division by the max
+    |entry| (int -> double casts are IEEE-nearest in both engines, so
+    even > 2^53 magnitudes convert identically). Deterministic sign
+    and convergence come free from the fixed all-ones start. Plan: the
+    one heavy stage is the scatter build — a self-join keyed on vec_id
+    with 64x64 fan-out per vector (at 100 TB: map-side outer-product
+    partial aggregation, same exchange count); the iterations touch
+    64-row tables only. Loadings emit as exact 1e-6-scaled BIGINTs."""
+    _, v = _pca_component(spark, sf_dir)
     return v.select(F.col("j").alias("pos"), F.col("v").alias("loading_x1e6"))
+
+
+@query(
+    "q_vec_pca_project",
+    oracle=f"""
+WITH {_PCA_CTE}
+SELECT x.vec_id,
+       CAST(sum(CAST(x.xi AS HUGEINT) * v{_PCA_ITERS}.v) AS BIGINT)
+         AS score_x1e9
+FROM x JOIN v{_PCA_ITERS} ON v{_PCA_ITERS}.j = x.i
+GROUP BY x.vec_id
+""",
+)
+def q_vec_pca_project(spark, sf_dir):
+    """Projection of every embedding onto the learned top component —
+    the dimensionality-reduction score column (1-D PCA features for
+    drift plots, stratified sampling, or coarse ANN routing). The
+    score is the exact integer dot product of the 1e-3-quantized
+    coordinates with the 1e-6-scaled component from _pca_component
+    (shared with q_vec_pca_power — the projection provably uses THE
+    shipped component, not a re-derivation), so the output is pure
+    BIGINT at 1e-9 scale with zero float anywhere. Plan: the 64-row
+    component broadcasts onto the coordinate table; one
+    map-side-combinable rollup per vector — a single embeddings pass
+    on top of the component build."""
+    x, v = _pca_component(spark, sf_dir)
+    j = x.join(
+        F.broadcast(v), x["i"] == v["j"]
+    )
+    return j.groupBy("vec_id").agg(
+        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("v"))
+        .cast("long")
+        .alias("score_x1e9")
+    )

@@ -3509,3 +3509,92 @@ def q_sql_tpch_q18(spark, sf_dir):
         .agg(F.sum("qty").alias("total_qty"))
     )
     return j
+
+
+@query(
+    "q_agg_anova_eta",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sg,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS qg
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(ng) AS BIGINT) AS n,
+         CAST(sum(sg) AS HUGEINT) AS s,
+         CAST(sum(qg) AS HUGEINT) AS q,
+         list_reduce(list(CAST(sg AS DOUBLE) * sg / ng
+                          ORDER BY event_type), (a, b) -> a + b) AS sb_raw
+  FROM g
+)
+SELECT k, n,
+       round((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / n), 6) AS eta2,
+       round(((sb_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+              / (k - 1))
+             / ((CAST(q AS DOUBLE) - sb_raw) / (n - k)), 4) AS f_stat
+FROM t
+""",
+)
+def q_agg_anova_eta(spark, sf_dir):
+    """One-way ANOVA of value by event type: the F statistic and the
+    eta-squared effect size (share of variance explained by the
+    grouping) — the does-the-segment-matter test that complements
+    q_agg_mutual_info's nonparametric view with the classical
+    variance decomposition. All moments (group counts, sums, squared
+    sums) are exact integers; SSB's per-group S_g^2/n_g terms are one
+    shared-shape division each, summed by an event_type-ORDERED fold
+    (never an unordered float SUM); SST and the final ratios are the
+    same exact-moment forms as q_agg_ols2. Plan: one
+    map-side-combinable combine to |types| rows, one fold — a single
+    events pass at 100 TB."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    g = load(spark, sf_dir, "events").select(
+        "event_type", cents.alias("c")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("c").alias("sg"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum(F.col("sg").cast("decimal(38,0)")).alias("s"),
+        F.sum("qg").alias("q"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            (
+                                F.col("sg").cast("double")
+                                * F.col("sg")
+                                / F.col("ng")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("sb_raw"),
+    )
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    ssb = F.col("sb_raw") - sd * sd / F.col("n")
+    sst = qd - sd * sd / F.col("n")
+    ssw = qd - F.col("sb_raw")
+    return t.select(
+        "k",
+        "n",
+        F.round(ssb / sst, 6).alias("eta2"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("f_stat"),
+    )
