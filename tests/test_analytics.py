@@ -2705,3 +2705,67 @@ def test_anova_eta_matches_bruteforce(spark):
     assert r.f_stat == pytest.approx((ssb / (k - 1)) / (ssw / (n - k)), abs=2e-4)
     assert 0 <= r.eta2 < 1
     assert r.f_stat >= 0
+
+
+def test_lag_corr_matches_numpy(spark):
+    import numpy as np
+
+    out = {
+        r.lag: r
+        for r in all_queries()["q_time_lag_corr"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily: dict = {}
+    for x in rows:
+        d = _micros(x.ts) // 86_400_000_000
+        v, b = daily.get(d, (0, 0))
+        c = int(math.floor(x.value * 100 + 0.5))
+        if x.event_type == "view":
+            v += c
+        elif x.event_type == "purchase":
+            b += c
+        daily[d] = (v, b)
+    for lag in range(-3, 4):
+        xs, ys = [], []
+        for d, (v, _) in daily.items():
+            if d + lag in daily:
+                xs.append(v)
+                ys.append(daily[d + lag][1])
+        r = out[lag]
+        assert r.n == len(xs)
+        exp = float(np.corrcoef(xs, ys)[0, 1])
+        assert r.xcorr == pytest.approx(exp, abs=2e-6), lag
+        assert -1 <= r.xcorr <= 1
+    assert set(out) == set(range(-3, 4))
+
+
+def test_psi_matches_bruteforce(spark):
+    out = all_queries()["q_dq_psi"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "events").select("ts", "value").collect()
+    pts = [
+        (_micros(x.ts), min(int(math.floor(x.value * 100 + 0.5)) // 3300, 9))
+        for x in rows
+    ]
+    lo = min(t for t, _ in pts)
+    hi = max(t for t, _ in pts)
+    mid = lo + (hi - lo) // 2
+    from collections import Counter
+
+    h0 = Counter(b for t, b in pts if t < mid)
+    h1 = Counter(b for t, b in pts if t >= mid)
+    t0, t1 = sum(h0.values()), sum(h1.values())
+    buckets = sorted(set(h0) | set(h1))
+    nb = len(buckets)
+    psi = 0.0
+    for b in buckets:
+        p0 = (h0[b] + 1.0) / (t0 + nb)
+        p1 = (h1[b] + 1.0) / (t1 + nb)
+        psi += (p0 - p1) * math.log(p0 / p1)
+    assert (r.n_first_half, r.n_second_half) == (t0, t1)
+    assert r.psi == pytest.approx(psi, abs=2e-6)
+    # halves drawn from one distribution: PSI must read "stable"
+    assert 0 <= r.psi < 0.25

@@ -400,6 +400,8 @@ def test_driver_window_ordering_is_pinned():
         "q_vec_pca_power",
         "q_vec_pca_project",
         "q_agg_anova_eta",
+        "q_time_lag_corr",
+        "q_dq_psi",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -3598,3 +3598,223 @@ def q_agg_anova_eta(spark, sf_dir):
             (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
         ).alias("f_stat"),
     )
+
+
+_LAG_MAX = 3  # cross-correlation lags tested: -3..+3 days
+
+
+@query(
+    "q_time_lag_corr",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(floor(epoch_us(ts::TIMESTAMP) / 86400000000) AS BIGINT)
+           AS day,
+         CAST(sum(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS views,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS buys
+  FROM events GROUP BY day
+), lags AS (
+  SELECT unnest(range(-{_LAG_MAX}, {_LAG_MAX} + 1)) AS lag
+), j AS (
+  SELECT lags.lag, a.views AS x, b.buys AS y
+  FROM lags JOIN d a ON true JOIN d b ON b.day = a.day + lags.lag
+), m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM j GROUP BY lag
+)
+SELECT lag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS xcorr
+FROM m
+""",
+)
+def q_time_lag_corr(spark, sf_dir):
+    """Lead-lag cross-correlation between daily view revenue and daily
+    purchase revenue at lags -3..+3 days — does browsing LEAD buying,
+    and by how many days? (the marketing-mix / demand-sensing staple;
+    the lag with max |r| is the conversion delay estimate). Per lag,
+    the day series self-joins shifted by the lag (calendar-correct —
+    missing days never misalign as a row-number lag would), and the
+    Pearson r comes from exact HUGEINT/decimal(38) moments with one
+    shared closed-form float expression (the q_graph_assortativity
+    discipline). Plan: one day-rollup collapses the scan; the 7-lag
+    band join and moment rollups run on |days| rows."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long")
+            .alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("cents")).otherwise(0)
+            ).alias("views"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("cents")
+                ).otherwise(0)
+            ).alias("buys"),
+        )
+        # two self-join sides + 7 lags consume this |days|-row aggregate
+        .localCheckpoint()
+    )
+    lags = spark.range(-_LAG_MAX, _LAG_MAX + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("views").alias("x"))
+    b = d.select(F.col("day").alias("db"), F.col("buys").alias("y"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return m.select("lag", "n", F.round(num / den, 6).alias("xcorr"))
+
+
+_PSI_BUCKETS = 10  # fixed $33 value buckets (0..9, top open-ended)
+_PSI_WIDTH = 3300  # bucket width in cents
+
+
+@query(
+    "q_dq_psi",
+    oracle=f"""
+WITH e AS (
+  SELECT epoch_us(ts::TIMESTAMP) AS t,
+         least(CAST(floor(floor(value * 100 + 0.5) / {_PSI_WIDTH})
+                    AS BIGINT), {_PSI_BUCKETS - 1}) AS bucket
+  FROM events
+), b AS (
+  SELECT min(t) + CAST(floor((max(t) - min(t)) / 2) AS BIGINT) AS mid
+  FROM e
+), h AS (
+  SELECT e.bucket,
+         CAST(sum(CASE WHEN e.t < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN e.t >= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM e CROSS JOIN b GROUP BY e.bucket
+), t AS (
+  SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1,
+         CAST(count(*) AS BIGINT) AS nb,
+         list_reduce(list(
+           ((n0 + 1.0) / ((SELECT sum(n0) FROM h) + (SELECT count(*) FROM h))
+            - (n1 + 1.0)
+              / ((SELECT sum(n1) FROM h) + (SELECT count(*) FROM h)))
+           * ln(((n0 + 1.0)
+                 / ((SELECT sum(n0) FROM h) + (SELECT count(*) FROM h)))
+                / ((n1 + 1.0)
+                   / ((SELECT sum(n1) FROM h) + (SELECT count(*) FROM h))))
+           ORDER BY bucket), (a, b) -> a + b) AS psi
+  FROM h
+)
+SELECT t0 AS n_first_half, t1 AS n_second_half, nb AS n_buckets,
+       round(psi, 6) AS psi
+FROM t
+""",
+)
+def q_dq_psi(spark, sf_dir):
+    """Population Stability Index of the value distribution between the
+    first and second half of the event timeline — THE model-monitoring
+    drift score (PSI < 0.1 stable, > 0.25 retrain): sum over fixed $33
+    buckets of (p0 - p1) * ln(p0/p1). Fixed-width buckets (not
+    quantiles) make the expected/actual comparison well-defined at any
+    scale; counts are exact integers, the midpoint is exact
+    microseconds, each bucket term is one shared-shape float
+    expression of integer ratios with add-one Laplace smoothing (the
+    production guard — an empty bucket in one half would otherwise
+    send ln(p0/p1) to infinity), and the term sum is a bucket-ORDERED
+    fold rounded 6dp. Plan: a 2-row min/max broadcast, one
+    (bucket, half) combine, a 10-row fold — one events pass."""
+    e = load(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("t"),
+        F.least(
+            F.floor(
+                F.floor(F.col("value") * 100 + F.lit(0.5)) / F.lit(_PSI_WIDTH)
+            ).cast("long"),
+            F.lit(_PSI_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+    )
+    b = e.agg(
+        (
+            F.min("t") + F.floor((F.max("t") - F.min("t")) / 2).cast("long")
+        ).alias("mid")
+    )
+    h = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("t") < F.col("mid"), 1).otherwise(0)).alias(
+                "n0"
+            ),
+            F.sum(F.when(F.col("t") >= F.col("mid"), 1).otherwise(0)).alias(
+                "n1"
+            ),
+        )
+    )
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    hh = (
+        h.withColumn("t0", F.sum("n0").over(wfull))
+        .withColumn("t1", F.sum("n1").over(wfull))
+        .withColumn("nb", F.count(F.lit(1)).over(wfull))
+    )
+    p0 = (F.col("n0") + F.lit(1.0)) / (F.col("t0") + F.col("nb"))
+    p1 = (F.col("n1") + F.lit(1.0)) / (F.col("t1") + F.col("nb"))
+    term = (p0 - p1) * F.log(p0 / p1)
+    t = hh.agg(
+        F.first("t0").alias("n_first_half"),
+        F.first("t1").alias("n_second_half"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", term.alias("x")))
+                ),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda a, c: a + c,
+        ).alias("psi"),
+    )
+    return t.select(
+        "n_first_half",
+        "n_second_half",
+        "n_buckets",
+        F.round("psi", 6).alias("psi"),
+    )
