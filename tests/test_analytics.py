@@ -2405,7 +2405,13 @@ def test_volatility_matches_bruteforce(spark):
         d = _micros(x.ts) // 86_400_000_000
         daily[d] = daily.get(d, 0) + int(math.floor(x.value * 100 + 0.5))
     days = sorted(daily)
+    checked = set()
     for i in range(6, len(days)):
+        # calendar RANGE frame: the band exists only when all 7
+        # consecutive calendar days are present
+        if days[i] - days[i - 6] != 6:
+            continue
+        checked.add(days[i])
         win = [daily[d] for d in days[i - 6 : i + 1]]
         n, s, sq = 7, sum(win), sum(v * v for v in win)
         mean = math.floor(s * 100 / n + 0.5) / 100
@@ -2415,7 +2421,8 @@ def test_volatility_matches_bruteforce(spark):
         assert r.mean_cents == mean
         assert r.std_cents == pytest.approx(std, abs=0.01)
         assert r.std_cents >= 0
-    assert set(out) == set(days[6:])
+    assert set(out) == checked
+    assert checked
 
 
 def test_smoothed_rate_matches_bruteforce_and_shrinks(spark):

@@ -34,6 +34,24 @@ from wikidata2pg_spark.tables import load
 _SPAN_MIN = 30  # each event opens a 30-minute activity interval
 
 
+def ordered_fold(key_col, term, name):
+    """ONE ordered left fold of float ``term`` over rows sorted by
+    ``key_col`` — the repo's float-sum discipline (float addition does
+    not commute across plan differences, so cross-engine hash equality
+    requires a pinned order). Shared by every multi-term transcendental
+    aggregate in this module (MI, KL, circular stats, ANOVA, PSI)."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(key_col, term.alias("t")))),
+            lambda s: s["t"],
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ).alias(name)
+
+
+
+
 @query(
     "q_time_interval_union",
     oracle=f"""
@@ -2321,14 +2339,7 @@ def q_agg_mutual_info(spark, sf_dir):
     folded = terms.agg(
         F.first("n").alias("n"),
         F.count(F.lit(1)).alias("n_cells"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("x", "y", "term"))),
-                lambda t: t["term"],
-            ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        ).alias("mi"),
+        ordered_fold(F.struct("x", "y"), F.col("term"), "mi"),
     )
     return folded.select("n", "n_cells", F.round("mi", 6).alias("mi_nats"))
 
@@ -2636,15 +2647,7 @@ def q_dq_kl_drift(spark, sf_dir):
         F.first("ns").alias("n_docs"),
         F.count(F.lit(1)).alias("n_langs"),
         F.round(
-            F.aggregate(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("lang", "term"))),
-                    lambda x: x["term"],
-                ),
-                F.lit(0.0),
-                lambda a, b: a + b,
-            ),
-            6,
+            ordered_fold(F.col("lang"), F.col("term"), "kl"), 6
         ).alias("kl_nats"),
     )
 
@@ -3022,7 +3025,7 @@ WITH d AS (
          CAST(count(*) OVER win AS BIGINT) AS n,
          CAST(sum(cents) OVER win AS BIGINT) AS s,
          CAST(sum(cents * cents) OVER win AS HUGEINT) AS sq
-  FROM d WINDOW win AS (ORDER BY day ROWS BETWEEN {_VOL_WIN - 1} PRECEDING
+  FROM d WINDOW win AS (ORDER BY day RANGE BETWEEN {_VOL_WIN - 1} PRECEDING
                         AND CURRENT ROW)
 )
 SELECT day, cents,
@@ -3040,8 +3043,10 @@ def q_time_volatility(spark, sf_dir):
     the band itself). Window moments n / sum / sum-of-squares are
     EXACT integers (HUGEINT / decimal(38) for the squares), the sample
     std is one shared-shape float expression (the n*sq - s^2 moment
-    identity), and partial windows are excluded (n = 7 exactly) so
-    every band is a full week. Plan: the day rollup collapses the
+    identity), the frame is a calendar RANGE over the day value (a
+    missing day narrows the window rather than silently stretching it
+    — the row-count-vs-calendar trap), and partial windows are
+    excluded (n = 7 exactly) so every band is a full, gap-free week. Plan: the day rollup collapses the
     scan; the moving frame runs on |days| rows."""
     d = (
         load(spark, sf_dir, "events")
@@ -3056,7 +3061,7 @@ def q_time_volatility(spark, sf_dir):
         .groupBy("day")
         .agg(F.sum("cents").alias("cents"))
     )
-    win = Window.orderBy("day").rowsBetween(-(_VOL_WIN - 1), 0)
+    win = Window.orderBy("day").rangeBetween(-(_VOL_WIN - 1), 0)
     w = d.select(
         "day",
         "cents",
@@ -3102,8 +3107,10 @@ WITH u AS (
 SELECT u.user_id, u.n AS n_events, u.conv AS n_conv,
        floor(CAST(u.conv AS DOUBLE) * 10000 / u.n + 0.5) / 10000
          AS raw_rate,
-       floor(CAST(u.conv * g.gn + {_EB_PRIOR} * g.gc AS DOUBLE) * 1000000
-             / (g.gn * (u.n + {_EB_PRIOR})) + 0.5) / 1000000
+       floor(CAST(CAST(u.conv AS HUGEINT) * g.gn
+                  + {_EB_PRIOR} * CAST(g.gc AS HUGEINT) AS DOUBLE) * 1000000
+             / CAST(CAST(g.gn AS HUGEINT) * (u.n + {_EB_PRIOR}) AS DOUBLE)
+             + 0.5) / 1000000
          AS smoothed_rate
 FROM u CROSS JOIN g
 """,
@@ -3146,10 +3153,14 @@ def q_agg_smoothed_rate(spark, sf_dir):
         (
             F.floor(
                 (
-                    F.col("conv") * F.col("gn") + _EB_PRIOR * F.col("gc")
+                    F.col("conv").cast("decimal(38,0)") * F.col("gn")
+                    + _EB_PRIOR * F.col("gc").cast("decimal(38,0)")
                 ).cast("double")
                 * 1000000
-                / (F.col("gn") * (F.col("n") + _EB_PRIOR))
+                / (
+                    F.col("gn").cast("decimal(38,0)")
+                    * (F.col("n") + _EB_PRIOR)
+                ).cast("double")
                 + F.lit(0.5)
             )
             / 1000000
@@ -3412,20 +3423,10 @@ def q_time_peak_hours(spark, sf_dir):
     sin_t = F.col("cnt") * F.sin(two_pi * F.col("minute") / 1440)
     cos_t = F.col("cnt") * F.cos(two_pi * F.col("minute") / 1440)
 
-    def fold(term, name):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("minute"), term.alias("t")))
-                ),
-                lambda x: x["t"],
-            ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        ).alias(name)
-
     t = m.groupBy("event_type").agg(
-        F.sum("cnt").alias("n"), fold(sin_t, "s"), fold(cos_t, "c")
+        F.sum("cnt").alias("n"),
+        ordered_fold(F.col("minute"), sin_t, "s"),
+        ordered_fold(F.col("minute"), cos_t, "c"),
     )
     return t.select(
         "event_type",
@@ -3565,25 +3566,11 @@ def q_agg_anova_eta(spark, sf_dir):
         F.sum("ng").alias("n"),
         F.sum(F.col("sg").cast("decimal(38,0)")).alias("s"),
         F.sum("qg").alias("q"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "event_type",
-                            (
-                                F.col("sg").cast("double")
-                                * F.col("sg")
-                                / F.col("ng")
-                            ).alias("t"),
-                        )
-                    )
-                ),
-                lambda x: x["t"],
-            ),
-            F.lit(0.0),
-            lambda a, b: a + b,
-        ).alias("sb_raw"),
+        ordered_fold(
+            F.col("event_type"),
+            F.col("sg").cast("double") * F.col("sg") / F.col("ng"),
+            "sb_raw",
+        ),
     )
     sd = F.col("s").cast("double")
     qd = F.col("q").cast("double")
@@ -3801,16 +3788,7 @@ def q_dq_psi(spark, sf_dir):
         F.first("t0").alias("n_first_half"),
         F.first("t1").alias("n_second_half"),
         F.count(F.lit(1)).alias("n_buckets"),
-        F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("bucket", term.alias("x")))
-                ),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda a, c: a + c,
-        ).alias("psi"),
+        ordered_fold(F.col("bucket"), term, "psi"),
     )
     return t.select(
         "n_first_half",
