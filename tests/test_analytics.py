@@ -2776,3 +2776,66 @@ def test_psi_matches_bruteforce(spark):
     assert r.psi == pytest.approx(psi, abs=2e-6)
     # halves drawn from one distribution: PSI must read "stable"
     assert 0 <= r.psi < 0.25
+
+
+def test_rbo_matches_bruteforce(spark):
+    out = all_queries()["q_win_rbo"](spark, SF_SMOKE).collect()
+    assert len(out) == 1
+    r = out[0]
+    rows = load(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    ).collect()
+    rev: dict = {}
+    qty: dict = {}
+    for x in rows:
+        rev[x.l_partkey] = rev.get(x.l_partkey, 0) + int(
+            math.floor(x.l_extendedprice * 100 + 0.5)
+        )
+        qty[x.l_partkey] = qty.get(x.l_partkey, 0) + int(
+            math.floor(x.l_quantity + 0.5)
+        )
+    r1 = sorted(rev, key=lambda k: (-rev[k], k))[:10]
+    r2 = sorted(qty, key=lambda k: (-qty[k], k))[:10]
+    rbo = 0.0
+    for d in range(1, 11):
+        ov = len(set(r1[:d]) & set(r2[:d]))
+        rbo += (1 - 0.9) * 0.9 ** (d - 1) * ov / d
+    assert r.overlap_at_10 == len(set(r1) & set(r2))
+    assert r.rbo == pytest.approx(rbo, abs=2e-6)
+    assert 0 <= r.rbo <= 1
+
+
+def test_gains_table_matches_python_ntile(spark):
+    out = {
+        r.decile: r
+        for r in all_queries()["q_agg_gains_table"](spark, SF_SMOKE).collect()
+    }
+    rows = load(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    rev: dict = {}
+    for x in rows:
+        rev[x.o_custkey] = rev.get(x.o_custkey, 0) + int(
+            math.floor(x.o_totalprice * 100 + 0.5)
+        )
+    order = sorted(rev, key=lambda k: (-rev[k], k))
+    tiles = _py_ntile(order, 10)
+    per: dict = {}
+    for ck, d in tiles.items():
+        n, s = per.get(d, (0, 0))
+        per[d] = (n + 1, s + rev[ck])
+    nt = len(order)
+    rt = sum(rev.values())
+    cum = 0.0
+    for d in sorted(per):
+        n, s = per[d]
+        r = out[d]
+        assert (r.n_cust, r.revenue_cents) == (n, s), d
+        share = math.floor(s * 1e6 / rt + 0.5) / 1e6
+        assert r.rev_share == share
+        cum += share
+        assert r.cum_share == pytest.approx(cum, abs=1e-9)
+        assert r.lift == math.floor(float(s * nt) * 1e4 / (rt * n) + 0.5) / 1e4
+    assert set(out) == set(per)
+    # gains monotone: decile 1 outlifts decile 10
+    assert out[1].lift > 1 > out[10].lift

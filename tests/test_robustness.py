@@ -402,6 +402,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_anova_eta",
         "q_time_lag_corr",
         "q_dq_psi",
+        "q_win_rbo",
+        "q_agg_gains_table",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -3796,3 +3796,220 @@ def q_dq_psi(spark, sf_dir):
         "n_buckets",
         F.round("psi", 6).alias("psi"),
     )
+
+
+_RBO_P = 0.9  # rank-biased overlap persistence
+_RBO_D = 10  # evaluation depth
+# weights injected as IDENTICAL double literals on both engines (pow() is
+# not guaranteed correctly rounded; Python's repeated ** is one fixed value)
+_RBO_W = [repr((1 - _RBO_P) * _RBO_P**k) for k in range(_RBO_D)]
+
+
+@query(
+    "q_win_rbo",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS m
+  FROM lineitem GROUP BY l_partkey
+), qty AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM lineitem GROUP BY l_partkey
+), r1 AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY m DESC, l_partkey) AS pos
+  FROM rev QUALIFY pos <= {_RBO_D}
+), r2 AS (
+  SELECT l_partkey, row_number() OVER (ORDER BY m DESC, l_partkey) AS pos
+  FROM qty QUALIFY pos <= {_RBO_D}
+), j AS (
+  SELECT coalesce(r1.pos, {_RBO_D} + 1) AS p1,
+         coalesce(r2.pos, {_RBO_D} + 1) AS p2
+  FROM r1 FULL OUTER JOIN r2 ON r1.l_partkey = r2.l_partkey
+), a AS (
+  SELECT d.d,
+         CAST(sum(CASE WHEN j.p1 <= d.d AND j.p2 <= d.d THEN 1 ELSE 0 END)
+              AS BIGINT) AS ov
+  FROM (SELECT unnest(range(1, {_RBO_D} + 1)) AS d) d CROSS JOIN j
+  GROUP BY d.d
+)
+SELECT CAST((SELECT ov FROM a WHERE d = {_RBO_D}) AS BIGINT)
+         AS overlap_at_{_RBO_D},
+       round(list_reduce(list(
+         [{", ".join(_RBO_W)}][CAST(d AS INT)] * ov / d ORDER BY d),
+         (x, y) -> x + y), 6) AS rbo
+FROM a
+""",
+)
+def q_win_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010, truncated at depth 10,
+    p = 0.9) between two part rankings — by revenue vs by unit volume:
+    the top-weighted rank-similarity measure search and recsys teams
+    use where Spearman over-weights the tail ('do our two bestseller
+    lists agree where it matters?'). Both rankings are integer-decided
+    (exact cents / exact quantities, partkey tiebreak); per-depth
+    prefix overlaps are pure counts off ONE full-outer position join;
+    the geometric weights are injected as IDENTICAL double literals on
+    both engines (pow() is not correctly rounded — precomputed
+    constants are); the weighted sum is a depth-ORDERED fold, rounded
+    6dp. Plan: two TakeOrdered top-10s off one lineitem-rollup pass, a
+    20-row join, a 10-row fold."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rc"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qc"),
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum("rc").alias("rev"), F.sum("qc").alias("qty")
+    )
+
+    def top(metric, pos_name):
+        w = Window.orderBy(F.col(metric).desc(), "l_partkey")
+        return (
+            agg.withColumn(pos_name, F.row_number().over(w))
+            .filter(F.col(pos_name) <= _RBO_D)
+            .select("l_partkey", pos_name)
+        )
+
+    r1, r2 = top("rev", "p1"), top("qty", "p2")
+    j = r1.join(r2, "l_partkey", "full_outer").select(
+        F.coalesce(F.col("p1"), F.lit(_RBO_D + 1)).alias("p1"),
+        F.coalesce(F.col("p2"), F.lit(_RBO_D + 1)).alias("p2"),
+    )
+    depths = load(spark, sf_dir, "lineitem").sparkSession.range(
+        1, _RBO_D + 1
+    ).select(F.col("id").cast("long").alias("d"))
+    a = (
+        j.crossJoin(F.broadcast(depths))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("p1") <= F.col("d")) & (F.col("p2") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            ).alias("ov")
+        )
+    )
+    wlits = F.array(*[F.lit(float(w)) for w in _RBO_W])
+    term = F.element_at(wlits, F.col("d").cast("int")) * F.col("ov") / F.col(
+        "d"
+    )
+    res = a.agg(
+        F.max(F.when(F.col("d") == _RBO_D, F.col("ov"))).alias(
+            f"overlap_at_{_RBO_D}"
+        ),
+        F.round(ordered_fold(F.col("d"), term, "rbo"), 6).alias("rbo"),
+    )
+    return res
+
+
+@query(
+    "q_agg_gains_table",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), d AS (
+  SELECT CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
+           AS decile,
+         cents
+  FROM c
+), g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM d GROUP BY decile
+), t AS (
+  SELECT CAST(sum(n_cust) AS BIGINT) AS nt,
+         CAST(sum(revenue_cents) AS BIGINT) AS rt
+  FROM g
+)
+SELECT g.decile, g.n_cust, g.revenue_cents,
+       floor(CAST(g.revenue_cents AS DOUBLE) * 1000000 / t.rt + 0.5)
+         / 1000000 AS rev_share,
+       sum(floor(CAST(g.revenue_cents AS DOUBLE) * 1000000 / t.rt + 0.5)
+           / 1000000) OVER (ORDER BY g.decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_share,
+       floor(CAST(CAST(g.revenue_cents AS HUGEINT) * t.nt AS DOUBLE)
+             * 10000 / (CAST(t.rt AS HUGEINT) * g.n_cust) + 0.5) / 10000
+         AS lift
+FROM g CROSS JOIN t
+""",
+)
+def q_agg_gains_table(spark, sf_dir):
+    """Decile gains/lift table over customer revenue — the chart behind
+    every 'top 10% of customers drive X% of revenue' claim and every
+    model-targeting gains curve: customers NTILE(10)'d by revenue
+    (distributed two-pass rank, never a single-task total order), then
+    per decile the revenue share, the cumulative share, and the lift
+    vs a uniform customer base. Shares and lift are floored divisions
+    of exact integers (lift's cross-multiplied form rev*N_cust /
+    (total*n_d) stays in HUGEINT/decimal(38)); the cumulative column
+    sums the ALREADY-floored shares so both engines add identical
+    doubles. Plan: one per-customer combine, the two-pass global rank,
+    a 10-row rollup."""
+    c = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cents")
+    )
+    from wikidata2pg_spark.operators.windows import _global_rank
+
+    ranked = _global_rank(
+        c.select("o_custkey", (-F.col("cents")).alias("_m"), "cents"),
+        "_m",
+        "o_custkey",
+    )
+    rn, n = F.col("global_rank"), F.col("n_total")
+    q = (n / 10).cast("long")
+    r = n % 10
+    boundary = r * (q + F.lit(1))
+    tile = F.when(
+        rn <= boundary, ((rn - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(
+        r + ((rn - boundary - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+    )
+    d = ranked.select(tile.alias("decile"), "cents")
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    t = g.agg(
+        F.sum("n_cust").alias("nt"), F.sum("revenue_cents").alias("rt")
+    )
+    j = g.crossJoin(F.broadcast(t))
+    share = (
+        F.floor(
+            F.col("revenue_cents").cast("double") * 1000000 / F.col("rt")
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.withColumn("rev_share", share)
+        .withColumn("cum_share", F.sum("rev_share").over(wc))
+        .withColumn(
+            "lift",
+            F.floor(
+                (
+                    F.col("revenue_cents").cast("decimal(38,0)") * F.col("nt")
+                ).cast("double")
+                * 10000
+                / (
+                    F.col("rt").cast("decimal(38,0)") * F.col("n_cust")
+                ).cast("double")
+                + F.lit(0.5),
+            )
+            / 10000,
+        )
+        .select(
+            "decile", "n_cust", "revenue_cents", "rev_share", "cum_share", "lift"
+        )
+    )
