@@ -404,6 +404,18 @@ def test_driver_window_ordering_is_pinned():
         "q_dq_psi",
         "q_win_rbo",
         "q_agg_gains_table",
+        "q_sql_tpch_q1",
+        "q_sql_tpch_q4",
+        "q_sql_tpch_q6",
+        "q_sql_tpch_q7",
+        "q_sql_tpch_q8",
+        "q_sql_tpch_q13",
+        "q_sql_tpch_q14",
+        "q_sql_tpch_q15",
+        "q_sql_tpch_q16",
+        "q_sql_tpch_q17",
+        "q_sql_tpch_q19",
+        "q_sql_tpch_q22",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

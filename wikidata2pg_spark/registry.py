@@ -136,6 +136,7 @@ def _load_modules() -> None:
     import wikidata2pg_spark.operators.behavioral  # noqa: F401
     import wikidata2pg_spark.operators.analytics  # noqa: F401
     import wikidata2pg_spark.operators.subqueries  # noqa: F401
+    import wikidata2pg_spark.operators.tpch  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
