@@ -489,12 +489,16 @@ def test_chi2_matches_scipy_free_reference(spark):
         rtot[d] += o
         ctot[t] += o
     chi2 = 0.0
-    for (d, t), o in sorted(cells.items()):
-        e = rtot[d] * ctot[t] / n
-        chi2 += (o - e) ** 2 / e
+    # FULL grid — an absent (day, type) combination still contributes
+    # its (0 - e)^2/e term (the cramers_v closed-form catch)
+    for d in sorted(rtot):
+        for t in sorted(ctot):
+            o = cells.get((d, t), 0)
+            e = rtot[d] * ctot[t] / n
+            chi2 += (o - e) ** 2 / e
     assert row.chi2 == pytest.approx(chi2, abs=1e-4)  # 4dp display floor
     assert row.dof == (len(rtot) - 1) * (len(ctot) - 1)
-    assert row.n_cells == len(cells)
+    assert row.n_cells == len(rtot) * len(ctot)
 
 
 def test_winsorized_mean_matches_bruteforce(spark):

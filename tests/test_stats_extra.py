@@ -1,0 +1,234 @@
+"""Worked-example and brute-force references for the r6-late stats keys
+(Welch t-test, Cramer's V, additive decomposition, nDCG). Per the r6
+lesson (Mann-Whitney/VMR), every statistic here is ALSO pinned against
+a hand-derived textbook case or closed-form edge case — the DuckDB
+mirror proves Spark==DuckDB, the brute force proves code==my-reading,
+only the worked example proves the formula is the textbook one."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_T2
+from wikidata2pg_spark.operators.analytics import (
+    cramers_v_frame,
+    welch_from_moments,
+)
+from wikidata2pg_spark.registry import all_queries
+
+SF = SF_T2
+
+
+def _floor4(x):
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _floor6(x):
+    return math.floor(x * 1000000 + 0.5) / 1000000
+
+
+def _cents(x):
+    return int(math.floor(x * 100 + 0.5))
+
+
+# ---------------------------------------------------------------- Welch
+
+
+def test_welch_hand_worked_example(spark):
+    """[1,2,3] vs [5,7,9], derived by hand: m1=2 v1=1, m2=7 v2=4,
+    se2=1/3+4/3=5/3, t=-5/sqrt(5/3)=-3.87298..., df=(5/3)^2 /
+    ((1/9)/2 + (16/9)/2) = (25/9)/(17/18) = 450/153 = 2.94117..."""
+    m = spark.createDataFrame(
+        [(3, 6, 14, 3, 21, 155)], "n1 long, s1 long, ss1 long, n2 long, s2 long, ss2 long"
+    )
+    [r] = welch_from_moments(m).collect()
+    assert r.t_stat == _floor4(-5 / math.sqrt(5 / 3))
+    assert abs(r.t_stat - (-3.8730)) < 1e-9
+    assert r.df == _floor4(450 / 153)
+    assert abs(r.df - 2.9412) < 1e-9
+    # identical groups -> t = 0, df = 2n-2 (equal-variance equal-n case)
+    m0 = spark.createDataFrame(
+        [(3, 6, 14, 3, 6, 14)], "n1 long, s1 long, ss1 long, n2 long, s2 long, ss2 long"
+    )
+    [r0] = welch_from_moments(m0).collect()
+    assert r0.t_stat == 0.0 and r0.df == 4.0
+    # antisymmetry: swapping the groups flips t, keeps df
+    ms = spark.createDataFrame(
+        [(3, 21, 155, 3, 6, 14)], "n1 long, s1 long, ss1 long, n2 long, s2 long, ss2 long"
+    )
+    [rs] = welch_from_moments(ms).collect()
+    assert rs.t_stat == -r.t_stat or (rs.t_stat == _floor4(-(-5) / math.sqrt(5 / 3)))
+    assert rs.df == r.df
+
+
+def test_welch_bruteforce_fixture(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    mom = {"R": [0, 0, 0], "A": [0, 0, 0]}
+    for g, p in zip(
+        t.column("l_returnflag").to_pylist(),
+        t.column("l_extendedprice").to_pylist(),
+    ):
+        if g in mom:
+            c = _cents(p)
+            mom[g][0] += 1
+            mom[g][1] += c
+            mom[g][2] += c * c
+    (n1, s1, ss1), (n2, s2, ss2) = mom["R"], mom["A"]
+    m1, m2 = float(s1) / n1, float(s2) / n2
+    # mirror the engines' cast-then-divide (ss sums exceed 2^53; an
+    # exact-int division would round once where the engines round twice)
+    v1 = float(n1 * ss1 - s1 * s1) / float(n1 * (n1 - 1))
+    v2 = float(n2 * ss2 - s2 * s2) / float(n2 * (n2 - 1))
+    se2 = v1 / n1 + v2 / n2
+    t_stat = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    [r] = all_queries()["q_agg_welch_ttest"](spark, SF).collect()
+    assert (r.n1, r.n2) == (n1, n2)
+    assert r.t_stat == _floor4(t_stat)
+    assert r.df == _floor4(df)
+    # df must sit in the Welch bracket [min(n1,n2)-1, n1+n2-2]
+    assert min(n1, n2) - 1 <= r.df <= n1 + n2 - 2
+
+
+# ------------------------------------------------------------- Cramer V
+
+
+def test_cramers_v_closed_form_edges(spark):
+    # independence: every (row, col) cell equally filled -> chi2=0, V=0
+    rows = [(a, b) for a in "AB" for b in "XY" for _ in range(3)]
+    ind = spark.createDataFrame(rows, "seg string, pri string")
+    [r] = cramers_v_frame(ind).collect()
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0 and r.n == 12
+    # perfect association (diagonal 2x2) -> V = 1 exactly
+    diag = spark.createDataFrame(
+        [("A", "X")] * 5 + [("B", "Y")] * 7, "seg string, pri string"
+    )
+    [rp] = cramers_v_frame(diag).collect()
+    assert rp.cramers_v == 1.0
+    assert rp.chi2 == _floor4(rp.n)  # chi2 = n*(k-1) with k=2
+
+
+def test_cramers_v_bruteforce_fixture(spark):
+    o = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    c = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(c.column("c_custkey").to_pylist(), c.column("c_mktsegment").to_pylist()))
+    cells: dict = {}
+    for ck, pri in zip(o.column("o_custkey").to_pylist(), o.column("o_orderpriority").to_pylist()):
+        k = (seg[ck], pri)
+        cells[k] = cells.get(k, 0) + 1
+    n = sum(cells.values())
+    rmar: dict = {}
+    cmar: dict = {}
+    for (s, p), v in cells.items():
+        rmar[s] = rmar.get(s, 0) + v
+        cmar[p] = cmar.get(p, 0) + v
+    chi2 = 0.0
+    for s in sorted(rmar):  # FULL grid, zero-filled
+        for p in sorted(cmar):
+            o_ = cells.get((s, p), 0)
+            d = n * o_ - rmar[s] * cmar[p]
+            chi2 += (float(d) * float(d)) / float(n * rmar[s] * cmar[p])
+    k = min(len(rmar), len(cmar))
+    v = math.sqrt(chi2 / (n * (k - 1)))
+    [r] = all_queries()["q_dq_cramers_v"](spark, SF).collect()
+    assert r.n == n
+    assert r.chi2 == _floor4(chi2)
+    assert r.cramers_v == _floor6(v)
+    assert 0.0 <= r.cramers_v <= 1.0
+
+
+# ----------------------------------------------------------- decompose
+
+
+def test_decompose_bruteforce_and_additivity(spark):
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()):
+        d = (od - epoch).days
+        daily[d] = daily.get(d, 0) + _cents(tp)
+    full = {}
+    for d, vc in daily.items():
+        win = [daily[x] for x in range(d - 3, d + 4) if x in daily]
+        if len(win) == 7:
+            full[d] = (vc, sum(win))
+    ssum: dict = {}
+    scnt: dict = {}
+    for d, (vc, tu) in full.items():
+        w = d % 7
+        ssum[w] = ssum.get(w, 0) + (7 * vc - tu)
+        scnt[w] = scnt.get(w, 0) + 1
+    out = {r.day: r for r in all_queries()["q_time_decompose"](spark, SF).collect()}
+    assert set(out) == set(full) and len(full) > 100
+    for d, (vc, tu) in full.items():
+        w = d % 7
+        r = out[d]
+        detr = 7 * vc - tu
+        assert r.wd == w
+        assert r.revenue == vc / 100
+        assert r.trend == math.floor(tu / 7 + 0.5) / 100
+        assert r.seasonal == math.floor(ssum[w] / (7 * scnt[w]) + 0.5) / 100
+        assert r.residual == math.floor(
+            (detr * scnt[w] - ssum[w]) / (7 * scnt[w]) + 0.5
+        ) / 100
+        # additive identity holds to display rounding
+        assert abs(r.revenue - (r.trend + r.seasonal + r.residual)) <= 0.03
+
+
+# ----------------------------------------------------------------- nDCG
+
+
+def test_ndcg_bruteforce_fixture(spark):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = {i: v for i, v in zip(ids, t.column("embedding").to_pylist())}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):  # fixed left-to-right order == engine folds
+            s += x * y
+        return s
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+
+    queries = [i for i in ids if i < 8]
+    ndcg_want = {}
+    hits_want = {}
+    idcg = sum((11 - i) / math.log(i + 1) for i in range(1, 11))
+    for q in queries:
+        others = [i for i in ids if i != q]
+        qn = math.sqrt(dot(embs[q], embs[q]))
+        cos = sorted(
+            others,
+            key=lambda i: (
+                -(dot(embs[q], embs[i]) / (qn * math.sqrt(dot(embs[i], embs[i])))),
+                i,
+            ),
+        )[:10]
+        rel = {v: 10 - i for i, v in enumerate(cos)}  # grades 10..1
+        sysr = sorted(others, key=lambda i: (ham(embs[q], embs[i]), i))[:10]
+        dcg = sum(
+            rel.get(v, 0) / math.log(i + 2) for i, v in enumerate(sysr)
+        )
+        ndcg_want[q] = _floor6(dcg / idcg)
+        hits_want[q] = sum(1 for v in sysr if v in rel)
+        # scale invariance: log2-based nDCG is the same ratio
+        idcg2 = sum((11 - i) / math.log2(i + 1) for i in range(1, 11))
+        dcg2 = sum(rel.get(v, 0) / math.log2(i + 2) for i, v in enumerate(sysr))
+        assert abs(dcg2 / idcg2 - dcg / idcg) < 1e-9
+    got = {r.query_id: r for r in all_queries()["q_retrieval_ndcg"](spark, SF).collect()}
+    assert set(got) == set(ndcg_want)
+    for q in queries:
+        assert got[q].n_rel_hits == hits_want[q], q
+        assert got[q].ndcg == ndcg_want[q], q
+        assert 0.0 <= got[q].ndcg <= 1.0
+    # the index is useful but imperfect: some query beats 0, none need be 1
+    assert any(v > 0 for v in ndcg_want.values())

@@ -994,3 +994,163 @@ def q_vec_pca_project(spark, sf_dir):
         .cast("long")
         .alias("score_x1e9")
     )
+
+
+_IDCG_SQL = (
+    "list_reduce(list_transform(range(1, 11), "
+    "i -> (11 - i) / ln(i + 1)), (a, b) -> a + b)"
+)
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST(list_sum(list_transform(range(1, 33),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 1) ELSE 0 END))
+           AS BIGINT) AS w1,
+         CAST(list_sum(list_transform(range(33, 65),
+           j -> CASE WHEN embedding[j] > 0
+                     THEN CAST(1 AS BIGINT) << (j - 33) ELSE 0 END))
+           AS BIGINT) AS w2,
+         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                     (a, b) -> a + b) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe, w1 AS q1, w2 AS q2, nrm AS qn
+  FROM v WHERE vec_id < {_BQ_NQ}
+), sys AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, v.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+             bit_count(xor(v.w1, q.q1)) + bit_count(xor(v.w2, q.q2)),
+             v.vec_id) AS BIGINT) AS rk
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rk <= {_BQ_K}
+), truth AS (
+  SELECT query_id, vec_id, rt FROM (
+    SELECT q.query_id, v.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(range(1, 65),
+                         j -> q.qe[j] * v.emb[j]), (a, b) -> a + b)
+               / (sqrt(q.qn) * sqrt(v.nrm)) DESC,
+             v.vec_id) AS BIGINT) AS rt
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rt <= {_BQ_K}
+), terms AS (
+  SELECT s.query_id, s.rk,
+         coalesce((11 - t.rt) / ln(s.rk + 1), 0.0) AS term,
+         CASE WHEN t.rt IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM sys s LEFT JOIN truth t
+    ON s.query_id = t.query_id AND s.vec_id = t.vec_id
+), arr AS (
+  SELECT query_id, list(term ORDER BY rk) AS ts,
+         CAST(sum(hit) AS BIGINT) AS n_rel_hits
+  FROM terms GROUP BY query_id
+)
+SELECT query_id, n_rel_hits,
+       floor(list_reduce(list_prepend(0.0, ts), (a, b) -> a + b)
+             / ({_IDCG_SQL}) * 1000000 + 0.5) / 1000000 AS ndcg
+FROM arr
+""",
+)
+def q_retrieval_ndcg(spark, sf_dir):
+    """nDCG@10 of the binary-Hamming index against exact-cosine graded
+    relevance — the position-aware complement of q_retrieval_recall_eval
+    (recall says WHETHER the true neighbors surface; nDCG says whether
+    they surface NEAR THE TOP). Grades: the exact-cosine rank rt maps
+    to relevance 11-rt (10..1), items outside the true top-10 score 0.
+    DCG divides each grade by ln(rank+1) — natural log on BOTH engines
+    (log2 differs cross-engine in the last ulp; the ln(2) factors
+    cancel in the DCG/IDCG ratio, so this IS standard nDCG) — and sums
+    in ONE pinned rank order (fold seeded 0.0 == DuckDB's
+    first-element seed since 0.0+x==x). IDCG is the same fold over the
+    ideal grades 10..1, computed with the engine's own expressions
+    (never an injected float literal). Both rankings reuse the
+    production _sign_word codes and the recall key's cosine shape; one
+    floored 6dp division at the end. Plan: one corpus scan feeds both
+    rankings; the 8-query block broadcasts; at 100 TB this is the
+    sampled-query index-quality audit, like recall_eval."""
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        _sign_word(1, 32).alias("w1"),
+        _sign_word(33, 64).alias("w2"),
+        nrm.alias("nrm"),
+    )
+    q = v.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    hamming = F.bit_count(F.col("w1").bitwiseXOR(F.col("q1"))) + F.bit_count(
+        F.col("w2").bitwiseXOR(F.col("q2"))
+    )
+    wh = Window.partitionBy("query_id").orderBy(hamming, "vec_id")
+    sys_rank = (
+        pairs.withColumn("rk", F.row_number().over(wh).cast("long"))
+        .filter(F.col("rk") <= _BQ_K)
+        .select("query_id", "vec_id", "rk")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    cos_sim = dot / (F.sqrt(F.col("qn")) * F.sqrt(F.col("nrm")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc(cos_sim), F.col("vec_id")
+    )
+    truth = (
+        pairs.withColumn("rt", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rt") <= _BQ_K)
+        .select(
+            F.col("query_id").alias("tq"),
+            F.col("vec_id").alias("tv"),
+            "rt",
+        )
+    )
+    t = sys_rank.join(
+        truth,
+        (F.col("query_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+        "left",
+    ).select(
+        "query_id",
+        "rk",
+        F.coalesce(
+            (11 - F.col("rt")) / F.log(F.col("rk") + 1), F.lit(0.0)
+        ).alias("term"),
+        F.when(F.col("rt").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    arr = t.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rk", "term"))).alias("a"),
+        F.sum("hit").cast("long").alias("n_rel_hits"),
+    )
+    dcg = F.aggregate(
+        F.transform(F.col("a"), lambda s: s["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        F.lit(0.0),
+        lambda a, i: a + (11 - i) / F.log(i + 1),
+    )
+    return arr.select(
+        "query_id",
+        "n_rel_hits",
+        (F.floor(dcg / idcg * 1000000 + F.lit(0.5)) / 1000000).alias("ndcg"),
+    )

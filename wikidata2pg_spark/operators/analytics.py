@@ -947,12 +947,16 @@ WITH x AS (
 ), r AS (SELECT day, sum(o) AS r FROM cells GROUP BY day),
 c AS (SELECT et, sum(o) AS c FROM cells GROUP BY et),
 n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.day, c.et, r.r, c.c, coalesce(cells.o, 0) AS o
+  FROM r CROSS JOIN c LEFT JOIN cells USING (day, et)
+),
 t AS (
-  SELECT cells.day, cells.et,
-         CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
-           * CAST(n.n * cells.o - r.r * c.c AS DOUBLE)
-           / CAST(n.n * r.r * c.c AS DOUBLE) AS term
-  FROM cells JOIN r USING (day) JOIN c USING (et) CROSS JOIN n
+  SELECT grid.day, grid.et,
+         CAST(n.n * grid.o - grid.r * grid.c AS DOUBLE)
+           * CAST(n.n * grid.o - grid.r * grid.c AS DOUBLE)
+           / CAST(n.n * grid.r * grid.c AS DOUBLE) AS term
+  FROM grid CROSS JOIN n
 ), arr AS (
   SELECT list(term ORDER BY day, et) AS terms,
          count(*) AS n_cells,
@@ -988,18 +992,24 @@ def q_dq_chi2(spark, sf_dir):
         F.col("event_type").alias("et"),
     )
     cells = e.groupBy("day", "et").agg(F.count(F.lit(1)).alias("o"))
+    # full day x event-type grid: an EMPTY cell still contributes its
+    # (0 - e)^2/e = r*c/n term (omitting absent combinations silently
+    # understates chi2 — the cramers_v_frame closed-form catch)
+    cells = cells.localCheckpoint()
     r = cells.groupBy("day").agg(F.sum("o").alias("r"))
     c = cells.groupBy("et").agg(F.sum("o").alias("c"))
     n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, ["day", "et"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
     d = (
         F.col("n") * F.col("o") - F.col("r") * F.col("c")
     ).cast("double")
     den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    t = (
-        cells.join(F.broadcast(r), "day")
-        .join(F.broadcast(c), "et")
-        .crossJoin(F.broadcast(n))
-        .select("day", "et", (d * d / den).alias("term"))
+    t = grid.crossJoin(F.broadcast(n)).select(
+        "day", "et", (d * d / den).alias("term")
     )
     arr = t.agg(
         F.array_sort(
@@ -4012,4 +4022,329 @@ def q_agg_gains_table(spark, sf_dir):
         .select(
             "decile", "n_cust", "revenue_cents", "rev_share", "cum_share", "lift"
         )
+    )
+
+
+@query(
+    "q_agg_welch_ttest",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+), m AS (
+  SELECT
+    sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS n1,
+    sum(CASE WHEN g = 'R' THEN cents ELSE 0 END) AS s1,
+    sum(CASE WHEN g = 'R' THEN cents * cents ELSE 0 END) AS ss1,
+    sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n2,
+    sum(CASE WHEN g = 'A' THEN cents ELSE 0 END) AS s2,
+    sum(CASE WHEN g = 'A' THEN cents * cents ELSE 0 END) AS ss2
+  FROM x
+), v AS (
+  SELECT n1, n2,
+    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+    CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 * (n1 - 1) AS DOUBLE)
+      AS v1,
+    CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 * (n2 - 1) AS DOUBLE)
+      AS v2
+  FROM m
+), w AS (
+  SELECT n1, n2, m1, m2, v1, v2,
+         v1 / n1 + v2 / n2 AS se2 FROM v
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       floor((m1 - m2) / sqrt(se2) * 10000 + 0.5) / 10000 AS t_stat,
+       floor(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                          + (v2 / n2) * (v2 / n2) / (n2 - 1))
+             * 10000 + 0.5) / 10000 AS df
+FROM w
+""",
+)
+def q_agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between the R and A
+    return-flag populations of line-item price — the A/B-testing
+    statistic that does NOT assume equal variances (the real-world
+    default; Student's pooled test is the special case). Exactness: the
+    six sufficient statistics (n, sum, sum-of-squares per group, in
+    integer cents) come from ONE conditional aggregation over exact
+    BIGINTs/decimal(38,0); each sample variance is the algebraically
+    cleared (n*ss - s^2)/(n*(n-1)) — exact-integer numerator and
+    denominator, one division; t and the Welch-Satterthwaite df are
+    then a handful of IEEE-identical double ops floored at 4dp.
+    Semantics pinned by a hand-derived worked example in
+    tests/test_stats_extra.py ([1,2,3] vs [5,7,9] -> t=-3.8730,
+    df=2.9412 — the r6 lesson: green hashes don't prove the formula).
+    Plan: one scan, map-side combine to a single row; at 100 TB the
+    moments ride decimal(38,0) (cents^2 sums overflow int64)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is1 = F.col("l_returnflag") == "R"
+    m = li.select(cents.alias("cents"), is1.alias("is1")).agg(
+        F.sum(F.when(F.col("is1"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("is1"), dec(F.col("cents"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("s1"),
+        F.sum(F.when(F.col("is1"),
+                     dec(F.col("cents") * F.col("cents"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("ss1"),
+        F.sum(F.when(~F.col("is1"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~F.col("is1"), dec(F.col("cents"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("s2"),
+        F.sum(F.when(~F.col("is1"),
+                     dec(F.col("cents") * F.col("cents"))).otherwise(
+            F.lit(0).cast("decimal(38,0)"))).alias("ss2"),
+    )
+    return welch_from_moments(m)
+
+
+def welch_from_moments(m):
+    """(n1,s1,ss1,n2,s2,ss2) single-row frame -> (n1, n2, t_stat, df).
+    Shared by q_agg_welch_ttest and the worked-example test, so the
+    test exercises THE production expression tree, not a re-derivation."""
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
+    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    x = m.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"),
+    ).withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se2"))
+    df = (F.col("se2") * F.col("se2")) / (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
+        / (F.col("n2") - 1)
+    )
+    return x.select(
+        "n1",
+        "n2",
+        (F.floor(t * 10000 + F.lit(0.5)) / 10000).alias("t_stat"),
+        (F.floor(df * 10000 + F.lit(0.5)) / 10000).alias("df"),
+    )
+
+
+@query(
+    "q_dq_cramers_v",
+    oracle="""
+WITH x AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), cells AS (
+  SELECT seg, pri, CAST(count(*) AS BIGINT) AS o FROM x GROUP BY seg, pri
+), r AS (SELECT seg, sum(o) AS r FROM cells GROUP BY seg),
+c AS (SELECT pri, sum(o) AS c FROM cells GROUP BY pri),
+n AS (SELECT sum(o) AS n FROM cells),
+grid AS (
+  SELECT r.seg, c.pri, r.r, c.c, coalesce(cells.o, 0) AS o
+  FROM r CROSS JOIN c LEFT JOIN cells USING (seg, pri)
+),
+t AS (
+  SELECT grid.seg, grid.pri,
+         CAST(n.n * grid.o - grid.r * grid.c AS DOUBLE)
+           * CAST(n.n * grid.o - grid.r * grid.c AS DOUBLE)
+           / CAST(n.n * grid.r * grid.c AS DOUBLE) AS term
+  FROM grid CROSS JOIN n
+), arr AS (
+  SELECT list(term ORDER BY seg, pri) AS terms,
+         count(DISTINCT seg) AS nr, count(DISTINCT pri) AS nc,
+         (SELECT n FROM n) AS n
+  FROM t
+)
+SELECT floor(list_reduce(terms, (acc, x) -> acc + x) * 10000 + 0.5) / 10000
+         AS chi2,
+       floor(sqrt(list_reduce(terms, (acc, x) -> acc + x)
+                  / (CAST(n AS DOUBLE)
+                     * (CASE WHEN nr < nc THEN nr ELSE nc END - 1)))
+             * 1000000 + 0.5) / 1000000 AS cramers_v,
+       CAST(n AS BIGINT) AS n
+FROM arr
+""",
+)
+def q_dq_cramers_v(spark, sf_dir):
+    """Cramer's V between customer market segment and order priority —
+    the normalized effect size ([0,1]) that makes chi-square
+    comparable across table shapes; the DQ check for "are these two
+    business dimensions entangled?". Same exactness recipe as
+    q_dq_chi2 on a DIFFERENT contingency source (a fact-dimension
+    join, not a single table): integer cells/marginals, algebraically
+    cleared terms (n*O - r*c)^2/(n*r*c), one pinned-order fold, then
+    V = sqrt(chi2 / (n * (min(r,c) - 1))) as shared-shape IEEE ops,
+    floored at 6dp. Closed-form edge cases (independence -> V=0,
+    perfect association -> V=1) pinned in tests/test_stats_extra.py.
+    Plan: the join shuffles on custkey once, cells collapse map-side
+    to <=25 rows, marginals derive from the cells (no re-scan)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cst = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = o.join(cst, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    return cramers_v_frame(x)
+
+
+def cramers_v_frame(x):
+    """(seg, pri) categorical frame -> single-row (chi2, cramers_v, n).
+    Shared by q_dq_cramers_v and the closed-form edge-case tests.
+
+    Chi-square runs over the FULL row x column grid (marginals cross
+    join, observed counts left-joined with 0 fill) — an EMPTY cell
+    still contributes its (0 - e)^2/e = r*c/n term. Summing observed
+    cells only understates chi2 whenever any combination is absent
+    (the perfect-association edge case has HALF its grid empty; V
+    came out 0.717 instead of 1.0 before this — caught by the
+    closed-form test, not by the mirror, which compared two engines
+    sharing the same omission)."""
+    cells = x.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint()  # feeds marginals AND the grid join
+    r = cells.groupBy("seg").agg(F.sum("o").alias("r"))
+    c = cells.groupBy("pri").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, ["seg", "pri"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    t = grid.crossJoin(F.broadcast(n)).select(
+        "seg", "pri", "n", (d * d / den).alias("term")
+    )
+    arr = t.agg(
+        F.array_sort(F.collect_list(F.struct("seg", "pri", "term"))).alias(
+            "a"
+        ),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("pri").alias("nc"),
+        F.first("n").alias("n"),
+    )
+    terms = F.transform(F.col("a"), lambda s: s["term"])
+    chi2 = F.aggregate(
+        F.slice(terms, 2, 1000000),
+        F.element_at(terms, 1),
+        lambda acc, y: acc + y,
+    )
+    k = F.when(F.col("nr") < F.col("nc"), F.col("nr")).otherwise(
+        F.col("nc")
+    )
+    v = F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1)))
+    return arr.select(
+        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
+        (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("cramers_v"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_time_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS value_c
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day, value_c,
+         CAST(sum(value_c) OVER w AS BIGINT) AS trend_u,
+         count(*) OVER w AS cnt7
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), f AS (
+  SELECT day, day % 7 AS wd, value_c,
+         7 * value_c - trend_u AS detr_u, trend_u
+  FROM t WHERE cnt7 = 7
+), s AS (
+  SELECT wd, CAST(sum(detr_u) AS BIGINT) AS s_sum,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM f GROUP BY wd
+)
+SELECT f.day, f.wd,
+       CAST(f.value_c AS DOUBLE) / 100 AS revenue,
+       floor(CAST(f.trend_u AS DOUBLE) / 7 + 0.5) / 100 AS trend,
+       floor(CAST(s.s_sum AS DOUBLE) / (7 * s.s_cnt) + 0.5) / 100
+         AS seasonal,
+       floor(CAST(f.detr_u * s.s_cnt - s.s_sum AS DOUBLE) / (7 * s.s_cnt)
+             + 0.5) / 100 AS residual
+FROM f JOIN s USING (wd)
+""",
+)
+def q_time_decompose(spark, sf_dir):
+    """Classical additive time-series decomposition of daily order
+    revenue: trend = centered 7-day moving average (RANGE frame on the
+    integer day value — the calendar-correct form; a ROWS frame would
+    silently span gaps), seasonal = per-weekday mean of the detrended
+    series, residual = remainder. EVERYTHING is exact integer until
+    display: value in cents, trend kept as the un-divided 7-day sum
+    (trend_u), detrended as 7*value - trend_u (units of cents/7),
+    seasonal as the integer pair (sum, count), residual cleared to
+    detr*cnt - sum over the common denominator 7*cnt — so every output
+    cell is ONE floored division of exact int64s. Edges with fewer
+    than 7 neighbors are dropped (cnt7=7), weekday is day%7 (no engine
+    calendar). Plan: one shuffle collapses orders to the daily series;
+    the series is CALENDAR-BOUNDED (~2.5k rows for 7 years at ANY data
+    scale — 100 TB included), so the global-ordered window and the
+    7-row seasonal broadcast are safe by construction; the daily frame
+    is localCheckpointed once and feeds the window, the seasonal
+    aggregate, and the final join without re-scanning orders."""
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("value_c"))
+        .localCheckpoint()
+    )
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "value_c",
+        F.sum("value_c").over(w).alias("trend_u"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+    ).filter(F.col("cnt7") == 7)
+    f = t.select(
+        "day",
+        (F.col("day") % 7).alias("wd"),
+        "value_c",
+        (7 * F.col("value_c") - F.col("trend_u")).alias("detr_u"),
+        "trend_u",
+    ).localCheckpoint()
+    s = f.groupBy("wd").agg(
+        F.sum("detr_u").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt")
+    )
+    j = f.join(F.broadcast(s), "wd")
+    den = 7 * F.col("s_cnt")
+    return j.select(
+        "day",
+        "wd",
+        (F.col("value_c").cast("double") / 100).alias("revenue"),
+        (
+            F.floor(F.col("trend_u").cast("double") / 7 + F.lit(0.5)) / 100
+        ).alias("trend"),
+        (
+            F.floor(F.col("s_sum").cast("double") / den + F.lit(0.5)) / 100
+        ).alias("seasonal"),
+        (
+            F.floor(
+                (F.col("detr_u") * F.col("s_cnt") - F.col("s_sum")).cast(
+                    "double"
+                )
+                / den
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("residual"),
     )
