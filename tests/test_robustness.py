@@ -420,6 +420,7 @@ def test_driver_window_ordering_is_pinned():
         "q_dq_cramers_v",
         "q_time_decompose",
         "q_retrieval_ndcg",
+        "q_agg_bootstrap_ci",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -232,3 +232,60 @@ def test_ndcg_bruteforce_fixture(spark):
         assert 0.0 <= got[q].ndcg <= 1.0
     # the index is useful but imperfect: some query beats 0, none need be 1
     assert any(v > 0 for v in ndcg_want.values())
+
+
+# ------------------------------------------------------------ bootstrap
+
+
+def test_bootstrap_ci_bruteforce_and_thresholds(spark):
+    import hashlib
+
+    from wikidata2pg_spark.operators.analytics import _BOOT_B, _POIS_T
+
+    # threshold provenance: T[k] == floor(P(Poisson(1) <= k) * 2^32)
+    c = 0.0
+    term = math.exp(-1)
+    for k, t in enumerate(_POIS_T):
+        c += term
+        assert t == math.floor(c * 2**32), k
+        term /= k + 1
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    rows = [
+        (k, _cents(p))
+        for k, p in zip(
+            t.column("o_orderkey").to_pylist(), t.column("o_totalprice").to_pylist()
+        )
+    ]
+
+    def w_of(u32: int) -> int:
+        for k, thr in enumerate(_POIS_T):
+            if u32 < thr:
+                return k
+        return 6
+
+    means = []
+    for b in range(_BOOT_B):
+        swx = swn = 0
+        for k, cents in rows:
+            u32 = int(hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:8], 16)
+            w = w_of(u32)
+            swx += w * cents
+            swn += w
+        means.append((float(swx) / swn, b))
+    means.sort()
+    lo = math.floor(means[1][0] + 0.5) / 100  # rank 2
+    hi = math.floor(means[_BOOT_B - 3][0] + 0.5) / 100  # rank B-2
+    pm = math.floor(float(sum(c for _k, c in rows)) / len(rows) + 0.5) / 100
+    [r] = all_queries()["q_agg_bootstrap_ci"](spark, SF).collect()
+    assert r.n_orders == len(rows)
+    assert r.point_mean == pm
+    assert r.ci_lo == lo and r.ci_hi == hi
+    # a CI worth the name: brackets the point estimate, nonzero width
+    assert r.ci_lo < r.point_mean < r.ci_hi
+    # Poisson(1) sanity: total resampled mass within 2% of n per replicate
+    avg_mass = sum(
+        sum(w_of(int(hashlib.md5(f"{k}:0".encode()).hexdigest()[:8], 16)) for k, _ in rows)
+        for _ in [0]
+    )
+    assert abs(avg_mass - len(rows)) < 0.02 * len(rows)

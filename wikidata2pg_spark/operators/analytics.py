@@ -4348,3 +4348,130 @@ def q_time_decompose(spark, sf_dir):
             / 100
         ).alias("residual"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds on the EXACT 32-bit integer scale:
+# T[k] = floor(P(X<=k) * 2^32). Injected as integer literals on both
+# engines, so weight assignment is a pure-integer comparison — no float
+# exists anywhere in the resampling. Tail capped at 6 (P(X>6|lambda=1)
+# ~ 8e-5; the cap is part of the operator's definition on both sides).
+_POIS_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+           4292415291)
+_BOOT_B = 40  # replicates; 90% CI = 2nd / 38th order statistics
+
+
+def _pois_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query(
+    "q_agg_bootstrap_ci",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT o.k, o.cents, b.b,
+         ('0x' || substr(md5(o.k::VARCHAR || ':' || b.b::VARCHAR), 1, 8))
+           ::BIGINT AS u32
+  FROM o CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), w AS (
+  SELECT b, cents, {_pois_w_sql('u32')} AS w FROM rep
+), means AS (
+  SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS m
+  FROM w GROUP BY b
+), ranked AS (
+  SELECT m, CAST(row_number() OVER (ORDER BY m, b) AS BIGINT) AS r
+  FROM means
+), pt AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS pm,
+         CAST(count(*) AS BIGINT) AS n
+  FROM o
+)
+SELECT pt.n AS n_orders,
+       floor(pt.pm + 0.5) / 100 AS point_mean,
+       floor((SELECT m FROM ranked WHERE r = 2) + 0.5) / 100 AS ci_lo,
+       floor((SELECT m FROM ranked WHERE r = {_BOOT_B - 2}) + 0.5) / 100
+         AS ci_hi
+FROM pt
+""",
+)
+def q_agg_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap 90% CI for the mean order value — THE
+    bootstrap that works on data too large to index: instead of
+    drawing n rows with replacement (impossible distributedly), each
+    row independently receives a Poisson(1) multiplicity per
+    replicate, which converges to the multinomial bootstrap as n
+    grows. Fully deterministic and engine-exact: the per-(row,
+    replicate) uniform is the repo's md5-prefix 32-bit integer, the
+    Poisson inverse CDF is a pure INTEGER ladder against injected
+    integer thresholds (floor(cdf * 2^32) — no float anywhere in
+    resampling), replicate means are exact-integer sums with ONE
+    division, and the percentile CI picks lower order statistics
+    (rank 2 / rank B-2 of B=40) with ties broken by replicate id.
+    Display = floored cents. Plan: the B-way explode is a map-side
+    flatMap (no shuffle until the 40-group aggregate, which
+    map-side-combines to B rows per task); at 100 TB the sums ride
+    decimal-capable BIGINTs per replicate and the whole operator is
+    one scan + one tiny shuffle — contrast a with-replacement join
+    bootstrap, which would shuffle n*B rows."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    rep = o.select(
+        "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("k").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(u32 < _POIS_T[k], k).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("long")
+            ).alias("m")
+        )
+    )
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy("m", "b")).cast("long")
+    )
+    lo = ranked.filter(F.col("r") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.filter(F.col("r") == _BOOT_B - 2).select(
+        F.col("m").alias("hi")
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pm"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            (F.floor(F.col("pm") + F.lit(0.5)) / 100).alias("point_mean"),
+            (F.floor(F.col("lo") + F.lit(0.5)) / 100).alias("ci_lo"),
+            (F.floor(F.col("hi") + F.lit(0.5)) / 100).alias("ci_hi"),
+        )
+    )
