@@ -720,3 +720,81 @@ def test_ks_test_collapses_before_global_window(spark):
     # partial aggregation on v before any SinglePartition exchange
     pre, _, post = plan.partition("SinglePartition")
     assert "HashAggregate" in post  # the keys=[v] combine is below it
+
+
+def test_tpch_q1_single_exchange_pushed_filter(spark):
+    """Q1 is scan-bound: the shipdate filter reaches the parquet scan
+    and the 4-group aggregate is one partial/final pair (one Exchange,
+    map-side combine)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sql_tpch_q1"](spark, SF_T2)
+    qe = df._jdf.queryExecution().toString()
+    plan = _plan(df)
+    assert "PushedFilters" in qe and "LessThanOrEqual(l_shipdate" in qe
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_tpch_q15_scans_lineitem_once(spark):
+    """The revenue view feeds BOTH the max probe and the winners join;
+    localCheckpoint materializes it so lineitem is scanned exactly once
+    (the sibling-aggregation re-execution trap)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sql_tpch_q15"](spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 0  # checkpoint replaced scans
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_window_not_self_join(spark):
+    """Q17's correlated per-part average is a WINDOW over the filtered
+    lines, not a second lineitem scan + self-join: exactly one lineitem
+    scan and a Window node in the plan."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sql_tpch_q17"](spark, SF_T2)
+    plan = _plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # Brand#23 part list broadcasts
+
+
+def test_tpch_q19_pushes_separable_disjuncts(spark):
+    """The part-side brand/size disjunction prefilters the broadcast
+    side, and the lineitem quantity envelope [1,30] pushes to the fact
+    scan — the OR'd residual applies post-join."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sql_tpch_q19"](spark, SF_T2)
+    qe = df._jdf.queryExecution().toString()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_quantity,1" in qe
+    assert "LessThanOrEqual(l_quantity,30" in qe
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Lapsed-rich-customers: the 1-row positive-balance aggregate
+    broadcasts (nested-loop or broadcast exchange), recent orders hit a
+    broadcast/shuffle ANTI join, nation broadcasts."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_sql_tpch_q22"](spark, SF_T2)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bootstrap_ci_explode_before_single_shuffle(spark):
+    """The B-way replicate explode is map-side (Generate under the
+    scan, no Exchange between them); the only wide op is the 40-group
+    aggregate."""
+    from wikidata2pg_spark.registry import all_queries
+
+    df = all_queries()["q_agg_bootstrap_ci"](spark, SF_T2)
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    # orders scanned for replicates and once for the point estimate
+    assert plan.count("orders.parquet") == 2

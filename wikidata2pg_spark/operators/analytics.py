@@ -4457,17 +4457,19 @@ def q_agg_bootstrap_ci(spark, sf_dir):
     ranked = means.withColumn(
         "r", F.row_number().over(Window.orderBy("m", "b")).cast("long")
     )
-    lo = ranked.filter(F.col("r") == 2).select(F.col("m").alias("lo"))
-    hi = ranked.filter(F.col("r") == _BOOT_B - 2).select(
-        F.col("m").alias("hi")
+    # BOTH order statistics from ONE aggregation over the ranked means —
+    # separate filter branches would re-execute the whole B-way
+    # explode + aggregate subtree (sibling-consumer re-scan trap)
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("r") == _BOOT_B - 2, F.col("m"))).alias("hi"),
     )
     pt = o.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pm"),
     )
     return (
-        pt.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        pt.crossJoin(F.broadcast(ci))
         .select(
             "n_orders",
             (F.floor(F.col("pm") + F.lit(0.5)) / 100).alias("point_mean"),
