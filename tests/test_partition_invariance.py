@@ -96,6 +96,14 @@ KEYS = [
     "q_pipeline_neardup",  # prefix join + label prop at any split
     "q_text_bm25",  # df/N/avgdl stats from split scans
     "q_sample_token_budget",  # per-lang running sum at any split
+    # r6 TPC-H/stats additions
+    "q_sql_tpch_q1",  # exact-integer partial sums at any split
+    "q_sql_tpch_q13",  # left-join zero groups survive any split
+    "q_sql_tpch_q15",  # checkpointed max + integer tie at any split
+    "q_sql_tpch_q17",  # per-part window (not self-join) at any split
+    "q_time_decompose",  # calendar-RANGE trend over collapsed series
+    "q_agg_bootstrap_ci",  # md5 resampling weights are row-local
+    "q_retrieval_ndcg",  # rank tie-breaks at any split
 ]
 
 
