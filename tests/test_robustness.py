@@ -421,6 +421,8 @@ def test_driver_window_ordering_is_pinned():
         "q_time_decompose",
         "q_retrieval_ndcg",
         "q_agg_bootstrap_ci",
+        "q_win_cume_dist_nth",
+        "q_fn_struct",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

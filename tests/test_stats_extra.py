@@ -289,3 +289,36 @@ def test_bootstrap_ci_bruteforce_and_thresholds(spark):
         for _ in [0]
     )
     assert abs(avg_mass - len(rows)) < 0.02 * len(rows)
+
+
+# ------------------------------------------------- small coverage keys
+
+
+def test_cume_dist_nth_semantics(spark):
+    rows = all_queries()["q_win_cume_dist_nth"](spark, SF).collect()
+    assert rows
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r.o_custkey, []).append(r)
+    for ck, rs in by_c.items():
+        n = len(rs)
+        cds = sorted(r.cd for r in rs)
+        # unique tiebreak -> cume_dist values are exactly k/n, k=1..n
+        assert cds == [k / n for k in range(1, n + 1)], ck
+        thirds = {r.third_order for r in rs}
+        assert len(thirds) == 1  # full-frame nth_value is per-partition
+        if n < 3:
+            assert thirds == {None}
+        else:
+            assert None not in thirds
+
+
+def test_struct_pack_semantics(spark):
+    rows = all_queries()["q_fn_struct"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.lt_flag == 1  # (a,b) < (a,b+1) always
+        assert r.pri_out in {
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+        }
+        assert r.cents_out > 0

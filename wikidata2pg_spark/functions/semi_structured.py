@@ -196,3 +196,50 @@ def q_fn_array_setops(spark, sf_dir):
         F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias("i"),
         F.array_join(F.array_sort(F.array_except(a, b)), ",").alias("d"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+SELECT o_orderkey,
+       ({'pri': o_orderpriority,
+         'cents': CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)}).pri
+         AS pri_out,
+       ({'pri': o_orderpriority,
+         'cents': CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)}).cents
+         AS cents_out,
+       CASE WHEN {'a': o_custkey, 'b': o_orderkey}
+                 < {'a': o_custkey, 'b': o_orderkey + 1}
+            THEN 1 ELSE 0 END AS lt_flag
+FROM orders
+WHERE o_orderkey < 3000
+""",
+)
+def q_fn_struct(spark, sf_dir):
+    """Struct scalar pack: construction (named_struct), field access,
+    and lexicographic struct comparison — the nested-type surface the
+    array/map/json packs (F6-F8) did not yet cover. The struct itself
+    is not emitted (Row-vs-dict canonicalization differs across
+    engines); both FIELDS are read back out through the constructed
+    struct, which pins construction + access end-to-end. Struct ordering is
+    field-by-field left-to-right in both engines (SQL row-value
+    semantics), exercised here with a constructed pair that differs
+    only in the second field. All integer/string — nothing to round.
+    Map-only projection, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    info = F.struct(
+        F.col("o_orderpriority").alias("pri"), cents.alias("cents")
+    )
+    a = F.struct(
+        F.col("o_custkey").alias("a"), F.col("o_orderkey").alias("b")
+    )
+    b = F.struct(
+        F.col("o_custkey").alias("a"), (F.col("o_orderkey") + 1).alias("b")
+    )
+    return o.select(
+        "o_orderkey",
+        info.getField("pri").alias("pri_out"),
+        info.getField("cents").alias("cents_out"),
+        F.when(a < b, 1).otherwise(0).alias("lt_flag"),
+    )

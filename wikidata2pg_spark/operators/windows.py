@@ -747,3 +747,38 @@ def q_time_holt(spark, sf_dir):
         st["b"].alias("trend"),
         (st["l"] + st["b"]).alias("forecast"),
     )
+
+
+@query(
+    "q_win_cume_dist_nth",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       cume_dist() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice, o_orderkey) AS cd,
+       nth_value(o_orderkey, 3) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS third_order
+FROM orders
+WHERE o_custkey < 500
+""",
+)
+def q_win_cume_dist_nth(spark, sf_dir):
+    """cume_dist + nth_value — the two rank-family window functions §2.5
+    did not yet exercise. The ORDER BY carries a unique tiebreaker
+    (orderkey), so cume_dist's peer groups are singletons and the ratio
+    is rank/n — two exact integers, one identical double division per
+    row in both engines; nth_value reads the 3rd row of the FULL frame
+    (explicit ROWS UNBOUNDED..UNBOUNDED — the default running frame
+    would make it null for the first two rows), null for customers
+    with fewer than 3 orders. Same single custkey exchange as the rest
+    of the window family."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(wf).alias("third_order"),
+    )
