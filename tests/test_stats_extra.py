@@ -283,12 +283,13 @@ def test_bootstrap_ci_bruteforce_and_thresholds(spark):
     assert r.ci_lo == lo and r.ci_hi == hi
     # a CI worth the name: brackets the point estimate, nonzero width
     assert r.ci_lo < r.point_mean < r.ci_hi
-    # Poisson(1) sanity: total resampled mass within 2% of n per replicate
-    avg_mass = sum(
-        sum(w_of(int(hashlib.md5(f"{k}:0".encode()).hexdigest()[:8], 16)) for k, _ in rows)
-        for _ in [0]
+    # Poisson(1) sanity: replicate 0's total resampled mass is within
+    # 2% of n (mean weight ~ 1)
+    mass0 = sum(
+        w_of(int(hashlib.md5(f"{k}:0".encode()).hexdigest()[:8], 16))
+        for k, _ in rows
     )
-    assert abs(avg_mass - len(rows)) < 0.02 * len(rows)
+    assert abs(mass0 - len(rows)) < 0.02 * len(rows)
 
 
 # ------------------------------------------------- small coverage keys

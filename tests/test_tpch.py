@@ -171,8 +171,10 @@ def test_tpch_q8_bruteforce(spark):
         if supp_n[sk] == "NATION_3":
             num[y] = num.get(y, 0) + v
     got = {r.o_year: r.mkt_share for r in _run("q_sql_tpch_q8", spark)}
+    # cast-then-divide mirror (see Q14): num*1e6 can exceed 2^53
     want = {
-        y: math.floor(num.get(y, 0) * 1000000 / den[y] + 0.5) / 1000000
+        y: math.floor(float(num.get(y, 0) * 1000000) / float(den[y]) + 0.5)
+        / 1000000
         for y in den
     }
     assert got == want and set(want) == {1997, 1998}
@@ -206,7 +208,11 @@ def test_tpch_q14_bruteforce(spark):
             num += v
     [r] = _run("q_sql_tpch_q14", spark)
     assert 0 < num < den
-    assert r.promo_revenue == math.floor(num * 1000000 / den + 0.5) / 10000
+    # mirror the engines' cast-then-divide: num*1e6 exceeds 2^53, so an
+    # exact-int division would round once where the engines round twice
+    assert r.promo_revenue == math.floor(
+        float(num * 1000000) / float(den) + 0.5
+    ) / 10000
 
 
 def test_tpch_q15_bruteforce(spark):

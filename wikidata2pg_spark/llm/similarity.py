@@ -1135,15 +1135,13 @@ def q_retrieval_ndcg(spark, sf_dir):
         ).alias("term"),
         F.when(F.col("rt").isNotNull(), 1).otherwise(0).alias("hit"),
     )
+    from wikidata2pg_spark.operators.analytics import ordered_fold
+
     arr = t.groupBy("query_id").agg(
-        F.array_sort(F.collect_list(F.struct("rk", "term"))).alias("a"),
+        ordered_fold(F.col("rk"), F.col("term"), "dcg"),
         F.sum("hit").cast("long").alias("n_rel_hits"),
     )
-    dcg = F.aggregate(
-        F.transform(F.col("a"), lambda s: s["term"]),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
+    dcg = F.col("dcg")
     idcg = F.aggregate(
         F.sequence(F.lit(1), F.lit(10)),
         F.lit(0.0),

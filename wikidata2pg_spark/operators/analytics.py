@@ -50,6 +50,43 @@ def ordered_fold(key_col, term, name):
     ).alias(name)
 
 
+def contingency_fold(x, rk: str, ck: str):
+    """Categorical frame -> single-row (chi2_raw, nr, nc, n): the
+    chi-square-of-independence pipeline shared by q_dq_chi2 and
+    cramers_v_frame. Observed counts collapse map-side, marginals
+    derive from the cells (localCheckpoint: they feed the grid join
+    too), and the term sum runs over the FULL nr x nc grid — an EMPTY
+    cell still contributes its (0-e)^2/e = r*c/n term (summing
+    observed cells only understates chi2; caught by the Cramer's-V
+    closed-form edge case). Each term is the algebraically cleared
+    (n*O - r*c)^2/(n*r*c) — exact-integer numerator/denominator, two
+    IEEE-identical double ops — and the cross-cell sum is one
+    pinned-order fold (ordered_fold's 0.0 seed == DuckDB list_reduce's
+    first-element seed since 0.0 + x == x)."""
+    cells = (
+        x.groupBy(rk, ck).agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    )
+    r = cells.groupBy(rk).agg(F.sum("o").alias("r"))
+    c = cells.groupBy(ck).agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, [rk, ck], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
+    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
+    t = grid.crossJoin(F.broadcast(n)).select(
+        rk, ck, "n", (d * d / den).alias("term")
+    )
+    return t.agg(
+        ordered_fold(F.struct(rk, ck), F.col("term"), "chi2_raw"),
+        F.countDistinct(rk).alias("nr"),
+        F.countDistinct(ck).alias("nc"),
+        F.first("n").alias("n"),
+    )
+
+
 
 
 @query(
@@ -991,44 +1028,13 @@ def q_dq_chi2(spark, sf_dir):
         .alias("day"),
         F.col("event_type").alias("et"),
     )
-    cells = e.groupBy("day", "et").agg(F.count(F.lit(1)).alias("o"))
-    # full day x event-type grid: an EMPTY cell still contributes its
-    # (0 - e)^2/e = r*c/n term (omitting absent combinations silently
-    # understates chi2 — the cramers_v_frame closed-form catch)
-    cells = cells.localCheckpoint()
-    r = cells.groupBy("day").agg(F.sum("o").alias("r"))
-    c = cells.groupBy("et").agg(F.sum("o").alias("c"))
-    n = cells.agg(F.sum("o").alias("n"))
-    grid = (
-        r.crossJoin(F.broadcast(c))
-        .join(cells, ["day", "et"], "left")
-        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
-    )
-    d = (
-        F.col("n") * F.col("o") - F.col("r") * F.col("c")
-    ).cast("double")
-    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    t = grid.crossJoin(F.broadcast(n)).select(
-        "day", "et", (d * d / den).alias("term")
-    )
-    arr = t.agg(
-        F.array_sort(
-            F.collect_list(F.struct("day", "et", "term"))
-        ).alias("a"),
-        F.count(F.lit(1)).alias("n_cells"),
-        F.countDistinct("day").alias("nd"),
-        F.countDistinct("et").alias("nt"),
-    )
-    terms = F.transform(F.col("a"), lambda x: x["term"])
-    chi2 = F.aggregate(
-        F.slice(terms, 2, 10000),
-        F.element_at(terms, 1),
-        lambda acc, x: acc + x,
-    )
+    arr = contingency_fold(e, "day", "et")
     return arr.select(
-        (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
-        ((F.col("nd") - 1) * (F.col("nt") - 1)).cast("long").alias("dof"),
-        F.col("n_cells").cast("long").alias("n_cells"),
+        (F.floor(F.col("chi2_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+            "chi2"
+        ),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        (F.col("nr") * F.col("nc")).cast("long").alias("n_cells"),
     )
 
 
@@ -4193,48 +4199,15 @@ def q_dq_cramers_v(spark, sf_dir):
 
 def cramers_v_frame(x):
     """(seg, pri) categorical frame -> single-row (chi2, cramers_v, n).
-    Shared by q_dq_cramers_v and the closed-form edge-case tests.
-
-    Chi-square runs over the FULL row x column grid (marginals cross
-    join, observed counts left-joined with 0 fill) — an EMPTY cell
-    still contributes its (0 - e)^2/e = r*c/n term. Summing observed
-    cells only understates chi2 whenever any combination is absent
-    (the perfect-association edge case has HALF its grid empty; V
-    came out 0.717 instead of 1.0 before this — caught by the
-    closed-form test, not by the mirror, which compared two engines
-    sharing the same omission)."""
-    cells = x.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
-    cells = cells.localCheckpoint()  # feeds marginals AND the grid join
-    r = cells.groupBy("seg").agg(F.sum("o").alias("r"))
-    c = cells.groupBy("pri").agg(F.sum("o").alias("c"))
-    n = cells.agg(F.sum("o").alias("n"))
-    grid = (
-        r.crossJoin(F.broadcast(c))
-        .join(cells, ["seg", "pri"], "left")
-        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
-    )
-    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast("double")
-    den = (F.col("n") * F.col("r") * F.col("c")).cast("double")
-    t = grid.crossJoin(F.broadcast(n)).select(
-        "seg", "pri", "n", (d * d / den).alias("term")
-    )
-    arr = t.agg(
-        F.array_sort(F.collect_list(F.struct("seg", "pri", "term"))).alias(
-            "a"
-        ),
-        F.countDistinct("seg").alias("nr"),
-        F.countDistinct("pri").alias("nc"),
-        F.first("n").alias("n"),
-    )
-    terms = F.transform(F.col("a"), lambda s: s["term"])
-    chi2 = F.aggregate(
-        F.slice(terms, 2, 1000000),
-        F.element_at(terms, 1),
-        lambda acc, y: acc + y,
-    )
+    Thin wrapper over contingency_fold (the shared full-grid chi-square
+    pipeline — see its docstring for the empty-cell lesson this family
+    learned); shared by q_dq_cramers_v and the closed-form edge-case
+    tests."""
+    arr = contingency_fold(x, "seg", "pri")
     k = F.when(F.col("nr") < F.col("nc"), F.col("nr")).otherwise(
         F.col("nc")
     )
+    chi2 = F.col("chi2_raw")
     v = F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1)))
     return arr.select(
         (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
