@@ -423,6 +423,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_bootstrap_ci",
         "q_win_cume_dist_nth",
         "q_fn_struct",
+        "q_dq_srm",
+        "q_vec_truncation_fidelity",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

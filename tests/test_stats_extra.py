@@ -323,3 +323,83 @@ def test_struct_pack_semantics(spark):
             "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
         }
         assert r.cents_out > 0
+
+
+def test_srm_worked_example_and_bruteforce(spark):
+    import hashlib
+
+    from wikidata2pg_spark.operators.analytics import srm_from_counts
+
+    # hand-derived: 510 vs 490 -> chi2 = (20)^2/1000 = 0.4, not flagged
+    m = spark.createDataFrame([(510, 490, 1000)], "n_a long, n_b long, n long")
+    [r] = srm_from_counts(m).collect()
+    assert r.chi2 == 0.4 and r.srm_flag == 0
+    # and a blatant mismatch flags: 600 vs 400 -> chi2 = 40000/1000 = 40
+    m2 = spark.createDataFrame([(600, 400, 1000)], "n_a long, n_b long, n long")
+    [r2] = srm_from_counts(m2).collect()
+    assert r2.chi2 == 40.0 and r2.srm_flag == 1
+    # fixture brute force via hashlib (same md5-prefix assignment)
+    t = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+    keys = t.column("c_custkey").to_pylist()
+    n_a = sum(
+        1
+        for k in keys
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 2 == 0
+    )
+    n = len(keys)
+    chi2 = float((n_a - (n - n_a)) * (n_a - (n - n_a))) / n
+    [rf] = all_queries()["q_dq_srm"](spark, SF).collect()
+    assert (rf.n_a, rf.n_b) == (n_a, n - n_a)
+    assert rf.chi2 == math.floor(chi2 * 1000000 + 0.5) / 1000000
+    # a fair deterministic hash must not trip SRM on the fixture
+    assert rf.srm_flag == (1 if chi2 > 3.841 else 0)
+
+
+def test_truncation_fidelity_bruteforce(spark):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = {i: v for i, v in zip(ids, t.column("embedding").to_pylist())}
+    D = 16
+
+    def dot(a, b, d=None):
+        s = 0.0
+        for x, y in list(zip(a, b))[: (d or len(a))]:
+            s += x * y
+        return s
+
+    want = {}
+    for q in [i for i in ids if i < 8]:
+        others = [i for i in ids if i != q]
+        qn = math.sqrt(dot(embs[q], embs[q]))
+        qtn = math.sqrt(dot(embs[q], embs[q], D))
+        full = sorted(
+            others,
+            key=lambda i: (
+                -(dot(embs[q], embs[i]) / (qn * math.sqrt(dot(embs[i], embs[i])))),
+                i,
+            ),
+        )[:10]
+        trunc = sorted(
+            others,
+            key=lambda i: (
+                -(
+                    dot(embs[q], embs[i], D)
+                    / (qtn * math.sqrt(dot(embs[i], embs[i], D)))
+                ),
+                i,
+            ),
+        )[:10]
+        ov = len(set(full) & set(trunc))
+        want[q] = (
+            ov,
+            math.floor(ov * 10000 / 10 + 0.5) / 10000,
+            1 if full[0] == trunc[0] else 0,
+        )
+    got = {
+        r.query_id: (r.n_overlap, r.recall, r.top1_match)
+        for r in all_queries()["q_vec_truncation_fidelity"](spark, SF).collect()
+    }
+    assert got == want
+    # truncation loses SOMETHING on random vectors (else the audit is vacuous)
+    assert any(ov < 10 for ov, _r, _t in want.values())
+    assert all(ov >= 1 for ov, _r, _t in want.values())

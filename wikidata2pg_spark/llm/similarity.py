@@ -1152,3 +1152,141 @@ def q_retrieval_ndcg(spark, sf_dir):
         "n_rel_hits",
         (F.floor(dcg / idcg * 1000000 + F.lit(0.5)) / 1000000).alias("ndcg"),
     )
+
+
+_TRUNC_D = 16  # truncated prefix dims (64 -> 16: 4x compression)
+
+
+@query(
+    "q_vec_truncation_fidelity",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                     (a, b) -> a + b) AS nrm,
+         list_reduce(list_transform(range(1, {_TRUNC_D + 1}),
+                     j -> embedding[j] * embedding[j]), (a, b) -> a + b)
+           AS tnrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS qe, nrm AS qn, tnrm AS qtn
+  FROM v WHERE vec_id < {_BQ_NQ}
+), full_rank AS (
+  SELECT query_id, vec_id, rt FROM (
+    SELECT q.query_id, v.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(range(1, 65),
+                         j -> q.qe[j] * v.emb[j]), (a, b) -> a + b)
+               / (sqrt(q.qn) * sqrt(v.nrm)) DESC,
+             v.vec_id) AS BIGINT) AS rt
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rt <= {_BQ_K}
+), trunc_rank AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT q.query_id, v.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_reduce(list_transform(range(1, {_TRUNC_D + 1}),
+                         j -> q.qe[j] * v.emb[j]), (a, b) -> a + b)
+               / (sqrt(q.qtn) * sqrt(v.tnrm)) DESC,
+             v.vec_id) AS BIGINT) AS rk
+    FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+  ) z WHERE rk <= {_BQ_K}
+)
+SELECT t.query_id,
+       CAST(count(f.vec_id) AS BIGINT) AS n_overlap,
+       floor(CAST(count(f.vec_id) AS DOUBLE) * 10000 / {_BQ_K} + 0.5)
+         / 10000 AS recall,
+       CAST(max(CASE WHEN t.rk = 1 AND f.rt = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS top1_match
+FROM trunc_rank t LEFT JOIN full_rank f
+  ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+GROUP BY t.query_id
+""",
+)
+def q_vec_truncation_fidelity(spark, sf_dir):
+    """Truncation-fidelity audit (the Matryoshka-embedding question):
+    how much of the exact 64-dim cosine top-10 survives when search
+    runs on only the FIRST 16 dims (4x memory/compute compression)?
+    Per query: overlap@10, recall, and whether the top-1 neighbor is
+    preserved. Same bit-reproducibility recipe as recall_eval/ndcg —
+    prefix dot/norm folds in one pinned order (the truncated norm is
+    its own fold, NOT a slice of the full one), ties on vec_id,
+    integer overlap counts, one floored division. Plan: one corpus
+    scan computes both norm variants, the 8-query block broadcasts
+    into both rankings. At 100 TB the truncated ranking is the cheap
+    first-stage scan (reads 16/64 of the vector bytes — with a
+    column-pruned prefix column, 4x less IO) and this audit prices
+    that compression in recall, on a query sample."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def sq_fold(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        sq_fold(F.col("embedding")).alias("nrm"),
+        sq_fold(F.slice(F.col("embedding"), 1, _TRUNC_D)).alias("tnrm"),
+    )
+    q = v.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("tnrm").alias("qtn"),
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def dot_fold(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        )
+
+    full_sim = dot_fold(F.col("qe"), F.col("emb")) / (
+        F.sqrt(F.col("qn")) * F.sqrt(F.col("nrm"))
+    )
+    trunc_sim = dot_fold(
+        F.slice(F.col("qe"), 1, _TRUNC_D), F.slice(F.col("emb"), 1, _TRUNC_D)
+    ) / (F.sqrt(F.col("qtn")) * F.sqrt(F.col("tnrm")))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc(full_sim), F.col("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc(trunc_sim), F.col("vec_id")
+    )
+    full_rank = (
+        pairs.withColumn("rt", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rt") <= _BQ_K)
+        .select(
+            F.col("query_id").alias("fq"), F.col("vec_id").alias("fv"), "rt"
+        )
+    )
+    trunc_rank = (
+        pairs.withColumn("rk", F.row_number().over(wt).cast("long"))
+        .filter(F.col("rk") <= _BQ_K)
+        .select("query_id", "vec_id", "rk")
+    )
+    j = trunc_rank.join(
+        full_rank,
+        (F.col("query_id") == F.col("fq")) & (F.col("vec_id") == F.col("fv")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("fv").cast("long").alias("n_overlap"),
+        (
+            F.floor(
+                F.count("fv").cast("double") * 10000 / _BQ_K + F.lit(0.5)
+            )
+            / 10000
+        ).alias("recall"),
+        F.max(
+            F.when((F.col("rk") == 1) & (F.col("rt") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("top1_match"),
+    )

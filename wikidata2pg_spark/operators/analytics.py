@@ -4450,3 +4450,68 @@ def q_agg_bootstrap_ci(spark, sf_dir):
             (F.floor(F.col("hi") + F.lit(0.5)) / 100).alias("ci_hi"),
         )
     )
+
+
+@query(
+    "q_dq_srm",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+                   % 2 = 0 THEN 1 ELSE 0 END AS in_a
+  FROM customer
+), m AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(count(*) - sum(in_a) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a
+)
+SELECT n_a, n_b,
+       floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n * 1000000
+             + 0.5) / 1000000 AS chi2,
+       CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / n > 3.841
+            THEN 1 ELSE 0 END AS srm_flag
+FROM m
+""",
+)
+def q_dq_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail — the FIRST check every A/B
+    platform runs before reading a metric: does the realized 50/50
+    assignment split actually look 50/50? Assignment is the repo's
+    deterministic md5-prefix hash (parity of the 32-bit prefix), so
+    the check audits THE production bucketing, and the goodness-of-fit
+    chi-square against equal expected counts collapses algebraically
+    to (n_a - n_b)^2 / n — exact integer numerator, ONE division,
+    floored at 6dp; the 5%-level flag compares the same pre-floor
+    double to the chi2(1) critical value 3.841 on both engines
+    (hand-derived worked example: 510 vs 490 -> chi2 = 400/1000 =
+    0.4, not flagged). Plan: one scan, map-side combine to a single
+    row — the cheapest possible guardrail at any scale."""
+    cst = load(spark, sf_dir, "customer")
+    in_a = F.when(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(0)
+    m = cst.select(in_a.alias("in_a")).agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("in_a")).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return srm_from_counts(m)
+
+
+def srm_from_counts(m):
+    """(n_a, n_b, n) single-row frame -> (n_a, n_b, chi2, srm_flag).
+    Shared by q_dq_srm and the hand-derived worked-example test so the
+    test drives the production expression tree."""
+    chi2_raw = (
+        (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    ).cast("double") / F.col("n")
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.floor(chi2_raw * 1000000 + F.lit(0.5)) / 1000000).alias("chi2"),
+        F.when(chi2_raw > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )
