@@ -104,6 +104,8 @@ KEYS = [
     "q_time_decompose",  # calendar-RANGE trend over collapsed series
     "q_agg_bootstrap_ci",  # md5 resampling weights are row-local
     "q_retrieval_ndcg",  # rank tie-breaks at any split
+    "q_vec_truncation_fidelity",  # two rankings + overlap at any split
+    "q_win_cume_dist_nth",  # cume_dist peers + full-frame nth at any split
 ]
 
 

@@ -425,6 +425,7 @@ def test_driver_window_ordering_is_pinned():
         "q_fn_struct",
         "q_dq_srm",
         "q_vec_truncation_fidelity",
+        "q_time_changepoint",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -403,3 +403,40 @@ def test_truncation_fidelity_bruteforce(spark):
     # truncation loses SOMETHING on random vectors (else the audit is vacuous)
     assert any(ov < 10 for ov, _r, _t in want.values())
     assert all(ov >= 1 for ov, _r, _t in want.values())
+
+
+def test_changepoint_step_series_and_bruteforce(spark):
+    from wikidata2pg_spark.operators.analytics import changepoint_frame
+
+    # worked example: a clean level shift 1000 -> 2000 cents at day 20
+    rows = [(d, 1000) for d in range(20)] + [(d, 2000) for d in range(20, 40)]
+    step = spark.createDataFrame(rows, "day long, v long")
+    [r] = changepoint_frame(step).collect()
+    assert r.split_day == 19  # last day of the left segment
+    assert r.before_mean == 10.0 and r.after_mean == 20.0
+    # g at the true split: k(n-k)/n * delta^2 = 20*20/40 * 1000^2 = 1e7
+    assert r.objective == 1e7
+    # fixture brute force
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()):
+        d = (od - epoch).days
+        daily[d] = daily.get(d, 0) + _cents(tp)
+    days = sorted(daily)
+    n = len(days)
+    tot = sum(daily.values())
+    best = None
+    s = 0
+    for i, d in enumerate(days[:-1], start=1):
+        s += daily[d]
+        diff = float(s) / i - float(tot - s) / (n - i)
+        g = diff * diff * (float(i * (n - i)) / n)
+        key = (-g, d)
+        if best is None or key < best[0]:
+            best = (key, d, s, i)
+    _k, bd, bs, bi = best
+    [rf] = all_queries()["q_time_changepoint"](spark, SF).collect()
+    assert rf.split_day == bd
+    assert rf.before_mean == math.floor(float(bs) / bi + 0.5) / 100
+    assert rf.after_mean == math.floor(float(tot - bs) / (n - bi) + 0.5) / 100

@@ -4515,3 +4515,122 @@ def srm_from_counts(m):
         (F.floor(chi2_raw * 1000000 + F.lit(0.5)) / 1000000).alias("chi2"),
         F.when(chi2_raw > 3.841, 1).otherwise(0).alias("srm_flag"),
     )
+
+
+@query(
+    "q_time_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, v,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+         CAST(sum(v) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(v) OVER () AS BIGINT) AS tot
+  FROM daily
+), obj AS (
+  SELECT day, i, n, s, tot,
+         (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (n - i))
+           * (CAST(s AS DOUBLE) / i - CAST(tot - s AS DOUBLE) / (n - i))
+           * (CAST(i * (n - i) AS DOUBLE) / n) AS g
+  FROM idx WHERE i < n
+), best AS (
+  SELECT day, i, n, s, tot, g,
+         CAST(row_number() OVER (ORDER BY g DESC, day) AS BIGINT) AS r
+  FROM obj
+)
+SELECT day AS split_day,
+       floor(CAST(s AS DOUBLE) / i + 0.5) / 100 AS before_mean,
+       floor(CAST(tot - s AS DOUBLE) / (n - i) + 0.5) / 100 AS after_mean,
+       g AS objective
+FROM best WHERE r = 1
+""",
+)
+def q_time_changepoint(spark, sf_dir):
+    """Single change-point detection on the daily-revenue series by
+    binary segmentation: pick the split k maximizing the between-
+    segment sum of squares  g(k) = k(n-k)/n * (mean_left - mean_right)^2
+    — the first step of the classic binary-segmentation changepoint
+    algorithm, and the exact-SSE-decomposition objective (total SSE =
+    within + g). Everything upstream of g is exact integers (daily
+    cents, prefix sums via ONE ordered window, totals from the same
+    pass); g itself is a handful of IEEE-identical double ops whose
+    ARGMAX is compared on identical values in both engines, ties
+    broken by day. Output: split day, segment means (floored cents),
+    objective. Plan: the collapsed daily series is calendar-bounded
+    (the q_time_decompose argument), so the global-ordered prefix-sum
+    window and the argmax rank are safe at any data scale; orders is
+    scanned once. The synthetic step-series worked example (level 10
+    -> 20 must split exactly at the boundary) is pinned in
+    tests/test_stats_extra.py via changepoint_frame."""
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+    )
+    return changepoint_frame(daily)
+
+
+def changepoint_frame(daily):
+    """(day, v) integer series -> 1-row (split_day, before_mean,
+    after_mean, objective). Shared by q_time_changepoint and the
+    synthetic step-series worked example."""
+    wo = Window.orderBy("day")
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        "v",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("v")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("v").over(wall).cast("long").alias("tot"),
+    )
+    diff = F.col("s").cast("double") / F.col("i") - (
+        F.col("tot") - F.col("s")
+    ).cast("double") / (F.col("n") - F.col("i"))
+    g = diff * diff * (
+        (F.col("i") * (F.col("n") - F.col("i"))).cast("double") / F.col("n")
+    )
+    obj = idx.filter(F.col("i") < F.col("n")).withColumn("g", g)
+    best = obj.withColumn(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.desc("g"), "day"))
+        .cast("long"),
+    ).filter(F.col("r") == 1)
+    return best.select(
+        F.col("day").alias("split_day"),
+        (
+            F.floor(F.col("s").cast("double") / F.col("i") + F.lit(0.5))
+            / 100
+        ).alias("before_mean"),
+        (
+            F.floor(
+                (F.col("tot") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("i"))
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("after_mean"),
+        # raw g, no display rounding: g is cents^2-scaled (exceeds 2^63
+        # at sf0.1, where Spark's LONG floor would clamp while DuckDB's
+        # DOUBLE floor does not) and is already bit-identical by shape
+        F.col("g").alias("objective"),
+    )
