@@ -426,6 +426,7 @@ def test_driver_window_ordering_is_pinned():
         "q_dq_srm",
         "q_vec_truncation_fidelity",
         "q_time_changepoint",
+        "q_join_null_safe",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -440,3 +440,24 @@ def test_changepoint_step_series_and_bruteforce(spark):
     assert rf.split_day == bd
     assert rf.before_mean == math.floor(float(bs) / bi + 0.5) / 100
     assert rf.after_mean == math.floor(float(tot - bs) / (n - bi) + 0.5) / 100
+
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    out = all_queries()["q_join_null_safe"](spark, SF).collect()
+    assert out
+    nulls = [r for r in out if r.status_n is None]
+    # the 'P'-mapped-to-NULL facts survive AND joined the NULL dim row
+    assert nulls and all(r.rep_key is not None and r.grp_n > 0 for r in nulls)
+    # a plain equi join would have dropped exactly those rows
+    from pyspark.sql import functions as F
+
+    from wikidata2pg_spark.tables import load
+
+    o = load(spark, SF, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    f = o.filter(F.col("o_orderkey") < 3000).select("o_orderkey", st.alias("k"))
+    d = o.select(st.alias("dk")).distinct()
+    plain = f.join(d, f["k"] == d["dk"]).count()
+    assert plain == len(out) - len(nulls)
+    # every fact row of the filtered range is present exactly once
+    assert len({r.o_orderkey for r in out}) == len(out)

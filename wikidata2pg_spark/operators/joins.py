@@ -802,3 +802,48 @@ def q_join_asof_nearest(spark, sf_dir):
         nearest.alias("nearest_p_us"),
         (nearest - F.col("t")).alias("gap_us"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+WITH f AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n
+  FROM orders WHERE o_orderkey < 3000
+), d AS (
+  SELECT nullif(o_orderstatus, 'P') AS status_n,
+         CAST(min(o_orderkey) AS BIGINT) AS rep_key,
+         CAST(count(*) AS BIGINT) AS grp_n
+  FROM orders GROUP BY 1
+)
+SELECT f.o_orderkey, f.status_n, d.rep_key, d.grp_n
+FROM f JOIN d ON f.status_n IS NOT DISTINCT FROM d.status_n
+""",
+)
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM) — the join
+    variant where NULL keys MATCH each other instead of silently
+    dropping (the dimension-with-an-unknown-bucket pattern: here the
+    'P' status maps to NULL on both sides and those rows must still
+    find their group row). A plain equi join would lose every
+    NULL-keyed fact row — the pytest twin asserts exactly that
+    difference. Spark plans eqNullSafe equi-conditions as a hash join
+    on coalesced key + null flag (still broadcastable/shuffleable —
+    NOT a nested-loop degeneration), so the shape scales like J1/J2.
+    All output columns are exact integers/strings."""
+    o = load(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    f = o.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", st.alias("status_n")
+    )
+    # dim: representative key + group size per (nullable) status
+    d = (
+        o.select(st.alias("ds"), "o_orderkey")
+        .groupBy("ds")
+        .agg(
+            F.min("o_orderkey").cast("long").alias("rep_key"),
+            F.count(F.lit(1)).cast("long").alias("grp_n"),
+        )
+    )
+    j = f.join(F.broadcast(d), f["status_n"].eqNullSafe(d["ds"]))
+    return j.select("o_orderkey", "status_n", "rep_key", "grp_n")
