@@ -321,3 +321,33 @@ def test_stream_full_outer_frontier_rule_both_sides(spark, tmp_path):
     got_p = sorted(r.purchase_id for r in out if r.purchase_id is not None and r.err_id is None)
     assert got_e == [8001], got_e  # only the 1ms-below-W probe emits
     assert got_p == [9001], got_p  # only the 1ms-below-(W-1h) probe emits
+
+
+def test_stream_windowed_topk_matches_batch_and_caps_k(spark):
+    """The stream-then-rank composition must equal the all-batch
+    computation, cap at 3 rows per window, and order ties by type."""
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.tables import load
+
+    out = all_queries()["q_stream_windowed_topk"](spark, SF_T2).collect()
+    assert out
+    e = load(spark, SF_T2, "events")
+    batch = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    per_w: dict = {}
+    for r in batch:
+        per_w.setdefault(r.ws, []).append((-(r.n), r.event_type))
+    want = set()
+    for ws, items in per_w.items():
+        for rk, (negn, et) in enumerate(sorted(items)[:3], start=1):
+            want.add((ws, et, -negn, rk))
+    assert {(r.window_start, r.event_type, r.n, r.rk) for r in out} == want
+    counts: dict = {}
+    for r in out:
+        counts[r.window_start] = counts.get(r.window_start, 0) + 1
+        assert 1 <= r.rk <= 3
+    assert all(v <= 3 for v in counts.values())

@@ -865,3 +865,48 @@ def q_stream_full_outer(spark, sf_dir):
         "purchase_ts",
     )
     return run_available_now(spark, joined, output_mode="append")
+
+
+@query(
+    "q_stream_windowed_topk",
+    oracle="""
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, rk FROM (
+  SELECT window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type) AS BIGINT)
+           AS rk
+  FROM agg
+) z WHERE rk <= 3
+""",
+)
+def q_stream_windowed_topk(spark, sf_dir):
+    """Streaming top-k composition: the STREAM maintains the per-window
+    per-type counts (tumbling 1h, availableNow -> memory, complete
+    mode — the only stream-legal part, since rank functions cannot run
+    inside an unbounded aggregation), and the top-3-per-window RANK
+    runs at serve time over the sink — the standard production split
+    (aggregate in the stream, rank at query time). Counts are exact
+    integers; the rank breaks count ties by event_type, so the final
+    relation is a pure function of the data and hash-checks against
+    the batch oracle. At scale the serve-side rank is the cheap part
+    (windows x types rows); the stream side shuffles once per trigger
+    on the window/type key with partial aggregation upstream."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+    final = run_available_now(spark, out, output_mode="complete")
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        final.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("long"), "rk")
+    )
