@@ -428,6 +428,7 @@ def test_driver_window_ordering_is_pinned():
         "q_time_changepoint",
         "q_join_null_safe",
         "q_stream_windowed_topk",
+        "q_agg_bool",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

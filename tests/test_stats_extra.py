@@ -461,3 +461,30 @@ def test_null_safe_join_keeps_null_bucket(spark):
     assert plain == len(out) - len(nulls)
     # every fact row of the filtered range is present exactly once
     assert len({r.o_orderkey for r in out}) == len(out)
+
+
+def test_agg_bool_bruteforce(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_tax"],
+    )
+    want: dict = {}
+    for g, q, d, x in zip(
+        t.column("l_returnflag").to_pylist(),
+        t.column("l_quantity").to_pylist(),
+        t.column("l_discount").to_pylist(),
+        t.column("l_tax").to_pylist(),
+    ):
+        a = want.setdefault(g, [True, False, 0, 0])
+        a[0] = a[0] and q >= 1
+        a[1] = a[1] or d >= 0.10
+        a[2] += 1 if x == 0.0 else 0
+        a[3] += 1 if q >= 25 else 0
+    got = {
+        r.l_returnflag: [r.all_qty_pos, r.any_deep_disc, r.n_tax_free, r.n_bulk]
+        for r in all_queries()["q_agg_bool"](spark, SF).collect()
+    }
+    assert got == want
+    # discriminating fixture: both boolean outcomes occur somewhere
+    assert any(v[1] for v in want.values()) and all(v[0] for v in want.values())
+    assert any(v[2] > 0 for v in want.values())

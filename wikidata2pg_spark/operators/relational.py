@@ -1841,3 +1841,32 @@ def q_agg_iqr_outliers(spark, sf_dir):
         (F.floor(F.max("lo") / 100 * 100 + F.lit(0.5)) / 100).alias("fence_lo"),
         (F.floor(F.max("hi") / 100 * 100 + F.lit(0.5)) / 100).alias("fence_hi"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity >= 1) AS all_qty_pos,
+       bool_or(l_discount >= 0.10) AS any_deep_disc,
+       CAST(count_if(l_tax = 0.0) AS BIGINT) AS n_tax_free,
+       CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregate pack: bool_and/every, bool_or/any, count_if —
+    the predicate-aggregation trio (SQL:2023 ANY_VALUE-era additions;
+    Spark 3.5+/DuckDB both ship them natively). All outputs are exact
+    booleans/integers over exact predicates (the discount test
+    compares the same double literal on both engines), so nothing can
+    diverge; partial aggregation applies (AND/OR/COUNT are all
+    mergeable), one exchange to 3 groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+        F.bool_or(F.col("l_discount") >= 0.10).alias("any_deep_disc"),
+        F.count_if(F.col("l_tax") == 0.0).cast("long").alias("n_tax_free"),
+        F.count_if(F.col("l_quantity") >= 25).cast("long").alias("n_bulk"),
+    )
