@@ -106,6 +106,9 @@ KEYS = [
     "q_retrieval_ndcg",  # rank tie-breaks at any split
     "q_vec_truncation_fidelity",  # two rankings + overlap at any split
     "q_win_cume_dist_nth",  # cume_dist peers + full-frame nth at any split
+    "q_time_changepoint",  # global prefix sum + argmax at any split
+    "q_join_null_safe",  # NULL-key matching at any split
+    "q_stream_windowed_topk",  # stream agg + serve rank at any batching
 ]
 
 

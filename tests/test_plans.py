@@ -798,3 +798,16 @@ def test_bootstrap_ci_explode_before_single_shuffle(spark):
     assert "Generate explode" in plan
     # orders scanned for replicates and once for the point estimate
     assert plan.count("orders.parquet") == 2
+
+
+def test_truncation_fidelity_single_corpus_scan(spark):
+    """The audit family's shared corpus frame is localCheckpointed:
+    neither ranking branch re-scans embeddings (4 FileScans before the
+    fix — the sibling-consumer re-execution trap)."""
+    from wikidata2pg_spark.registry import all_queries
+
+    for key in ("q_vec_truncation_fidelity", "q_retrieval_ndcg",
+                "q_retrieval_recall_eval"):
+        df = all_queries()[key](spark, SF_T2)
+        plan = _plan(df)
+        assert plan.count("embeddings.parquet") == 0, key

@@ -20,12 +20,21 @@ from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 
+def hash_u32(col):
+    """THE md5-prefix 32-bit uniform: ('0x' || substr(md5(key), 1, 8))
+    ::BIGINT in DuckDB. The single hash recipe behind every sampler,
+    splitter, A/B bucketing (q_dq_srm) and resampler (q_agg_bootstrap_ci)
+    — widening the prefix or changing the digest must change them all
+    together, or the guardrails stop auditing the bucketing they claim
+    to audit."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def _hash_pct(col, mod: int = 100):
-    """md5-prefix hash of the key → uniform int in [0, mod). Identical in
-    DuckDB: ('0x' || substr(md5(key), 1, 8))::BIGINT % mod. ONE hash
-    recipe for every sampler/splitter in this module — widening the
-    prefix or changing the digest must change them all together."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    """hash_u32 reduced to a uniform int in [0, mod)."""
+    return hash_u32(col) % mod
 
 
 @query(

@@ -667,19 +667,7 @@ def q_retrieval_recall_eval(spark, sf_dir):
     twice; the overlap join moves 8*k rows. At 100 TB ground truth is
     the expensive brute-force pass you run on a SAMPLE of queries —
     exactly this shape with the query filter as the sample."""
-    emb = load(spark, sf_dir, "embeddings")
-    nrm = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: x * x),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        _sign_word(1, 32).alias("w1"),
-        _sign_word(33, 64).alias("w2"),
-        nrm.alias("nrm"),
-    )
+    v = _audit_corpus_frame(spark, sf_dir)
     q = v.filter(F.col("vec_id") < _BQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
@@ -1073,19 +1061,7 @@ def q_retrieval_ndcg(spark, sf_dir):
     floored 6dp division at the end. Plan: one corpus scan feeds both
     rankings; the 8-query block broadcasts; at 100 TB this is the
     sampled-query index-quality audit, like recall_eval."""
-    emb = load(spark, sf_dir, "embeddings")
-    nrm = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: x * x),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        _sign_word(1, 32).alias("w1"),
-        _sign_word(33, 64).alias("w2"),
-        nrm.alias("nrm"),
-    )
+    v = _audit_corpus_frame(spark, sf_dir)
     q = v.filter(F.col("vec_id") < _BQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
@@ -1157,6 +1133,36 @@ def q_retrieval_ndcg(spark, sf_dir):
 _TRUNC_D = 16  # truncated prefix dims (64 -> 16: 4x compression)
 
 
+def _audit_corpus_frame(spark, sf_dir):
+    """Shared corpus frame for the index-audit family (recall_eval,
+    ndcg, truncation_fidelity): vec_id, DOUBLE-cast embedding, sign
+    words, full and {16}-dim prefix norms. Two disciplines live here:
+    (1) the folds run over the DOUBLE-cast array — the oracles fold
+    embedding::DOUBLE[]; folding the raw FLOAT column accumulates
+    float32-rounded squares that diverge from the oracle in the ~8th
+    digit and can flip a ranking at a boundary (latent cross-engine
+    hazard, review catch); (2) localCheckpoint — each audit fans the
+    frame into two ranking branches plus the query subset, which would
+    otherwise re-scan the corpus per branch (4 FileScans observed; the
+    q_sql_tpch_q15 sibling-consumer rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = _vec_double(F.col("embedding"))
+
+    def sq(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+
+    return emb.select(
+        "vec_id",
+        d.alias("emb"),
+        _sign_word(1, 32).alias("w1"),
+        _sign_word(33, 64).alias("w2"),
+        sq(d).alias("nrm"),
+        sq(F.slice(d, 1, _TRUNC_D)).alias("tnrm"),
+    ).localCheckpoint()
+
+
 @query(
     "q_vec_truncation_fidelity",
     oracle=f"""
@@ -1165,8 +1171,8 @@ WITH v AS (
          list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
                      (a, b) -> a + b) AS nrm,
          list_reduce(list_transform(range(1, {_TRUNC_D + 1}),
-                     j -> embedding[j] * embedding[j]), (a, b) -> a + b)
-           AS tnrm
+                     j -> (embedding::DOUBLE[])[j] * (embedding::DOUBLE[])[j]),
+                     (a, b) -> a + b) AS tnrm
   FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, emb AS qe, nrm AS qn, tnrm AS qtn
@@ -1211,25 +1217,16 @@ def q_vec_truncation_fidelity(spark, sf_dir):
     preserved. Same bit-reproducibility recipe as recall_eval/ndcg —
     prefix dot/norm folds in one pinned order (the truncated norm is
     its own fold, NOT a slice of the full one), ties on vec_id,
-    integer overlap counts, one floored division. Plan: one corpus
-    scan computes both norm variants, the 8-query block broadcasts
-    into both rankings. At 100 TB the truncated ranking is the cheap
+    integer overlap counts, one floored division. Plan: ONE corpus
+    scan computes both norm variants into a localCheckpointed frame
+    (the two ranking branches + query subset would otherwise re-scan
+    the corpus per branch — plan-audited in tests/test_plans.py); the
+    8-query block broadcasts into both rankings. At 100 TB the
+    truncated ranking is the cheap
     first-stage scan (reads 16/64 of the vector bytes — with a
     column-pruned prefix column, 4x less IO) and this audit prices
     that compression in recall, on a query sample."""
-    emb = load(spark, sf_dir, "embeddings")
-
-    def sq_fold(col):
-        return F.aggregate(
-            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
-        )
-
-    v = emb.select(
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        sq_fold(F.col("embedding")).alias("nrm"),
-        sq_fold(F.slice(F.col("embedding"), 1, _TRUNC_D)).alias("tnrm"),
-    )
+    v = _audit_corpus_frame(spark, sf_dir)
     q = v.filter(F.col("vec_id") < _BQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),

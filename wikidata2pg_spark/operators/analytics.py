@@ -4401,19 +4401,11 @@ def q_agg_bootstrap_ci(spark, sf_dir):
     rep = o.select(
         "k", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
     )
-    u32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.col("k").cast("string"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from wikidata2pg_spark.llm.sampling import hash_u32
+
+    u32 = hash_u32(
+        F.concat_ws(":", F.col("k").cast("string"), F.col("b").cast("string"))
+    )
     w = F.lit(6)
     for k in range(len(_POIS_T) - 1, -1, -1):
         w = F.when(u32 < _POIS_T[k], k).otherwise(w)
@@ -4486,14 +4478,10 @@ def q_dq_srm(spark, sf_dir):
     (hand-derived worked example: 510 vs 490 -> chi2 = 400/1000 =
     0.4, not flagged). Plan: one scan, map-side combine to a single
     row — the cheapest possible guardrail at any scale."""
+    from wikidata2pg_spark.llm.sampling import _hash_pct
+
     cst = load(spark, sf_dir, "customer")
-    in_a = F.when(
-        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 2
-        == 0,
-        1,
-    ).otherwise(0)
+    in_a = F.when(_hash_pct(F.col("c_custkey"), 2) == 0, 1).otherwise(0)
     m = cst.select(in_a.alias("in_a")).agg(
         F.sum("in_a").cast("long").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("in_a")).cast("long").alias("n_b"),
