@@ -109,6 +109,8 @@ KEYS = [
     "q_time_changepoint",  # global prefix sum + argmax at any split
     "q_join_null_safe",  # NULL-key matching at any split
     "q_stream_windowed_topk",  # stream agg + serve rank at any batching
+    "q_time_hampel",  # centered window frames at any split
+    "q_agg_trimmed_mean",  # rank-band membership at any split
 ]
 
 

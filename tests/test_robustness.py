@@ -429,6 +429,9 @@ def test_driver_window_ordering_is_pinned():
         "q_join_null_safe",
         "q_stream_windowed_topk",
         "q_agg_bool",
+        "q_time_hampel",
+        "q_agg_trimmed_mean",
+        "q_time_forecast_accuracy",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -488,3 +488,98 @@ def test_agg_bool_bruteforce(spark):
     # discriminating fixture: both boolean outcomes occur somewhere
     assert any(v[1] for v in want.values()) and all(v[0] for v in want.values())
     assert any(v[2] > 0 for v in want.values())
+
+
+def test_hampel_bruteforce_and_detects_planted_spike(spark):
+    from wikidata2pg_spark.operators.analytics import (  # noqa: F401
+        contingency_fold,
+    )
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    rows = [
+        (u, e, ts, _cents(v))
+        for u, e, ts, v in zip(
+            t.column("user_id").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("value").to_pylist(),
+        )
+        if u < 50
+    ]
+    by_u: dict = {}
+    for u, e, ts, vc in rows:
+        by_u.setdefault(u, []).append((ts, e, vc))
+    want = {}
+    for u, seq in by_u.items():
+        seq.sort()
+        vals = [vc for _ts, _e, vc in seq]
+        for i, (_ts, e, vc) in enumerate(seq):
+            win = vals[max(0, i - 3): i + 4]
+            s = sorted(win)
+            med = s[(len(s) + 1) // 2 - 1]
+            devs = sorted(abs(x - med) for x in win)
+            mad = devs[(len(devs) + 1) // 2 - 1]
+            out = abs(vc - med) * 10000 > 44478 * mad
+            want[(u, e)] = (vc, med, mad, 1 if out else 0, med if out else vc)
+    got = {
+        (r.user_id, r.event_id): (
+            r.value_c, r.med_c, r.mad_c, r.is_outlier, r.filtered_c,
+        )
+        for r in all_queries()["q_time_hampel"](spark, SF).collect()
+    }
+    assert got == want
+    # the filter actually fires somewhere, and never rewrites inliers
+    assert any(v[3] == 1 for v in want.values())
+    assert all(v[4] == v[0] for v in want.values() if v[3] == 0)
+
+
+def test_trimmed_mean_bruteforce_and_ordering(spark):
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    by_f: dict = {}
+    for f_, p in zip(
+        t.column("l_returnflag").to_pylist(), t.column("l_extendedprice").to_pylist()
+    ):
+        by_f.setdefault(f_, []).append(_cents(p))
+    got = {
+        r.flag: r for r in all_queries()["q_agg_trimmed_mean"](spark, SF).collect()
+    }
+    for f_, cs in by_f.items():
+        cs.sort()
+        n = len(cs)
+        tr = n // 10
+        kept = cs[tr: n - tr]
+        r = got[f_]
+        assert r.n == n and r.n_kept == len(kept)
+        assert r.trimmed_mean == math.floor(
+            float(sum(kept)) / len(kept) + 0.5
+        ) / 100
+        # robust-mean sandwich: min < trimmed < max, and trimming moved it
+        assert cs[0] / 100 < r.trimmed_mean < cs[-1] / 100
+
+
+def test_forecast_accuracy_bruteforce(spark):
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()):
+        d = (od - epoch).days
+        daily[d] = daily.get(d, 0) + _cents(tp)
+    sae = se = sa = nd = 0
+    for d, v in daily.items():
+        if d - 7 in daily:
+            f_ = daily[d - 7]
+            sae += abs(v - f_)
+            se += v - f_
+            sa += v
+            nd += 1
+    [r] = all_queries()["q_time_forecast_accuracy"](spark, SF).collect()
+    assert r.n_days == nd and nd > 100
+    assert r.wape == math.floor(float(sae * 1000000) / float(sa) + 0.5) / 1000000
+    assert r.bias == math.floor(float(se * 1000000) / float(sa) + 0.5) / 1000000
+    assert 0 < r.wape < 1  # seasonal-naive is informative but imperfect
+    assert abs(r.bias) < r.wape  # bias magnitude bounded by WAPE by construction

@@ -4622,3 +4622,230 @@ def changepoint_frame(daily):
         # DOUBLE floor does not) and is already bit-identical by shape
         F.col("g").alias("objective"),
     )
+
+
+@query(
+    "q_time_hampel",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE user_id < 50
+), w AS (
+  SELECT user_id, event_id, vc,
+         list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS lv
+  FROM x
+), m AS (
+  SELECT user_id, event_id, vc,
+         list_sort(lv)[(len(lv) + 1) // 2] AS med_c,
+         lv
+  FROM w
+), d AS (
+  SELECT user_id, event_id, vc, med_c,
+         list_sort(list_transform(lv, e -> abs(e - med_c)))
+           [(len(lv) + 1) // 2] AS mad_c
+  FROM m
+)
+SELECT user_id, event_id, vc AS value_c, med_c, mad_c,
+       CASE WHEN abs(vc - med_c) * 10000 > 44478 * mad_c
+            THEN 1 ELSE 0 END AS is_outlier,
+       CASE WHEN abs(vc - med_c) * 10000 > 44478 * mad_c
+            THEN med_c ELSE vc END AS filtered_c
+FROM d
+""",
+)
+def q_time_hampel(spark, sf_dir):
+    """Hampel filter — the robust rolling-outlier detector (replace a
+    point when it sits more than 3 scaled MADs from the rolling
+    median; the standard despiking pass before any time-series model).
+    ENTIRELY integer: values in exact cents, the 7-row centered
+    window's median and MAD both use the LOWER order statistic
+    (documented deviation from interpolated medians — it keeps every
+    quantity int64), and the textbook threshold |dev| > 3*1.4826*MAD
+    is cleared to |dev|*10000 > 44478*MAD — an exact integer compare,
+    so no float exists anywhere in the operator. Output keeps cents
+    (no display division). Plan: one key-partitioned window, O(frame)
+    per-row state like q_win_moving_median; at scale this is the
+    map-side despiking stage of any ingest pipeline."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    x = e.select("user_id", "event_id", "ts", vc.alias("vc")).withColumn(
+        "_lv", F.collect_list("vc").over(w)
+    )
+    srt = F.sort_array(F.col("_lv"))
+    x = x.withColumn(
+        "med_c",
+        F.element_at(srt, ((F.size(srt) + 1) / 2).cast("int")),
+    )
+    devs = F.sort_array(
+        F.transform(F.col("_lv"), lambda e_: F.abs(e_ - F.col("med_c")))
+    )
+    x = x.withColumn(
+        "mad_c",
+        F.element_at(devs, ((F.size(devs) + 1) / 2).cast("int")),
+    )
+    out = F.abs(F.col("vc") - F.col("med_c")) * 10000 > 44478 * F.col("mad_c")
+    return x.select(
+        "user_id",
+        "event_id",
+        F.col("vc").alias("value_c"),
+        "med_c",
+        "mad_c",
+        F.when(out, 1).otherwise(0).alias("is_outlier"),
+        F.when(out, F.col("med_c")).otherwise(F.col("vc")).alias("filtered_c"),
+    )
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle="""
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), r AS (
+  SELECT flag, cents,
+         CAST(row_number() OVER (PARTITION BY flag
+              ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+  FROM x
+)
+SELECT flag,
+       CAST(n AS BIGINT) AS n,
+       CAST(n - 2 * (n // 10) AS BIGINT) AS n_kept,
+       floor(CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN cents ELSE 0 END) AS DOUBLE)
+             / (n - 2 * (n // 10)) + 0.5) / 100 AS trimmed_mean
+FROM r GROUP BY flag, n
+""",
+)
+def q_agg_trimmed_mean(spark, sf_dir):
+    """10%-trimmed mean per return flag — the robust-mean sibling of
+    q_agg_winsorized_mean that DROPS each tail instead of clamping it
+    (different estimator, different breakdown behavior). The trim
+    count is the INTEGER n//10 on both engines (no percentile float),
+    membership is an exact integer rank band over a unique-tiebreak
+    ordering, and the mean is one floored division of exact cents.
+    Plan: one flag-partitioned rank window feeding a conditional
+    aggregate on the SAME partitioning (single exchange). At 100 TB
+    the rank pass rides the distributed two-pass ordered_bucket shape
+    if the per-flag partitions skew (three giant groups) — the
+    semantics stay identical."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents.alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wp = Window.partitionBy("flag")
+    wr = wp.orderBy("cents", "l_orderkey", "l_linenumber")
+    r = x.select(
+        "flag",
+        "cents",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    t = F.floor(F.col("n") / 10).cast("long")
+    kept = (F.col("rn") > t) & (F.col("rn") <= F.col("n") - t)
+    return r.groupBy("flag", "n").agg(
+        (F.first("n") - 2 * F.floor(F.first("n") / 10).cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        (
+            F.floor(
+                F.sum(F.when(kept, F.col("cents")).otherwise(0)).cast(
+                    "double"
+                )
+                / (
+                    F.first("n")
+                    - 2 * F.floor(F.first("n") / 10).cast("long")
+                )
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("trimmed_mean"),
+    ).select("flag", "n", "n_kept", "trimmed_mean")
+
+
+@query(
+    "q_time_forecast_accuracy",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT a.day, a.v AS actual, f.v AS forecast
+  FROM daily a JOIN daily f ON a.day = f.day + 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       floor(CAST(sum(abs(actual - forecast)) * 1000000 AS DOUBLE)
+             / CAST(sum(actual) AS DOUBLE) + 0.5) / 1000000 AS wape,
+       floor(CAST(sum(actual - forecast) * 1000000 AS DOUBLE)
+             / CAST(sum(actual) AS DOUBLE) + 0.5) / 1000000 AS bias
+FROM j
+""",
+)
+def q_time_forecast_accuracy(spark, sf_dir):
+    """Forecast-accuracy scorecard for the seasonal-naive baseline
+    (forecast(d) = actual(d-7), the companion of q_time_seasonal_naive
+    — every forecasting deployment scores its baseline first): WAPE =
+    sum|err|/sum(actual) and bias = sum(err)/sum(actual), the two
+    metrics that survive at scale because they aggregate EXACT INTEGER
+    numerators/denominators before the single division (per-row MAPE
+    ratios would need an ordered float fold). The lag-7 pairing is a
+    calendar self-join on day = day+7 (gap-proof — a LAG window over
+    row positions would silently pair across missing days). Plan: one
+    orders scan collapses to the calendar-bounded daily series; the
+    self-join and aggregate are driver-trivial at any data scale."""
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("v"))
+        .localCheckpoint()
+    )
+    f = daily.select(
+        (F.col("day") + 7).alias("fday"), F.col("v").alias("forecast")
+    )
+    j = daily.join(f, F.col("day") == F.col("fday")).select(
+        F.col("v").alias("actual"), "forecast"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.floor(
+                (F.sum(F.abs(F.col("actual") - F.col("forecast"))) * 1000000)
+                .cast("double")
+                / F.sum("actual").cast("double")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("wape"),
+        (
+            F.floor(
+                (F.sum(F.col("actual") - F.col("forecast")) * 1000000)
+                .cast("double")
+                / F.sum("actual").cast("double")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("bias"),
+    )
