@@ -111,6 +111,7 @@ KEYS = [
     "q_stream_windowed_topk",  # stream agg + serve rank at any batching
     "q_time_hampel",  # centered window frames at any split
     "q_agg_trimmed_mean",  # rank-band membership at any split
+    "q_win_skyline",  # global dominance sweep at any split
 ]
 
 

@@ -432,6 +432,7 @@ def test_driver_window_ordering_is_pinned():
         "q_time_hampel",
         "q_agg_trimmed_mean",
         "q_time_forecast_accuracy",
+        "q_win_skyline",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -583,3 +583,36 @@ def test_forecast_accuracy_bruteforce(spark):
     assert r.bias == math.floor(float(se * 1000000) / float(sa) + 0.5) / 1000000
     assert 0 < r.wape < 1  # seasonal-naive is informative but imperfect
     assert abs(r.bias) < r.wape  # bias magnitude bounded by WAPE by construction
+
+
+def test_skyline_matches_quadratic_dominance(spark):
+    t = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    pts = [
+        (k, _cents(p), s)
+        for k, p, s in zip(
+            t.column("p_partkey").to_pylist(),
+            t.column("p_retailprice").to_pylist(),
+            t.column("p_size").to_pylist(),
+        )
+    ]
+    frontier = set()
+    for k, pc, sz in pts:
+        dominated = any(
+            (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+            for _k2, pc2, sz2 in pts
+        )
+        if not dominated:
+            frontier.add((k, pc, sz))
+    got = {
+        (r.p_partkey, r.price_c, r.size)
+        for r in all_queries()["q_win_skyline"](spark, SF).collect()
+    }
+    assert got == frontier
+    # staircase: paying more must buy MORE size on a min-price/max-size
+    # frontier (equal only for duplicate points)
+    stair = sorted(got, key=lambda x: (x[1], -x[2]))
+    sizes = [sz for _k, _pc, sz in stair]
+    assert 1 <= len(got) < len(pts)
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))

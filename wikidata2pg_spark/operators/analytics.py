@@ -4849,3 +4849,69 @@ def q_time_forecast_accuracy(spark, sf_dir):
             / 1000000
         ).alias("bias"),
     )
+
+
+@query(
+    "q_win_skyline",
+    oracle="""
+WITH x AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), m AS (
+  SELECT p_partkey, price_c, size,
+         max(size) OVER (ORDER BY price_c
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m_strict,
+         max(size) OVER (ORDER BY price_c
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS m_incl
+  FROM x
+)
+SELECT p_partkey, price_c, size
+FROM m
+WHERE NOT (coalesce(m_strict >= size, FALSE)
+           OR coalesce(m_incl > size, FALSE))
+""",
+)
+def q_win_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier) over parts: minimize price,
+    maximize size — the classic dominance query (a part survives iff
+    no other part is cheaper-or-equal AND bigger-or-equal with one
+    strict). The O(n^2) pair formulation collapses to ONE ordered
+    sweep: dominated iff (max size among STRICTLY cheaper) >= mine,
+    or (max size among cheaper-or-equal) > mine — two RANGE frames on
+    the integer price value sharing one sort, so equal-price ties and
+    duplicate points fall out correctly (mutually non-dominating
+    duplicates all survive). All integer: cents, sizes, MAX — no
+    float anywhere. Plan: one scan + one global-ordered window (the
+    ordered_bucket two-pass rank is the 100 TB path for a global
+    order; the frontier semantics are identical). Brute-forced
+    against the O(n^2) dominance definition in pytest."""
+    p = load(spark, sf_dir, "part")
+    x = p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    wo = Window.orderBy("price_c")
+    m_strict = F.max("size").over(
+        wo.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m_incl = F.max("size").over(
+        wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = x.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        m_strict.alias("m_strict"),
+        m_incl.alias("m_incl"),
+    )
+    dominated = F.coalesce(
+        F.col("m_strict") >= F.col("size"), F.lit(False)
+    ) | F.coalesce(F.col("m_incl") > F.col("size"), F.lit(False))
+    return m.filter(~dominated).select("p_partkey", "price_c", "size")
