@@ -433,6 +433,8 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_trimmed_mean",
         "q_time_forecast_accuracy",
         "q_win_skyline",
+        "q_time_mann_kendall",
+        "q_time_control_chart",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -616,3 +616,115 @@ def test_skyline_matches_quadratic_dominance(spark):
     sizes = [sz for _k, _pc, sz in stair]
     assert 1 <= len(got) < len(pts)
     assert all(a <= b for a, b in zip(sizes, sizes[1:]))
+
+
+# ------------------------------------------------- Mann-Kendall / XmR
+
+
+def test_mann_kendall_worked_examples(spark):
+    from wikidata2pg_spark.operators.analytics import mann_kendall_frame
+
+    # strictly increasing n=5: S = 10, var18 = 5*4*15 = 300,
+    # z = (10-1)/sqrt(300/18) = 2.2045 -> significant increasing
+    m = spark.createDataFrame(
+        [("a", i, 100 + i) for i in range(5)], "priority string, ym int, v long"
+    )
+    [r] = mann_kendall_frame(m).collect()
+    assert (r.n_periods, r.s_stat, r.var18) == (5, 10, 300)
+    assert r.z == math.floor(9 / math.sqrt(300 / 18) * 10000 + 0.5) / 10000
+    assert r.trend == "increasing"
+    # ties: [1, 1, 2] -> S = 2, tie term 2*1*9 = 18, var18 = 66-18 = 48
+    m2 = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("a", 3, 2)], "priority string, ym int, v long"
+    )
+    [r2] = mann_kendall_frame(m2).collect()
+    assert (r2.s_stat, r2.var18) == (2, 48)
+    assert r2.trend == "no trend"
+    # exact-zero S: symmetric up-down -> z must be literal 0.0, no -0.0
+    m3 = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 2), ("a", 4, 1)],
+        "priority string, ym int, v long",
+    )
+    [r3] = mann_kendall_frame(m3).collect()
+    assert r3.s_stat == 0 and r3.z == 0.0 and math.copysign(1, r3.z) == 1.0
+
+
+def test_mann_kendall_bruteforce(spark):
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    series: dict = {}
+    for p, d, v in zip(
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_orderdate").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        ym = d.year * 100 + d.month
+        series.setdefault(p, {})
+        series[p][ym] = series[p].get(ym, 0) + _cents(v)
+    got = {
+        r.priority: r
+        for r in all_queries()["q_time_mann_kendall"](spark, SF).collect()
+    }
+    for p, by_ym in series.items():
+        vals = [v for _ym, v in sorted(by_ym.items())]
+        n = len(vals)
+        s = sum(
+            (0 < vals[j] - vals[i]) - (vals[j] - vals[i] < 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = sum(
+            c * (c - 1) * (2 * c + 5) for c in Counter(vals).values() if c > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - ties
+        r = got[p]
+        assert (r.n_periods, r.s_stat, r.var18) == (n, s, var18)
+        if s != 0:
+            zc = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18)
+            assert r.z == _floor4(zc)
+    # discriminating: at least one significant trend at sf0.01
+    assert any(r.trend != "no trend" for r in got.values())
+    assert any(r.trend == "no trend" for r in got.values())
+
+
+def test_xmr_worked_example_and_bruteforce(spark):
+    from wikidata2pg_spark.operators.analytics import xmr_frame
+
+    # constant 100-cent series with one 200-cent spike at day 5
+    d = spark.createDataFrame(
+        [(i, 200 if i == 5 else 100) for i in range(11)], "day long, v long"
+    )
+    [r] = xmr_frame(d).collect()
+    assert (r.day, r.v_cents, r.side) == (5, 200, "above")
+    mean_c, band = 1200 / 11, 2.66 * (200 / 10)
+    assert r.center == math.floor(mean_c + 0.5) / 100
+    assert r.ucl == math.floor(mean_c + band + 0.5) / 100
+    assert r.lcl == math.floor(mean_c - band + 0.5) / 100
+    # brute force on the fixture's daily series
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        day = (od - epoch).days
+        daily[day] = daily.get(day, 0) + _cents(tp)
+    days = sorted(daily)
+    vs = [daily[d_] for d_ in days]
+    n, sv = len(vs), sum(vs)
+    mrs = [abs(b - a) for a, b in zip(vs, vs[1:])]
+    m, smr = len(mrs), sum(mrs)
+    want = {
+        d_: ("above" if v * n > sv else "below")
+        for d_, v in daily.items()
+        if abs(v * n - sv) * m * 1000 > 2660 * smr * n
+    }
+    got = {
+        r.day: r.side
+        for r in all_queries()["q_time_control_chart"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 0

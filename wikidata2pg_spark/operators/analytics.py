@@ -4915,3 +4915,254 @@ def q_win_skyline(spark, sf_dir):
         F.col("m_strict") >= F.col("size"), F.lit(False)
     ) | F.coalesce(F.col("m_incl") > F.col("size"), F.lit(False))
     return m.filter(~dominated).select("p_partkey", "price_c", "size")
+
+
+@query(
+    "q_time_mann_kendall",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(strftime(o_orderdate::TIMESTAMP, '%Y%m') AS INTEGER) AS ym,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT a.priority,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM m a JOIN m b ON a.priority = b.priority AND a.ym < b.ym
+  GROUP BY 1
+), n AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1
+), ties AS (
+  SELECT priority,
+         CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie
+  FROM (SELECT priority, v, CAST(count(*) AS BIGINT) AS c
+        FROM m GROUP BY 1, 2) g
+  WHERE c > 1 GROUP BY 1
+), j AS (
+  SELECT n.priority, n.n, s.s,
+         n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie, 0) AS var18
+  FROM n JOIN s ON n.priority = s.priority
+  LEFT JOIN ties t ON n.priority = t.priority
+)
+SELECT priority, n AS n_periods, s AS s_stat,
+       CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN s > 0 THEN
+              floor((s - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    * 10000 + 0.5) / 10000
+            WHEN s < 0 THEN
+              floor((s + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS z,
+       CASE WHEN s > 0 AND (s - 1) * (s - 1) * 180000 > 38416 * var18
+              THEN 'increasing'
+            WHEN s < 0 AND (s + 1) * (s + 1) * 180000 > 38416 * var18
+              THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM j
+""",
+)
+def q_time_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the monthly revenue series per order
+    priority — the standard nonparametric is-this-series-trending test
+    (and the significance companion of q_agg_theilsen's slope: MK says
+    WHETHER a monotone trend exists, Theil-Sen says how steep). The S
+    statistic is a pure integer (sum of pairwise sign comparisons over
+    exact-cent monthly sums), the tie-corrected variance stays on the
+    INTEGER 18*Var scale (n(n-1)(2n+5) - sum t(t-1)(2t+5); never
+    divided), and the significance call at alpha=0.05 is an exact
+    integer comparison — (S-+1)^2 * 180000 > 38416 * 18Var clears
+    z^2 > 1.96^2 of all floats, so both engines make the identical
+    trend/no-trend call. Only the DISPLAYED z touches doubles (one
+    shared continuity-corrected expression, floored 4dp). Plan: the
+    month rollup collapses orders map-side to ~80 rows per priority;
+    the pairwise self-join runs on that tiny aggregate (never on raw
+    rows) — at 100 TB the O(k^2) pair stage is bounded by the PERIOD
+    count, not the data, which is exactly why MK scales where
+    rank-regression on raw rows would not."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("ym"),
+        )
+        .agg(F.sum(cents).alias("v"))
+        .localCheckpoint()  # feeds pairs, n, and ties (3 consumers)
+    )
+    return mann_kendall_frame(m)
+
+
+def mann_kendall_frame(m):
+    """Mann-Kendall core over a (priority, ym, v) series frame — the
+    production expression tree, importable so worked-example tests can
+    drive it on hand-built series (the welch_from_moments discipline).
+    ``v`` must be an exact integer (cents); ``ym`` any ordered int."""
+    a = m.select("priority", F.col("ym").alias("ym1"), F.col("v").alias("v1"))
+    b = m.select(
+        F.col("priority").alias("p2"),
+        F.col("ym").alias("ym2"),
+        F.col("v").alias("v2"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("priority") == F.col("p2")) & (F.col("ym1") < F.col("ym2")),
+        )
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.when(F.col("v2") > F.col("v1"), 1)
+                .when(F.col("v2") < F.col("v1"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    n = m.groupBy("priority").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        m.groupBy("priority", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            )
+            .cast("long")
+            .alias("tie")
+        )
+    )
+    j = (
+        n.join(s, "priority")
+        .join(ties, "priority", "left")
+        .select(
+            "priority",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    r4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    sig_pos = (
+        (F.col("s") - 1) * (F.col("s") - 1) * 180000 > 38416 * F.col("var18")
+    )
+    sig_neg = (
+        (F.col("s") + 1) * (F.col("s") + 1) * 180000 > 38416 * F.col("var18")
+    )
+    return j.select(
+        "priority",
+        F.col("n").alias("n_periods"),
+        F.col("s").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        F.when(F.col("s") > 0, r4((F.col("s") - 1) / sd))
+        .when(F.col("s") < 0, r4((F.col("s") + 1) / sd))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+        F.when((F.col("s") > 0) & sig_pos, F.lit("increasing"))
+        .when((F.col("s") < 0) & sig_neg, F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+    )
+
+
+@query(
+    "q_time_control_chart",
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT day, v, lag(v) OVER (ORDER BY day) AS prev FROM d
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS sv,
+         CAST(count(prev) AS BIGINT) AS m, sum(abs(v - prev)) AS smr
+  FROM l
+)
+SELECT day, v AS v_cents,
+       CASE WHEN v * n > sv THEN 'above' ELSE 'below' END AS side,
+       floor(CAST(sv AS DOUBLE) / n + 0.5) / 100 AS center,
+       floor(CAST(sv AS DOUBLE) / n
+             + 2.66 * (CAST(smr AS DOUBLE) / m) + 0.5) / 100 AS ucl,
+       floor(CAST(sv AS DOUBLE) / n
+             - 2.66 * (CAST(smr AS DOUBLE) / m) + 0.5) / 100 AS lcl
+FROM l, s
+WHERE CAST(abs(v * n - sv) AS HUGEINT) * m * 1000
+      > CAST(2660 AS HUGEINT) * smr * n
+""",
+)
+def q_time_control_chart(spark, sf_dir):
+    """XmR (individuals / moving-range) control chart over the daily
+    revenue series — the Shewhart SPC screen for 'is this day out of
+    statistical control': limits are mean(v) +- 2.66 * mean(|v_t -
+    v_{t-1}|) (2.66 = 3/d2 for the 2-point moving range). The
+    violation decision never touches a double: |v*n - Sv| * m * 1000 >
+    2660 * Smr * n compares exact integers, widened to decimal(38,0)/
+    HUGEINT because the cross-products exceed int64 headroom at scale
+    (the q_time_changepoint LONG-floor lesson). Only the DISPLAYED
+    center/UCL/LCL are doubles (one shared expression each over the
+    same exact integer moments, floored to whole cents). Plan: orders
+    collapse map-side to one row per day; the lag and the 4-term
+    moment aggregate run on that ~2.4k-row series (a single-partition
+    window on a POST-AGGREGATE frame — the day grain stays tiny at any
+    corpus size, which is what makes XmR charts viable at 100 TB); the
+    1-row moment frame broadcasts back onto the series."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / F.lit(86400000000)
+    )
+    d = o.groupBy(day.cast("long").alias("day")).agg(F.sum(cents).alias("v"))
+    return xmr_frame(d)
+
+
+def xmr_frame(d):
+    """XmR control-chart core over a (day, v) series frame — the
+    production expression tree, importable for worked-example tests.
+    ``v`` must be an exact integer (cents)."""
+    # localCheckpoint: the lagged series feeds both the 1-row moment
+    # aggregate and the violation filter (sibling-consumer rule).
+    l_ = d.withColumn(
+        "prev", F.lag("v").over(Window.orderBy("day"))
+    ).localCheckpoint()
+    stats = l_.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("sv"),
+        F.count("prev").cast("long").alias("m"),
+        F.sum(F.abs(F.col("v") - F.col("prev"))).alias("smr"),
+    )
+    j = l_.crossJoin(F.broadcast(stats))
+    dec = F.lit(0).cast("decimal(38,0)")
+    lhs = (
+        F.abs(
+            F.col("v").cast("decimal(38,0)") * F.col("n") - F.col("sv")
+        )
+        * F.col("m")
+        * 1000
+    )
+    rhs = (F.lit(2660) + dec) * F.col("smr") * F.col("n")
+    mean_c = F.col("sv").cast("double") / F.col("n")
+    band = F.lit(2.66) * (F.col("smr").cast("double") / F.col("m"))
+    r_cents = lambda x: F.floor(x + F.lit(0.5)) / 100  # noqa: E731
+    return j.filter(lhs > rhs).select(
+        "day",
+        F.col("v").alias("v_cents"),
+        F.when(
+            F.col("v") * F.col("n") > F.col("sv"), F.lit("above")
+        )
+        .otherwise(F.lit("below"))
+        .alias("side"),
+        r_cents(mean_c).alias("center"),
+        r_cents(mean_c + band).alias("ucl"),
+        r_cents(mean_c - band).alias("lcl"),
+    )
