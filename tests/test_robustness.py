@@ -435,6 +435,7 @@ def test_driver_window_ordering_is_pinned():
         "q_win_skyline",
         "q_time_mann_kendall",
         "q_time_control_chart",
+        "q_win_rolling_corr",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

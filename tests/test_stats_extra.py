@@ -728,3 +728,71 @@ def test_xmr_worked_example_and_bruteforce(spark):
         for r in all_queries()["q_time_control_chart"](spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_rolling_corr_worked_example_and_bruteforce(spark):
+    from wikidata2pg_spark.operators.windows import rolling_corr_frame
+
+    # perfect linear co-movement y = 2x + 5 -> corr exactly 1.0;
+    # anti-movement y = -x -> corr exactly -1.0
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [("a", i, i + 1, 2 * (i + 1) + 5) for i in range(12)]
+        + [("b", i, i + 1, 100 - (i + 1)) for i in range(12)],
+        "flag string, day long, x long, y long",
+    ).select(
+        "flag",
+        "day",
+        F.col("x").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    rows = rolling_corr_frame(d).collect()
+    assert rows and all(r.n_obs >= 10 for r in rows)
+    assert all(r.corr == 1.0 for r in rows if r.flag == "a")
+    assert all(r.corr == -1.0 for r in rows if r.flag == "b")
+    # brute force on the fixture
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for f_, sd, q, p in zip(
+        t.column("l_returnflag").to_pylist(),
+        t.column("l_shipdate").to_pylist(),
+        t.column("l_quantity").to_pylist(),
+        t.column("l_extendedprice").to_pylist(),
+    ):
+        day = (sd - epoch).days
+        xy = daily.setdefault((f_, day), [0, 0])
+        xy[0] += int(math.floor(q + 0.5))
+        xy[1] += _cents(p)
+    want = {}
+    by_flag: dict = {}
+    for (f_, day), (x, y) in daily.items():
+        by_flag.setdefault(f_, []).append((day, x, y))
+    for f_, pts in by_flag.items():
+        pts.sort()
+        for i, (day, _x, _y) in enumerate(pts):
+            fr = [(x, y) for dd, x, y in pts if day - 29 <= dd <= day]
+            n = len(fr)
+            if n < 10:
+                continue
+            sx = sum(x for x, _ in fr)
+            sy = sum(y for _, y in fr)
+            sxy = sum(x * y for x, y in fr)
+            sxx = sum(x * x for x, _ in fr)
+            syy = sum(y * y for _, y in fr)
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            c = float(n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+            want[(f_, day)] = (n, _floor6(c))
+    got = {
+        (r.flag, r.day): (r.n_obs, r.corr)
+        for r in all_queries()["q_win_rolling_corr"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 1000
+    # discriminating: correlation actually varies across the series
+    assert len({v[1] for v in want.values()}) > 100

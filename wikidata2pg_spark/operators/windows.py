@@ -782,3 +782,103 @@ def q_win_cume_dist_nth(spark, sf_dir):
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_orderkey", 3).over(wf).alias("third_order"),
     )
+
+
+@query(
+    "q_win_rolling_corr",
+    oracle="""
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(epoch_us(l_shipdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT) AS x,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS y
+  FROM lineitem GROUP BY 1, 2
+), w AS (
+  SELECT flag, day,
+         CAST(count(*) OVER fr AS HUGEINT) AS n,
+         sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+         sum(x * y) OVER fr AS sxy,
+         sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy
+  FROM d
+  WINDOW fr AS (PARTITION BY flag ORDER BY day
+                RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT flag, day, CAST(n AS BIGINT) AS n_obs,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS corr
+FROM w
+WHERE n >= 10 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def q_win_rolling_corr(spark, sf_dir):
+    """Rolling 30-calendar-day Pearson correlation between daily
+    shipped quantity and daily revenue, per return flag — the windowed
+    co-movement monitor (is volume still tracking revenue this month?).
+    The frame is RANGE on the integer day value, not ROWS (the r6
+    calendar-trap rule: a '30-day' window must not silently span gaps).
+    All five moments are exact-integer window sums widened to
+    decimal(38,0)/HUGEINT BEFORE any product — n*syy is ~2.7e19 at
+    sf0.1 (past int64), and at 1000x scale the cents^2 terms keep
+    growing, so the wide-integer moments are the 100 TB-correct form.
+    The correlation itself is ONE shared float expression over
+    IEEE-nearest double casts of those exact integers, floored 6dp;
+    degenerate-variance days are excluded by an exact integer
+    predicate (n*sxx - sx^2 > 0), never a float epsilon. Plan: lineitem
+    collapses map-side to (flag, day) rows; one flag-partitioned range
+    window computes all six frame aggregates in a single Window node;
+    post-aggregate series stay tiny at any corpus size."""
+    li = load(spark, sf_dir, "lineitem")
+    day = F.floor(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        / F.lit(86400000000)
+    ).cast("long")
+    qty = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    d = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), day.alias("day"))
+        .agg(
+            F.sum(qty).cast("decimal(38,0)").alias("x"),
+            F.sum(cents).cast("decimal(38,0)").alias("y"),
+        )
+    )
+    return rolling_corr_frame(d)
+
+
+def rolling_corr_frame(d):
+    """Rolling-correlation core over a (flag, day, x, y) frame with
+    decimal(38,0) x/y — the production expression tree, importable so
+    worked-example tests (perfect linear co-movement -> corr == 1.0)
+    drive the exact code path."""
+    fr = (
+        Window.partitionBy("flag")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    w = d.select(
+        "flag",
+        "day",
+        F.count(F.lit(1)).over(fr).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y").over(fr).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(fr).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(fr).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = num.cast("double") / F.sqrt(
+        vx.cast("double") * vy.cast("double")
+    )
+    return w.filter(
+        (F.col("n") >= 10) & (vx > 0) & (vy > 0)
+    ).select(
+        "flag",
+        "day",
+        F.col("n").cast("long").alias("n_obs"),
+        (F.floor(corr * 1000000 + F.lit(0.5)) / 1000000).alias("corr"),
+    )
