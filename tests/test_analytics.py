@@ -2843,3 +2843,78 @@ def test_gains_table_matches_python_ntile(spark):
     assert set(out) == set(per)
     # gains monotone: decile 1 outlifts decile 10
     assert out[1].lift > 1 > out[10].lift
+
+
+def test_vocab_richness_bruteforce_and_bounds(spark):
+    t = pq.read_table(f"{SF_T2}/documents.parquet", columns=["text"])
+    counts: dict = {}
+    for txt in t.column("text").to_pylist():
+        ws = txt.split(" ")
+        for i in range(len(ws) - 2):
+            g = " ".join(ws[i : i + 3])
+            counts[g] = counts.get(g, 0) + 1
+    s_obs = len(counts)
+    f1 = sum(1 for c in counts.values() if c == 1)
+    f2 = sum(1 for c in counts.values() if c == 2)
+    n = sum(counts.values())
+    [r] = all_queries()["q_text_vocab_richness"](spark, SF_T2).collect()
+    assert (r.s_obs, r.f1, r.f2, r.n_grams) == (s_obs, f1, f2, n)
+    chao1 = s_obs + float(f1 * (f1 - 1)) / (2 * (f2 + 1))
+    assert r.chao1 == math.floor(chao1 * 10000 + 0.5) / 10000
+    assert r.gt_coverage == math.floor((1 - float(f1) / n) * 1e6 + 0.5) / 1e6
+    # estimator sanity: Chao1 can never fall below the observed richness,
+    # and a Zipf-tailed fixture must leave real unseen mass (f1 > 0)
+    assert f1 > 0 and r.chao1 > s_obs
+    assert 0.0 < r.gt_coverage < 1.0
+
+
+def test_jsd_worked_examples_and_bruteforce(spark):
+    from wikidata2pg_spark.llm.text import jsd_pairs_frame
+
+    # disjoint vocabularies -> JSD = ln 2 exactly; identical -> 0
+    c = spark.createDataFrame(
+        [("a", "x", 3), ("a", "y", 1), ("b", "u", 2), ("b", "v", 2),
+         ("d", "x", 6), ("d", "y", 2)],
+        "source string, w string, c long",
+    )
+    got = {(r.s1, r.s2): r.jsd for r in jsd_pairs_frame(c).collect()}
+    assert got[("a", "b")] == round(math.log(2), 6)
+    # a and d have identical distributions (3:1 == 6:2) -> JSD 0
+    assert got[("a", "d")] == 0.0
+    assert got[("b", "d")] == got[("a", "b")]  # d disjoint from b too
+    # brute force over the fixture corpus
+    t = pq.read_table(f"{SF_T2}/documents.parquet", columns=["source", "text"])
+    cnt: dict = {}
+    tot: dict = {}
+    vocab = set()
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        for w in txt.split(" "):
+            cnt[(src, w)] = cnt.get((src, w), 0) + 1
+            tot[src] = tot.get(src, 0) + 1
+            vocab.add(w)
+    srcs = sorted(tot)
+    want = {}
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            n1, n2 = tot[s1], tot[s2]
+            acc = 0.0
+            for w in sorted(vocab):  # word-ordered fold, engine order
+                c1, c2 = cnt.get((s1, w), 0), cnt.get((s2, w), 0)
+                den = c1 * n2 + c2 * n1
+                term = 0.0
+                if c1 > 0:
+                    term += c1 / n1 * math.log(float(2 * c1 * n2) / den)
+                if c2 > 0:
+                    term += c2 / n2 * math.log(float(2 * c2 * n1) / den)
+                acc += term
+            want[(s1, s2)] = round(0.5 * acc, 6)
+    out = {
+        (r.s1, r.s2): r.jsd
+        for r in all_queries()["q_text_jsd_sources"](spark, SF_T2).collect()
+    }
+    assert len(out) == len(want) == 190
+    # transcendental folds: engine-vs-python agree to an ulp-scale band
+    assert all(abs(out[k] - want[k]) < 1e-9 for k in want)
+    # bounded metric with real spread on the fixture
+    assert all(0.0 <= v <= math.log(2) + 1e-12 for v in out.values())
+    assert len(set(out.values())) > 50

@@ -436,6 +436,8 @@ def test_driver_window_ordering_is_pinned():
         "q_time_mann_kendall",
         "q_time_control_chart",
         "q_win_rolling_corr",
+        "q_text_vocab_richness",
+        "q_text_jsd_sources",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

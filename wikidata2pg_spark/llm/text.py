@@ -1437,3 +1437,199 @@ def q_text_burstiness(spark, sf_dir):
             "vmr"
         ),
     )
+
+
+@query(
+    "q_text_vocab_richness",
+    oracle="""
+WITH t AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS tg
+  FROM t WHERE len(ws) >= 3
+), c AS (
+  SELECT tg, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY tg
+)
+SELECT CAST(count(*) AS BIGINT) AS s_obs,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       floor((count(*) + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                              AS DOUBLE)
+                         / (2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)))
+             * 10000 + 0.5) / 10000 AS chao1,
+       floor((1 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / sum(c)) * 1000000 + 0.5) / 1000000 AS gt_coverage
+FROM c
+""",
+)
+def q_text_vocab_richness(spark, sf_dir):
+    """Corpus vocabulary-richness estimate over word TRIGRAM types:
+    Chao1 (bias-corrected: S_obs + f1(f1-1)/(2(f2+1))) plus Good-Turing
+    coverage (1 - singletons/tokens) — the 'how much unseen diversity
+    is left' audit a pretraining-data pipeline runs before deciding to
+    crawl more (coverage near 1 = the corpus has saturated; a low
+    Chao1/S_obs ratio = sampling more of the same). Trigram types, not
+    words: the fixture's word vocabulary is closed (f1 = 0, Chao1
+    degenerate), while trigram contexts keep Zipf tails at every
+    corpus size — and context-level richness is the signal that
+    actually predicts LM data value. Everything is exact-integer
+    frequencies-of-frequencies; the two estimator divisions are single
+    shared float expressions (floored 4dp/6dp). Plan: trigram expand ->
+    one (gram) combine -> 1-row frequency-of-frequency aggregate; at
+    100 TB it is the word-count shuffle shape with a 3x wider key —
+    partial aggregation absorbs the duplicate mass map-side."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.array_join(F.slice(t, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c = (
+        d.select(F.explode(grams).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    s_obs = F.count(F.lit(1)).cast("long")
+    n = F.sum("c").cast("long")
+    agg = c.agg(
+        s_obs.alias("s_obs"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        n.alias("n_grams"),
+    )
+    chao1 = F.col("s_obs") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ).cast("double") / (2 * (F.col("f2") + 1))
+    cov = 1 - F.col("f1").cast("double") / F.col("n_grams")
+    return agg.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_grams",
+        (F.floor(chao1 * 10000 + F.lit(0.5)) / 10000).alias("chao1"),
+        (F.floor(cov * 1000000 + F.lit(0.5)) / 1000000).alias("gt_coverage"),
+    )
+
+
+@query(
+    "q_text_jsd_sources",
+    oracle="""
+WITH c AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), n AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+), words AS (
+  SELECT DISTINCT w FROM c
+), grid AS (
+  SELECT n.source, n.n, words.w, coalesce(c.c, 0) AS c
+  FROM n CROSS JOIN words
+  LEFT JOIN c ON c.source = n.source AND c.w = words.w
+), terms AS (
+  SELECT g1.source AS s1, g2.source AS s2, g1.w,
+         CASE WHEN g1.c > 0 THEN
+           CAST(g1.c AS DOUBLE) / g1.n
+             * ln(CAST(2 * g1.c * g2.n AS DOUBLE)
+                  / (g1.c * g2.n + g2.c * g1.n))
+         ELSE 0.0 END
+         + CASE WHEN g2.c > 0 THEN
+           CAST(g2.c AS DOUBLE) / g2.n
+             * ln(CAST(2 * g2.c * g1.n AS DOUBLE)
+                  / (g1.c * g2.n + g2.c * g1.n))
+         ELSE 0.0 END AS term
+  FROM grid g1 JOIN grid g2 ON g1.w = g2.w AND g1.source < g2.source
+)
+SELECT s1, s2,
+       round(0.5 * list_reduce(list_prepend(0.0, list(term ORDER BY w)),
+                               (a, b) -> a + b), 6) AS jsd
+FROM terms GROUP BY s1, s2
+""",
+)
+def q_text_jsd_sources(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source word
+    distributions — the symmetric, bounded [0, ln 2] corpus-mixture
+    distance (which ingest sources are interchangeable, which add
+    genuinely different text?) used to pick domain weights before
+    training. Complements q_dq_kl_drift (each source vs THE corpus,
+    asymmetric) with the full source-to-source geometry. Each term
+    keeps the probability ratio INSIDE the log as a pure integer ratio
+    (p/m = 2*c1*n2 / (c1*n2 + c2*n1) — no float division feeds the
+    transcendental), zero cells are materialized via the full
+    source-x-word grid (the contingency_fold lesson: a product-space
+    sum over observed cells only silently drops the one-sided words
+    whose p*ln(2) mass is exactly where divergence lives), term sums
+    are word-ORDERED folds on both engines, and only the final 0.5*sum
+    is rounded (6dp, transcendental per FIXTURES rule 1). Plan: one
+    (source, word) combine collapses the corpus; the grid is
+    |sources| x |vocab| (broadcastable by construction after a vocab
+    cap); the pair join fans 190 source pairs over the shared word
+    axis — at 100 TB the corpus is touched once and every later stage
+    is vocabulary-bounded."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # feeds totals, vocab, and the dense grid
+    )
+    return jsd_pairs_frame(c)
+
+
+def jsd_pairs_frame(c):
+    """JSD core over a (source, w, c) count frame — the production
+    expression tree, importable so worked-example tests (disjoint
+    vocabularies -> JSD == ln 2, identical distributions -> 0) drive
+    the exact code path."""
+    from wikidata2pg_spark.operators.analytics import ordered_fold
+
+    n = c.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    words = c.select("w").distinct()
+    grid = (
+        n.crossJoin(F.broadcast(words))
+        .join(c, ["source", "w"], "left")
+        .select(
+            "source", "n", "w", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    g1 = grid.select(
+        F.col("source").alias("s1"),
+        F.col("n").alias("n1"),
+        "w",
+        F.col("c").alias("c1"),
+    )
+    g2 = grid.select(
+        F.col("source").alias("s2"),
+        F.col("n").alias("n2"),
+        F.col("w").alias("w2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = g1.join(
+        g2, (F.col("w") == F.col("w2")) & (F.col("s1") < F.col("s2"))
+    )
+    denom = F.col("c1") * F.col("n2") + F.col("c2") * F.col("n1")
+    term = F.when(
+        F.col("c1") > 0,
+        F.col("c1").cast("double")
+        / F.col("n1")
+        * F.log((2 * F.col("c1") * F.col("n2")).cast("double") / denom),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("c2") > 0,
+        F.col("c2").cast("double")
+        / F.col("n2")
+        * F.log((2 * F.col("c2") * F.col("n1")).cast("double") / denom),
+    ).otherwise(F.lit(0.0))
+    return pairs.groupBy("s1", "s2").agg(
+        F.round(
+            0.5 * ordered_fold(F.col("w"), term, "_s"), 6
+        ).alias("jsd")
+    )
