@@ -253,6 +253,52 @@ def test_audio_energy_short_docs_yield_no_windows(spark, tmp_path):
     assert by_doc[3] == [0, 1, 2, 3]  # (40-16)//8 + 1 windows
 
 
+def test_image_tiles_geometry_and_byte_sums(spark, tmp_path):
+    """Patch-grid brute force on crafted payloads: the empty/short docs
+    emit no patches (the audio-key sequence guard), a 40-byte doc cuts
+    to 2 full 16-byte patches (the 8-byte tail is dropped, never a
+    partial patch), and a 300-byte doc is CAPPED at 16 patches (4x4
+    grid). Byte sums and grid coordinates checked against Python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.registry import all_queries
+
+    sf = str(tmp_path)
+    texts = {1: "short", 2: "", 3: "x" * 40, 4: "abcdefgh" * 38}  # 304 bytes
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    rows = all_queries()["q_multimodal_image_tiles"](spark, sf).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc
+    assert len(by_doc[3]) == 2 and all(r.n_patches == 2 for r in by_doc[3])
+    assert len(by_doc[4]) == 16 and all(r.n_patches == 16 for r in by_doc[4])
+    for doc_id, rs in by_doc.items():
+        raw = texts[doc_id].encode()
+        for r in sorted(rs, key=lambda r: r.patch_idx):
+            patch = raw[r.patch_idx * 16 : r.patch_idx * 16 + 16]
+            assert r.patch_hex == patch.hex().upper()
+            assert r.byte_sum == sum(patch)
+            assert (r.tile_row, r.tile_col) == (
+                r.patch_idx // 4,
+                r.patch_idx % 4,
+            )
+    # the cap really is the cap: doc 4 has 304 bytes but only 256 used
+    assert max(r.patch_idx for r in by_doc[4]) == 15
+
+
 def test_driver_window_ordering_is_pinned():
     """queries()/oracle_sql() must lead with _ROUND6_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
@@ -438,6 +484,8 @@ def test_driver_window_ordering_is_pinned():
         "q_win_rolling_corr",
         "q_text_vocab_richness",
         "q_text_jsd_sources",
+        "q_retrieval_mrr",
+        "q_multimodal_image_tiles",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

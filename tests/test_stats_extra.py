@@ -796,3 +796,51 @@ def test_rolling_corr_worked_example_and_bruteforce(spark):
     assert got == want and len(want) > 1000
     # discriminating: correlation actually varies across the series
     assert len({v[1] for v in want.values()}) > 100
+
+
+def test_mrr_bruteforce_fixture(spark):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    embs = {i: v for i, v in zip(ids, t.column("embedding").to_pylist())}
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+
+    queries = sorted(i for i in ids if i < 8)
+    rrs = []
+    h1 = h3 = h10 = 0
+    for qid in queries:
+        qe = [float(x) for x in embs[qid]]
+        qn = math.sqrt(dot(qe, qe))
+        cands = [i for i in ids if i != qid]
+        gold = min(
+            cands,
+            key=lambda i: (
+                -dot(qe, [float(x) for x in embs[i]])
+                / (qn * math.sqrt(dot([float(x) for x in embs[i]],
+                                      [float(x) for x in embs[i]]))),
+                i,
+            ),
+        )
+        ranked = sorted(cands, key=lambda i: (ham(qe, embs[i]), i))
+        rk = ranked.index(gold) + 1
+        rrs.append(1.0 / rk)
+        h1 += rk <= 1
+        h3 += rk <= 3
+        h10 += rk <= 10
+    mrr = sum(rrs) / len(queries)  # query-ordered left fold
+    [r] = all_queries()["q_retrieval_mrr"](spark, SF).collect()
+    assert r.n_queries == len(queries) == 8
+    assert r.mrr == _floor6(mrr)
+    assert (r.hits_at_1, r.hits_at_3, r.hits_at_10) == (h1, h3, h10)
+    # metric sanity: monotone hit bands bracket the MRR
+    assert r.hits_at_1 <= r.hits_at_3 <= r.hits_at_10 <= r.n_queries
+    assert r.hits_at_1 / r.n_queries <= r.mrr + 1e-9 <= 1.0
+    # discriminating fixture: the index is good but not perfect
+    assert 0 < r.hits_at_10 and r.hits_at_1 < r.n_queries

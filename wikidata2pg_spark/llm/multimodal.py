@@ -227,3 +227,92 @@ def q_multimodal_audio_energy(spark, sf_dir):
         F.aggregate(bytes_arr, F.lit(0).cast("long"), lambda a, x: a + x).alias("energy"),
         F.array_max(bytes_arr).alias("peak"),
     )
+
+
+@query(
+    "q_multimodal_image_tiles",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         least(octet_length(encode(text)), 256) // 16 AS n_patches
+  FROM documents WHERE doc_id < 200
+), t AS (
+  SELECT doc_id, n_patches, w.i AS patch_idx,
+         substring(h, (w.i * 32 + 1)::INT, 32) AS patch_hex
+  FROM p, LATERAL (SELECT unnest(range(n_patches))) w(i)
+)
+SELECT doc_id, CAST(n_patches AS BIGINT) AS n_patches,
+       CAST(patch_idx AS INTEGER) AS patch_idx,
+       CAST(patch_idx // 4 AS INTEGER) AS tile_row,
+       CAST(patch_idx % 4 AS INTEGER) AS tile_col,
+       patch_hex,
+       CAST(list_aggregate(list_transform(range(16),
+            i -> ('0x' || substring(patch_hex, (i*2+1)::INT, 2))::BIGINT),
+            'sum') AS BIGINT) AS byte_sum
+FROM t
+""",
+)
+def q_multimodal_image_tiles(spark, sf_dir):
+    """ViT-style patch tokenization: the binary payload is treated as a
+    row-major image buffer and cut into NON-overlapping 16-byte
+    patches on a 4-wide grid (capped at 256 bytes = a 4x4 patch grid),
+    each patch emitting its grid coordinates, content hex, and exact
+    byte sum — the schema/explode/partitioning plumbing of
+    image-patch-embedding pipelines (a real vision stack swaps the hex
+    fingerprint for a patch-embedding UDF; the patch geometry and the
+    per-patch row contract are what this key pins). Completes the
+    multimodal family's geometry matrix: framesample = strided 1-D
+    selection, audio_energy = OVERLAPPING 1-D windows, tiles =
+    non-overlapping 2-D grid. Byte values go through hex-pair
+    arithmetic (no blob-function assumptions); the cap bounds the
+    expansion to <=16 rows per doc regardless of payload size — at
+    100 TB the explode stays inside the scan task with zero shuffle,
+    and patch rows inherit the file's partitioning for a downstream
+    embedding stage."""
+    PATCH, GRID_W, CAP = 16, 4, 256
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = d.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"),
+        F.floor(
+            F.least(
+                F.length(F.encode(F.col("text"), "UTF-8")), F.lit(CAP)
+            )
+            / PATCH
+        )
+        .cast("long")
+        .alias("n_patches"),
+    )
+    idx_seq = F.when(
+        F.col("n_patches") > 0,
+        F.sequence(F.lit(0), F.col("n_patches").cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    t = p.select(
+        "doc_id",
+        "n_patches",
+        "h",
+        F.explode(idx_seq).alias("patch_idx"),
+    ).select(
+        "doc_id",
+        "n_patches",
+        "patch_idx",
+        F.col("h")
+        .substr(F.col("patch_idx") * 32 + 1, F.lit(32))
+        .alias("patch_hex"),
+    )
+    byte_sum = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.conv(F.col("patch_hex").substr(i * 2 + 1, F.lit(2)), 16, 10)
+        .cast("long"),
+    )
+    return t.select(
+        "doc_id",
+        "n_patches",
+        F.col("patch_idx").cast("int").alias("patch_idx"),
+        F.floor(F.col("patch_idx") / GRID_W).cast("int").alias("tile_row"),
+        (F.col("patch_idx") % GRID_W).cast("int").alias("tile_col"),
+        "patch_hex",
+        byte_sum.alias("byte_sum"),
+    )
