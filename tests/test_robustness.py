@@ -486,6 +486,7 @@ def test_driver_window_ordering_is_pinned():
         "q_text_jsd_sources",
         "q_retrieval_mrr",
         "q_multimodal_image_tiles",
+        "q_time_strength",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

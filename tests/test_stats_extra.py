@@ -844,3 +844,62 @@ def test_mrr_bruteforce_fixture(spark):
     assert r.hits_at_1 / r.n_queries <= r.mrr + 1e-9 <= 1.0
     # discriminating fixture: the index is good but not perfect
     assert 0 < r.hits_at_10 and r.hits_at_1 < r.n_queries
+
+
+def test_strength_closed_form_and_bruteforce(spark):
+    from wikidata2pg_spark.operators.analytics import strength_from_daily
+
+    # pure linear trend + pure weekly seasonality, zero noise ->
+    # residual is exactly 0 and BOTH strengths are exactly 1.0
+    seas = [0, 70, 140, 210, 280, 350, 420]
+    d = spark.createDataFrame(
+        [(i, 7 * i + seas[i % 7]) for i in range(28)], "day long, value_c long"
+    )
+    [r] = strength_from_daily(d).collect()
+    assert r.n_days == 22  # 28 minus 3 edge days each side
+    assert r.f_trend == 1.0 and r.f_seasonal == 1.0
+    # brute force on the fixture, mirroring the engines' exact shapes
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        day = (od - epoch).days
+        daily[day] = daily.get(day, 0) + _cents(tp)
+    full = {
+        d_: (v, sum(daily[x] for x in range(d_ - 3, d_ + 4) if x in daily))
+        for d_, v in daily.items()
+        if sum(1 for x in range(d_ - 3, d_ + 4) if x in daily) == 7
+    }
+    ssum: dict = {}
+    scnt: dict = {}
+    for d_, (v, tu) in full.items():
+        w = d_ % 7
+        ssum[w] = ssum.get(w, 0) + (7 * v - tu)
+        scnt[w] = scnt.get(w, 0) + 1
+    s_r = ss_r = s_sr = ss_sr = s_tr = ss_tr = 0.0
+    for d_ in sorted(full):  # day-ordered folds, engine order
+        v, tu = full[d_]
+        w = d_ % 7
+        detr = 7 * v - tu
+        c = scnt[w]
+        r_ = float(detr * c - ssum[w]) / (7 * c)
+        sr_ = float(detr) / 7
+        tr_ = float(7 * c * v - ssum[w]) / (7 * c)
+        s_r += r_
+        ss_r += r_ * r_
+        s_sr += sr_
+        ss_sr += sr_ * sr_
+        s_tr += tr_
+        ss_tr += tr_ * tr_
+    n = len(full)
+    var_r = n * ss_r - s_r * s_r
+    var_tr = n * ss_tr - s_tr * s_tr
+    var_sr = n * ss_sr - s_sr * s_sr
+    [g] = all_queries()["q_time_strength"](spark, SF).collect()
+    assert g.n_days == n
+    assert g.f_trend == _floor6(max(0.0, 1 - var_r / var_tr))
+    assert g.f_seasonal == _floor6(max(0.0, 1 - var_r / var_sr))
+    # real data: strengths strictly inside (0, 1)
+    assert 0.0 < g.f_trend < 1.0 and 0.0 < g.f_seasonal < 1.0

@@ -5166,3 +5166,152 @@ def xmr_frame(d):
         r_cents(mean_c + band).alias("ucl"),
         r_cents(mean_c - band).alias("lcl"),
     )
+
+
+@query(
+    "q_time_strength",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS value_c
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day, value_c,
+         CAST(sum(value_c) OVER w AS BIGINT) AS trend_u,
+         count(*) OVER w AS cnt7
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), f AS (
+  SELECT day, day % 7 AS wd, value_c,
+         7 * value_c - trend_u AS detr_u
+  FROM t WHERE cnt7 = 7
+), s AS (
+  SELECT wd, CAST(sum(detr_u) AS BIGINT) AS s_sum,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM f GROUP BY wd
+), comp AS (
+  SELECT f.day,
+         CAST(f.detr_u * s.s_cnt - s.s_sum AS DOUBLE)
+           / (7 * s.s_cnt) AS r,
+         CAST(f.detr_u AS DOUBLE) / 7 AS sr,
+         CAST(7 * s.s_cnt * f.value_c - s.s_sum AS DOUBLE)
+           / (7 * s.s_cnt) AS tr
+  FROM f JOIN s USING (wd)
+), folds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(0.0, list(r ORDER BY day)),
+                     (a, b) -> a + b) AS s_r,
+         list_reduce(list_prepend(0.0, list(r * r ORDER BY day)),
+                     (a, b) -> a + b) AS ss_r,
+         list_reduce(list_prepend(0.0, list(sr ORDER BY day)),
+                     (a, b) -> a + b) AS s_sr,
+         list_reduce(list_prepend(0.0, list(sr * sr ORDER BY day)),
+                     (a, b) -> a + b) AS ss_sr,
+         list_reduce(list_prepend(0.0, list(tr ORDER BY day)),
+                     (a, b) -> a + b) AS s_tr,
+         list_reduce(list_prepend(0.0, list(tr * tr ORDER BY day)),
+                     (a, b) -> a + b) AS ss_tr
+  FROM comp
+)
+SELECT n AS n_days,
+       floor(greatest(0.0, 1 - (n * ss_r - s_r * s_r)
+                               / (n * ss_tr - s_tr * s_tr))
+             * 1000000 + 0.5) / 1000000 AS f_trend,
+       floor(greatest(0.0, 1 - (n * ss_r - s_r * s_r)
+                               / (n * ss_sr - s_sr * s_sr))
+             * 1000000 + 0.5) / 1000000 AS f_seasonal
+FROM folds
+""",
+)
+def q_time_strength(spark, sf_dir):
+    """Trend and seasonality STRENGTH of the daily revenue series
+    (Hyndman's STL F-measures: F_trend = max(0, 1 - Var(R)/Var(T+R)),
+    F_seasonal = max(0, 1 - Var(R)/Var(S+R))) — the one-row summary
+    that says whether q_time_decompose's components actually carry
+    signal (the feature a forecasting pipeline uses to ROUTE series:
+    seasonal-naive vs drift vs flat). Shares the decompose key's exact
+    integer machinery: each component sample is ONE division of exact
+    int64s (S+R = detr_u/7; R and T+R cleared to the common
+    denominator 7*s_cnt), so both engines see bit-identical doubles;
+    the six variance moments are day-ORDERED folds (float addition
+    does not commute), and each strength is one shared float
+    expression over them, floored 6dp. Plan: the calendar-bounded
+    daily series (one shuffle from orders) feeds one global-ordered
+    window, a 7-row seasonal aggregate, and a single-row fold — at
+    100 TB everything after the first shuffle is O(days), not O(rows).
+    """
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(day.alias("day"), cents.alias("c"))
+        .groupBy("day")
+        .agg(F.sum("c").alias("value_c"))
+        .localCheckpoint()
+    )
+    return strength_from_daily(daily)
+
+
+def strength_from_daily(daily):
+    """STL-strength core over a (day, value_c) series frame — the
+    production expression tree, importable so the closed-form edge
+    (pure trend + pure weekly seasonality -> both strengths exactly
+    1.0) drives the exact code path."""
+    w = Window.orderBy("day").rangeBetween(-3, 3)
+    f = (
+        daily.select(
+            "day",
+            "value_c",
+            F.sum("value_c").over(w).alias("trend_u"),
+            F.count(F.lit(1)).over(w).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "day",
+            (F.col("day") % 7).alias("wd"),
+            "value_c",
+            (7 * F.col("value_c") - F.col("trend_u")).alias("detr_u"),
+        )
+        .localCheckpoint()  # feeds the seasonal agg and the join
+    )
+    s = f.groupBy("wd").agg(
+        F.sum("detr_u").alias("s_sum"), F.count(F.lit(1)).alias("s_cnt")
+    )
+    den = 7 * F.col("s_cnt")
+    comp = f.join(F.broadcast(s), "wd").select(
+        "day",
+        (
+            (F.col("detr_u") * F.col("s_cnt") - F.col("s_sum")).cast(
+                "double"
+            )
+            / den
+        ).alias("r"),
+        (F.col("detr_u").cast("double") / 7).alias("sr"),
+        (
+            (den * F.col("value_c") - F.col("s_sum")).cast("double") / den
+        ).alias("tr"),
+    )
+    folds = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        ordered_fold(F.col("day"), F.col("r"), "s_r"),
+        ordered_fold(F.col("day"), F.col("r") * F.col("r"), "ss_r"),
+        ordered_fold(F.col("day"), F.col("sr"), "s_sr"),
+        ordered_fold(F.col("day"), F.col("sr") * F.col("sr"), "ss_sr"),
+        ordered_fold(F.col("day"), F.col("tr"), "s_tr"),
+        ordered_fold(F.col("day"), F.col("tr") * F.col("tr"), "ss_tr"),
+    )
+    var_r = F.col("n") * F.col("ss_r") - F.col("s_r") * F.col("s_r")
+    var_tr = F.col("n") * F.col("ss_tr") - F.col("s_tr") * F.col("s_tr")
+    var_sr = F.col("n") * F.col("ss_sr") - F.col("s_sr") * F.col("s_sr")
+    r6_ = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return folds.select(
+        F.col("n").alias("n_days"),
+        r6_(F.greatest(F.lit(0.0), 1 - var_r / var_tr)).alias("f_trend"),
+        r6_(F.greatest(F.lit(0.0), 1 - var_r / var_sr)).alias("f_seasonal"),
+    )
