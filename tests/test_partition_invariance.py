@@ -112,6 +112,15 @@ KEYS = [
     "q_time_hampel",  # centered window frames at any split
     "q_agg_trimmed_mean",  # rank-band membership at any split
     "q_win_skyline",  # global dominance sweep at any split
+    # r6 final-session additions
+    "q_time_mann_kendall",  # pairwise S over the collapsed monthly series
+    "q_time_control_chart",  # global lag + 1-row moments at any split
+    "q_win_rolling_corr",  # RANGE frame over collapsed daily series
+    "q_text_vocab_richness",  # trigram f1/f2 counts at any split
+    "q_text_jsd_sources",  # dense grid + ordered folds at any split
+    "q_retrieval_mrr",  # two rankings + gold join at any split
+    "q_multimodal_image_tiles",  # per-row explode, split-local
+    "q_time_strength",  # checkpointed series + ordered folds
 ]
 
 

@@ -811,3 +811,62 @@ def test_truncation_fidelity_single_corpus_scan(spark):
         df = all_queries()[key](spark, SF_T2)
         plan = _plan(df)
         assert plan.count("embeddings.parquet") == 0, key
+
+
+def test_rolling_corr_one_window_node_after_daily_collapse(spark):
+    """All six frame moments must come out of ONE flag-partitioned
+    Window node sitting above the (flag, day) hash aggregate — a plan
+    that re-exchanges per moment or windows the raw scan is wrong at
+    any scale."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_win_rolling_corr"](spark, SF_T2))
+    assert plan.count("Window") == 1
+    assert "Exchange hashpartitioning(flag" in plan
+    assert "SinglePartition" not in plan
+    # the window reads the collapsed daily frame, not lineitem rows
+    assert plan.index("Window") < plan.index("Scan parquet")
+
+
+def test_mann_kendall_pairs_join_on_aggregate_not_rows(spark):
+    """The O(k^2) pairwise stage must join the ~80-row monthly
+    aggregate with itself — the collapse (partial HashAggregate on
+    priority, ym) happens below the join on both inputs."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_time_mann_kendall"](spark, SF_T2))
+    join_at = plan.index("Join")
+    # both join inputs are checkpointed collapsed frames (no parquet
+    # scan feeds the join directly)
+    assert "Scan ExistingRDD" in plan[join_at:]
+    assert "Scan parquet" not in plan[join_at:]
+
+
+def test_jsd_grid_broadcasts_vocab_and_collapses_first(spark):
+    """The dense source x word grid must come from a BROADCAST of the
+    distinct-vocab frame over the per-source totals, and the corpus
+    must collapse to (source, w) counts before any join — the 100 TB
+    posture is one documents pass + vocabulary-bounded stages."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_text_jsd_sources"](spark, SF_T2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the explode/count pipeline ran before the checkpoint: the plan
+    # consumes the collapsed counts RDD, never re-scanning documents
+    assert "Scan parquet" not in plan
+
+
+def test_strength_series_is_calendar_bounded(spark):
+    """The six ordered folds must aggregate the joined ~2.4k-row series
+    in one node above the checkpointed daily frame; orders is never
+    re-scanned after the daily collapse."""
+    from wikidata2pg_spark.registry import all_queries
+
+    plan = _plan(all_queries()["q_time_strength"](spark, SF_T2))
+    assert "Scan parquet" not in plan  # reads the checkpointed series
+    # the 7-day trend window ran inside the checkpoint materialization;
+    # what remains is the broadcast seasonal join + ONE fold aggregate
+    # with map-side partials before its SinglePartition exchange
+    assert "BroadcastHashJoin" in plan
+    pre, _, post = plan.partition("Exchange SinglePartition")
+    assert "partial_collect_list" in post and "partial_count" in post
