@@ -121,6 +121,8 @@ KEYS = [
     "q_retrieval_mrr",  # two rankings + gold join at any split
     "q_multimodal_image_tiles",  # per-row explode, split-local
     "q_time_strength",  # checkpointed series + ordered folds
+    "q_agg_hodges_lehmann",  # Walsh-pair order statistics at any split
+    "q_dq_freshness",  # broadcast frontier + conditional counts
 ]
 
 

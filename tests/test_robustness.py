@@ -487,6 +487,8 @@ def test_driver_window_ordering_is_pinned():
         "q_retrieval_mrr",
         "q_multimodal_image_tiles",
         "q_time_strength",
+        "q_agg_hodges_lehmann",
+        "q_dq_freshness",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

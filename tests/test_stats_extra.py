@@ -903,3 +903,71 @@ def test_strength_closed_form_and_bruteforce(spark):
     assert g.f_seasonal == _floor6(max(0.0, 1 - var_r / var_sr))
     # real data: strengths strictly inside (0, 1)
     assert 0.0 < g.f_trend < 1.0 and 0.0 < g.f_seasonal < 1.0
+
+
+def test_hodges_lehmann_worked_example_and_bruteforce(spark):
+    # hand case: series [1, 3, 5] -> Walsh sums d (i<=j): 2,4,6,6,8,10
+    # sorted -> m=6, lo=3rd=6, hi=4th=6 -> HL = 12/4 = 3.0
+    # (the pseudo-median equals the symmetric-series center)
+    t = pq.read_table(
+        f"{SF}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+    series: dict = {}
+    for p, d_, v in zip(
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_orderdate").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        ym = d_.year * 100 + d_.month
+        series.setdefault(p, {})
+        series[p][ym] = series[p].get(ym, 0) + _cents(v)
+    got = {
+        r.priority: r
+        for r in all_queries()["q_agg_hodges_lehmann"](spark, SF).collect()
+    }
+    for p, by_ym in series.items():
+        vals = sorted(by_ym.values())
+        k = len(vals)
+        walsh = sorted(
+            vals[i] + vals[j] for i in range(k) for j in range(i, k)
+        )
+        m = len(walsh)
+        hl = (walsh[(m + 1) // 2 - 1] + walsh[(m + 2) // 2 - 1]) / 4
+        r = got[p]
+        assert r.n_pairs == m == k * (k + 1) // 2
+        assert r.hl_cents == hl  # /4 is exact in binary FP: == holds
+        # robustness sandwich: HL sits strictly inside the value range
+        assert vals[0] < hl < vals[-1]
+    # the worked 3-point case, through the same brute-force path
+    vals = [1, 3, 5]
+    walsh = sorted(a + b for i, a in enumerate(vals) for b in vals[i:])
+    assert (walsh[2] + walsh[3]) / 4 == 3.0
+
+
+def test_freshness_bruteforce(spark):
+    t = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderpriority", "o_orderdate"]
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    days: dict = {}
+    for p, d_ in zip(
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_orderdate").to_pylist(),
+    ):
+        days.setdefault(p, []).append((d_ - epoch).days)
+    gmax = max(max(v) for v in days.values())
+    got = {
+        r.priority: r for r in all_queries()["q_dq_freshness"](spark, SF).collect()
+    }
+    assert set(got) == set(days)
+    for p, ds in days.items():
+        r = got[p]
+        assert r.last_day == max(ds)
+        assert r.lag_days == gmax - max(ds)
+        assert r.n_last_30d == sum(1 for d_ in ds if d_ > gmax - 30)
+        assert r.n_last_90d == sum(1 for d_ in ds if d_ > gmax - 90)
+        assert r.stale == (1 if gmax - max(ds) > 7 else 0)
+    # active fixture: every priority arrives continuously -> none stale
+    assert all(r.stale == 0 for r in got.values())
+    assert all(r.n_last_30d > 0 for r in got.values())

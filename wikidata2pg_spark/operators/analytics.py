@@ -5315,3 +5315,159 @@ def strength_from_daily(daily):
         r6_(F.greatest(F.lit(0.0), 1 - var_r / var_tr)).alias("f_trend"),
         r6_(F.greatest(F.lit(0.0), 1 - var_r / var_sr)).alias("f_seasonal"),
     )
+
+
+@query(
+    "q_agg_hodges_lehmann",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         CAST(strftime(o_orderdate::TIMESTAMP, '%Y%m') AS INTEGER) AS ym,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1, 2
+), d AS (
+  SELECT a.priority, a.v + b.v AS d,
+         a.ym AS ym1, b.ym AS ym2
+  FROM m a JOIN m b ON a.priority = b.priority AND a.ym <= b.ym
+), r AS (
+  SELECT priority, d,
+         CAST(row_number() OVER (PARTITION BY priority
+              ORDER BY d, ym1, ym2) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS m_pairs
+  FROM d
+)
+SELECT priority, m_pairs AS n_pairs,
+       CAST(sum(CASE WHEN rn = (m_pairs + 1) // 2 THEN d ELSE 0 END)
+            + sum(CASE WHEN rn = (m_pairs + 2) // 2 THEN d ELSE 0 END)
+            AS DOUBLE) / 4 AS hl_cents
+FROM r GROUP BY priority, m_pairs
+""",
+)
+def q_agg_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann pseudo-median of the monthly revenue series per
+    priority — the rank-based robust location estimator (median of all
+    Walsh pair averages (v_i + v_j)/2, i <= j; the estimator behind
+    the Wilcoxon test, ~95% efficient at the normal where the plain
+    median is 64%). ZERO rounding anywhere: Walsh sums stay as exact
+    integers d = v_i + v_j, the median is the standard two-order-
+    statistic form selected by integer rank over a unique (d, ym1,
+    ym2) ordering, and the final (d_lo + d_hi)/4 is a division by a
+    POWER OF TWO — exact in binary floating point on both engines, so
+    the displayed value needs no floor pattern at all. Plan: like
+    q_time_mann_kendall the O(k^2) Walsh expansion runs on the ~80-row
+    monthly AGGREGATE (3.2k pairs per priority), never on raw orders —
+    period-bounded at any data scale; one rank window per priority."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("ym"),
+        )
+        .agg(F.sum(cents).alias("v"))
+        .localCheckpoint()  # both sides of the Walsh self-join
+    )
+    a = m.select("priority", F.col("ym").alias("ym1"), F.col("v").alias("v1"))
+    b = m.select(
+        F.col("priority").alias("p2"),
+        F.col("ym").alias("ym2"),
+        F.col("v").alias("v2"),
+    )
+    d = a.join(
+        b, (F.col("priority") == F.col("p2")) & (F.col("ym1") <= F.col("ym2"))
+    ).select("priority", (F.col("v1") + F.col("v2")).alias("d"), "ym1", "ym2")
+    wp = Window.partitionBy("priority")
+    r = d.select(
+        "priority",
+        "d",
+        F.row_number()
+        .over(wp.orderBy("d", "ym1", "ym2"))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("m_pairs"),
+    )
+    lo = F.floor((F.col("m_pairs") + 1) / 2).cast("long")
+    hi = F.floor((F.col("m_pairs") + 2) / 2).cast("long")
+    return r.groupBy("priority", "m_pairs").agg(
+        (
+            (
+                F.sum(F.when(F.col("rn") == lo, F.col("d")).otherwise(0))
+                + F.sum(F.when(F.col("rn") == hi, F.col("d")).otherwise(0))
+            ).cast("double")
+            / 4
+        ).alias("hl_cents")
+    ).select(
+        "priority", F.col("m_pairs").alias("n_pairs"), "hl_cents"
+    )
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day
+  FROM orders
+), g AS (
+  SELECT CAST(max(day) AS BIGINT) AS gmax FROM d
+)
+SELECT priority,
+       CAST(max(day) AS BIGINT) AS last_day,
+       CAST(gmax - max(day) AS BIGINT) AS lag_days,
+       CAST(sum(CASE WHEN day > gmax - 30 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_30d,
+       CAST(sum(CASE WHEN day > gmax - 90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_90d,
+       CASE WHEN gmax - max(day) > 7 THEN 1 ELSE 0 END AS stale
+FROM d CROSS JOIN g
+GROUP BY priority, gmax
+""",
+)
+def q_dq_freshness(spark, sf_dir):
+    """Per-feed freshness audit — last-arrival day, staleness lag
+    against the corpus frontier, trailing 30/90-day arrival volumes,
+    and a stale flag (lag > 7 days): the first page of every ingest
+    dashboard (a feed whose lag grows or whose trailing volume drops
+    is failing BEFORE any content check fires). Pure integer day
+    arithmetic end to end — zero rounding surface. Plan: one orders
+    scan collapses map-side to per-priority day extremes and
+    conditional counts; the 1-row global frontier broadcasts (the
+    scalar-subquery shape q_subquery_scalar pins). At 100 TB this is
+    a metadata-speed query: with day-partitioned layouts the same
+    aggregate prunes to the partition index."""
+    o = load(spark, sf_dir, "orders")
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    d = o.select(
+        F.col("o_orderpriority").alias("priority"), day.alias("day")
+    ).localCheckpoint()  # feeds the frontier and the per-feed rollup
+    g = d.agg(F.max("day").alias("gmax"))
+    j = d.crossJoin(F.broadcast(g))
+    return (
+        j.groupBy("priority", "gmax")
+        .agg(
+            F.max("day").cast("long").alias("last_day"),
+            (F.col("gmax") - F.max("day")).cast("long").alias("lag_days"),
+            F.sum(
+                F.when(F.col("day") > F.col("gmax") - 30, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_30d"),
+            F.sum(
+                F.when(F.col("day") > F.col("gmax") - 90, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_90d"),
+            F.when(F.col("gmax") - F.max("day") > 7, 1)
+            .otherwise(0)
+            .alias("stale"),
+        )
+        .drop("gmax")
+    )
