@@ -123,6 +123,7 @@ KEYS = [
     "q_time_strength",  # checkpointed series + ordered folds
     "q_agg_hodges_lehmann",  # Walsh-pair order statistics at any split
     "q_dq_freshness",  # broadcast frontier + conditional counts
+    "q_pipeline_multimodal",  # content-keyed patch dedup at any split
 ]
 
 

@@ -4,6 +4,7 @@ and the size-derived similarity block formulas (VERDICT r3 items 1/4/7)."""
 
 from __future__ import annotations
 
+import math
 import os
 import time
 
@@ -299,6 +300,54 @@ def test_image_tiles_geometry_and_byte_sums(spark, tmp_path):
     assert max(r.patch_idx for r in by_doc[4]) == 15
 
 
+def test_pipeline_multimodal_dedup_and_gate(spark, tmp_path):
+    """Crafted corpus: doc 30 repeats doc 10's first 32 bytes at a
+    16-byte-aligned offset -> exactly its first two patches are marked
+    duplicates (doc 10, being the lower owner key, keeps them); a
+    47-byte doc falls to the payload gate; within-doc repetition also
+    counts (the canonical owner is the FIRST occurrence corpus-wide)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.registry import all_queries
+
+    head = "0123456789abcdefghijklmnopqrstuv"  # 32 bytes, 2 distinct patches
+    texts = {
+        10: head + "0123456789ABCDEFGHIJKLMNOPQRSTUV",  # owner, 4 distinct
+        30: head + "wxyz!@#$%^&*()-=WXYZ9876543210_+",  # patches 0,1 dup doc 10
+        40: "Z" * 47,                 # below the 48-byte gate
+        50: ("W" * 16) * 3,           # self-repetition: patches 1,2 dup patch 0
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": ["en"] * 4,
+                "source": ["s"] * 4,
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["q_pipeline_multimodal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 40 not in rows and set(rows) == {10, 30, 50}
+    assert rows[10].n_dup_patches == 0 and rows[10].has_shared_content == 0
+    assert rows[30].n_dup_patches == 2 and rows[30].has_shared_content == 1
+    assert rows[50].n_dup_patches == 2  # 3 identical patches, 1 owner
+    for doc_id, r in rows.items():
+        raw = texts[doc_id].encode()[:256]
+        np_ = len(raw) // 16
+        mass = sum(raw[: np_ * 16])
+        assert (r.n_patches, r.byte_mass) == (np_, mass)
+        assert r.mean_patch_mass == math.floor(mass / np_ + 0.5)
+
+
 def test_driver_window_ordering_is_pinned():
     """queries()/oracle_sql() must lead with _ROUND6_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
@@ -489,6 +538,7 @@ def test_driver_window_ordering_is_pinned():
         "q_time_strength",
         "q_agg_hodges_lehmann",
         "q_dq_freshness",
+        "q_pipeline_multimodal",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -316,3 +316,113 @@ def q_multimodal_image_tiles(spark, sf_dir):
         "patch_hex",
         byte_sum.alias("byte_sum"),
     )
+
+
+@query(
+    "q_pipeline_multimodal",
+    oracle="""
+WITH gated AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS nb,
+         least(octet_length(encode(text)), 256) // 16 AS np
+  FROM documents
+  WHERE doc_id < 200 AND octet_length(encode(text)) >= 48
+), t AS (
+  SELECT doc_id, np, nb, w.i AS pi,
+         substring(h, (w.i * 32 + 1)::INT, 32) AS ph,
+         doc_id * 16 + w.i AS owner_key
+  FROM gated, LATERAL (SELECT unnest(range(np))) w(i)
+), own AS (
+  SELECT ph, CAST(min(owner_key) AS BIGINT) AS min_owner FROM t GROUP BY ph
+), j AS (
+  SELECT t.doc_id, t.np, t.nb, t.ph,
+         CASE WHEN t.owner_key <> o.min_owner THEN 1 ELSE 0 END AS dup,
+         CAST(list_aggregate(list_transform(range(16),
+              i -> ('0x' || substring(t.ph, (i*2+1)::INT, 2))::BIGINT),
+              'sum') AS BIGINT) AS bsum
+  FROM t JOIN own o ON t.ph = o.ph
+)
+SELECT doc_id,
+       CAST(any_value(np) AS BIGINT) AS n_patches,
+       CAST(any_value(nb) AS BIGINT) AS n_bytes,
+       CAST(sum(dup) AS BIGINT) AS n_dup_patches,
+       CASE WHEN sum(dup) > 0 THEN 1 ELSE 0 END AS has_shared_content,
+       CAST(sum(bsum) AS BIGINT) AS byte_mass,
+       CAST(floor(CAST(sum(bsum) AS DOUBLE) / any_value(np) + 0.5)
+            AS BIGINT) AS mean_patch_mass
+FROM j GROUP BY doc_id
+""",
+)
+def q_pipeline_multimodal(spark, sf_dir):
+    """The composed multimodal-ingest audit as ONE Catalyst plan —
+    payload gate (>= 48 bytes: enough for 3 patches) -> ViT patch
+    extraction (the q_multimodal_image_tiles geometry) -> corpus-wide
+    patch-content dedup (canonical owner = min (doc_id, patch) per
+    content hex; 'dup' marks patches whose bytes exist elsewhere — the
+    patch-level near-boilerplate signal used to drop logo/banner
+    regions before embedding) -> per-doc rollup (patch counts, shared
+    -content flag, exact byte mass, one floored mean division). The
+    multimodal sibling of q_pipeline_pretraining: stage SHAPES are the
+    production ones (scan-local explode, one content-keyed combine for
+    ownership, a content-hash join back, one doc rollup) and the whole
+    thing stays a single lazy plan — no intermediate materialization.
+    At 100 TB: the explode is split-local, the ownership combine and
+    hash join shuffle ~16 rows/doc on the 32-char content key (skew-
+    free by construction: dup groups are capped by real content
+    repetition), and the rollup re-keys on doc_id."""
+    PATCH, CAP, MIN_BYTES = 16, 256, 48
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payload = F.encode(F.col("text"), "UTF-8")
+    gated = d.select(
+        "doc_id",
+        F.hex(payload).alias("h"),
+        F.length(payload).alias("nb"),
+        F.floor(F.least(F.length(payload), F.lit(CAP)) / PATCH)
+        .cast("long")
+        .alias("np"),
+    ).filter(F.col("nb") >= MIN_BYTES)
+    t = gated.select(
+        "doc_id",
+        "np",
+        "nb",
+        F.explode(
+            F.sequence(F.lit(0), F.col("np").cast("int") - 1)
+        ).alias("pi"),
+        "h",
+    ).select(
+        "doc_id",
+        "np",
+        "nb",
+        F.col("h").substr(F.col("pi") * 32 + 1, F.lit(32)).alias("ph"),
+        (F.col("doc_id") * 16 + F.col("pi")).alias("owner_key"),
+    )
+    own = t.groupBy("ph").agg(
+        F.min("owner_key").cast("long").alias("min_owner")
+    )
+    bsum = F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.conv(F.col("ph").substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+    )
+    j = t.join(own, "ph").select(
+        "doc_id",
+        "np",
+        "nb",
+        F.when(F.col("owner_key") != F.col("min_owner"), 1)
+        .otherwise(0)
+        .alias("dup"),
+        bsum.alias("bsum"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.first("np").cast("long").alias("n_patches"),
+        F.first("nb").cast("long").alias("n_bytes"),
+        F.sum("dup").cast("long").alias("n_dup_patches"),
+        F.when(F.sum("dup") > 0, 1).otherwise(0).alias("has_shared_content"),
+        F.sum("bsum").cast("long").alias("byte_mass"),
+        F.floor(
+            F.sum("bsum").cast("double") / F.first("np") + F.lit(0.5)
+        ).alias("mean_patch_mass"),
+    )
