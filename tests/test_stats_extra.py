@@ -647,6 +647,14 @@ def test_mann_kendall_worked_examples(spark):
     )
     [r3] = mann_kendall_frame(m3).collect()
     assert r3.s_stat == 0 and r3.z == 0.0 and math.copysign(1, r3.z) == 1.0
+    # single-period series must NOT vanish (silent-row-drop review
+    # catch): zero pairs -> S=0, var18=0, 'no trend'
+    m4 = spark.createDataFrame(
+        [("a", 1, 42)], "priority string, ym int, v long"
+    )
+    [r4] = mann_kendall_frame(m4).collect()
+    assert (r4.n_periods, r4.s_stat, r4.var18) == (1, 0, 0)
+    assert r4.z == 0.0 and r4.trend == "no trend"
 
 
 def test_mann_kendall_bruteforce(spark):

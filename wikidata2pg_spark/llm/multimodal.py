@@ -229,26 +229,54 @@ def q_multimodal_audio_energy(spark, sf_dir):
     )
 
 
+# ViT-patch geometry shared by q_multimodal_image_tiles and
+# q_pipeline_multimodal — ONE recipe (patch size, cap, grid width,
+# hex-pair byte-sum) so the sibling keys cannot drift (review catch).
+PATCH_BYTES = 16
+PATCH_GRID_W = 4
+PATCH_CAP_BYTES = 256
+
+
+def _patch_byte_sum(hex_col):
+    """Exact byte sum of one patch from its hex string (hex-pair
+    arithmetic — no blob-function assumptions on either engine)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(PATCH_BYTES - 1)),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.conv(hex_col.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("long"),
+    )
+
+
+def _patch_bsum_sql(col: str) -> str:
+    """The oracle twin of _patch_byte_sum."""
+    return (
+        f"CAST(list_aggregate(list_transform(range({PATCH_BYTES}), "
+        f"i -> ('0x' || substring({col}, (i*2+1)::INT, 2))::BIGINT), "
+        "'sum') AS BIGINT)"
+    )
+
+
 @query(
     "q_multimodal_image_tiles",
-    oracle="""
+    oracle=f"""
 WITH p AS (
   SELECT doc_id, hex(encode(text)) AS h,
-         least(octet_length(encode(text)), 256) // 16 AS n_patches
+         least(octet_length(encode(text)), {PATCH_CAP_BYTES})
+           // {PATCH_BYTES} AS n_patches
   FROM documents WHERE doc_id < 200
 ), t AS (
   SELECT doc_id, n_patches, w.i AS patch_idx,
-         substring(h, (w.i * 32 + 1)::INT, 32) AS patch_hex
+         substring(h, (w.i * {PATCH_BYTES * 2} + 1)::INT,
+                   {PATCH_BYTES * 2}) AS patch_hex
   FROM p, LATERAL (SELECT unnest(range(n_patches))) w(i)
 )
 SELECT doc_id, CAST(n_patches AS BIGINT) AS n_patches,
        CAST(patch_idx AS INTEGER) AS patch_idx,
-       CAST(patch_idx // 4 AS INTEGER) AS tile_row,
-       CAST(patch_idx % 4 AS INTEGER) AS tile_col,
+       CAST(patch_idx // {PATCH_GRID_W} AS INTEGER) AS tile_row,
+       CAST(patch_idx % {PATCH_GRID_W} AS INTEGER) AS tile_col,
        patch_hex,
-       CAST(list_aggregate(list_transform(range(16),
-            i -> ('0x' || substring(patch_hex, (i*2+1)::INT, 2))::BIGINT),
-            'sum') AS BIGINT) AS byte_sum
+       {_patch_bsum_sql('patch_hex')} AS byte_sum
 FROM t
 """,
 )
@@ -269,16 +297,16 @@ def q_multimodal_image_tiles(spark, sf_dir):
     100 TB the explode stays inside the scan task with zero shuffle,
     and patch rows inherit the file's partitioning for a downstream
     embedding stage."""
-    PATCH, GRID_W, CAP = 16, 4, 256
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     p = d.select(
         "doc_id",
         F.hex(F.encode(F.col("text"), "UTF-8")).alias("h"),
         F.floor(
             F.least(
-                F.length(F.encode(F.col("text"), "UTF-8")), F.lit(CAP)
+                F.length(F.encode(F.col("text"), "UTF-8")),
+                F.lit(PATCH_CAP_BYTES),
             )
-            / PATCH
+            / PATCH_BYTES
         )
         .cast("long")
         .alias("n_patches"),
@@ -297,49 +325,44 @@ def q_multimodal_image_tiles(spark, sf_dir):
         "n_patches",
         "patch_idx",
         F.col("h")
-        .substr(F.col("patch_idx") * 32 + 1, F.lit(32))
+        .substr(F.col("patch_idx") * (PATCH_BYTES * 2) + 1, F.lit(PATCH_BYTES * 2))
         .alias("patch_hex"),
-    )
-    byte_sum = F.aggregate(
-        F.sequence(F.lit(0), F.lit(15)),
-        F.lit(0).cast("long"),
-        lambda a, i: a
-        + F.conv(F.col("patch_hex").substr(i * 2 + 1, F.lit(2)), 16, 10)
-        .cast("long"),
     )
     return t.select(
         "doc_id",
         "n_patches",
         F.col("patch_idx").cast("int").alias("patch_idx"),
-        F.floor(F.col("patch_idx") / GRID_W).cast("int").alias("tile_row"),
-        (F.col("patch_idx") % GRID_W).cast("int").alias("tile_col"),
+        F.floor(F.col("patch_idx") / PATCH_GRID_W)
+        .cast("int")
+        .alias("tile_row"),
+        (F.col("patch_idx") % PATCH_GRID_W).cast("int").alias("tile_col"),
         "patch_hex",
-        byte_sum.alias("byte_sum"),
+        _patch_byte_sum(F.col("patch_hex")).alias("byte_sum"),
     )
 
 
 @query(
     "q_pipeline_multimodal",
-    oracle="""
+    oracle=f"""
 WITH gated AS (
   SELECT doc_id, hex(encode(text)) AS h,
          octet_length(encode(text)) AS nb,
-         least(octet_length(encode(text)), 256) // 16 AS np
+         least(octet_length(encode(text)), {PATCH_CAP_BYTES})
+           // {PATCH_BYTES} AS np
   FROM documents
   WHERE doc_id < 200 AND octet_length(encode(text)) >= 48
 ), t AS (
   SELECT doc_id, np, nb, w.i AS pi,
-         substring(h, (w.i * 32 + 1)::INT, 32) AS ph,
-         doc_id * 16 + w.i AS owner_key
+         substring(h, (w.i * {PATCH_BYTES * 2} + 1)::INT,
+                   {PATCH_BYTES * 2}) AS ph,
+         doc_id * {PATCH_BYTES} + w.i AS owner_key
   FROM gated, LATERAL (SELECT unnest(range(np))) w(i)
 ), own AS (
   SELECT ph, CAST(min(owner_key) AS BIGINT) AS min_owner FROM t GROUP BY ph
 ), j AS (
   SELECT t.doc_id, t.np, t.nb, t.ph,
          CASE WHEN t.owner_key <> o.min_owner THEN 1 ELSE 0 END AS dup,
-         CAST(list_aggregate(list_transform(range(16),
-              i -> ('0x' || substring(t.ph, (i*2+1)::INT, 2))::BIGINT),
-              'sum') AS BIGINT) AS bsum
+         {_patch_bsum_sql('t.ph')} AS bsum
   FROM t JOIN own o ON t.ph = o.ph
 )
 SELECT doc_id,
@@ -358,10 +381,12 @@ def q_pipeline_multimodal(spark, sf_dir):
     payload gate (>= 48 bytes: enough for 3 patches) -> ViT patch
     extraction (the q_multimodal_image_tiles geometry) -> corpus-wide
     patch-content dedup (canonical owner = min (doc_id, patch) per
-    content hex; 'dup' marks patches whose bytes exist elsewhere — the
-    patch-level near-boilerplate signal used to drop logo/banner
-    regions before embedding) -> per-doc rollup (patch counts, shared
-    -content flag, exact byte mass, one floored mean division). The
+    content hex; 'dup' marks the NON-CANONICAL occurrences only — the
+    first owner of a shared region keeps its patches and reports 0, so
+    has_shared_content flags re-occurrences, the rows a boilerplate
+    drop would remove, not every participant in a shared region) ->
+    per-doc rollup (patch counts, duplicate counts, exact byte mass,
+    one floored mean division). The
     multimodal sibling of q_pipeline_pretraining: stage SHAPES are the
     production ones (scan-local explode, one content-keyed combine for
     ownership, a content-hash join back, one doc rollup) and the whole
@@ -370,14 +395,16 @@ def q_pipeline_multimodal(spark, sf_dir):
     hash join shuffle ~16 rows/doc on the 32-char content key (skew-
     free by construction: dup groups are capped by real content
     repetition), and the rollup re-keys on doc_id."""
-    PATCH, CAP, MIN_BYTES = 16, 256, 48
+    MIN_BYTES = 48
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     payload = F.encode(F.col("text"), "UTF-8")
     gated = d.select(
         "doc_id",
         F.hex(payload).alias("h"),
         F.length(payload).alias("nb"),
-        F.floor(F.least(F.length(payload), F.lit(CAP)) / PATCH)
+        F.floor(
+            F.least(F.length(payload), F.lit(PATCH_CAP_BYTES)) / PATCH_BYTES
+        )
         .cast("long")
         .alias("np"),
     ).filter(F.col("nb") >= MIN_BYTES)
@@ -393,19 +420,13 @@ def q_pipeline_multimodal(spark, sf_dir):
         "doc_id",
         "np",
         "nb",
-        F.col("h").substr(F.col("pi") * 32 + 1, F.lit(32)).alias("ph"),
-        (F.col("doc_id") * 16 + F.col("pi")).alias("owner_key"),
+        F.col("h")
+        .substr(F.col("pi") * (PATCH_BYTES * 2) + 1, F.lit(PATCH_BYTES * 2))
+        .alias("ph"),
+        (F.col("doc_id") * PATCH_BYTES + F.col("pi")).alias("owner_key"),
     )
     own = t.groupBy("ph").agg(
         F.min("owner_key").cast("long").alias("min_owner")
-    )
-    bsum = F.aggregate(
-        F.sequence(F.lit(0), F.lit(15)),
-        F.lit(0).cast("long"),
-        lambda a, i: a
-        + F.conv(F.col("ph").substr(i * 2 + 1, F.lit(2)), 16, 10).cast(
-            "long"
-        ),
     )
     j = t.join(own, "ph").select(
         "doc_id",
@@ -414,7 +435,7 @@ def q_pipeline_multimodal(spark, sf_dir):
         F.when(F.col("owner_key") != F.col("min_owner"), 1)
         .otherwise(0)
         .alias("dup"),
-        bsum.alias("bsum"),
+        _patch_byte_sum(F.col("ph")).alias("bsum"),
     )
     return j.groupBy("doc_id").agg(
         F.first("np").cast("long").alias("n_patches"),

@@ -4940,9 +4940,9 @@ WITH m AS (
         FROM m GROUP BY 1, 2) g
   WHERE c > 1 GROUP BY 1
 ), j AS (
-  SELECT n.priority, n.n, s.s,
+  SELECT n.priority, n.n, coalesce(s.s, 0) AS s,
          n.n * (n.n - 1) * (2 * n.n + 5) - coalesce(t.tie, 0) AS var18
-  FROM n JOIN s ON n.priority = s.priority
+  FROM n LEFT JOIN s ON n.priority = s.priority
   LEFT JOIN ties t ON n.priority = t.priority
 )
 SELECT priority, n AS n_periods, s AS s_stat,
@@ -4980,9 +4980,17 @@ def q_time_mann_kendall(spark, sf_dir):
     rows) — at 100 TB the O(k^2) pair stage is bounded by the PERIOD
     count, not the data, which is exactly why MK scales where
     rank-regression on raw rows would not."""
+    return mann_kendall_frame(_monthly_revenue_by_priority(spark, sf_dir))
+
+
+def _monthly_revenue_by_priority(spark, sf_dir):
+    """(priority, ym, v) monthly exact-cent revenue series — the shared
+    collapse feeding q_time_mann_kendall and q_agg_hodges_lehmann (one
+    recipe: cents rounding, ym = year*100+month, localCheckpoint for
+    the multi-consumer fan-out)."""
     o = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    m = (
+    return (
         o.groupBy(
             F.col("o_orderpriority").alias("priority"),
             (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
@@ -4990,9 +4998,8 @@ def q_time_mann_kendall(spark, sf_dir):
             .alias("ym"),
         )
         .agg(F.sum(cents).alias("v"))
-        .localCheckpoint()  # feeds pairs, n, and ties (3 consumers)
+        .localCheckpoint()
     )
-    return mann_kendall_frame(m)
 
 
 def mann_kendall_frame(m):
@@ -5037,12 +5044,15 @@ def mann_kendall_frame(m):
         )
     )
     j = (
-        n.join(s, "priority")
+        # LEFT joins: a single-period series has zero pairs and no tie
+        # groups — it must still report n_periods=1 / S=0 / 'no trend',
+        # never vanish (the silent-row-drop review catch)
+        n.join(s, "priority", "left")
         .join(ties, "priority", "left")
         .select(
             "priority",
             "n",
-            "s",
+            F.coalesce(F.col("s"), F.lit(0)).alias("s"),
             (
                 F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
                 - F.coalesce(F.col("tie"), F.lit(0))
@@ -5089,7 +5099,8 @@ WITH d AS (
   FROM l
 )
 SELECT day, v AS v_cents,
-       CASE WHEN v * n > sv THEN 'above' ELSE 'below' END AS side,
+       CASE WHEN CAST(v AS HUGEINT) * n > sv
+            THEN 'above' ELSE 'below' END AS side,
        floor(CAST(sv AS DOUBLE) / n + 0.5) / 100 AS center,
        floor(CAST(sv AS DOUBLE) / n
              + 2.66 * (CAST(smr AS DOUBLE) / m) + 0.5) / 100 AS ucl,
@@ -5157,8 +5168,11 @@ def xmr_frame(d):
     return j.filter(lhs > rhs).select(
         "day",
         F.col("v").alias("v_cents"),
+        # same decimal widening as the violation predicate: raw int64
+        # v*n wraps exactly at the scale the widening defends against
         F.when(
-            F.col("v") * F.col("n") > F.col("sv"), F.lit("above")
+            F.col("v").cast("decimal(38,0)") * F.col("n") > F.col("sv"),
+            F.lit("above"),
         )
         .otherwise(F.lit("below"))
         .alias("side"),
@@ -5357,18 +5371,7 @@ def q_agg_hodges_lehmann(spark, sf_dir):
     q_time_mann_kendall the O(k^2) Walsh expansion runs on the ~80-row
     monthly AGGREGATE (3.2k pairs per priority), never on raw orders —
     period-bounded at any data scale; one rank window per priority."""
-    o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    m = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("priority"),
-            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
-            .cast("int")
-            .alias("ym"),
-        )
-        .agg(F.sum(cents).alias("v"))
-        .localCheckpoint()  # both sides of the Walsh self-join
-    )
+    m = _monthly_revenue_by_priority(spark, sf_dir)
     a = m.select("priority", F.col("ym").alias("ym1"), F.col("v").alias("v1"))
     b = m.select(
         F.col("priority").alias("p2"),
@@ -5445,9 +5448,17 @@ def q_dq_freshness(spark, sf_dir):
             / F.lit(86400000000)
         )
     ).cast("long")
-    d = o.select(
-        F.col("o_orderpriority").alias("priority"), day.alias("day")
-    ).localCheckpoint()  # feeds the frontier and the per-feed rollup
+    # collapse to the calendar-bounded (priority, day, n) grid BEFORE
+    # the checkpoint — checkpointing the raw row projection would
+    # materialize the whole fact table (review catch); every output is
+    # derivable from the per-day counts
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"), day.alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # feeds the frontier and the per-feed rollup
+    )
     g = d.agg(F.max("day").alias("gmax"))
     j = d.crossJoin(F.broadcast(g))
     return (
@@ -5456,12 +5467,16 @@ def q_dq_freshness(spark, sf_dir):
             F.max("day").cast("long").alias("last_day"),
             (F.col("gmax") - F.max("day")).cast("long").alias("lag_days"),
             F.sum(
-                F.when(F.col("day") > F.col("gmax") - 30, 1).otherwise(0)
+                F.when(
+                    F.col("day") > F.col("gmax") - 30, F.col("n")
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_last_30d"),
             F.sum(
-                F.when(F.col("day") > F.col("gmax") - 90, 1).otherwise(0)
+                F.when(
+                    F.col("day") > F.col("gmax") - 90, F.col("n")
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_last_90d"),
