@@ -124,6 +124,10 @@ KEYS = [
     "q_agg_hodges_lehmann",  # Walsh-pair order statistics at any split
     "q_dq_freshness",  # broadcast frontier + conditional counts
     "q_pipeline_multimodal",  # content-keyed patch dedup at any split
+    "q_time_ljung_box",  # integer-cleared lag products at any split
+    "q_time_extreme_value",  # block maxima + 1-row moments at any split
+    "q_text_hill_tail",  # global top-k order statistics at any split
+    "q_text_bigram_entropy",  # bigram cells + ordered folds at any split
 ]
 
 

@@ -539,6 +539,10 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_hodges_lehmann",
         "q_dq_freshness",
         "q_pipeline_multimodal",
+        "q_time_ljung_box",
+        "q_time_extreme_value",
+        "q_text_hill_tail",
+        "q_text_bigram_entropy",
     }
     never = [k for k in qs if k not in tested]
     for k in never:

@@ -979,3 +979,123 @@ def test_freshness_bruteforce(spark):
     # active fixture: every priority arrives continuously -> none stale
     assert all(r.stale == 0 for r in got.values())
     assert all(r.n_last_30d > 0 for r in got.values())
+
+
+def test_ljung_box_bruteforce_and_white_noise_bound(spark):
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    by_u: dict = {}
+    for u, e, ts, v in zip(
+        t.column("user_id").to_pylist(),
+        t.column("event_id").to_pylist(),
+        t.column("ts").to_pylist(),
+        t.column("value").to_pylist(),
+    ):
+        by_u.setdefault(u, []).append((ts, e, _cents(v)))
+    want = {}
+    for u, seq in by_u.items():
+        seq.sort()
+        vs = [v for _t, _e, v in seq]
+        n, s = len(vs), sum(vs)
+        if n <= 3:
+            continue
+        dev = [n * v - s for v in vs]
+        d = sum(x * x for x in dev)
+        if d == 0:
+            continue
+        q = 0.0
+        for k in (1, 2, 3):
+            nk = sum(dev[i] * dev[i + k] for i in range(n - k))
+            rk = float(nk) / d
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        want[u] = (n, _floor4(q))
+    got = {
+        r.user_id: (r.n, r.lb_q)
+        for r in all_queries()["q_time_ljung_box"](spark, SF).collect()
+    }
+    assert got == want and len(want) > 100
+    # Q is a sum of squares scaled by positive factors: never negative
+    assert all(v[1] >= 0.0 for v in want.values())
+    # random-walk-free fixture: most users look like white noise
+    assert sum(1 for v in want.values() if v[1] < 7.8147) > len(want) // 2
+
+
+def test_extreme_value_bruteforce_and_invariants(spark):
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    epoch = dt.datetime(1970, 1, 1)
+    daily: dict = {}
+    for od, tp in zip(
+        t.column("o_orderdate").to_pylist(), t.column("o_totalprice").to_pylist()
+    ):
+        key = ((od - epoch).days, od.year * 100 + od.month)
+        daily[key] = daily.get(key, 0) + _cents(tp)
+    bm: dict = {}
+    for (_d, ym), v in daily.items():
+        bm[ym] = max(bm.get(ym, 0), v)
+    vals = list(bm.values())
+    n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+    mean = float(s) / n
+    sd = math.sqrt(float(n * ss - s * s) / (float(n) * n))
+    scale = sd * math.sqrt(6.0) / 3.141592653589793
+    loc = mean - 0.5772156649015329 * scale
+    rl = loc - scale * math.log(-math.log(1.0 - 1.0 / 12.0))
+    [r] = all_queries()["q_time_extreme_value"](spark, SF).collect()
+    assert r.n_blocks == n
+    fc = lambda x: math.floor(x + 0.5) / 100  # noqa: E731
+    assert r.block_mean == fc(mean)
+    assert r.gumbel_scale == fc(scale)
+    assert r.gumbel_loc == fc(loc)
+    assert r.return_level_12 == fc(rl)
+    # Gumbel invariants: mode below mean, 12-block return level above it
+    assert r.gumbel_loc < r.block_mean < r.return_level_12
+    assert r.gumbel_scale > 0
+
+
+def test_hill_tail_bruteforce(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    rows = sorted(
+        zip(t.column("n_chars").to_pylist(), t.column("doc_id").to_pylist()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    k = 50
+    x_ref = rows[k][0]
+    acc = 0.0
+    for i in range(k):  # rank-ordered fold
+        acc += math.log(float(rows[i][0]) / x_ref)
+    [r] = all_queries()["q_text_hill_tail"](spark, SF).collect()
+    assert (r.k, r.x_ref) == (k, x_ref)
+    assert r.hill == _floor6(acc / k)
+    assert r.alpha == _floor4(k / acc)
+    assert r.hill > 0 and r.alpha > 0
+
+
+def test_bigram_entropy_bruteforce_and_information_inequalities(spark):
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c12: dict = {}
+    for txt in t.column("text").to_pylist():
+        ws = txt.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    c2: dict = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        c2[b] = c2.get(b, 0) + c
+    nn = sum(c12.values())
+    h_cond = 0.0
+    for a, b in sorted(c12):  # (w1, w2)-ordered fold
+        c = c12[(a, b)]
+        h_cond += c / nn * math.log(float(c1[a]) / c)
+    h_w2 = 0.0
+    for b in sorted(c2):
+        h_w2 += c2[b] / nn * math.log(float(nn) / c2[b])
+    [r] = all_queries()["q_text_bigram_entropy"](spark, SF).collect()
+    assert (r.n_bigram_types, r.n_bigrams) == (len(c12), nn)
+    assert r.h_cond == round(h_cond, 6)
+    assert r.h_w2 == round(h_w2, 6)
+    assert r.mutual_info == round(max(0.0, h_w2 - h_cond), 6)
+    # information inequalities: 0 <= H(w2|w1) <= H(w2) <= ln |vocab|
+    assert 0.0 <= r.h_cond <= r.h_w2 <= math.log(len(c2)) + 1e-9
+    assert r.mutual_info >= 0.0

@@ -1633,3 +1633,196 @@ def jsd_pairs_frame(c):
             0.5 * ordered_fold(F.col("w"), term, "_s"), 6
         ).alias("jsd")
     )
+
+
+_HILL_K = 50  # tail order statistics used by the Hill estimator
+
+
+@query(
+    "q_text_hill_tail",
+    oracle=f"""
+WITH r AS (
+  SELECT n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rn
+  FROM documents
+), ref AS (
+  SELECT n_chars AS x_ref FROM r WHERE rn = {_HILL_K} + 1
+), terms AS (
+  SELECT r.rn, ln(CAST(r.n_chars AS DOUBLE) / ref.x_ref) AS term
+  FROM r CROSS JOIN ref WHERE r.rn <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT CAST(x_ref AS BIGINT) FROM ref) AS x_ref,
+       floor(list_reduce(list_prepend(0.0, list(term ORDER BY rn)),
+                         (a, b) -> a + b) / {_HILL_K} * 1000000 + 0.5)
+         / 1000000 AS hill,
+       floor({_HILL_K} / list_reduce(list_prepend(0.0,
+                                                  list(term ORDER BY rn)),
+                                     (a, b) -> a + b) * 10000 + 0.5)
+         / 10000 AS alpha
+FROM terms
+""",
+)
+def q_text_hill_tail(spark, sf_dir):
+    """Hill tail-index estimate of the document-length distribution —
+    the heavy-tail diagnostic a pretraining pipeline runs before
+    choosing packing/batching strategy (a small alpha means rare giant
+    documents dominate token mass; truncation policy and sequence
+    packing both key off it). Hill = (1/k) sum ln(x_(i)/x_(k+1)) over
+    the k largest lengths, alpha = 1/Hill. Lengths are exact integers,
+    the k-th/k+1-th order statistics come from an integer rank with a
+    unique (n_chars, doc_id) tiebreak, each log term is ln of an
+    exact-integer ratio (one shared division), and the term sum is a
+    rank-ORDERED fold; the two displayed ratios are floored 6dp/4dp.
+    Plan: global top-(k+1) via TakeOrdered-shaped rank (k is tiny and
+    fixed), the reference scalar broadcasts, and the fold runs on k
+    rows — at 100 TB the only full-data stage is the scan feeding the
+    top-k, which Spark executes as per-partition partial top-k."""
+    from wikidata2pg_spark.operators.analytics import ordered_fold
+
+    d = load(spark, sf_dir, "documents")
+    r = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("rn"),
+    ).localCheckpoint()  # feeds the top-k terms AND the k+1 reference
+    ref = r.filter(F.col("rn") == _HILL_K + 1).select(
+        F.col("n_chars").alias("x_ref")
+    )
+    terms = (
+        r.filter(F.col("rn") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "rn",
+            F.log(F.col("n_chars").cast("double") / F.col("x_ref")).alias(
+                "term"
+            ),
+            "x_ref",
+        )
+    )
+    agg = terms.groupBy("x_ref").agg(ordered_fold(F.col("rn"), F.col("term"), "s"))
+    return agg.select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("x_ref").cast("long").alias("x_ref"),
+        (F.floor(F.col("s") / _HILL_K * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "hill"
+        ),
+        (F.floor(_HILL_K / F.col("s") * 10000 + F.lit(0.5)) / 10000).alias(
+            "alpha"
+        ),
+    )
+
+
+@query(
+    "q_text_bigram_entropy",
+    oracle="""
+WITH b AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM (
+    SELECT ws[i] AS w1, ws[i + 1] AS w2
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents) t,
+         (SELECT unnest(range(1, 400)) AS i) ix
+    WHERE i + 1 <= len(ws)
+  ) g GROUP BY 1, 2
+), m1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY 1
+), m2 AS (
+  SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM b GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c12) AS BIGINT) AS nn FROM b
+), folds AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_bigram_types,
+    (SELECT nn FROM tot) AS n_bigrams,
+    (SELECT list_reduce(list_prepend(0.0,
+        list(CAST(c12 AS DOUBLE) / tot.nn
+             * ln(CAST(m1.c1 AS DOUBLE) / c12) ORDER BY b.w1, b.w2)),
+        (a, bb) -> a + bb)
+     FROM b JOIN m1 USING (w1) CROSS JOIN tot) AS h_cond,
+    (SELECT list_reduce(list_prepend(0.0,
+        list(CAST(c2 AS DOUBLE) / tot.nn
+             * ln(CAST(tot.nn AS DOUBLE) / c2) ORDER BY w2)),
+        (a, bb) -> a + bb)
+     FROM m2 CROSS JOIN tot) AS h_w2
+)
+SELECT n_bigram_types, n_bigrams,
+       round(h_cond, 6) AS h_cond,
+       round(h_w2, 6) AS h_w2,
+       round(greatest(0.0, h_w2 - h_cond), 6) AS mutual_info
+FROM folds
+""",
+)
+def q_text_bigram_entropy(spark, sf_dir):
+    """Corpus bigram predictability: conditional entropy H(w2|w1), the
+    unconditional next-word entropy H(w2), and their difference — the
+    mutual information between adjacent words (the order-1 Markov
+    predictability gain; a template-heavy corpus shows high MI, a
+    shuffled-word corpus shows ~0 — the statistical complement of
+    q_text_repetition's top-bigram share). Every probability stays an
+    integer ratio INSIDE the log (p(w2|w1) = c12/c1 becomes
+    ln(c1/c12); the marginal term ln(N/c2)); term sums are
+    (w1,w2)-ORDERED folds on both engines; MI is clamped at 0.0 BEFORE
+    rounding (mathematically >= 0, but fold noise at 1e-17 scale could
+    otherwise round to -0.0 — the r5 signed-zero class). round(,6) per
+    the transcendental rule. Plan: one bigram combine (the
+    q_text_ngrams shuffle), two tiny marginal re-aggs, folds over the
+    vocabulary-bounded cell table — one corpus pass at 100 TB."""
+    from wikidata2pg_spark.operators.analytics import ordered_fold
+
+    d = load(spark, sf_dir, "documents")
+    b = (
+        d.select(F.explode(_bigrams("text")).alias("bg"))
+        .select(
+            F.split(F.col("bg"), " ")[0].alias("w1"),
+            F.split(F.col("bg"), " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()  # feeds both marginals, the total, the fold
+    )
+    m1 = b.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = b.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = b.agg(
+        F.sum("c12").alias("nn"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    cond_terms = (
+        b.join(F.broadcast(m1), "w1")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.col("c12").cast("double")
+                / F.col("nn")
+                * F.log(F.col("c1").cast("double") / F.col("c12"))
+            ).alias("term"),
+            "nn",
+            "n_types",
+        )
+    )
+    h_cond = cond_terms.groupBy("nn", "n_types").agg(
+        ordered_fold(F.struct("w1", "w2"), F.col("term"), "h_cond")
+    )
+    h2_terms = m2.crossJoin(F.broadcast(tot.select("nn"))).select(
+        "w2",
+        (
+            F.col("c2").cast("double")
+            / F.col("nn")
+            * F.log(F.col("nn").cast("double") / F.col("c2"))
+        ).alias("term"),
+    )
+    h_w2 = h2_terms.agg(ordered_fold(F.col("w2"), F.col("term"), "h_w2"))
+    out = h_cond.crossJoin(h_w2)
+    return out.select(
+        F.col("n_types").cast("long").alias("n_bigram_types"),
+        F.col("nn").cast("long").alias("n_bigrams"),
+        F.round(F.col("h_cond"), 6).alias("h_cond"),
+        F.round(F.col("h_w2"), 6).alias("h_w2"),
+        F.round(
+            F.greatest(F.lit(0.0), F.col("h_w2") - F.col("h_cond")), 6
+        ).alias("mutual_info"),
+    )

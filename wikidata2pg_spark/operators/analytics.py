@@ -5486,3 +5486,211 @@ def q_dq_freshness(spark, sf_dir):
         )
         .drop("gmax")
     )
+
+
+@query(
+    "q_time_ljung_box",
+    oracle="""
+WITH x AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS t, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), u AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id) AS n,
+            sum(v) OVER (PARTITION BY user_id) AS s
+  FROM x
+), l AS (
+  SELECT *,
+         lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2,
+         lead(v, 3) OVER w AS v3
+  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), agg AS (
+  SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
+         sum((n * v - s) * (n * v - s)) AS d,
+         sum(CASE WHEN v1 IS NOT NULL
+                  THEN (n * v - s) * (n * v1 - s) ELSE 0 END) AS nk1,
+         sum(CASE WHEN v2 IS NOT NULL
+                  THEN (n * v - s) * (n * v2 - s) ELSE 0 END) AS nk2,
+         sum(CASE WHEN v3 IS NOT NULL
+                  THEN (n * v - s) * (n * v3 - s) ELSE 0 END) AS nk3
+  FROM l GROUP BY user_id
+)
+SELECT user_id, n,
+       floor(n * (n + 2)
+             * ((CAST(nk1 AS DOUBLE) / d) * (CAST(nk1 AS DOUBLE) / d)
+                  / (n - 1)
+                + (CAST(nk2 AS DOUBLE) / d) * (CAST(nk2 AS DOUBLE) / d)
+                  / (n - 2)
+                + (CAST(nk3 AS DOUBLE) / d) * (CAST(nk3 AS DOUBLE) / d)
+                  / (n - 3))
+             * 10000 + 0.5) / 10000 AS lb_q,
+       CAST(3 AS INTEGER) AS df,
+       CAST(7.8147 AS DOUBLE) AS chi2_crit_05
+FROM agg WHERE n > 3 AND d > 0
+""",
+)
+def q_time_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau statistic at lags 1-3 per user series —
+    the is-it-white-noise test that closes the Box-Jenkins loop opened
+    by q_time_acf (ACF shows the correlogram; LB says whether the
+    first m lags are JOINTLY nonzero): Q = n(n+2) sum_k r_k^2/(n-k),
+    compared against chi-square(3). Reuses the ACF key's integer
+    clearing exactly — each r_k = nk/d is one division of exact int64
+    sums of (n*v - s) products — so Q is one shared float expression
+    with a FIXED three-term association order (no fold needed),
+    floored 4dp. The chi-square critical value ships as a column
+    (7.8147, alpha=0.05); no float threshold decision is baked in —
+    the per-(n-k) denominators make an exact-integer clearing of
+    Q > crit exceed decimal(38,0) headroom, so the verdict is left to
+    the consumer against the shipped constant (documented deviation
+    from the integer-decision rule). Plan: identical to q_time_acf —
+    one user_id exchange, leads in-row, one rollup; the three lag
+    numerators collapse in the SAME aggregate (no union, no second
+    scan)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    l = (
+        e.withColumn("n", F.count(F.lit(1)).over(wu))
+        .withColumn("s", F.sum("v").over(wu))
+        .withColumn("v1", F.lead("v", 1).over(wo))
+        .withColumn("v2", F.lead("v", 2).over(wo))
+        .withColumn("v3", F.lead("v", 3).over(wo))
+    )
+    dev = F.col("n") * F.col("v") - F.col("s")
+    nk = lambda c: F.sum(  # noqa: E731
+        F.when(
+            F.col(c).isNotNull(),
+            dev * (F.col("n") * F.col(c) - F.col("s")),
+        ).otherwise(0)
+    )
+    agg = l.groupBy("user_id").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.sum(dev * dev).alias("d"),
+        nk("v1").alias("nk1"),
+        nk("v2").alias("nk2"),
+        nk("v3").alias("nk3"),
+    )
+    r = lambda c, k: (  # noqa: E731
+        (F.col(c).cast("double") / F.col("d"))
+        * (F.col(c).cast("double") / F.col("d"))
+        / (F.col("n") - k)
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + 2)
+        * (r("nk1", 1) + r("nk2", 2) + r("nk3", 3))
+    )
+    return agg.filter((F.col("n") > 3) & (F.col("d") > 0)).select(
+        "user_id",
+        "n",
+        (F.floor(q * 10000 + F.lit(0.5)) / 10000).alias("lb_q"),
+        F.lit(3).cast("int").alias("df"),
+        F.lit(7.8147).alias("chi2_crit_05"),
+    )
+
+
+# Euler-Mascheroni and pi as INJECTED double literals — both engines
+# parse the identical decimal string to the identical IEEE double, so
+# the Gumbel method-of-moments shapes stay bit-equal (never call the
+# engine's own pi(): DuckDB's and Java's constants agree, but a literal
+# is provably identical and grep-able).
+_EULER_GAMMA = "0.5772156649015329"
+_PI = "3.141592653589793"
+
+
+@query(
+    "q_time_extreme_value",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
+              AS BIGINT) AS day,
+         CAST(strftime(o_orderdate::TIMESTAMP, '%Y%m') AS INTEGER) AS ym,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1, 2
+), bm AS (
+  SELECT ym, max(v) AS mx FROM daily GROUP BY ym
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS HUGEINT) AS s,
+         sum(CAST(mx AS HUGEINT) * mx) AS ss
+  FROM bm
+)
+SELECT n AS n_blocks,
+       floor(CAST(s AS DOUBLE) / n + 0.5) / 100 AS block_mean,
+       floor(sqrt(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+             * sqrt(6.0) / {_PI} + 0.5) / 100 AS gumbel_scale,
+       floor((CAST(s AS DOUBLE) / n
+              - {_EULER_GAMMA}
+                * (sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n))
+                   * sqrt(6.0) / {_PI}))
+             + 0.5) / 100 AS gumbel_loc,
+       floor((CAST(s AS DOUBLE) / n
+              - {_EULER_GAMMA}
+                * (sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n))
+                   * sqrt(6.0) / {_PI})
+              - (sqrt(CAST(n * ss - s * s AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n))
+                 * sqrt(6.0) / {_PI})
+                * ln(-ln(1.0 - 1.0 / 12.0)))
+             + 0.5) / 100 AS return_level_12
+FROM mom
+""",
+)
+def q_time_extreme_value(spark, sf_dir):
+    """Gumbel extreme-value fit on monthly block maxima of daily
+    revenue — the EVT block-maxima recipe (what is the worst day we
+    should expect per year?): method-of-moments scale = sd*sqrt(6)/pi,
+    location = mean - gamma*scale, and the T=12-block return level
+    loc - scale*ln(-ln(1 - 1/T)) (the '12-month event'). All moments
+    (n, sum, sum-of-squares of exact-cent maxima) are exact integers;
+    gamma and pi are INJECTED double literals so both engines evaluate
+    the identical transcendental shapes; the population-sd form keeps
+    one division under the sqrt. Outputs floored to whole cents /100.
+    Plan: orders collapse map-side to (day, month) sums, block maxima
+    re-aggregate ~80 rows, the fit is a 1-row moment aggregate — at
+    100 TB the EVT fit costs one scan and two tiny shuffles."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    day = (
+        F.floor(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000)
+        )
+    ).cast("long")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    daily = o.groupBy(day.alias("day"), ym.alias("ym")).agg(
+        F.sum(cents).alias("v")
+    )
+    bm = daily.groupBy("ym").agg(F.max("v").alias("mx"))
+    mxd = F.col("mx").cast("decimal(38,0)")
+    mom = bm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(mxd).alias("s"),
+        F.sum(mxd * mxd).alias("ss"),
+    )
+    gamma = F.lit(float(_EULER_GAMMA))
+    pi = F.lit(float(_PI))
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    scale = sd * F.sqrt(F.lit(6.0)) / pi
+    loc = mean - gamma * scale
+    rl = loc - scale * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(12.0)))
+    cents_out = lambda x: F.floor(x + F.lit(0.5)) / 100  # noqa: E731
+    return mom.select(
+        F.col("n").alias("n_blocks"),
+        cents_out(mean).alias("block_mean"),
+        cents_out(scale).alias("gumbel_scale"),
+        cents_out(loc).alias("gumbel_loc"),
+        cents_out(rl).alias("return_level_12"),
+    )
