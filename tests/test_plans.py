@@ -870,3 +870,25 @@ def test_strength_series_is_calendar_bounded(spark):
     assert "BroadcastHashJoin" in plan
     pre, _, post = plan.partition("Exchange SinglePartition")
     assert "partial_collect_list" in post and "partial_count" in post
+
+
+def test_hill_tail_rank_limit_is_partial_topk(spark):
+    """The Hill top-(k+1) selection must compile to
+    TakeOrderedAndProject (per-partition partial top-k feeding one
+    limit), never a full global sort — checked on the pre-checkpoint
+    subtree the production key builds."""
+    from pyspark.sql import Window
+
+    from wikidata2pg_spark.llm.text import _HILL_K
+
+    d = load(spark, SF_T2, "documents")
+    r = d.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("rn"),
+    ).filter(F.col("rn") <= _HILL_K + 1)
+    plan = _plan(r)
+    assert f"TakeOrderedAndProject(limit={_HILL_K + 1}" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

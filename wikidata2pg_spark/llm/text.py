@@ -1682,13 +1682,22 @@ def q_text_hill_tail(spark, sf_dir):
     from wikidata2pg_spark.operators.analytics import ordered_fold
 
     d = load(spark, sf_dir, "documents")
-    r = d.select(
-        "n_chars",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
-        .cast("long")
-        .alias("rn"),
-    ).localCheckpoint()  # feeds the top-k terms AND the k+1 reference
+    # rank-filter BEFORE the checkpoint: Catalyst rewrites the
+    # rank-limit into TakeOrderedAndProject(limit=k+1) — a per-partition
+    # partial top-k — and the checkpoint then snapshots 51 rows, not the
+    # whole ranked corpus (the q_dq_freshness review-catch class;
+    # plan-asserted in test_plans.py)
+    r = (
+        d.select(
+            "n_chars",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+            .cast("long")
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _HILL_K + 1)
+        .localCheckpoint()  # feeds the top-k terms AND the k+1 reference
+    )
     ref = r.filter(F.col("rn") == _HILL_K + 1).select(
         F.col("n_chars").alias("x_ref")
     )
@@ -1720,12 +1729,13 @@ def q_text_hill_tail(spark, sf_dir):
     "q_text_bigram_entropy",
     oracle="""
 WITH b AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS c12
   FROM (
-    SELECT ws[i] AS w1, ws[i + 1] AS w2
-    FROM (SELECT string_split(text, ' ') AS ws FROM documents) t,
-         (SELECT unnest(range(1, 400)) AS i) ix
-    WHERE i + 1 <= len(ws)
+    SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i + 1])) AS bg
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents) t
+    WHERE len(ws) >= 2
   ) g GROUP BY 1, 2
 ), m1 AS (
   SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY 1

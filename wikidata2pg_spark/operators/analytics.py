@@ -5506,13 +5506,16 @@ WITH x AS (
   FROM u WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ), agg AS (
   SELECT user_id, CAST(any_value(n) AS BIGINT) AS n,
-         sum((n * v - s) * (n * v - s)) AS d,
+         sum(CAST(n * v - s AS HUGEINT) * (n * v - s)) AS d,
          sum(CASE WHEN v1 IS NOT NULL
-                  THEN (n * v - s) * (n * v1 - s) ELSE 0 END) AS nk1,
+                  THEN CAST(n * v - s AS HUGEINT) * (n * v1 - s)
+                  ELSE 0 END) AS nk1,
          sum(CASE WHEN v2 IS NOT NULL
-                  THEN (n * v - s) * (n * v2 - s) ELSE 0 END) AS nk2,
+                  THEN CAST(n * v - s AS HUGEINT) * (n * v2 - s)
+                  ELSE 0 END) AS nk2,
          sum(CASE WHEN v3 IS NOT NULL
-                  THEN (n * v - s) * (n * v3 - s) ELSE 0 END) AS nk3
+                  THEN CAST(n * v - s AS HUGEINT) * (n * v3 - s)
+                  ELSE 0 END) AS nk3
   FROM l GROUP BY user_id
 )
 SELECT user_id, n,
@@ -5563,15 +5566,19 @@ def q_time_ljung_box(spark, sf_dir):
         .withColumn("v3", F.lead("v", 3).over(wo))
     )
     dev = F.col("n") * F.col("v") - F.col("s")
+    # deviation products widened to decimal(38,0)/HUGEINT: the sums grow
+    # ~n^3 * var(cents) per series — int64 headroom shrinks fast with
+    # longer series (the q_time_extreme_value convention; review catch)
+    devd = dev.cast("decimal(38,0)")
     nk = lambda c: F.sum(  # noqa: E731
         F.when(
             F.col(c).isNotNull(),
-            dev * (F.col("n") * F.col(c) - F.col("s")),
+            devd * (F.col("n") * F.col(c) - F.col("s")),
         ).otherwise(0)
     )
     agg = l.groupBy("user_id").agg(
         F.any_value("n").cast("long").alias("n"),
-        F.sum(dev * dev).alias("d"),
+        F.sum(devd * dev).alias("d"),
         nk("v1").alias("nk1"),
         nk("v2").alias("nk2"),
         nk("v3").alias("nk3"),
