@@ -338,3 +338,51 @@ def test_concurrency_sweepline_bounds_on_generated_times(spark, data):
     )
     assert peak == brute
     assert 1 <= peak <= len(data)
+
+
+series = st.lists(st.integers(-1000, 1000), min_size=1, max_size=12)
+
+
+@given(vals=series)
+@settings(**SETTINGS)
+def test_mann_kendall_antisymmetry(spark, vals):
+    """Negating a series flips S exactly (and hence the trend verdict)
+    while n and the tie-corrected variance are invariant — the defining
+    symmetry of the rank-based statistic, on the production tree."""
+    from wikidata2pg_spark.operators.analytics import mann_kendall_frame
+
+    m = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)]
+        + [("b", i, -v) for i, v in enumerate(vals)],
+        "priority string, ym int, v long",
+    )
+    got = {r.priority: r for r in mann_kendall_frame(m).collect()}
+    a, b = got["a"], got["b"]
+    assert b.s_stat == -a.s_stat
+    assert (b.n_periods, b.var18) == (a.n_periods, a.var18)
+    assert b.z == -a.z or (a.z == 0.0 and b.z == 0.0)
+    flip = {"increasing": "decreasing", "decreasing": "increasing"}
+    assert b.trend == flip.get(a.trend, a.trend)
+
+
+@given(vals=st.lists(st.integers(0, 10000), min_size=2, max_size=10),
+       shift=st.integers(-5000, 5000))
+@settings(**SETTINGS)
+def test_hodges_lehmann_translation_equivariance(spark, vals, shift):
+    """HL(x + c) = HL(x) + c — the location-estimator contract (Walsh
+    sums shift by 2c, order statistics by 2c, the /4 by c). Exact
+    because nothing in the operator rounds; drives the production
+    hodges_lehmann_frame tree."""
+    from wikidata2pg_spark.operators.analytics import hodges_lehmann_frame
+
+    def hl(series):
+        m = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(series)],
+            "priority string, ym int, v long",
+        )
+        [row] = hodges_lehmann_frame(m).collect()
+        return row.hl_cents
+
+    base = hl(vals)
+    shifted = hl([v + shift for v in vals])
+    assert shifted == base + shift  # /4 and integer sums: exact equality

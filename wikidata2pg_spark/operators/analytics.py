@@ -5371,7 +5371,14 @@ def q_agg_hodges_lehmann(spark, sf_dir):
     q_time_mann_kendall the O(k^2) Walsh expansion runs on the ~80-row
     monthly AGGREGATE (3.2k pairs per priority), never on raw orders —
     period-bounded at any data scale; one rank window per priority."""
-    m = _monthly_revenue_by_priority(spark, sf_dir)
+    return hodges_lehmann_frame(_monthly_revenue_by_priority(spark, sf_dir))
+
+
+def hodges_lehmann_frame(m):
+    """Hodges-Lehmann core over a (priority, ym, v) series frame — the
+    production expression tree, importable so the translation-
+    equivariance property test drives the exact code path. ``v`` must
+    be an exact integer."""
     a = m.select("priority", F.col("ym").alias("ym1"), F.col("v").alias("v1"))
     b = m.select(
         F.col("priority").alias("p2"),
