@@ -106,12 +106,13 @@ def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None
     bench — the r1 incident the between-rep check alone couldn't cover.
 
     Raises BudgetExceeded ONLY when the watchdog actually fired (flag set
-    by the cancel callback itself) AND the exception is the job-group
-    cancellation it causes — a genuine failure (OOM, codegen error) that
-    happens to land after the timer fired must still propagate as itself,
-    not be mislabeled a budget hit (ADVICE r5; the flag alone left that
-    post-expiry window open). Any other mid-rep exception propagates
-    as-is — inferring a budget hit from `left() <= 0` after the fact
+    by the cancel callback itself) AND the exception carries Spark's
+    job-group cancellation signature — "cancelled" plus THIS rep's job
+    group name (Spark formats the kill reason as "part of cancelled job
+    group <group>"; ADVICE r6 — a bare "cancel" substring could mislabel
+    a genuine post-expiry failure whose message merely mentions
+    cancellation). Any other mid-rep exception propagates as-is —
+    inferring a budget hit from `left() <= 0` after the fact
     misclassified genuine failures that happened to land after budget
     exhaustion and published their possibly-corrupt medians."""
     sc = spark.sparkContext
@@ -128,7 +129,8 @@ def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None
     try:
         materialize(df)
     except Exception as e:  # noqa: BLE001
-        if fired.is_set() and "cancel" in str(e).lower():
+        msg = str(e).lower()
+        if fired.is_set() and "cancelled" in msg and group.lower() in msg:
             raise BudgetExceeded(group) from e
         raise
     finally:

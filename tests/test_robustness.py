@@ -67,6 +67,26 @@ def test_bench_real_failure_is_not_a_budget_hit(spark):
     assert not isinstance(ei.value, bench_mod.BudgetExceeded)
 
 
+def test_bench_post_expiry_cancel_worded_failure_not_mislabeled(
+    monkeypatch, spark
+):
+    """ADVICE r6: a genuine failure that lands AFTER the watchdog fired
+    and whose message merely mentions cancellation (but is not THIS job
+    group's kill — Spark's kill reason embeds the group name) must
+    propagate as itself, not be published as a budget hit with partial
+    medians."""
+
+    def fake_materialize(df):
+        time.sleep(0.3)  # let the watchdog fire first
+        raise RuntimeError("stage cancelled by resource manager")
+
+    monkeypatch.setattr(bench_mod, "materialize", fake_materialize)
+    with pytest.raises(RuntimeError):
+        bench_mod.materialize_with_deadline(
+            spark, spark.range(1), "watchdog-postexp", 0.01
+        )
+
+
 def test_bench_watchdog_passthrough(spark):
     """A fast rep under budget completes normally and the timer is torn
     down (no delayed cancellation bleeding into later jobs)."""

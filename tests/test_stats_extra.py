@@ -1037,7 +1037,8 @@ def test_extreme_value_bruteforce_and_invariants(spark):
     vals = list(bm.values())
     n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
     mean = float(s) / n
-    sd = math.sqrt(float(n * ss - s * s) / (float(n) * n))
+    # sample sd (n-1): the conventional method-of-moments EVT denominator
+    sd = math.sqrt(float(n * ss - s * s) / (float(n) * (n - 1)))
     scale = sd * math.sqrt(6.0) / 3.141592653589793
     loc = mean - 0.5772156649015329 * scale
     rl = loc - scale * math.log(-math.log(1.0 - 1.0 / 12.0))

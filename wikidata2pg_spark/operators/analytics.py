@@ -4885,10 +4885,19 @@ def q_win_skyline(spark, sf_dir):
     the integer price value sharing one sort, so equal-price ties and
     duplicate points fall out correctly (mutually non-dominating
     duplicates all survive). All integer: cents, sizes, MAX — no
-    float anywhere. Plan: one scan + one global-ordered window (the
-    ordered_bucket two-pass rank is the 100 TB path for a global
-    order; the frontier semantics are identical). Brute-forced
-    against the O(n^2) dominance definition in pytest."""
+    float anywhere. Distributed two-pass (r7, the ordered_bucket
+    pattern of windows.py::_global_rank): bucket on price_c (pid is a
+    pure monotone function of the value, so every row in an earlier
+    bucket is STRICTLY cheaper), run both RANGE frames per bucket,
+    then lift each to the global frame with the broadcast exclusive
+    prefix-max of per-bucket maxima — max(local, prefix) is exact for
+    MAX because prefix rows are strictly-cheaper for BOTH frames. The
+    only single-partition stages carry O(P) aggregate rows
+    (plan-asserted in test_plans.py); the full table never funnels
+    through one task. Brute-forced against the O(n^2) dominance
+    definition in pytest."""
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
     p = load(spark, sf_dir, "part")
     x = p.select(
         "p_partkey",
@@ -4897,24 +4906,33 @@ def q_win_skyline(spark, sf_dir):
         .alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
     )
-    wo = Window.orderBy("price_c")
-    m_strict = F.max("size").over(
-        wo.rangeBetween(Window.unboundedPreceding, -1)
-    )
-    m_incl = F.max("size").over(
-        wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = x.select(
+    parts = ordered_bucket(x, "price_c", 16)
+    wloc = Window.partitionBy("pid").orderBy("price_c")
+    m = parts.select(
+        "pid",
         "p_partkey",
         "price_c",
         "size",
-        m_strict.alias("m_strict"),
-        m_incl.alias("m_incl"),
+        F.max("size")
+        .over(wloc.rangeBetween(Window.unboundedPreceding, -1))
+        .alias("ms_loc"),
+        F.max("size")
+        .over(wloc.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("mi_loc"),
     )
+    bmax = parts.groupBy("pid").agg(F.max("size").alias("bmax"))
+    wpre = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.select("pid", F.max("bmax").over(wpre).alias("pre_max"))
+    j = m.join(F.broadcast(pre), "pid")
+    # greatest() skips nulls (first row of a bucket has null ms_loc;
+    # bucket 0 has null pre_max) — null survives only when BOTH sides
+    # are empty, exactly the global window's null; coalesce -> FALSE.
+    m_strict = F.greatest("ms_loc", "pre_max")
+    m_incl = F.greatest("mi_loc", "pre_max")
     dominated = F.coalesce(
-        F.col("m_strict") >= F.col("size"), F.lit(False)
-    ) | F.coalesce(F.col("m_incl") > F.col("size"), F.lit(False))
-    return m.filter(~dominated).select("p_partkey", "price_c", "size")
+        m_strict >= F.col("size"), F.lit(False)
+    ) | F.coalesce(m_incl > F.col("size"), F.lit(False))
+    return j.filter(~dominated).select("p_partkey", "price_c", "size")
 
 
 @query(
@@ -5637,21 +5655,22 @@ WITH daily AS (
 )
 SELECT n AS n_blocks,
        floor(CAST(s AS DOUBLE) / n + 0.5) / 100 AS block_mean,
-       floor(sqrt(CAST(n * ss - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+       floor(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
              * sqrt(6.0) / {_PI} + 0.5) / 100 AS gumbel_scale,
        floor((CAST(s AS DOUBLE) / n
               - {_EULER_GAMMA}
                 * (sqrt(CAST(n * ss - s * s AS DOUBLE)
-                        / (CAST(n AS DOUBLE) * n))
+                        / (CAST(n AS DOUBLE) * (n - 1)))
                    * sqrt(6.0) / {_PI}))
              + 0.5) / 100 AS gumbel_loc,
        floor((CAST(s AS DOUBLE) / n
               - {_EULER_GAMMA}
                 * (sqrt(CAST(n * ss - s * s AS DOUBLE)
-                        / (CAST(n AS DOUBLE) * n))
+                        / (CAST(n AS DOUBLE) * (n - 1)))
                    * sqrt(6.0) / {_PI})
               - (sqrt(CAST(n * ss - s * s AS DOUBLE)
-                      / (CAST(n AS DOUBLE) * n))
+                      / (CAST(n AS DOUBLE) * (n - 1)))
                  * sqrt(6.0) / {_PI})
                 * ln(-ln(1.0 - 1.0 / 12.0)))
              + 0.5) / 100 AS return_level_12
@@ -5666,8 +5685,10 @@ def q_time_extreme_value(spark, sf_dir):
     loc - scale*ln(-ln(1 - 1/T)) (the '12-month event'). All moments
     (n, sum, sum-of-squares of exact-cent maxima) are exact integers;
     gamma and pi are INJECTED double literals so both engines evaluate
-    the identical transcendental shapes; the population-sd form keeps
-    one division under the sqrt. Outputs floored to whole cents /100.
+    the identical transcendental shapes; the SAMPLE sd (n-1, the
+    conventional method-of-moments EVT denominator — ADVICE r6) keeps
+    one division under the sqrt: sqrt((n*ss - s*s) / (n*(n-1))).
+    Outputs floored to whole cents /100.
     Plan: orders collapse map-side to (day, month) sums, block maxima
     re-aggregate ~80 rows, the fit is a 1-row moment aggregate — at
     100 TB the EVT fit costs one scan and two tiny shuffles."""
@@ -5695,7 +5716,7 @@ def q_time_extreme_value(spark, sf_dir):
     mean = F.col("s").cast("double") / F.col("n")
     sd = F.sqrt(
         (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-        / (F.col("n").cast("double") * F.col("n"))
+        / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
     )
     scale = sd * F.sqrt(F.lit(6.0)) / pi
     loc = mean - gamma * scale
