@@ -369,20 +369,20 @@ def test_pipeline_multimodal_dedup_and_gate(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND6_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND7_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND6_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND7_PRIORITY
 
     qs = list(M.queries())
-    pinned = [k for k in _ROUND6_PRIORITY if k in qs]
+    pinned = [k for k in _ROUND7_PRIORITY if k in qs]
     assert len(pinned) == 50  # window exactly full — no wasted slot
     assert qs[: len(pinned)] == pinned
     # the 50-key window must contain EVERY key that had no driver row in
-    # rounds 1-5 (keys added after the r6 freeze go on the deferral list
-    # below and must lead r7's rotation)
+    # rounds 1-6 (the rest of the never-tested backlog stays on the
+    # deferral list below and fills the r8/r9/r10 rotations)
     import glob
     import json
     import os
@@ -390,39 +390,19 @@ def test_driver_window_ordering_is_pinned():
     window = set(qs[:50])
     tested: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-5].json")):
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-6].json")):
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
     # never-tested key accidentally missing from _ROUND6_PRIORITY would
     # pass silently). Every such key must be in the window or on the
     # explicit post-freeze deferral list that leads r7's rotation.
-    # r6 post-freeze additions (registered after the r6 window was packed;
-    # they MUST lead r7's rotation)
+    # Never-driver-tested backlog after packing the r7 window (113 keys,
+    # down from 163 after r6 — key additions are FROZEN per VERDICT r6
+    # task 2; these fill r8 (50) + r9 (50) + r10 (13), subtle-machinery
+    # and oldest first)
     post_freeze_deferred: set[str] = {
-        "q_text_bm25",
-        "q_sample_token_budget",
-        "q_cluster_kmeans",
-        "q_pipeline_neardup",
-        "q_vec_pq_adc",
-        "q_stream_stream_left",
-        "q_agg_grouping_id",
-        "q_agg_regression",
-        "q_retrieval_hybrid_rrf",
-        "q_agg_skewkurt",
-        "q_funnel_conversion",
-        "q_cohort_retention",
-        "q_join_bloom_prefilter",
-        "q_agg_mad",
-        "q_wd_dump_diff",
-        "q_agg_gini",
-        "q_time_ewma",
-        "q_text_dupspans",
-        "q_agg_entropy",
-        "q_time_mom_growth",
-        "q_agg_weighted_median",
         "q_funnel_time_to_convert",
-        "q_stream_full_outer",
         "q_except_all",
         "q_intersect_all",
         "q_fn_date2",
@@ -487,7 +467,6 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_clustering_coeff",
         "q_sample_time_split",
         "q_agg_quantile_bands",
-        "q_agg_mutual_info",
         "q_join_fanout_audit",
         "q_feature_point_in_time",
         "q_dedup_minhash_fidelity",
@@ -495,7 +474,6 @@ def test_driver_window_ordering_is_pinned():
         "q_orders_abc_migration",
         "q_graph_assortativity",
         "q_agg_hhi",
-        "q_dq_kl_drift",
         "q_orders_fulfillment_latency",
         "q_text_vocab_growth",
         "q_sample_negatives",
@@ -503,34 +481,12 @@ def test_driver_window_ordering_is_pinned():
         "q_win_concurrency",
         "q_agg_ols2",
         "q_text_burstiness",
-        "q_vec_drift",
         "q_join_asof_nearest",
         "q_time_volatility",
         "q_agg_smoothed_rate",
-        "q_sql_tpch_q3",
-        "q_sql_tpch_q5",
-        "q_sql_tpch_q10",
-        "q_time_peak_hours",
-        "q_sql_tpch_q18",
-        "q_vec_pca_power",
-        "q_vec_pca_project",
-        "q_agg_anova_eta",
         "q_time_lag_corr",
-        "q_dq_psi",
         "q_win_rbo",
         "q_agg_gains_table",
-        "q_sql_tpch_q1",
-        "q_sql_tpch_q4",
-        "q_sql_tpch_q6",
-        "q_sql_tpch_q7",
-        "q_sql_tpch_q8",
-        "q_sql_tpch_q13",
-        "q_sql_tpch_q14",
-        "q_sql_tpch_q15",
-        "q_sql_tpch_q16",
-        "q_sql_tpch_q17",
-        "q_sql_tpch_q19",
-        "q_sql_tpch_q22",
         "q_agg_welch_ttest",
         "q_dq_cramers_v",
         "q_time_decompose",
@@ -547,20 +503,16 @@ def test_driver_window_ordering_is_pinned():
         "q_time_hampel",
         "q_agg_trimmed_mean",
         "q_time_forecast_accuracy",
-        "q_win_skyline",
         "q_time_mann_kendall",
         "q_time_control_chart",
         "q_win_rolling_corr",
         "q_text_vocab_richness",
-        "q_text_jsd_sources",
         "q_retrieval_mrr",
         "q_multimodal_image_tiles",
         "q_time_strength",
         "q_agg_hodges_lehmann",
         "q_dq_freshness",
-        "q_pipeline_multimodal",
         "q_time_ljung_box",
-        "q_time_extreme_value",
         "q_text_hill_tail",
         "q_text_bigram_entropy",
     }

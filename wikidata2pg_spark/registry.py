@@ -41,75 +41,65 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's correctness pass walks `queries()` in dict order and checks
-# EXACTLY the first 50 keys per round (r1-r5 each recorded 50). The window
-# rotates per round: _ROUND5_PRIORITY (see git history, commit 252e008)
-# packed all 41 then-never-tested keys; its 50 slots all recorded in
-# CORRECTNESS_r05.json.
+# EXACTLY the first 50 keys per round (r1-r6 each recorded 50). The window
+# rotates per round: _ROUND5_PRIORITY (git history, commit 252e008) packed
+# all 41 then-never-tested keys; _ROUND6_PRIORITY (git history, commit
+# 2bf4fde is the last HEAD carrying it) re-proved the 8 r5 deferrals, the
+# 8 post-r5-edit keys, and 34 stale r1 rows — all 50 hash-green in
+# CORRECTNESS_r06.json, bringing the cumulative driver ledger to 196/359.
 
-# Round-6 window (VERDICT r5 tasks 1-2 + ADVICE r5 low finding). Three
-# tiers, exactly 50 keys:
-#   A (8)  — the keys with NO driver row after r1-r5 (deferred past r5's
-#            freeze; 196/196 cumulative coverage lands when these record).
-#   B (8)  — keys whose CODE or ORACLE changed after their latest driver
-#            row, so that row attests pre-change behavior: q_agg_stats
-#            (r5 hash-FAIL, rewritten on exact integer moments this round)
-#            plus the r5-edit set ADVICE flagged (q_agg_basic/having/
-#            conditional/percentile_exact floor-rounding, q_join_asof +
-#            q_stream_session oracle edits, q_win_moving_rows ORDER BY
-#            extension). The r3/r5 history shows mirror-green != driver-
-#            green, so every modified hash key must re-prove.
-#   C (34) — the stalest r1-proven keys (rows now 5 rounds old), ordered
-#            rounding-sensitive aggs -> windows -> ordered output -> set
-#            ops -> joins -> scalar fns.
-# Deliberately deferred to r7 (r1 rows, but pure-codegen filters/limits
-# with no rounding/ordering sensitivity — lowest re-prove value):
-# q_project_alias_expr, q_filter_compound, q_filter_in_between_like,
-# q_null_semantics, q_case_when, q_distinct, q_limit, q_union_all,
-# q_join_cross; then the r3-proven wikidata/llm families. Registered
-# AFTER the r6 freeze (post-window; pinned on the deferral list in
-# test_driver_window_ordering_is_pinned, must lead r7): q_text_bm25,
-# q_sample_token_budget, q_cluster_kmeans, q_pipeline_neardup,
-# q_vec_pq_adc, q_stream_stream_left, q_agg_grouping_id,
-# q_agg_regression, q_retrieval_hybrid_rrf, q_agg_skewkurt,
-# q_funnel_conversion, q_cohort_retention, q_join_bloom_prefilter,
-# q_agg_mad, q_wd_dump_diff, q_agg_gini, q_time_ewma, q_text_dupspans,
-# q_agg_entropy, q_time_mom_growth, q_agg_weighted_median,
-# q_funnel_time_to_convert, q_stream_full_outer, q_except_all,
-# q_intersect_all, q_fn_date2, q_agg_bitmap_distinct, q_time_ohlc,
-# q_sample_balanced, q_win_ratio_to_report, q_agg_iqr_outliers,
-# q_time_streaks, q_agg_churn, q_subquery_exists_flag, q_text_lm_score,
-# q_join_asof_tolerance.
-_ROUND6_PRIORITY = (
-    # --- tier A: never driver-tested (8) ---
-    "q_dedup_incremental", "q_stream_jdbc_upsert", "q_scan_schema_evolution",
-    "q_sink_zorder", "q_scan_corrupt_tolerant", "q_sink_compact",
-    "q_custom_stream_source", "q_agg_hll_mergeable",
-    # --- tier B: modified after latest driver row (8) ---
-    "q_agg_stats", "q_agg_basic", "q_agg_having", "q_agg_conditional",
-    "q_agg_percentile_exact", "q_join_asof", "q_win_moving_rows",
-    "q_stream_session",
-    # --- tier C: stalest r1-proven (32) + the two r6 signed-zero-guard
-    # edits (q_vec_centroid caught LIVE by the sf0.1 hazard sweep,
-    # q_vec_normalize guarded for the same class) which displace the two
-    # rows-only approx keys (q_agg_approx_cd, q_agg_percentile_approx —
-    # a rows-only re-prove is the weakest possible evidence, a modified
-    # hash key the strongest; the approx pair rotates into r7) ---
-    "q_vec_centroid", "q_vec_normalize",
-    "q_agg_count_distinct", "q_agg_sum_distinct", "q_agg_rollup",
-    "q_agg_cube", "q_agg_grouping_sets",
-    "q_win_row_number", "q_win_rank_dense", "q_win_ntile", "q_win_lag_lead",
-    "q_win_range_frame", "q_win_cumsum", "q_win_first_last",
-    "q_sort_multikey", "q_topk_global", "q_topk_per_group",
-    "q_union_distinct", "q_intersect", "q_except",
-    "q_join_inner_shuffle", "q_join_broadcast", "q_join_left_outer",
-    "q_join_right_outer", "q_join_full_outer", "q_join_semi", "q_join_anti",
-    "q_join_theta_band", "q_join_interval_overlap", "q_join_multikey_self",
-    "q_fn_string", "q_fn_regexp", "q_fn_date", "q_fn_math",
+# Round-7 window (VERDICT r6 tasks 1/6 + ADVICE r6). After r6, 163
+# registered keys had NO driver row (the post_freeze_deferred list in
+# tests/test_robustness.py); the r7-r9 rotation drains that backlog at 50
+# keys/round with key additions FROZEN (VERDICT r6 task 2). Five tiers,
+# exactly 50 keys, all never-driver-tested:
+#   A (2)  — keys MODIFIED this round, so driver evidence lands on the
+#            new code (mirror-green != driver-green, r3/r5 lesson):
+#            q_win_skyline (distributed two-pass rewrite) and
+#            q_time_extreme_value (sample-sd fit, ADVICE r6).
+#   B (16) — the full TPC-H suite (operators/tpch.py): headline parity
+#            claims resting entirely on the local mirror until now.
+#   C (13) — subtle-determinism machinery, where a driver row is worth
+#            the most: the ordered float folds (mutual_info, kl_drift,
+#            peak_hours, anova_eta, psi, jsd_sources), the fixed-point
+#            iterative family (cluster_kmeans, vec_pq_adc,
+#            vec_pca_power/project, vec_drift), and the
+#            watermark-frontier stream-stream outer joins.
+#   D (2)  — the composed pipelines (q_pipeline_neardup,
+#            q_pipeline_multimodal): each certifies a whole family
+#            end-to-end (VERDICT r6 task 6).
+#   E (17) — the OLDEST post-freeze additions (r6 mid-round batch, in
+#            registration order).
+# The remaining 113 never-tested keys stay on post_freeze_deferred
+# (tests/test_robustness.py) and fill r8 (50) + r9 (50) + r10 (13).
+_ROUND7_PRIORITY = (
+    # --- tier A: modified this round (2) ---
+    "q_win_skyline", "q_time_extreme_value",
+    # --- tier B: TPC-H suite (16) ---
+    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q4", "q_sql_tpch_q5",
+    "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q10",
+    "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15", "q_sql_tpch_q16",
+    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q22",
+    # --- tier C: ordered folds, fixed-point, watermark-frontier (13) ---
+    "q_agg_mutual_info", "q_dq_kl_drift", "q_time_peak_hours",
+    "q_agg_anova_eta", "q_dq_psi", "q_text_jsd_sources",
+    "q_cluster_kmeans", "q_vec_pq_adc", "q_vec_pca_power",
+    "q_vec_pca_project", "q_vec_drift",
+    "q_stream_stream_left", "q_stream_full_outer",
+    # --- tier D: composed pipelines (2) ---
+    "q_pipeline_neardup", "q_pipeline_multimodal",
+    # --- tier E: oldest post-freeze additions (17) ---
+    "q_text_bm25", "q_sample_token_budget", "q_agg_grouping_id",
+    "q_agg_regression", "q_retrieval_hybrid_rrf", "q_agg_skewkurt",
+    "q_funnel_conversion", "q_cohort_retention", "q_join_bloom_prefilter",
+    "q_agg_mad", "q_wd_dump_diff", "q_agg_gini", "q_time_ewma",
+    "q_text_dupspans", "q_agg_entropy", "q_time_mom_growth",
+    "q_agg_weighted_median",
 )
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND6_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND7_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
