@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_T2
+from tests.conftest import SF_SMOKE, SF_T2
 from wikidata2pg_spark.tables import load
 
 
@@ -911,3 +911,32 @@ def test_skyline_is_distributed_two_pass(spark):
         assert "HashAggregate" in seg[:scan_at]
     assert "Exchange hashpartitioning(pid" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_single_partition_blanket_sweep(spark):
+    """VERDICT r6 task 5: for EVERY registered key, no raw scan may feed
+    an Exchange SinglePartition without a bounding operator (aggregate /
+    top-k / limit / broadcast) on the tree path in between — the skyline
+    class as a static gate instead of per-key audits (the class survived
+    64 hand-written audits; see wikidata2pg_spark/plan_audit.py for the
+    rule and tools/plan_sweep.py for the standalone sweep). The r7 sweep
+    caught q_win_skyline's precedent class twice more (q_win_concurrency,
+    q_text_vocab_growth) — both now ride the two-pass global_cumsum."""
+    from wikidata2pg_spark.plan_audit import audit_key
+    from wikidata2pg_spark.registry import all_queries
+
+    # Raw-but-bounded BY PREDICATE, not by plan: both §2 contract-shape
+    # windows filter to a fixed key range (o_orderkey < 16000 — constant
+    # row count at any corpus scale) and both ship plan-asserted
+    # distributed twins (q_win_ntile_distributed,
+    # q_win_percent_rank_distributed) as the 100 TB form.
+    allow = {"q_win_ntile", "q_win_percent_rank"}
+    qs = all_queries()
+    bad = {}
+    for k, fn in qs.items():
+        if k in allow:
+            continue
+        v = audit_key(spark, k, fn, SF_SMOKE)
+        if v:
+            bad[k] = v[0][:160]
+    assert not bad, bad

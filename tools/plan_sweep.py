@@ -1,0 +1,66 @@
+"""Blanket SinglePartition plan sweep over every registered key (VERDICT
+r6 task 5 — the skyline class as a static gate, see
+wikidata2pg_spark/plan_audit.py for the rule).
+
+Usage:
+    python tools/plan_sweep.py [--sf /root/testdata/sf0.001] [keys...]
+
+Builds each key's DataFrame (side-effectful keys do their setup work —
+run at sf0.001 to keep that cheap) and fails if any raw scan feeds an
+``Exchange SinglePartition`` without a bounding operator in between.
+The pytest twin (tests/test_plans.py::test_single_partition_blanket_sweep)
+runs the same checker with the documented allowlist; this tool prints
+EVERY hit, allowlisted or not, so exceptions stay visible.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from wikidata2pg_spark.plan_audit import audit_key
+    from wikidata2pg_spark.registry import all_queries
+    from wikidata2pg_spark.session import get_session
+
+    spark = get_session("plan-sweep")
+    qs = all_queries()
+    keys = args.keys or list(qs)
+    t0 = time.time()
+    hits: dict[str, list[str]] = {}
+    errs: dict[str, str] = {}
+    for k in keys:
+        try:
+            v = audit_key(spark, k, qs[k], args.sf)
+        except Exception as e:  # noqa: BLE001
+            errs[k] = f"{type(e).__name__}: {e}"
+            print(f"ERR  {k}: {errs[k][:160]}", flush=True)
+            continue
+        if v:
+            hits[k] = v
+            print(f"HIT  {k}: {v[0][:160]}", flush=True)
+        else:
+            print(f"ok   {k}", flush=True)
+    print(
+        f"-- {len(keys)} keys, {len(hits)} single-partition hits, "
+        f"{len(errs)} errors, {time.time() - t0:.1f}s"
+    )
+    for k, v in hits.items():
+        print(f"HIT {k}")
+        for line in v:
+            print(f"    {line}")
+    return 1 if (hits or errs) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1343,8 +1343,12 @@ def q_text_vocab_growth(spark, sf_dir):
     new-vocab counts roll up per doc, and both curves are plain
     cumulative sums. All integers. Plan: the token-keyed shuffle for
     first-occurrence attribution is the one heavy exchange (at 100 TB:
-    hash tokens to 64-bit first); the curve windows run on |docs|
-    rows."""
+    hash tokens to 64-bit first); the curves are the two-pass
+    global_cumsum split (r7 — |docs| is corpus-sized at scale, so the
+    blanket SinglePartition sweep rightly flagged the old global
+    window; integer addition makes the two-pass bit-identical)."""
+    from wikidata2pg_spark.operators.windows import global_cumsum
+
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
@@ -1361,12 +1365,10 @@ def q_text_vocab_growth(spark, sf_dir):
     j = toks.join(firsts, "doc_id", "left").withColumn(
         "nv", F.coalesce(F.col("nv"), F.lit(0))
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return j.select(
-        "doc_id",
-        F.sum("n_toks").over(w).alias("tokens_cum"),
-        F.sum("nv").over(w).alias("vocab_cum"),
+    c = global_cumsum(
+        j, ("doc_id",), {"n_toks": "tokens_cum", "nv": "vocab_cum"}
     )
+    return c.select("doc_id", "tokens_cum", "vocab_cum")
 
 
 _BURST_TOPK = 10  # most frequent tokens profiled

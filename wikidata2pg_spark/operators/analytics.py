@@ -2887,11 +2887,13 @@ def q_win_concurrency(spark, sf_dir):
     half-open [t, t+span) convention), so a session expiring exactly
     when another starts never double-counts. The argmax timestamp
     tie-breaks earliest via max(struct(conc, -t)). Everything is
-    integer. Plan: the sweep is one global-ordered running sum — at
-    fixture scale a single-partition window; at 100 TB the standard
-    two-pass split (per-range partial sums + broadcast prefix offsets,
-    the q_pack_sequences/ordered_bucket machinery this repo already
-    uses for global prefix sums)."""
+    integer. Plan (r7, caught by the blanket SinglePartition sweep):
+    the global running sum is the two-pass global_cumsum split —
+    per-bucket partial sums + broadcast prefix offsets (integer
+    addition, bit-identical to the single window); no full-data
+    single-partition stage remains."""
+    from wikidata2pg_spark.operators.windows import global_cumsum
+
     e = load(spark, sf_dir, "events").select(F.unix_micros("ts").alias("t"))
     pts = e.select("t", F.lit(1).alias("delta")).unionByName(
         e.select(
@@ -2899,10 +2901,7 @@ def q_win_concurrency(spark, sf_dir):
             F.lit(-1).alias("delta"),
         )
     )
-    wc = Window.orderBy("t", "delta").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    c = pts.withColumn("conc", F.sum("delta").over(wc))
+    c = global_cumsum(pts, ("t", "delta"), {"delta": "conc"})
     best = c.agg(
         F.max("conc").alias("peak_concurrency"),
         (

@@ -190,6 +190,44 @@ def _global_rank(df, *order_cols: str, nparts: int = 8):
     )
 
 
+def global_cumsum(df, order_cols: tuple, cols: dict, nparts: int = 16):
+    """Distributed global running sums over ``order_cols`` (leading
+    column must place ties in one bucket, which ordered_bucket
+    guarantees for any pure value): ``cols`` maps input column ->
+    output running-sum column. Two-pass: within-bucket running sums
+    share one pid-keyed window, per-bucket totals collapse to P rows,
+    and the broadcast EXCLUSIVE prefix totals lift each bucket to the
+    global frame. Exact for integer inputs (addition is
+    order-invariant); the only single-partition stage carries the
+    P-row totals (the _global_rank shape — r7, closing the
+    q_win_concurrency / q_text_vocab_growth hits of the blanket
+    SinglePartition sweep in tools/plan_sweep.py)."""
+    parts = ordered_bucket(df, order_cols[0], nparts)
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = parts.select(
+        "*", *[F.sum(src).over(wloc).alias(dst) for src, dst in cols.items()]
+    )
+    totals = parts.groupBy("pid").agg(
+        *[F.sum(src).alias(f"_t_{dst}") for src, dst in cols.items()]
+    )
+    wpre = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    pre = totals.select(
+        "pid",
+        *[
+            F.coalesce(F.sum(f"_t_{dst}").over(wpre), F.lit(0)).alias(f"_p_{dst}")
+            for dst in cols.values()
+        ],
+    )
+    out = loc.join(F.broadcast(pre), "pid")
+    for dst in cols.values():
+        out = out.withColumn(dst, F.col(dst) + F.col(f"_p_{dst}"))
+    return out.drop("pid", *[f"_p_{dst}" for dst in cols.values()])
+
+
 @query(
     "q_win_percent_rank_distributed",
     oracle="""

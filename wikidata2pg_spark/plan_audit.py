@@ -1,0 +1,94 @@
+"""Blanket physical-plan gate for single-partition funnels (VERDICT r6
+task 5).
+
+The repo's scale discipline says a global order may only ever funnel
+AGGREGATED / k-BOUNDED rows through one task (the ordered_bucket two-pass
+offsets, 1-row moment aggregates, TakeOrderedAndProject tails) — never a
+raw table. 64 hand-written plan audits enforced that per-key, and the
+class still slipped through once (q_win_skyline shipped a full-table
+``Window.orderBy`` for two rounds). This module turns the class into a
+static check that runs over EVERY registered key: walk the executed
+plan's tree, and for each ``Exchange SinglePartition`` node require that
+every raw parquet scan in its subtree has a bounding operator on the
+path between the exchange and the scan.
+
+Bounding operators (row count at the funnel is O(groups), O(k) or
+O(broadcast threshold), not O(input)):
+  * hash/object-hash/sort aggregates — grouped rows;
+  * TakeOrderedAndProject / limits — k rows;
+  * BroadcastExchange (+ its AQE query-stage spelling) — data already
+    bounded by the broadcast threshold, e.g. the 1-row range aggregate
+    every ordered_bucket crossJoins;
+  * ReusedExchange — audited at its original site.
+
+A nested hash/range Exchange is deliberately NOT bounding: a full table
+shuffled by key and THEN funneled to one task is exactly the class this
+gate exists to catch.
+
+``Scan ExistingRDD`` (localCheckpoint results) is deliberately NOT raw:
+the repo's checkpoint rule (verify skill, r6 review catches) already
+requires checkpoints to materialize collapsed/bounded frames only, and
+the checkpoint's own producing plan is audited when the key builds it.
+
+Keys whose single-partition input is raw-but-bounded BY TABLE SEMANTICS
+(e.g. a global window over the 25-row region/nation dimensions) must be
+allowlisted EXPLICITLY in tests/test_plans.py with the justification —
+the gate's job is to make that exception visible, not implicit.
+"""
+
+from __future__ import annotations
+
+import re
+
+# operators that bound the row count flowing further up the path
+_BOUNDING = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "ReusedExchange",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+)
+# unbounded leaf inputs (raw table data)
+_RAW = ("Scan parquet", "FileScan parquet", "Scan orc", "Scan csv", "Scan json", "Scan text")
+
+_TREE = re.compile(r"^((?: {3}|:  )*)(?::-|\+-)")
+
+
+def _depth(line: str) -> int:
+    m = _TREE.match(line)
+    return len(m.group(1)) // 3 + 1 if m else 0
+
+
+def single_partition_violations(plan: str) -> list[str]:
+    """Raw-scan lines that feed an ``Exchange SinglePartition`` with no
+    bounding operator on the tree path in between. Empty list == the
+    plan's single-partition stages all carry aggregate/k-bounded rows."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d0 = _depth(ln)
+        bounded_at: dict[int, bool] = {}
+        for j in range(i + 1, len(lines)):
+            d = _depth(lines[j])
+            if d <= d0:
+                break  # left the exchange's subtree
+            parent = bounded_at.get(d - 1, False) if d - 1 > d0 else False
+            here = parent or any(b in lines[j] for b in _BOUNDING)
+            bounded_at[d] = here
+            if not here and any(r in lines[j] for r in _RAW):
+                out.append(lines[j].strip()[:200])
+    return out
+
+
+def audit_key(spark, key: str, fn, sf_dir: str) -> list[str]:
+    """Build the key's DataFrame and run the gate over its executed plan."""
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return single_partition_violations(plan)
