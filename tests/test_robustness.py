@@ -651,3 +651,45 @@ def test_custom_stream_source_marker_loss_converges(spark):
     after = _rows_sorted(fn(spark, SF_T2))
     assert after == before
     assert os.path.exists(marker), "rerun must republish the marker"
+
+
+def test_scale_fixture_tables_disjoint_keys_and_row_groups(tmp_path):
+    """The scaled-bench fixture (VERDICT r6 task 4) must scale LINEARLY:
+    every replica's keys live in a disjoint range (join fan-outs and
+    group counts scale by the factor, never by its square), dimension
+    tables copy through unchanged, and each output file carries multiple
+    row groups so single-file scans still parallelize."""
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.util import scale_fixture_tables
+
+    src = "/root/testdata/sf0.001"
+    rows = scale_fixture_tables(
+        src, str(tmp_path), 3, row_groups=4,
+        tables=["lineitem", "orders", "customer", "nation"],
+    )
+    li0 = pq.read_table(f"{src}/lineitem.parquet")
+    o0 = pq.read_table(f"{src}/orders.parquet")
+    li = pq.read_table(f"{tmp_path}/lineitem.parquet")
+    o = pq.read_table(f"{tmp_path}/orders.parquet")
+    c = pq.read_table(f"{tmp_path}/customer.parquet")
+    assert rows["lineitem"] == 3 * li0.num_rows == li.num_rows
+    assert rows["nation"] == 25  # dimension copies through
+    # replica key ranges are disjoint: distinct counts scale exactly
+    import pyarrow.compute as pc
+
+    def nuniq(t, col):
+        return len(pc.unique(t.column(col)))
+
+    assert nuniq(li, "l_orderkey") == 3 * nuniq(li0, "l_orderkey")
+    assert nuniq(o, "o_orderkey") == 3 * nuniq(o0, "o_orderkey")
+    assert nuniq(o, "o_custkey") == 3 * nuniq(o0, "o_custkey")
+    # FK edges stay aligned: every lineitem orderkey exists in orders
+    lks = set(pc.unique(li.column("l_orderkey")).to_pylist())
+    oks = set(pc.unique(o.column("o_orderkey")).to_pylist())
+    assert lks <= oks
+    # and customer covers orders' custkeys
+    cks = set(pc.unique(c.column("c_custkey")).to_pylist())
+    assert set(pc.unique(o.column("o_custkey")).to_pylist()) <= cks
+    # multiple row groups per output file
+    assert pq.ParquetFile(f"{tmp_path}/lineitem.parquet").metadata.num_row_groups >= 3
