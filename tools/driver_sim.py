@@ -25,6 +25,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "keys",
+        nargs="*",
+        help="explicit keys to check instead of the first --window of "
+        "queries() — e.g. the deferred backlog, so future windows are "
+        "proven under the driver's exact session/canonicalization "
+        "BEFORE their round (VERDICT r6 task 8)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,7 +53,8 @@ def main() -> int:
 
     con = duck_connection(args.sf)
     fails: list[tuple[str, str]] = []
-    for k in list(qs)[: args.window]:
+    targets = args.keys if args.keys else list(qs)[: args.window]
+    for k in targets:
         try:
             df = qs[k](spark, args.sf)
             if k in osql:
@@ -60,7 +69,7 @@ def main() -> int:
             fails.append((k, f"EXCEPTION {type(e).__name__}: {e}"))
     for k, e in fails:
         print(f"FAIL {k}\n     {e}")
-    print(f"-- window={args.window}, {len(fails)} failed, {time.time()-t0:.1f}s")
+    print(f"-- window={len(targets)}, {len(fails)} failed, {time.time()-t0:.1f}s")
     return 1 if fails else 0
 
 
