@@ -922,15 +922,16 @@ def test_single_partition_blanket_sweep(spark):
     rule and tools/plan_sweep.py for the standalone sweep). The r7 sweep
     caught q_win_skyline's precedent class twice more (q_win_concurrency,
     q_text_vocab_growth) — both now ride the two-pass global_cumsum."""
-    from wikidata2pg_spark.plan_audit import audit_key
+    from wikidata2pg_spark.plan_audit import (
+        PREDICATE_BOUNDED_ALLOWLIST,
+        audit_key,
+    )
     from wikidata2pg_spark.registry import all_queries
 
-    # Raw-but-bounded BY PREDICATE, not by plan: both §2 contract-shape
-    # windows filter to a fixed key range (o_orderkey < 16000 — constant
-    # row count at any corpus scale) and both ship plan-asserted
-    # distributed twins (q_win_ntile_distributed,
-    # q_win_percent_rank_distributed) as the 100 TB form.
-    allow = {"q_win_ntile", "q_win_percent_rank"}
+    # Raw-but-bounded BY PREDICATE, not by plan — the shared allowlist
+    # (plan_audit.py documents each entry's reason and distributed twin)
+    # keeps this test and tools/plan_sweep.py from drifting.
+    allow = PREDICATE_BOUNDED_ALLOWLIST
     qs = all_queries()
     bad = {}
     for k, fn in qs.items():

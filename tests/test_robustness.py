@@ -394,7 +394,7 @@ def test_driver_window_ordering_is_pinned():
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
-    # never-tested key accidentally missing from _ROUND6_PRIORITY would
+    # never-tested key accidentally missing from _ROUND7_PRIORITY would
     # pass silently). Every such key must be in the window or on the
     # explicit post-freeze deferral list that leads r7's rotation.
     # Never-driver-tested backlog after packing the r7 window (113 keys,
@@ -475,10 +475,10 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_assortativity",
         "q_agg_hhi",
         "q_orders_fulfillment_latency",
-        "q_text_vocab_growth",
+        "q_agg_weighted_median",
         "q_sample_negatives",
         "q_agg_runs_test",
-        "q_win_concurrency",
+        "q_time_mom_growth",
         "q_agg_ols2",
         "q_text_burstiness",
         "q_join_asof_nearest",
@@ -663,7 +663,7 @@ def test_scale_fixture_tables_disjoint_keys_and_row_groups(tmp_path):
 
     from wikidata2pg_spark.util import scale_fixture_tables
 
-    src = "/root/testdata/sf0.001"
+    src = SF_SMOKE
     rows = scale_fixture_tables(
         src, str(tmp_path), 3, row_groups=4,
         tables=["lineitem", "orders", "customer", "nation"],

@@ -8,9 +8,11 @@ Usage:
 Builds each key's DataFrame (side-effectful keys do their setup work —
 run at sf0.001 to keep that cheap) and fails if any raw scan feeds an
 ``Exchange SinglePartition`` without a bounding operator in between.
-The pytest twin (tests/test_plans.py::test_single_partition_blanket_sweep)
-runs the same checker with the documented allowlist; this tool prints
-EVERY hit, allowlisted or not, so exceptions stay visible.
+Prints EVERY hit so the documented predicate-bounded exceptions stay
+visible, but exits nonzero only on NON-allowlisted hits or errors (the
+allowlist is shared with the pytest twin via
+plan_audit.PREDICATE_BOUNDED_ALLOWLIST, so steady state is exit 0 and
+a new violation is a visible exit-code regression).
 """
 
 from __future__ import annotations
@@ -29,7 +31,10 @@ def main() -> int:
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
-    from wikidata2pg_spark.plan_audit import audit_key
+    from wikidata2pg_spark.plan_audit import (
+        PREDICATE_BOUNDED_ALLOWLIST,
+        audit_key,
+    )
     from wikidata2pg_spark.registry import all_queries
     from wikidata2pg_spark.session import get_session
 
@@ -46,13 +51,15 @@ def main() -> int:
             errs[k] = f"{type(e).__name__}: {e}"
             print(f"ERR  {k}: {errs[k][:160]}", flush=True)
             continue
-        if v:
+        if v and k in PREDICATE_BOUNDED_ALLOWLIST:
+            print(f"ALLOW {k}: {v[0][:150]}", flush=True)
+        elif v:
             hits[k] = v
             print(f"HIT  {k}: {v[0][:160]}", flush=True)
         else:
             print(f"ok   {k}", flush=True)
     print(
-        f"-- {len(keys)} keys, {len(hits)} single-partition hits, "
+        f"-- {len(keys)} keys, {len(hits)} non-allowlisted hits, "
         f"{len(errs)} errors, {time.time() - t0:.1f}s"
     )
     for k, v in hits.items():

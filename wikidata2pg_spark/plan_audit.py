@@ -18,12 +18,17 @@ O(broadcast threshold), not O(input)):
   * TakeOrderedAndProject / limits — k rows;
   * BroadcastExchange (+ its AQE query-stage spelling) — data already
     bounded by the broadcast threshold, e.g. the 1-row range aggregate
-    every ordered_bucket crossJoins;
-  * ReusedExchange — audited at its original site.
+    every ordered_bucket crossJoins.
 
 A nested hash/range Exchange is deliberately NOT bounding: a full table
 shuffled by key and THEN funneled to one task is exactly the class this
-gate exists to catch.
+gate exists to catch. For the same reason a ``ReusedExchange`` of a
+hash/range exchange counts as a RAW leaf (its printed node has no
+children, so the raw scan below it would otherwise be invisible to this
+funnel — and "audited at the original site" does not hold, since the
+original site need not sit under any SinglePartition). A reused
+BROADCAST exchange stays bounding, and a reused SinglePartition
+exchange is audited where its full subtree prints.
 
 ``Scan ExistingRDD`` (localCheckpoint results) is deliberately NOT raw:
 the repo's checkpoint rule (verify skill, r6 review catches) already
@@ -48,13 +53,22 @@ _BOUNDING = (
     "TakeOrderedAndProject",
     "BroadcastExchange",
     "BroadcastQueryStage",
-    "ReusedExchange",
     "GlobalLimit",
     "LocalLimit",
     "CollectLimit",
 )
 # unbounded leaf inputs (raw table data)
 _RAW = ("Scan parquet", "FileScan parquet", "Scan orc", "Scan csv", "Scan json", "Scan text")
+
+
+def _is_raw_leaf(line: str) -> bool:
+    if any(r in line for r in _RAW):
+        return True
+    # a reused full-table shuffle is an unbounded leaf here: its subtree
+    # (and the scan inside it) prints only at the original site
+    return "ReusedExchange" in line and (
+        "hashpartitioning" in line or "rangepartitioning" in line
+    )
 
 _TREE = re.compile(r"^((?: {3}|:  )*)(?::-|\+-)")
 
@@ -82,9 +96,23 @@ def single_partition_violations(plan: str) -> list[str]:
             parent = bounded_at.get(d - 1, False) if d - 1 > d0 else False
             here = parent or any(b in lines[j] for b in _BOUNDING)
             bounded_at[d] = here
-            if not here and any(r in lines[j] for r in _RAW):
+            if not here and _is_raw_leaf(lines[j]):
                 out.append(lines[j].strip()[:200])
     return out
+
+
+# Keys whose single-partition input is raw-but-bounded BY PREDICATE,
+# not by plan — shared by the pytest gate and tools/plan_sweep.py so
+# the exception list cannot drift between them. Every entry needs a
+# reason and a plan-asserted distributed twin.
+PREDICATE_BOUNDED_ALLOWLIST = {
+    # §2 contract-shape single windows over a fixed key range
+    # (o_orderkey < 16000 — constant row count at any corpus scale);
+    # 100 TB forms: q_win_ntile_distributed /
+    # q_win_percent_rank_distributed (both plan-asserted).
+    "q_win_ntile",
+    "q_win_percent_rank",
+}
 
 
 def audit_key(spark, key: str, fn, sf_dir: str) -> list[str]:

@@ -53,10 +53,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # tests/test_robustness.py); the r7-r9 rotation drains that backlog at 50
 # keys/round with key additions FROZEN (VERDICT r6 task 2). Five tiers,
 # exactly 50 keys, all never-driver-tested:
-#   A (2)  — keys MODIFIED this round, so driver evidence lands on the
+#   A (4)  — keys MODIFIED this round, so driver evidence lands on the
 #            new code (mirror-green != driver-green, r3/r5 lesson):
-#            q_win_skyline (distributed two-pass rewrite) and
-#            q_time_extreme_value (sample-sd fit, ADVICE r6).
+#            q_win_skyline (distributed two-pass rewrite),
+#            q_time_extreme_value (sample-sd fit, ADVICE r6), and the
+#            two further full-table global windows the new blanket
+#            SinglePartition sweep caught and global_cumsum rewrote —
+#            q_win_concurrency, q_text_vocab_growth (review catch:
+#            the tier-A principle applies to them identically).
 #   B (16) — the full TPC-H suite (operators/tpch.py): headline parity
 #            claims resting entirely on the local mirror until now.
 #   C (13) — subtle-determinism machinery, where a driver row is worth
@@ -68,13 +72,15 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #   D (2)  — the composed pipelines (q_pipeline_neardup,
 #            q_pipeline_multimodal): each certifies a whole family
 #            end-to-end (VERDICT r6 task 6).
-#   E (17) — the OLDEST post-freeze additions (r6 mid-round batch, in
-#            registration order).
+#   E (15) — the OLDEST post-freeze additions (r6 mid-round batch, in
+#            registration order; the last two rotate to r8 to make room
+#            for tier A's review-catch additions).
 # The remaining 113 never-tested keys stay on post_freeze_deferred
 # (tests/test_robustness.py) and fill r8 (50) + r9 (50) + r10 (13).
 _ROUND7_PRIORITY = (
-    # --- tier A: modified this round (2) ---
+    # --- tier A: modified this round (4) ---
     "q_win_skyline", "q_time_extreme_value",
+    "q_win_concurrency", "q_text_vocab_growth",
     # --- tier B: TPC-H suite (16) ---
     "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q4", "q_sql_tpch_q5",
     "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q10",
@@ -88,13 +94,12 @@ _ROUND7_PRIORITY = (
     "q_stream_stream_left", "q_stream_full_outer",
     # --- tier D: composed pipelines (2) ---
     "q_pipeline_neardup", "q_pipeline_multimodal",
-    # --- tier E: oldest post-freeze additions (17) ---
+    # --- tier E: oldest post-freeze additions (15) ---
     "q_text_bm25", "q_sample_token_budget", "q_agg_grouping_id",
     "q_agg_regression", "q_retrieval_hybrid_rrf", "q_agg_skewkurt",
     "q_funnel_conversion", "q_cohort_retention", "q_join_bloom_prefilter",
     "q_agg_mad", "q_wd_dump_diff", "q_agg_gini", "q_time_ewma",
-    "q_text_dupspans", "q_agg_entropy", "q_time_mom_growth",
-    "q_agg_weighted_median",
+    "q_text_dupspans", "q_agg_entropy",
 )
 
 
