@@ -1,0 +1,128 @@
+"""Unit tests for the blanket SinglePartition gate's tree parser
+(wikidata2pg_spark/plan_audit.py) on synthetic plan strings — the gate
+is institutional now (it caught three full-table global windows in r7),
+so its classification rules are pinned here without needing a Spark
+session. Plan-text shapes mirror Spark 4's executedPlan().toString():
+3-char tree units, ':-'/'+-' child markers, ':  ' continuation bars."""
+
+from __future__ import annotations
+
+from wikidata2pg_spark.plan_audit import single_partition_violations
+
+
+def test_raw_scan_below_single_partition_is_flagged():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Window [max(size) windowspecdefinition(...)], [price_c ASC]
+   +- Sort [price_c ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+         +- Project [p_partkey, price_c, size]
+            +- FileScan parquet [p_partkey,p_retailprice,p_size]"""
+    v = single_partition_violations(plan)
+    assert len(v) == 1 and "FileScan parquet" in v[0]
+
+
+def test_aggregate_on_path_bounds_the_funnel():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(cnt)], [pid ASC]
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- HashAggregate(keys=[pid], functions=[count(1)])
+         +- Exchange hashpartitioning(pid, 32), [plan_id=8]
+            +- HashAggregate(keys=[pid], functions=[partial_count(1)])
+               +- FileScan parquet [o_orderkey]"""
+    assert single_partition_violations(plan) == []
+
+
+def test_nested_hash_exchange_does_not_bound():
+    # full table shuffled by key, THEN funneled through one task with no
+    # aggregate in between — exactly the class the gate exists to catch
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number()], [v ASC]
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]
+      +- Window [lag(v, 1)], [k], [v ASC]
+         +- Exchange hashpartitioning(k, 32), [plan_id=3]
+            +- FileScan parquet [k,v]"""
+    v = single_partition_violations(plan)
+    assert len(v) == 1
+
+
+def test_reused_hash_exchange_is_a_raw_leaf():
+    # the reused shuffle's subtree (and its scan) prints only at the
+    # original site — treating it as bounding would hide the funnel
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(v)], [v ASC]
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+      +- ReusedExchange [k, v], Exchange hashpartitioning(k, 32), [plan_id=3]"""
+    v = single_partition_violations(plan)
+    assert len(v) == 1 and "ReusedExchange" in v[0]
+
+
+def test_reused_broadcast_exchange_stays_bounding():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Sort [m ASC], false, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=6]
+      +- BroadcastNestedLoopJoin BuildRight, Cross
+         :- HashAggregate(keys=[], functions=[max(x)])
+         :  +- FileScan parquet [x]
+         +- ReusedExchange [lo, hi], BroadcastExchange HashedRelationBroadcastMode, [plan_id=2]"""
+    assert single_partition_violations(plan) == []
+
+
+def test_sibling_branches_tracked_independently():
+    # a join below the funnel: the aggregated branch must not launder
+    # the raw sibling, and vice versa
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Sort [a ASC], false, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- SortMergeJoin [a], [b], Inner
+         :- HashAggregate(keys=[a], functions=[count(1)])
+         :  +- FileScan parquet [a]
+         +- Project [b]
+            +- FileScan parquet [b]"""
+    v = single_partition_violations(plan)
+    assert len(v) == 1 and "[b]" in v[0]
+
+
+def test_broadcast_side_below_funnel_is_bounded():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(v)], [v ASC]
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- Project [v]
+         +- BroadcastHashJoin [k], [k2], Inner, BuildRight
+            :- HashAggregate(keys=[k], functions=[sum(x)])
+            :  +- FileScan parquet [k,x]
+            +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=5]
+               +- FileScan parquet [k2]"""
+    assert single_partition_violations(plan) == []
+
+
+def test_take_ordered_and_limits_bound():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Sort [v ASC], false, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=4]
+      +- TakeOrderedAndProject(limit=10, orderBy=[v ASC], output=[v])
+         +- FileScan parquet [v]"""
+    assert single_partition_violations(plan) == []
+
+
+def test_scan_outside_the_funnel_subtree_is_ignored():
+    # the scan at the exchange's own depth (a SIBLING of the funnel, not
+    # below it) must not be attributed to the funnel
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Union
+   :- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+   :  +- HashAggregate(keys=[], functions=[count(1)])
+   :     +- FileScan parquet [a]
+   +- FileScan parquet [b]"""
+    assert single_partition_violations(plan) == []
+
+
+def test_multiple_funnels_each_checked():
+    plan = """AdaptiveSparkPlan isFinalPlan=false
++- Union
+   :- Sort [a ASC], false, 0
+   :  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+   :     +- FileScan parquet [a]
+   +- Sort [b ASC], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=6]
+         +- FileScan parquet [b]"""
+    assert len(single_partition_violations(plan)) == 2

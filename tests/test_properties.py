@@ -386,3 +386,35 @@ def test_hodges_lehmann_translation_equivariance(spark, vals, shift):
     base = hl(vals)
     shifted = hl([v + shift for v in vals])
     assert shifted == base + shift  # /4 and integer sums: exact equality
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-100, 100), st.integers(-5, 5)),
+        min_size=1,
+        max_size=50,
+    ),
+    nparts=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_global_cumsum_matches_sequential_prefix_sums(spark, data, nparts):
+    """global_cumsum (the r7 two-pass helper behind q_win_concurrency and
+    q_text_vocab_growth) over ANY bucket count equals the sequential
+    prefix sums in (k, uid) order — duplicate keys, negative values, and
+    multiple simultaneous sum columns included. uid makes the total
+    order unique so the reference is well-defined; the production keys'
+    tie semantics are covered by their oracle mirrors."""
+    from wikidata2pg_spark.operators.windows import global_cumsum
+
+    rows_ = [(k, i, v1, v2) for i, (k, v1, v2) in enumerate(data)]
+    df = spark.createDataFrame(rows_, "k long, uid long, v1 long, v2 long")
+    out = global_cumsum(
+        df, ("k", "uid"), {"v1": "c1", "v2": "c2"}, nparts=nparts
+    )
+    got = {(r.k, r.uid): (r.c1, r.c2) for r in out.collect()}
+    want, s1, s2 = {}, 0, 0
+    for k, i, v1, v2 in sorted(rows_, key=lambda r: (r[0], r[1])):
+        s1 += v1
+        s2 += v2
+        want[(k, i)] = (s1, s2)
+    assert got == want
