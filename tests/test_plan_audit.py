@@ -126,3 +126,33 @@ def test_multiple_funnels_each_checked():
       +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=6]
          +- FileScan parquet [b]"""
     assert len(single_partition_violations(plan)) == 2
+
+
+def test_cartesian_product_is_flagged_but_broadcast_nlj_is_not():
+    from wikidata2pg_spark.plan_audit import cartesian_violations
+
+    bad = """AdaptiveSparkPlan isFinalPlan=false
++- CartesianProduct (e.ts BETWEEN lo AND hi)
+   :- FileScan parquet [a]
+   +- FileScan parquet [b]"""
+    ok = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [a]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=2]
+      +- HashAggregate(keys=[], functions=[min(x), max(x)])
+         +- FileScan parquet [x]"""
+    assert len(cartesian_violations(bad)) == 1
+    assert cartesian_violations(ok) == []
+
+
+def test_row_python_nodes_flagged_arrow_nodes_not():
+    from wikidata2pg_spark.plan_audit import python_udf_violations
+
+    row = """+- Project [v]
+   +- BatchEvalPython [f(v#1)], [pythonUDF0#9]
+      +- FileScan parquet [v]"""
+    arrow = """+- Project [v]
+   +- ArrowEvalPython [g(v#1)], [pythonUDF0#9], 200
+      +- FileScan parquet [v]"""
+    assert len(python_udf_violations(row)) == 1
+    assert python_udf_violations(arrow) == []

@@ -924,20 +924,26 @@ def test_single_partition_blanket_sweep(spark):
     q_text_vocab_growth) — both now ride the two-pass global_cumsum."""
     from wikidata2pg_spark.plan_audit import (
         PREDICATE_BOUNDED_ALLOWLIST,
+        ROW_PYTHON_ALLOWLIST,
         audit_key,
     )
     from wikidata2pg_spark.registry import all_queries
 
-    # Raw-but-bounded BY PREDICATE, not by plan — the shared allowlist
-    # (plan_audit.py documents each entry's reason and distributed twin)
-    # keeps this test and tools/plan_sweep.py from drifting.
-    allow = PREDICATE_BOUNDED_ALLOWLIST
+    # Shared allowlists (plan_audit.py documents each entry's reason)
+    # keep this test and tools/plan_sweep.py from drifting. r7 extended
+    # the sweep to three gates: single-partition funnels, raw cartesian
+    # products (no allowlist — none should ever exist), and row-Python
+    # evaluation outside the contract-mandated D1 key.
+    allow = {
+        "single_partition": PREDICATE_BOUNDED_ALLOWLIST,
+        "row_python": ROW_PYTHON_ALLOWLIST,
+        "cartesian": frozenset(),
+    }
     qs = all_queries()
     bad = {}
     for k, fn in qs.items():
-        if k in allow:
-            continue
         v = audit_key(spark, k, fn, SF_SMOKE)
-        if v:
-            bad[k] = v[0][:160]
+        for g, lines in v.items():
+            if k not in allow.get(g, ()):
+                bad[f"{k}[{g}]"] = lines[0][:160]
     assert not bad, bad

@@ -1,6 +1,9 @@
-"""Blanket SinglePartition plan sweep over every registered key (VERDICT
-r6 task 5 — the skyline class as a static gate, see
-wikidata2pg_spark/plan_audit.py for the rule).
+"""Blanket static plan sweep over every registered key (VERDICT r6
+task 5 — the skyline class as a static gate, extended in r7 to three
+anti-pattern classes; see wikidata2pg_spark/plan_audit.py for the
+rules): raw-input SinglePartition funnels, CartesianProduct pair
+materialization, and row-Python (BatchEvalPython) evaluation outside
+the contract-mandated key.
 
 Usage:
     python tools/plan_sweep.py [--sf /root/testdata/sf0.001] [keys...]
@@ -33,9 +36,16 @@ def main() -> int:
 
     from wikidata2pg_spark.plan_audit import (
         PREDICATE_BOUNDED_ALLOWLIST,
+        ROW_PYTHON_ALLOWLIST,
         audit_key,
     )
     from wikidata2pg_spark.registry import all_queries
+
+    allow = {
+        "single_partition": PREDICATE_BOUNDED_ALLOWLIST,
+        "row_python": ROW_PYTHON_ALLOWLIST,
+        "cartesian": frozenset(),
+    }
     from wikidata2pg_spark.session import get_session
 
     spark = get_session("plan-sweep")
@@ -51,12 +61,14 @@ def main() -> int:
             errs[k] = f"{type(e).__name__}: {e}"
             print(f"ERR  {k}: {errs[k][:160]}", flush=True)
             continue
-        if v and k in PREDICATE_BOUNDED_ALLOWLIST:
-            print(f"ALLOW {k}: {v[0][:150]}", flush=True)
-        elif v:
-            hits[k] = v
-            print(f"HIT  {k}: {v[0][:160]}", flush=True)
-        else:
+        bad = {g: lines for g, lines in v.items() if k not in allow.get(g, ())}
+        allowed = {g: lines for g, lines in v.items() if k in allow.get(g, ())}
+        for g, lines in allowed.items():
+            print(f"ALLOW {k} [{g}]: {lines[0][:140]}", flush=True)
+        if bad:
+            hits[k] = [f"[{g}] {ln}" for g, lines in bad.items() for ln in lines]
+            print(f"HIT  {k}: {hits[k][0][:160]}", flush=True)
+        elif not allowed:
             print(f"ok   {k}", flush=True)
     print(
         f"-- {len(keys)} keys, {len(hits)} non-allowlisted hits, "

@@ -115,8 +115,55 @@ PREDICATE_BOUNDED_ALLOWLIST = {
 }
 
 
-def audit_key(spark, key: str, fn, sf_dir: str) -> list[str]:
-    """Build the key's DataFrame and run the gate over its executed plan."""
+def cartesian_violations(plan: str) -> list[str]:
+    """``CartesianProduct`` nodes — Spark emits one only when a non-equi
+    join has NO broadcastable side, i.e. the O(|L|·|R|) pair
+    materialization the repo's join discipline exists to avoid (banded /
+    bucketed / prefix-filtered rewrites). BroadcastNestedLoopJoin is NOT
+    flagged: its build side is bounded by the broadcast threshold, which
+    is the pattern every 1-row/k-row aggregate crossJoin compiles to."""
+    return [
+        ln.strip()[:200] for ln in plan.splitlines() if "CartesianProduct" in ln
+    ]
+
+
+def python_udf_violations(plan: str) -> list[str]:
+    """Row-at-a-time Python evaluation nodes (``BatchEvalPython``) — the
+    ~10-100x-slower-than-Arrow path. The repo's rule: row Python UDFs
+    exist ONLY where the contract mandates the shape itself
+    (ROW_PYTHON_ALLOWLIST); everything else must be Arrow-vectorized
+    (ArrowEvalPython / mapInPandas / cogrouped pandas), which this gate
+    deliberately does not flag."""
+    return [
+        ln.strip()[:200] for ln in plan.splitlines() if "BatchEvalPython" in ln
+    ]
+
+
+# Keys whose plan legitimately carries a row-Python node: D1 and D4 are
+# the §2 contract keys FOR the row-at-a-time UDF / Python-UDTF surfaces
+# themselves (D1's Arrow twin q_udf_pandas_scalar is the production
+# path and is benchmarked against it; D4's BatchEvalPythonUDTF runs
+# over the 5-row region table — flipping the session to Arrow UDTFs
+# would change an attested key's plan for no workload it serves).
+ROW_PYTHON_ALLOWLIST = {
+    "q_udf_python",
+    "q_udtf_python",
+}
+
+
+def audit_key(spark, key: str, fn, sf_dir: str) -> dict[str, list[str]]:
+    """Build the key's DataFrame and run every static gate over its
+    executed plan. Returns {gate_name: violations} with empty lists
+    dropped — truthy result == something to look at."""
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return single_partition_violations(plan)
+    out = {}
+    for name, checker in (
+        ("single_partition", single_partition_violations),
+        ("cartesian", cartesian_violations),
+        ("row_python", python_udf_violations),
+    ):
+        v = checker(plan)
+        if v:
+            out[name] = v
+    return out
