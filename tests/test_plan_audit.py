@@ -156,3 +156,32 @@ def test_row_python_nodes_flagged_arrow_nodes_not():
       +- FileScan parquet [v]"""
     assert len(python_udf_violations(row)) == 1
     assert python_udf_violations(arrow) == []
+
+
+def test_no_driver_collect_outside_documented_sites():
+    """Source-level twin of the plan gates: `.collect()` / `.toPandas()`
+    in package code means the operator is not distributed (the r1 scale
+    flag). Exactly three sites are documented and allowed — the oracle
+    comparator itself, the 25-row inline wikidata fixture assembly, and
+    the streaming test harness's ordered drain. A new site must either
+    be removed or argued onto this list with a reason."""
+    import glob
+    import os
+
+    allowed = {
+        ("oracle.py", ".collect("),  # the DuckDB comparator
+        ("sources/scans.py", ".collect("),  # 25-row fixture assembly
+        ("streaming/harness.py", ".toPandas("),  # test-harness drain
+    }
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "wikidata2pg_spark",
+    )
+    bad = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(f, pkg)
+        for i, line in enumerate(open(f), 1):
+            for pat in (".collect(", ".toPandas("):
+                if pat in line and (rel, pat) not in allowed:
+                    bad.append(f"{rel}:{i}: {line.strip()[:100]}")
+    assert not bad, bad
