@@ -111,7 +111,9 @@ KEYS = [
     "q_stream_windowed_topk",  # stream agg + serve rank at any batching
     "q_time_hampel",  # centered window frames at any split
     "q_agg_trimmed_mean",  # rank-band membership at any split
-    "q_win_skyline",  # global dominance sweep at any split
+    "q_win_skyline",  # two-pass dominance frames at any split (r7 rewrite)
+    "q_win_concurrency",  # global_cumsum sweep line at any split (r7)
+    "q_text_vocab_growth",  # global_cumsum growth curves at any split (r7)
     # r6 final-session additions
     "q_time_mann_kendall",  # pairwise S over the collapsed monthly series
     "q_time_control_chart",  # global lag + 1-row moments at any split

@@ -418,3 +418,29 @@ def test_global_cumsum_matches_sequential_prefix_sums(spark, data, nparts):
         s2 += v2
         want[(k, i)] = (s1, s2)
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    nparts=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_ordered_bucket_pid_is_monotone_pure_function(spark, vals, nparts):
+    """ordered_bucket's pid — the foundation under every two-pass global
+    operator (rank, cumsum, skyline prefix-max) — must be a nondecreasing
+    function of the value with EQUAL VALUES SHARING A BUCKET (ties
+    co-bucket, so 'earlier bucket' always means 'strictly smaller'), and
+    must stay within [0, nparts)."""
+    from wikidata2pg_spark.operators.windows import ordered_bucket
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    rows = ordered_bucket(df, "k", nparts).select("k", "pid").collect()
+    by_val = {}
+    for r in rows:
+        assert 0 <= r.pid < nparts
+        by_val.setdefault(r.k, set()).add(r.pid)
+    # ties co-bucket
+    assert all(len(p) == 1 for p in by_val.values())
+    # monotone in the value
+    ordered = [next(iter(by_val[v])) for v in sorted(by_val)]
+    assert all(a <= b for a, b in zip(ordered, ordered[1:]))
