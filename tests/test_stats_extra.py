@@ -1100,3 +1100,180 @@ def test_bigram_entropy_bruteforce_and_information_inequalities(spark):
     # information inequalities: 0 <= H(w2|w1) <= H(w2) <= ln |vocab|
     assert 0.0 <= r.h_cond <= r.h_w2 <= math.log(len(c2)) + 1e-9
     assert r.mutual_info >= 0.0
+
+
+# ------------------- r7: closed-form pins for the ordered-fold family
+# (these five keys predate the worked-example discipline; their existing
+# brute-force tests re-derive the same formula, so a shared misconception
+# would pass both. Each closed form below is hand-computable and exact in
+# float arithmetic — the production KEY runs on a crafted fixture dir.)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (ts_us, event_type, value) — full events schema so any key
+    can load it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq_.write_table(t, f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_mutual_info_closed_forms(spark, tmp_path):
+    """Independence -> MI exactly 0 (every cell has n*c == nx*ny, so each
+    term is ln(1) = 0); perfect 2x2 association with equal counts ->
+    MI = ln 2 exactly (0.5*ln2 + 0.5*ln2)."""
+    indep = tmp_path / "indep"
+    indep.mkdir()
+    # 2 types x 2 value buckets ($50 bucket width), equal cell counts
+    rows = []
+    for et in ("A", "B"):
+        rows += [(0, et, 1.00), (0, et, 60.00)] * 2
+    [r] = all_queries()["q_agg_mutual_info"](
+        spark, _write_events(indep, rows)
+    ).collect()
+    assert (r.n, r.n_cells) == (8, 4)
+    assert r.mi_nats == 0.0
+    dep = tmp_path / "dep"
+    dep.mkdir()
+    rows = [(0, "A", 1.00)] * 3 + [(0, "B", 60.00)] * 3
+    [r] = all_queries()["q_agg_mutual_info"](
+        spark, _write_events(dep, rows)
+    ).collect()
+    assert (r.n, r.n_cells) == (6, 2)
+    assert r.mi_nats == _floor6(math.log(2.0)) or r.mi_nats == round(
+        math.log(2.0), 6
+    )
+    assert r.mi_nats == 0.693147
+
+
+def test_anova_eta_closed_forms(spark, tmp_path):
+    """Equal group means -> SSB = 0 exactly -> eta2 = 0, F = 0; zero
+    within-group variance -> SSW = 0 -> eta2 = 1 exactly and F is NULL
+    (the F ratio's denominator is 0 — DuckDB's double division yields
+    NULL there, and the production key's try_divide matches it; this
+    pin CAUGHT the divergence: ANSI Spark used to throw
+    DIVIDE_BY_ZERO on that input)."""
+    eq = tmp_path / "eq"
+    eq.mkdir()
+    rows = [(0, "A", 1.00), (0, "A", 3.00), (0, "B", 2.00), (0, "B", 2.00)]
+    [r] = all_queries()["q_agg_anova_eta"](
+        spark, _write_events(eq, rows)
+    ).collect()
+    assert (r.k, r.n) == (2, 4)
+    assert r.eta2 == 0.0 and r.f_stat == 0.0
+    sep = tmp_path / "sep"
+    sep.mkdir()
+    rows = [(0, "A", 1.00)] * 2 + [(0, "B", 3.00)] * 2
+    [r] = all_queries()["q_agg_anova_eta"](
+        spark, _write_events(sep, rows)
+    ).collect()
+    assert r.eta2 == 1.0
+    assert r.f_stat is None
+
+
+def test_psi_closed_forms(spark, tmp_path):
+    """Identical half-histograms -> every term (p0-p1)*ln(p0/p1) is
+    exactly 0 -> PSI = 0; total bucket swap with m=2 per half ->
+    PSI = 2 * (m/(m+2)) * ln(m+1) = ln 3 exactly in float."""
+    H = 3_600_000_000  # one hour in us
+    same = tmp_path / "same"
+    same.mkdir()
+    rows = [
+        (0, "x", 1.00),
+        (1_000_000, "x", 40.00),  # first half: bucket 0 + bucket 1
+        (9 * H, "x", 1.00),
+        (10 * H, "x", 40.00),  # second half: identical histogram
+    ]
+    [r] = all_queries()["q_dq_psi"](spark, _write_events(same, rows)).collect()
+    assert (r.n_first_half, r.n_second_half, r.n_buckets) == (2, 2, 2)
+    assert r.psi == 0.0
+    swap = tmp_path / "swap"
+    swap.mkdir()
+    rows = [
+        (0, "x", 1.00),
+        (1_000_000, "x", 1.00),  # first half: all bucket 0
+        (9 * H, "x", 40.00),
+        (10 * H, "x", 40.00),  # second half: all bucket 1
+    ]
+    [r] = all_queries()["q_dq_psi"](spark, _write_events(swap, rows)).collect()
+    t0 = (0.75 - 0.25) * math.log(0.75 / 0.25)  # smoothed (2+1)/(2+2) etc.
+    t1 = (0.25 - 0.75) * math.log(0.25 / 0.75)
+    assert r.psi == round(t0 + t1, 6) == 1.098612
+
+
+def test_peak_hours_closed_forms(spark, tmp_path):
+    """All events of a type at one minute -> circular mean IS that
+    minute with resultant length exactly 1; four equally-spaced
+    minutes -> resultant length 0 (no preferred time of day)."""
+    d = tmp_path / "peak"
+    d.mkdir()
+    M = 60_000_000  # one minute in us
+    rows = [(90 * M, "solo", 1.0)] * 3 + [
+        (m * M, "square", 1.0) for m in (0, 360, 720, 1080)
+    ]
+    out = {
+        r.event_type: r
+        for r in all_queries()["q_time_peak_hours"](
+            spark, _write_events(d, rows)
+        ).collect()
+    }
+    assert out["solo"].n == 3
+    assert out["solo"].peak_minute == 90.0
+    assert out["solo"].concentration == 1.0
+    assert out["square"].n == 4
+    assert out["square"].concentration == 0.0
+
+
+def test_kl_drift_closed_forms(spark, tmp_path):
+    """A source whose language mix equals the corpus mix -> KL exactly 0
+    (every cell has nsl/ns == nl/n); two fully-disjoint single-language
+    sources -> KL = ln 2 for each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    def write_docs(d, rows):  # rows: (source, lang)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array(["w"] * len(rows), pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "n_chars": pa.array([1] * len(rows), pa.int64()),
+            }
+        )
+        pq_.write_table(t, f"{d}/documents.parquet")
+        return str(d)
+
+    mix = tmp_path / "mix"
+    mix.mkdir()
+    rows = [(s, lang) for s in ("A", "B") for lang in ("en", "de") for _ in range(2)]
+    out = {
+        r.source: r
+        for r in all_queries()["q_dq_kl_drift"](
+            spark, write_docs(mix, rows)
+        ).collect()
+    }
+    assert out["A"].kl_nats == 0.0 and out["B"].kl_nats == 0.0
+    assert out["A"].n_langs == 2
+    disj = tmp_path / "disj"
+    disj.mkdir()
+    rows = [("A", "en")] * 3 + [("B", "de")] * 3
+    out = {
+        r.source: r
+        for r in all_queries()["q_dq_kl_drift"](
+            spark, write_docs(disj, rows)
+        ).collect()
+    }
+    assert out["A"].kl_nats == out["B"].kl_nats == round(math.log(2.0), 6)
+    assert out["A"].n_langs == 1

@@ -3592,12 +3592,24 @@ def q_agg_anova_eta(spark, sf_dir):
     ssb = F.col("sb_raw") - sd * sd / F.col("n")
     sst = qd - sd * sd / F.col("n")
     ssw = qd - F.col("sb_raw")
+    # try_divide on every ratio whose denominator can be zero on
+    # DEGENERATE inputs (all-constant table -> sst = 0; zero
+    # within-group variance -> ssw = 0; one group -> k-1 = 0; all
+    # singleton groups -> n-k = 0): DuckDB's double division yields
+    # NULL there while ANSI Spark would THROW — try_divide aligns the
+    # engines (r7 closed-form pin caught the divergence). On any
+    # non-degenerate input the divisors are nonzero and try_divide is
+    # bit-identical to /.
     return t.select(
         "k",
         "n",
-        F.round(ssb / sst, 6).alias("eta2"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta2"),
         F.round(
-            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+            F.try_divide(
+                F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+                F.try_divide(ssw, (F.col("n") - F.col("k")).cast("double")),
+            ),
+            4,
         ).alias("f_stat"),
     )
 
