@@ -1277,3 +1277,216 @@ def test_kl_drift_closed_forms(spark, tmp_path):
     }
     assert out["A"].kl_nats == out["B"].kl_nats == round(math.log(2.0), 6)
     assert out["A"].n_langs == 1
+
+
+def _write_lineitem(d, rows):
+    """rows: (orderkey, linenumber, returnflag, quantity, extendedprice) —
+    full lineitem schema so load() and any key can use it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    n = len(rows)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array([1] * n, pa.int64()),
+            "l_linenumber": pa.array([r[1] for r in rows], pa.int32()),
+            "l_quantity": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [float(r[4]) for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array([r[2] for r in rows], pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+    pq_.write_table(t, f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def test_spearman_closed_forms(spark, tmp_path):
+    """Strictly co-monotone -> rho exactly 1; strictly anti-monotone ->
+    exactly -1; and a hand-ranked tie case (avg ranks q [1.5,1.5,3,4],
+    price [1,2.5,2.5,4]) -> rho = 60/72 = 0.833333."""
+    d = tmp_path / "sp"
+    d.mkdir()
+    rows = []
+    for i in range(1, 5):
+        rows.append((i, 1, "R", i, float(i)))  # q up, price up
+        rows.append((i, 2, "A", i, float(5 - i)))  # q up, price down
+    for ln, (q, p) in enumerate([(1, 10.0), (1, 20.0), (2, 20.0), (3, 30.0)]):
+        rows.append((100 + ln, 1, "N", q, p))
+    out = {
+        r.flag: r
+        for r in all_queries()["q_agg_spearman"](
+            spark, _write_lineitem(d, rows)
+        ).collect()
+    }
+    assert out["R"].rho == 1.0
+    assert out["A"].rho == -1.0
+    assert out["N"].rho == _floor6(60 / 72)  # = 0.833333
+
+
+def test_theilsen_closed_forms(spark, tmp_path):
+    """An exact line recovers slope and intercept exactly; adding ONE
+    wild outlier to five on-line points leaves the median slope on the
+    true line (10 of 15 pairwise slopes are exact) — the 29% breakdown
+    robustness OLS lacks, pinned numerically."""
+    d = tmp_path / "ts"
+    d.mkdir()
+    rows = []
+    # user 1: v = 100 + 5t cents on t = 0..40s, plus an outlier at t=50
+    for i, t in enumerate((0, 10, 20, 30, 40)):
+        rows.append((t * 1_000_000, "x", (100 + 5 * t) / 100))
+    rows.append((50 * 1_000_000, "x", 1000.00))
+    ev = [(ts, et, v) for ts, et, v in rows]
+    p = _write_events(d, ev)
+    # rewrite with distinct users: user 1 = the outlier series; user 2 =
+    # a pure negative-slope line v = 1000 - 3t
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows2 = [(ts, 1, et, v) for ts, et, v in ev] + [
+        (t * 1_000_000, 2, "x", (1000 - 3 * t) / 100) for t in (0, 10, 20)
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows2)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows2], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows2], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows2], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows2], pa.float64()),
+            "props": pa.array(["{}"] * len(rows2), pa.string()),
+        }
+    )
+    pq_.write_table(t, f"{p}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_agg_theilsen"](spark, p).collect()
+    }
+    assert out[1].n_pairs == 15
+    assert out[1].slope_cps == 5.0  # outlier-robust: still the line
+    assert out[1].intercept_cents == 100.0
+    assert out[2].slope_cps == -3.0
+    assert out[2].intercept_cents == 1000.0
+
+
+def test_ks_test_closed_forms(spark, tmp_path):
+    """Identical samples -> D exactly 0; disjoint supports -> D exactly
+    1 at the lower sample's value."""
+    same = tmp_path / "same"
+    same.mkdir()
+    rows = []
+    for et in ("purchase", "view"):
+        rows += [(0, et, 1.00), (0, et, 40.00)]
+    [r] = all_queries()["q_agg_ks_test"](
+        spark, _write_events(same, rows)
+    ).collect()
+    assert (r.n1, r.n2) == (2, 2)
+    assert r.ks_d == 0.0
+    assert r.ks_at_cents == 100  # argmax of an all-zero gap -> smallest v
+    disj = tmp_path / "disj"
+    disj.mkdir()
+    rows = [(0, "purchase", 1.00)] * 3 + [(0, "view", 40.00)] * 2
+    [r] = all_queries()["q_agg_ks_test"](
+        spark, _write_events(disj, rows)
+    ).collect()
+    assert (r.n1, r.n2) == (3, 2)
+    assert r.ks_d == 1.0 and r.ks_at_cents == 100
+
+
+def test_gini_closed_forms(spark, tmp_path):
+    """All-equal values -> G exactly 0; all mass on one row of n ->
+    G = (n-1)/n exactly (0.75 for n=4)."""
+    d = tmp_path / "gini"
+    d.mkdir()
+    rows = [(i, 1, "R", 1, 1.00) for i in range(1, 5)]
+    rows += [(i, 1, "A", 1, 0.00) for i in range(1, 4)] + [(4, 1, "A", 1, 10.00)]
+    out = {
+        r.l_returnflag: r
+        for r in all_queries()["q_agg_gini"](
+            spark, _write_lineitem(d, rows)
+        ).collect()
+    }
+    assert out["R"].gini == 0.0
+    assert out["A"].gini == 0.75
+
+
+def test_entropy_closed_forms(spark, tmp_path):
+    """Uniform over 4 hours -> ln 4 (1.39 at 2dp); all in one hour ->
+    exactly 0."""
+    d = tmp_path / "ent"
+    d.mkdir()
+    H = 3_600_000_000
+    rows = [(h * H, "u", 1.0) for h in (0, 1, 2, 3)]
+    rows += [(5 * H, "one", 1.0)] * 4
+    out = {
+        r.event_type: r
+        for r in all_queries()["q_agg_entropy"](
+            spark, _write_events(d, rows)
+        ).collect()
+    }
+    assert out["u"].n == 4 and out["u"].entropy == round(math.log(4.0), 2)
+    assert out["one"].entropy == 0.0
+
+
+def test_regression_closed_forms(spark, tmp_path):
+    """An exact line y = 2x + 3 recovers slope/intercept exactly with
+    R^2 exactly 1; a constant-y group has slope 0 and UNDEFINED R^2
+    (dy = 0 -> NULL on both engines); a constant-x group has every
+    statistic undefined (dx = 0 -> NULL) — the ANSI-throw class the
+    try_divide alignment closes."""
+    d = tmp_path / "reg"
+    d.mkdir()
+    rows = []
+    for i in range(1, 5):
+        rows.append((i, 1, "R", i, float(2 * i + 3)))  # exact line
+        rows.append((i, 2, "A", i, 5.00))  # constant y
+        rows.append((i, 3, "N", 2, float(i)))  # constant x
+    out = {
+        r.l_returnflag: r
+        for r in all_queries()["q_agg_regression"](
+            spark, _write_lineitem(d, rows)
+        ).collect()
+    }
+    assert (out["R"].slope, out["R"].intercept, out["R"].r2) == (2.0, 3.0, 1.0)
+    assert (out["A"].slope, out["A"].intercept) == (0.0, 5.0)
+    assert out["A"].r2 is None
+    assert out["N"].slope is None and out["N"].r2 is None
+
+
+def test_skewkurt_closed_forms(spark, tmp_path):
+    """Symmetric two-point distribution -> skewness exactly 0, excess
+    kurtosis exactly -2 (m4 = m2^2); Bernoulli(1/4) -> the textbook
+    (1-2p)/sqrt(pq) and (1-6pq)/(pq) values; a constant group is
+    undefined (m2 = 0 -> NULL on both engines)."""
+    d = tmp_path / "sk"
+    d.mkdir()
+    rows = []
+    for i in range(1, 3):
+        rows.append((i, 1, "R", 1, 1.00))
+        rows.append((i, 2, "R", 1, 3.00))
+        rows.append((i, 1, "A", 1, 2.00))  # constant
+    rows += [(9, ln, "N", 1, 0.00) for ln in (1, 2, 3)] + [(9, 4, "N", 1, 1.00)]
+    out = {
+        r.l_returnflag: r
+        for r in all_queries()["q_agg_skewkurt"](
+            spark, _write_lineitem(d, rows)
+        ).collect()
+    }
+    assert out["R"].skewness == 0.0 and out["R"].kurtosis == -2.0
+    assert out["A"].skewness is None and out["A"].kurtosis is None
+    # Bernoulli(1/4) in cents {0,0,0,100}: same float shape as engines
+    m1, r2_, r3_, r4_ = 25.0, 2500.0, 250000.0, 25000000.0
+    m2 = r2_ - m1 * m1
+    m3 = r3_ - 3.0 * m1 * r2_ + 2.0 * m1 * m1 * m1
+    m4 = r4_ - 4.0 * m1 * r3_ + 6.0 * m1 * m1 * r2_ - 3.0 * m1 ** 4
+    assert out["N"].skewness == _floor4(m3 / (m2 * math.sqrt(m2)))
+    assert out["N"].kurtosis == _floor4(m4 / (m2 * m2) - 3.0)
+    # textbook cross-check: (1-2p)/sqrt(pq), (1-6pq)/(pq) at p=1/4
+    p, q = 0.25, 0.75
+    assert abs(out["N"].skewness - (1 - 2 * p) / math.sqrt(p * q)) < 2e-4
+    assert abs(out["N"].kurtosis - (1 - 6 * p * q) / (p * q)) < 2e-4

@@ -1413,7 +1413,12 @@ def q_agg_regression(spark, sf_dir):
         (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("dxy"),
     )
     fl = lambda c, m: F.floor(c * m + F.lit(0.5)) / m  # noqa: E731
-    slope_c = F.col("dxy") / F.col("dx")  # cents per unit
+    # try_divide on the variance-denominator ratios: a constant-x group
+    # has dx = 0 and a constant-y group dy = 0 — DuckDB's double
+    # division yields NULL there while ANSI Spark would THROW (the r7
+    # ANOVA closed-form pin's class); on non-degenerate groups
+    # try_divide is bit-identical to /.
+    slope_c = F.try_divide(F.col("dxy"), F.col("dx"))  # cents per unit
     return d.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
@@ -1421,7 +1426,7 @@ def q_agg_regression(spark, sf_dir):
         fl((F.col("syd") - slope_c * F.col("sxd")) / F.col("nd") / F.lit(100.0), 100).alias(
             "intercept"
         ),
-        fl(slope_c * F.col("dxy") / F.col("dy"), 10000).alias("r2"),
+        fl(F.try_divide(slope_c * F.col("dxy"), F.col("dy")), 10000).alias("r2"),
     )
 
 
@@ -1512,11 +1517,19 @@ def q_agg_skewkurt(spark, sf_dir):
         ).alias("m4"),
     )
     fl4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    # try_divide: a constant group has m2 = 0 and standardized moments
+    # undefined — DuckDB nulls the double division, ANSI Spark would
+    # throw (the r7 ANOVA closed-form pin's class); identical to / on
+    # any non-degenerate group.
     return m.select(
         "l_returnflag",
         "n",
-        fl4(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
-        fl4(F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias("kurtosis"),
+        fl4(
+            F.try_divide(F.col("m3"), F.col("m2") * F.sqrt(F.col("m2")))
+        ).alias("skewness"),
+        fl4(
+            F.try_divide(F.col("m4"), F.col("m2") * F.col("m2")) - F.lit(3.0)
+        ).alias("kurtosis"),
     )
 
 
