@@ -1490,3 +1490,175 @@ def test_skewkurt_closed_forms(spark, tmp_path):
     p, q = 0.25, 0.75
     assert abs(out["N"].skewness - (1 - 2 * p) / math.sqrt(p * q)) < 2e-4
     assert abs(out["N"].kurtosis - (1 - 6 * p * q) / (p * q)) < 2e-4
+
+
+def _write_orders(d, rows):
+    """rows: (orderkey, custkey, totalprice, orderdate_us, priority)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    n = len(rows)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    pq_.write_table(t, f"{d}/orders.parquet")
+    return str(d)
+
+
+def test_corr_matrix_closed_forms(spark, tmp_path):
+    """Exact linear relations: price = 2*qty and discount falling
+    linearly in qty -> the three correlations are exactly +1, -1, -1."""
+    d = tmp_path / "corr"
+    d.mkdir()
+    rows = [(i, 1, "R", i, float(2 * i)) for i in range(1, 5)]
+    p = _write_lineitem(d, rows)
+    # rewrite with the linear discount column (writer pins discount 0)
+    import pyarrow.parquet as pq_
+    import pyarrow as pa
+
+    t = pq_.read_table(f"{p}/lineitem.parquet")
+    disc = pa.array([(400 - 100 * i) / 10000 for i in range(1, 5)], pa.float64())
+    t = t.set_column(
+        t.schema.get_field_index("l_discount"),
+        t.schema.field("l_discount"),
+        disc,
+    )
+    pq_.write_table(t, f"{p}/lineitem.parquet")
+    [r] = all_queries()["q_agg_corr_matrix"](spark, p).collect()
+    assert r.corr_qty_price == 1.0
+    assert r.corr_qty_disc == -1.0
+    assert r.corr_price_disc == -1.0
+
+
+def test_benford_closed_form(spark, tmp_path):
+    """Crafted leading digits: three digit-1 totals and one digit-9
+    total -> observed shares exactly 0.75/0.25 against the pinned
+    Benford expectations."""
+    d = tmp_path / "ben"
+    d.mkdir()
+    rows = [
+        (1, 1, 1.00, 0, "1-URGENT"),
+        (2, 1, 10.00, 0, "1-URGENT"),
+        (3, 1, 150.00, 0, "1-URGENT"),
+        (4, 1, 9.00, 0, "1-URGENT"),
+    ]
+    out = {
+        r.digit: r
+        for r in all_queries()["q_dq_benford"](
+            spark, _write_orders(d, rows)
+        ).collect()
+    }
+    assert set(out) == {1, 9}
+    assert (out[1].n, out[1].obs_share, out[1].exp_share) == (3, 0.75, 0.3010)
+    assert (out[9].n, out[9].obs_share, out[9].exp_share) == (1, 0.25, 0.0458)
+
+
+def test_hhi_closed_forms(spark, tmp_path):
+    """20 equal customers -> HHI exactly 1/20 with top-10 share exactly
+    0.5; a single customer -> both exactly 1."""
+    d = tmp_path / "hhi20"
+    d.mkdir()
+    rows = [(k, k, 1.00, 0, "1-URGENT") for k in range(1, 21)]
+    [r] = all_queries()["q_agg_hhi"](spark, _write_orders(d, rows)).collect()
+    assert r.n_cust == 20
+    assert r.hhi == 0.05 and r.top10_share == 0.5
+    d1 = tmp_path / "hhi1"
+    d1.mkdir()
+    [r] = all_queries()["q_agg_hhi"](
+        spark, _write_orders(d1, [(1, 1, 7.00, 0, "1-URGENT")])
+    ).collect()
+    assert r.hhi == 1.0 and r.top10_share == 1.0
+
+
+def test_runs_test_closed_forms(spark, tmp_path):
+    """Perfectly alternating above/below-median days -> the maximum 2n
+    runs; fully clustered -> the minimum 2 runs; z from the closed-form
+    normal approximation, hand-computed with the same float shape."""
+    DAY = 86_400_000_000
+
+    def daily(d, cents_seq):
+        return _write_events(
+            d, [(i * DAY, "x", c / 100) for i, c in enumerate(cents_seq)]
+        )
+
+    alt = tmp_path / "alt"
+    alt.mkdir()
+    [r] = all_queries()["q_agg_runs_test"](
+        spark, daily(alt, [100, 10000] * 4)
+    ).collect()
+    assert (r.n1, r.n2, r.runs) == (4, 4, 8)
+    mu = 2.0 * 4 * 4 / 8 + 1
+    sig = math.sqrt(2.0 * 4 * 4 * (2.0 * 4 * 4 - 8) / ((8.0 * 8) * 7))
+    assert r.z == round((8 - mu) / sig, 4)
+    clus = tmp_path / "clus"
+    clus.mkdir()
+    [r] = all_queries()["q_agg_runs_test"](
+        spark, daily(clus, [100] * 4 + [10000] * 4)
+    ).collect()
+    assert (r.n1, r.n2, r.runs) == (4, 4, 2)
+    assert r.z == round((2 - mu) / sig, 4)
+
+
+def test_volatility_closed_forms(spark, tmp_path):
+    """A constant week -> rolling std exactly 0; the 1..7-dollar ramp ->
+    sample std sqrt(28e5/6) hand-computed from the same moment shape."""
+    DAY = 86_400_000_000
+    d = tmp_path / "vol"
+    d.mkdir()
+    rows = [(i * DAY, "x", (i + 1) * 1.00) for i in range(7)]
+    rows += [(i * DAY, "x", 0.00) for i in range(7, 14)]  # flat tail
+    out = {
+        r.day: r
+        for r in all_queries()["q_time_volatility"](
+            spark, _write_events(d, rows)
+        ).collect()
+    }
+    # day 6 window = the full ramp 100..700 cents
+    n, s, sq = 7, 2800, sum((c * 100) ** 2 for c in range(1, 8))
+    assert out[6].mean_cents == 400.0
+    assert out[6].std_cents == round(
+        math.sqrt((n * float(sq) - float(s) * s) / (n * (n - 1))), 2
+    )
+    # day 13 window = seven zero days -> std exactly 0
+    assert out[13].std_cents == 0.0 and out[13].mean_cents == 0.0
+
+
+def test_acf_closed_forms(spark, tmp_path):
+    """The +/-100-cent alternator has lag-k autocorrelation
+    (-1)^k * (n-k)/n exactly: -5/6, 2/3, -1/2 at n = 6; a constant
+    series (zero variance) is excluded by the den > 0 guard rather
+    than erroring."""
+    d = tmp_path / "acf"
+    d.mkdir()
+    rows = [(i * 1_000_000, 1, "x", 1.00 if i % 2 == 0 else 3.00) for i in range(6)]
+    rows += [(i * 1_000_000, 2, "x", 5.00) for i in range(4)]  # constant user
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq_.write_table(t, f"{d}/events.parquet")
+    out = {
+        (r.user_id, r.lag): r
+        for r in all_queries()["q_time_acf"](spark, str(d)).collect()
+    }
+    assert set(u for u, _ in out) == {1}  # constant user excluded, not an error
+    assert out[(1, 1)].acf == _floor6(-5 / 6)
+    assert out[(1, 2)].acf == _floor6(2 / 3)
+    assert out[(1, 3)].acf == -0.5
+    assert (out[(1, 1)].pairs, out[(1, 2)].pairs, out[(1, 3)].pairs) == (5, 4, 3)
