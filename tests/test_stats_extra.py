@@ -1662,3 +1662,128 @@ def test_acf_closed_forms(spark, tmp_path):
     assert out[(1, 2)].acf == _floor6(2 / 3)
     assert out[(1, 3)].acf == -0.5
     assert (out[(1, 1)].pairs, out[(1, 2)].pairs, out[(1, 3)].pairs) == (5, 4, 3)
+
+
+def _write_events_u(d, rows):
+    """rows: (ts_us, user_id, event_type, value) with sequential
+    event_ids — for closed forms that need multi-user series."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq_.write_table(t, f"{d}/events.parquet")
+    return str(d)
+
+
+def test_survival_km_textbook_worked_example(spark, tmp_path):
+    """The classic 5-subject KM table with interleaved censoring:
+    death t=1 (n=5) -> S=4/5; censor t=2 leaves the curve flat but
+    shrinks the risk set; death t=3 (n=3) -> S = 4/5 * 2/3; censors at
+    t=4,5 leave it flat. Pins the two KM conventions that are easy to
+    get wrong: censored subjects DO count in the risk set at their own
+    time, and censoring does NOT step the curve."""
+    DAY = 86_400_000_000
+    d = tmp_path / "km"
+    d.mkdir()
+    rows = [
+        (0, 1, "view", 1.0), (1 * DAY, 1, "purchase", 200.0),  # death t=1
+        (0, 2, "view", 1.0), (2 * DAY, 2, "view", 1.0),        # censor t=2
+        (0, 3, "view", 1.0), (3 * DAY, 3, "purchase", 151.0),  # death t=3
+        (0, 4, "view", 1.0), (4 * DAY, 4, "view", 1.0),        # censor t=4
+        (0, 5, "view", 1.0), (5 * DAY, 5, "view", 1.0),        # censor t=5
+    ]
+    out = {
+        r.t_days: r
+        for r in all_queries()["q_survival_km"](
+            spark, _write_events_u(d, rows)
+        ).collect()
+    }
+    expect_nrisk = {1: 5, 2: 4, 3: 3, 4: 2, 5: 1}
+    expect_d = {1: 1, 2: 0, 3: 1, 4: 0, 5: 0}
+    for t, r in out.items():
+        assert r.n_risk == expect_nrisk[t] and r.d_events == expect_d[t]
+    assert out[1].survival == 0.8
+    assert out[2].survival == 0.8  # censoring does not step the curve
+    s3 = math.floor(0.8 * 1.0 * (1 - 1.0 / 3) * 1000000 + 0.5) / 1000000
+    assert out[3].survival == s3 == 0.533333
+    assert out[4].survival == s3 and out[5].survival == s3
+
+
+def test_delta_method_closed_form(spark, tmp_path):
+    """Two users per arm with hand-computable moments: the ratio metric
+    is sum(x)/sum(y) (NOT the mean of per-user ratios) and the
+    delta-method SE comes out exactly 50 and 100 cents for the two
+    crafted arms, with the 1.96 CI exactly ratio +/- 98/196."""
+    d = tmp_path / "dm"
+    d.mkdir()
+    rows = [
+        (0, 1, "purchase", 2.00), (1, 1, "view", 1.0),
+        (0, 2, "purchase", 1.00), (1, 2, "view", 1.0),
+        (0, 3, "purchase", 6.00), (1, 3, "view", 1.0),
+        (0, 4, "purchase", 3.00), (1, 4, "view", 1.0),
+    ]
+    out = {
+        r.arm: r
+        for r in all_queries()["q_ab_delta_method"](
+            spark, _write_events_u(d, rows)
+        ).collect()
+    }
+    assert out[0].n == 2 and out[1].n == 2
+    assert (out[0].ratio_cents_per_event, out[0].se) == (100.0, 50.0)
+    assert (out[0].ci_lo, out[0].ci_hi) == (2.0, 198.0)
+    assert (out[1].ratio_cents_per_event, out[1].se) == (200.0, 100.0)
+    assert (out[1].ci_lo, out[1].ci_hi) == (4.0, 396.0)
+
+
+def test_twa_closed_forms(spark, tmp_path):
+    """LOCF time-weighting: a constant series averages to itself, and a
+    value held 3x longer gets 3x the weight — (100*10 + 400*30)/40 =
+    325 cents = 3.25, where the plain mean of the observations would
+    say 2.50 (the over-weighting TWA exists to fix)."""
+    S = 1_000_000
+    d = tmp_path / "twa"
+    d.mkdir()
+    rows = [
+        (0, 1, "x", 2.00), (10 * S, 1, "x", 2.00), (30 * S, 1, "x", 2.00),
+        (0, 2, "x", 1.00), (10 * S, 2, "x", 4.00), (40 * S, 2, "x", 9.99),
+    ]
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_time_twa"](
+            spark, _write_events_u(d, rows)
+        ).collect()
+    }
+    assert out[1].n_gaps == 2 and out[1].twa == 2.0
+    assert out[2].n_gaps == 2 and out[2].twa == 3.25
+
+
+def test_cusum_closed_form(spark, tmp_path):
+    """Page's CUSUM on a hand-computed step change: a stable user never
+    alarms (every deviation sits below the slack), and the 1.00->200.00
+    step alarms exactly on rows 6-8 with peak excursion 33400 cents —
+    the n-scaled prefix-minus-running-min recursion traced by hand."""
+    S = 1_000_000
+    d = tmp_path / "cs"
+    d.mkdir()
+    rows = [(i * S, 1, "x", 5.00) for i in range(8)]  # stable: no alarm
+    rows += [(i * S, 2, "x", 1.00) for i in range(4)]
+    rows += [((4 + i) * S, 2, "x", 200.00) for i in range(4)]
+    p = _write_events_u(d, rows)
+    out = {r.user_id: r for r in all_queries()["q_time_cusum"](spark, p).collect()}
+    assert 1 not in out  # stable series never alarms
+    r = out[2]
+    # hand trace: a_t = 8v - 80400 - 12800; pre after the 4 low rows is
+    # -369600 (the running min); sn on the high rows = 66800, 133600,
+    # 200400, 267200 vs threshold h*n = 128000 -> alarms on rows 6,7,8
+    assert r.n_alarms == 3
+    assert r.first_alarm_event == 13  # 6th event of user 2 (ids 8..15)
+    assert r.peak_cents == 33400
