@@ -1787,3 +1787,126 @@ def test_cusum_closed_form(spark, tmp_path):
     assert r.n_alarms == 3
     assert r.first_alarm_event == 13  # 6th event of user 2 (ids 8..15)
     assert r.peak_cents == 33400
+
+
+def _write_graph_fixture(d, order_parts, brands=None):
+    """order_parts: {orderkey: [partkeys]} -> lineitem.parquet;
+    brands: {partkey: brand} -> part.parquet (when a key needs it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rows = [
+        (ok, pk, ln + 1)
+        for ok, parts in order_parts.items()
+        for ln, pk in enumerate(parts)
+    ]
+    n = len(rows)
+    pq_.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([1] * n, pa.int64()),
+                "l_linenumber": pa.array([r[2] for r in rows], pa.int32()),
+                "l_quantity": pa.array([1.0] * n, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * n, pa.float64()),
+                "l_discount": pa.array([0.0] * n, pa.float64()),
+                "l_tax": pa.array([0.0] * n, pa.float64()),
+                "l_returnflag": pa.array(["R"] * n, pa.string()),
+                "l_linestatus": pa.array(["O"] * n, pa.string()),
+                "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    if brands is not None:
+        ks = sorted(brands)
+        pq_.write_table(
+            pa.table(
+                {
+                    "p_partkey": pa.array(ks, pa.int64()),
+                    "p_name": pa.array([f"p{k}" for k in ks], pa.string()),
+                    "p_brand": pa.array([brands[k] for k in ks], pa.string()),
+                    "p_type": pa.array(["t"] * len(ks), pa.string()),
+                    "p_size": pa.array([1] * len(ks), pa.int32()),
+                    "p_retailprice": pa.array([1.0] * len(ks), pa.float64()),
+                }
+            ),
+            f"{d}/part.parquet",
+        )
+    return str(d)
+
+
+def test_clustering_coeff_closed_forms(spark, tmp_path):
+    """A triangle gives every corner coefficient exactly 1; a star's
+    center has coefficient exactly 0 and its degree-1 leaves are
+    excluded (undefined), matching the textbook local transitivity.
+    Co-purchase edges need >= 2 shared orders, so each clique order is
+    duplicated; a single shared order must NOT create an edge."""
+    d = tmp_path / "cc"
+    d.mkdir()
+    op = {
+        1: [1, 2, 3], 2: [1, 2, 3],       # triangle, twice (edges real)
+        10: [11, 12], 11: [11, 12],        # star spokes, twice each
+        12: [11, 13], 13: [11, 13],
+        14: [11, 14], 15: [11, 14],
+        20: [1, 99],                       # one shared order: below threshold
+    }
+    out = {
+        r.part: r
+        for r in all_queries()["q_graph_clustering_coeff"](
+            spark, _write_graph_fixture(d, op)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 11}  # leaves and the sub-threshold pair drop
+    for pk in (1, 2, 3):
+        assert (out[pk].degree, out[pk].n_triangles, out[pk].clustering) == (2, 1, 1.0)
+    assert (out[11].degree, out[11].n_triangles, out[11].clustering) == (3, 0, 0.0)
+
+
+def test_modularity_closed_form(spark, tmp_path):
+    """Two disconnected triangles with communities = the components:
+    each contributes Q_c = 3/6 - (6/12)^2 = 0.25 exactly — the textbook
+    maximum-modularity two-clique configuration (total Q = 0.5)."""
+    d = tmp_path / "mod"
+    d.mkdir()
+    op = {
+        1: [1, 2, 3], 2: [1, 2, 3],
+        3: [4, 5, 6], 4: [4, 5, 6],
+    }
+    brands = {k: ("BA" if k <= 3 else "BB") for k in range(1, 7)}
+    out = {
+        r.brand: r
+        for r in all_queries()["q_graph_modularity"](
+            spark, _write_graph_fixture(d, op, brands)
+        ).collect()
+    }
+    for b in ("BA", "BB"):
+        assert (out[b].n_nodes, out[b].e_in, out[b].deg_sum) == (3, 3, 6)
+        assert out[b].q_contrib == 0.25
+
+
+def test_assortativity_closed_forms(spark, tmp_path):
+    """A star is maximally disassortative: r exactly -1 (every edge
+    joins the hub to a leaf); the 4-path P4 gives r = -0.5 exactly from
+    the hand-computed endpoint-degree moments."""
+    star = tmp_path / "star"
+    star.mkdir()
+    op = {}
+    for i, leaf in enumerate((12, 13, 14)):
+        op[10 + 2 * i] = [11, leaf]
+        op[11 + 2 * i] = [11, leaf]
+    [r] = all_queries()["q_graph_assortativity"](
+        spark, _write_graph_fixture(star, op)
+    ).collect()
+    assert r.n_edges == 3 and r.assortativity == -1.0
+    p4 = tmp_path / "p4"
+    p4.mkdir()
+    op = {}
+    for i, (a, b) in enumerate(((1, 2), (2, 3), (3, 4))):
+        op[20 + 2 * i] = [a, b]
+        op[21 + 2 * i] = [a, b]
+    [r] = all_queries()["q_graph_assortativity"](
+        spark, _write_graph_fixture(p4, op)
+    ).collect()
+    assert r.n_edges == 3 and r.assortativity == -0.5
