@@ -1910,3 +1910,118 @@ def test_assortativity_closed_forms(spark, tmp_path):
         spark, _write_graph_fixture(p4, op)
     ).collect()
     assert r.n_edges == 3 and r.assortativity == -0.5
+
+
+def _write_docs(d, texts, source="s", lang="en"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array([lang] * len(texts), pa.string()),
+                "source": pa.array([source] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return str(d)
+
+
+def test_collocations_closed_form(spark, tmp_path):
+    """Hand-computed pointwise lift on a 3-doc corpus: unigram total
+    U = 6, bigram total N = 3 -> lift(c,d) = (1*36)/(3*1*1) = 12 and
+    lift(a,b) = (2*36)/(3*2*2) = 6, ranked in that order."""
+    d = tmp_path / "coll"
+    d.mkdir()
+    out = all_queries()["q_text_collocations"](
+        spark, _write_docs(d, ["a b", "a b", "c d"])
+    ).collect()
+    got = [(r.w1, r.w2, r.n_pairs, r.rank, r.lift) for r in out]
+    assert got == [("c", "d", 1, 1, 12.0), ("a", "b", 2, 2, 6.0)]
+
+
+def test_basket_rules_closed_form(spark, tmp_path):
+    """Hand-computed Apriori output: a perfectly-associated pair gets
+    lift n/sup = 14.5 in both directions; a pair whose antecedent
+    appears in 25 baskets fails the 10% confidence threshold in that
+    direction only (integer cross-multiplied compare), while the
+    reverse direction survives with lift 1.16."""
+    d = tmp_path / "br"
+    d.mkdir()
+    op = {1: [1, 2], 2: [1, 2], 3: [3], 4: [3]}
+    for k in range(23):
+        op[10 + k] = [5]
+    op[40] = [5, 6]
+    op[41] = [5, 6]
+    out = {
+        (r.ant, r.cons): r
+        for r in all_queries()["q_orders_basket_rules"](
+            spark, _write_graph_fixture(d, op)
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (2, 1), (6, 5)}  # 5 -> 6 fails confidence
+    assert (out[(1, 2)].sab, out[(1, 2)].conf, out[(1, 2)].lift) == (2, 1.0, 14.5)
+    assert (out[(2, 1)].conf, out[(2, 1)].lift) == (1.0, 14.5)
+    assert (out[(6, 5)].conf, out[(6, 5)].lift) == (1.0, 1.16)
+
+
+def test_winsorized_mean_closed_form(spark, tmp_path):
+    """1..19 cents plus a 1000-cent outlier: the 5/95 cut points are
+    exactly 1 and 19, the outlier clamps to 19, and the winsorized
+    mean is 10 cents where the raw mean is 60 — the robustness the
+    estimator exists for, hand-computed."""
+    d = tmp_path / "wm"
+    d.mkdir()
+    rows = [(i, 1, "R", 1, i / 100) for i in range(1, 20)]
+    rows.append((20, 1, "R", 1, 10.00))
+    [r] = all_queries()["q_agg_winsorized_mean"](
+        spark, _write_lineitem(d, rows)
+    ).collect()
+    assert (r.n, r.lo_cents, r.hi_cents) == (20, 1, 19)
+    assert r.winsor_mean_cents == 10
+    assert r.mean_cents == 60
+
+
+def test_trimmed_mean_closed_form(spark, tmp_path):
+    """1..9 cents plus a 1000-cent outlier at 10% trim: one row drops
+    from each tail, kept mass is 2..9 -> mean exactly 0.06 dollars
+    (the raw mean would be ~1.02)."""
+    d = tmp_path / "tm"
+    d.mkdir()
+    rows = [(i, 1, "R", 1, i / 100) for i in range(1, 10)]
+    rows.append((10, 1, "R", 1, 10.00))
+    [r] = all_queries()["q_agg_trimmed_mean"](
+        spark, _write_lineitem(d, rows)
+    ).collect()
+    assert (r.n, r.n_kept) == (10, 8)
+    assert r.trimmed_mean == 0.06
+
+
+def test_hampel_closed_form(spark, tmp_path):
+    """A single spike in a constant series: the rolling median is the
+    constant, MAD is 0, and only the spike trips |dev|*1e4 > 44478*MAD
+    (strict inequality keeps the constant rows inliers when MAD = 0);
+    the 1..7 ramp's center row has median 400 / MAD 200 and is an
+    inlier."""
+    S = 1_000_000
+    d = tmp_path / "hp"
+    d.mkdir()
+    rows = [(i * S, 1, "x", 2.00 if i != 3 else 50.00) for i in range(7)]
+    rows += [(i * S, 2, "x", float(i + 1)) for i in range(7)]
+    p = _write_events_u(d, rows)
+    out = {
+        (r.user_id, r.event_id): r
+        for r in all_queries()["q_time_hampel"](spark, p).collect()
+    }
+    for eid in range(7):
+        r = out[(1, eid)]
+        if eid == 3:
+            assert (r.is_outlier, r.med_c, r.mad_c, r.filtered_c) == (1, 200, 0, 200)
+        else:
+            assert r.is_outlier == 0 and r.filtered_c == r.value_c
+    mid = out[(2, 10)]  # center of the ramp (event ids 7..13)
+    assert (mid.med_c, mid.mad_c, mid.is_outlier) == (400, 200, 0)
