@@ -2025,3 +2025,105 @@ def test_hampel_closed_form(spark, tmp_path):
             assert r.is_outlier == 0 and r.filtered_c == r.value_c
     mid = out[(2, 10)]  # center of the ramp (event ids 7..13)
     assert (mid.med_c, mid.mad_c, mid.is_outlier) == (400, 200, 0)
+
+
+def test_rbo_closed_forms(spark, tmp_path):
+    """Identical top-10 rankings -> truncated RBO = sum of the ten
+    geometric weights = 1 - 0.9^10 exactly (same fold); fully reversed
+    rankings over the same 10 parts -> overlap(d) = max(0, 2d-10) and
+    the hand-computed weighted sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    def write_parts(d, rows):  # rows: (partkey, quantity, price)
+        n = len(rows)
+        pq_.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                    "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_suppkey": pa.array([1] * n, pa.int64()),
+                    "l_linenumber": pa.array([1] * n, pa.int32()),
+                    "l_quantity": pa.array([float(r[1]) for r in rows], pa.float64()),
+                    "l_extendedprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+                    "l_discount": pa.array([0.0] * n, pa.float64()),
+                    "l_tax": pa.array([0.0] * n, pa.float64()),
+                    "l_returnflag": pa.array(["R"] * n, pa.string()),
+                    "l_linestatus": pa.array(["O"] * n, pa.string()),
+                    "l_shipdate": pa.array([0] * n, pa.timestamp("us")),
+                }
+            ),
+            f"{d}/lineitem.parquet",
+        )
+        return str(d)
+
+    ident = tmp_path / "rbo1"
+    ident.mkdir()
+    # one row per part: revenue AND quantity both rank parts 1..10
+    rows = [(i, 11 - i, float(11 - i)) for i in range(1, 11)]
+    [r] = all_queries()["q_win_rbo"](
+        spark, write_parts(ident, rows)
+    ).collect()
+    ws = [(1 - 0.9) * 0.9 ** k for k in range(10)]
+    acc = 0.0
+    for d in range(1, 11):
+        acc += ws[d - 1] * d / d
+    assert r.overlap_at_10 == 10
+    assert r.rbo == round(acc, 6)  # = 1 - 0.9**10
+    rev = tmp_path / "rbo2"
+    rev.mkdir()
+    # revenue ranks parts 1..10; quantity ranks them reversed
+    rows = [(i, i, float(11 - i)) for i in range(1, 11)]
+    [r] = all_queries()["q_win_rbo"](
+        spark, write_parts(rev, rows)
+    ).collect()
+    acc = 0.0
+    for d in range(1, 11):
+        acc += ws[d - 1] * max(0, 2 * d - 10) / d
+    assert r.overlap_at_10 == 10  # both lists hold the same 10 parts
+    assert r.rbo == round(acc, 6)
+
+
+def test_iqr_outliers_closed_forms(spark, tmp_path):
+    """Interpolated quartiles on 1..4 cents-dollars give fences exactly
+    [-0.5, 5.5] with zero outliers; adding a 100-dollar point moves the
+    quartiles onto exact ranks (2.00/4.00), fences to [-1.0, 7.0], and
+    flags exactly that one point."""
+    clean = tmp_path / "iqr0"
+    clean.mkdir()
+    rows = [(i, 1, "R", 1, float(i)) for i in range(1, 5)]
+    [r] = all_queries()["q_agg_iqr_outliers"](
+        spark, _write_lineitem(clean, rows)
+    ).collect()
+    assert (r.n, r.n_outliers) == (4, 0)
+    assert (r.fence_lo, r.fence_hi) == (-0.5, 5.5)
+    dirty = tmp_path / "iqr1"
+    dirty.mkdir()
+    rows = [(i, 1, "R", 1, float(i)) for i in range(1, 5)]
+    rows.append((5, 1, "R", 1, 100.00))
+    [r] = all_queries()["q_agg_iqr_outliers"](
+        spark, _write_lineitem(dirty, rows)
+    ).collect()
+    assert (r.n, r.n_outliers) == (5, 1)
+    assert (r.fence_lo, r.fence_hi) == (-1.0, 7.0)
+
+
+def test_smoothed_rate_closed_form(spark, tmp_path):
+    """Empirical-Bayes shrinkage with a 5-event prior toward the corpus
+    rate 1/4: the 1-for-1 user shrinks to exactly 9/24 = 0.375 and the
+    0-for-3 user rises to exactly 5/32 = 0.15625 — both sides of the
+    prior, hand-computed as (conv + 5p)/(n + 5)."""
+    d = tmp_path / "eb"
+    d.mkdir()
+    rows = [(0, 1, "purchase", 1.0)]
+    rows += [(i, 2, "view", 1.0) for i in range(3)]
+    out = {
+        r.user_id: r
+        for r in all_queries()["q_agg_smoothed_rate"](
+            spark, _write_events_u(d, rows)
+        ).collect()
+    }
+    assert (out[1].n_events, out[1].n_conv, out[1].raw_rate) == (1, 1, 1.0)
+    assert out[1].smoothed_rate == 0.375
+    assert (out[2].n_events, out[2].n_conv, out[2].raw_rate) == (3, 0, 0.0)
+    assert out[2].smoothed_rate == 0.15625
