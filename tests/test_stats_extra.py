@@ -2127,3 +2127,64 @@ def test_smoothed_rate_closed_form(spark, tmp_path):
     assert out[1].smoothed_rate == 0.375
     assert (out[2].n_events, out[2].n_conv, out[2].raw_rate) == (3, 0, 0.0)
     assert out[2].smoothed_rate == 0.15625
+
+
+def test_kcore_closed_form(spark, tmp_path):
+    """K4 survives the 3-core exactly (every node degree 3), a pendant
+    node peels off without hurting it, and a triangle (degree 2) peels
+    to nothing — the textbook peeling fixture."""
+    d = tmp_path / "kc"
+    d.mkdir()
+    op = {
+        1: [1, 2, 3, 4], 2: [1, 2, 3, 4],  # K4 (all pairs twice)
+        3: [1, 5], 4: [1, 5],              # pendant on node 1
+        5: [11, 12, 13], 6: [11, 12, 13],  # triangle: fully peeled
+    }
+    out = {
+        r.part: r.core_degree
+        for r in all_queries()["q_graph_kcore"](
+            spark, _write_graph_fixture(d, op)
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bfs_closed_form(spark, tmp_path):
+    """A 7-node path from the minimum id: hop distances 0..4 exactly,
+    with the two nodes beyond the 4-hop horizon absent."""
+    d = tmp_path / "bfs"
+    d.mkdir()
+    op = {}
+    for i in range(6):  # chain 1-2-...-7, each edge in two orders
+        op[10 + 2 * i] = [i + 1, i + 2]
+        op[11 + 2 * i] = [i + 1, i + 2]
+    out = {
+        r.part: r.dist
+        for r in all_queries()["q_graph_bfs"](
+            spark, _write_graph_fixture(d, op)
+        ).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_link_predict_closed_form(spark, tmp_path):
+    """The 4-cycle's two diagonals are the only >= 2-common-neighbor
+    non-edges, each with Jaccard exactly 1 (shared neighborhood IS the
+    union); a path's single-wedge pair stays below the threshold."""
+    d = tmp_path / "lp"
+    d.mkdir()
+    op = {}
+    for i, (a, b) in enumerate(((1, 2), (2, 4), (3, 4), (1, 3))):  # C4
+        op[10 + 2 * i] = [a, b]
+        op[11 + 2 * i] = [a, b]
+    op[30] = [21, 22]; op[31] = [21, 22]  # P3: single wedge -> filtered
+    op[32] = [22, 23]; op[33] = [22, 23]
+    out = {
+        (r.part_a, r.part_b): r
+        for r in all_queries()["q_graph_link_predict"](
+            spark, _write_graph_fixture(d, op)
+        ).collect()
+    }
+    assert set(out) == {(1, 4), (2, 3)}
+    for k, r in out.items():
+        assert (r.common_neighbors, r.deg_a, r.deg_b, r.jaccard) == (2, 2, 2, 1.0)
