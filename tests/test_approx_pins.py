@@ -62,8 +62,12 @@ def test_ann_lsh_recall_and_distance_fidelity(spark):
     V = np.array([r.embedding for r in emb], dtype=np.float64)
     D = np.sqrt(((V[:, None, :] - V[None, :, :]) ** 2).sum(-1))
     pos = {v: i for i, v in enumerate(ids)}
+    # orient pairs by vec_id VALUE (the query emits vec_a < vec_b), never
+    # by collect position; approxSimilarityJoin's threshold is strict <
+    ordered = sorted(ids)
     true_pairs = {
-        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:] if D[pos[a], pos[b]] <= 8.0
+        (a, b) for i, a in enumerate(ordered) for b in ordered[i + 1:]
+        if D[pos[a], pos[b]] < 8.0
     }
     got = {(r.vec_a, r.vec_b): r.l2_dist for r in out}
     # approxSimilarityJoin verifies exact distance on candidates =>
@@ -86,10 +90,21 @@ def test_native_hashes_deterministic_and_crc32_matches_zlib(spark):
         # plumbing for the whole projection
         assert r.h_crc32 == zlib.crc32(names[pk].encode()), pk
     # xxhash64/murmur3 have no stdlib twin: pin determinism under a
-    # different partitioning (the seed is fixed, values must not move)
+    # different INPUT partitioning — the repartition must sit BELOW the
+    # hash projection or the expressions are never re-evaluated
     again = {
         r.p_partkey: r
-        for r in q(spark, SF_SMOKE).repartition(7, "p_partkey").collect()
+        for r in load(spark, SF_SMOKE, "part")
+        .repartition(7, "p_partkey")
+        .select(
+            "p_partkey",
+            F.crc32(F.col("p_name")).alias("h_crc32"),
+            F.xxhash64(F.col("p_name")).alias("h_xxhash64"),
+            F.hash(F.col("p_name")).alias("h_murmur3"),
+        )
+        .collect()
     }
     for pk, r in rows.items():
-        assert (again[pk].h_xxhash64, again[pk].h_murmur3) == (r.h_xxhash64, r.h_murmur3)
+        assert (again[pk].h_crc32, again[pk].h_xxhash64, again[pk].h_murmur3) == (
+            r.h_crc32, r.h_xxhash64, r.h_murmur3
+        )

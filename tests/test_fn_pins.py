@@ -67,7 +67,7 @@ def test_try_safe_null_degradation(spark):
               .select("o_orderkey", "o_totalprice", "o_custkey", "o_orderstatus",
                       "o_orderpriority").collect()}
     import math
-    zero_rows = bad_casts = 0
+    zero_rows = 0
     for r in rows:
         o = orders[r.o_orderkey]
         if o.o_custkey % 7 == 0:
@@ -77,10 +77,9 @@ def test_try_safe_null_degradation(spark):
             want = math.floor(o.o_totalprice / (o.o_custkey % 7) * 100 + 0.5) / 100
             assert r.safe_div == want
         assert r.bad_cast is None  # 'O'/'F'/'P' never casts
-        bad_casts += 1
         assert r.prio_num == int(o.o_orderpriority.split("-")[0])
         assert r.oob_elem is None  # index 5 of a 2-element split
-    assert zero_rows > 0 and bad_casts == len(rows)
+    assert zero_rows > 0  # the zero path is actually exercised
 
 
 def test_null_semantics_three_valued_logic(spark):

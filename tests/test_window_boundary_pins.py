@@ -63,7 +63,10 @@ def test_stream_tumbling_matches_python_hour_floor(spark):
     assert set(rows) == set(want)
     for key, (n, s) in want.items():
         assert rows[key][0] == n
-        assert abs(rows[key][1] - round(s, 2)) < 1e-6, key
+        # compare against the UNROUNDED Python sum within half a cent:
+        # replaying Spark's HALF_UP tie rule against Python's half-even
+        # round() is exactly the divergence class FIXTURES.md bans
+        assert abs(rows[key][1] - s) < 0.00501, key
 
 
 def test_sliding_every_event_in_exactly_two_windows(spark):
@@ -80,7 +83,7 @@ def test_sliding_every_event_in_exactly_two_windows(spark):
     assert set(rows) == set(want)
     for key, (n, s) in want.items():
         assert rows[key][0] == n
-        assert abs(rows[key][1] - round(s, 2)) < 1e-6, key
+        assert abs(rows[key][1] - s) < 0.00501, key  # see tumbling note
     # the two-window invariant: total window membership = 2 * |events|
     assert sum(n for n, _ in rows.values()) == 2 * len(events)
 
