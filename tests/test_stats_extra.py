@@ -712,6 +712,14 @@ def test_xmr_worked_example_and_bruteforce(spark):
     assert r.center == math.floor(mean_c + 0.5) / 100
     assert r.ucl == math.floor(mean_c + band + 0.5) / 100
     assert r.lcl == math.floor(mean_c - band + 0.5) / 100
+    # the mirrored LOW spike must label "below" — the sf0.01 fixture's
+    # violations are one-sided (liveness audit), so without this the
+    # below branch is never exercised anywhere
+    d_low = spark.createDataFrame(
+        [(i, 0 if i == 5 else 100) for i in range(11)], "day long, v long"
+    )
+    [rl] = xmr_frame(d_low).collect()
+    assert (rl.day, rl.v_cents, rl.side) == (5, 0, "below")
     # brute force on the fixture's daily series
     t = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
     epoch = dt.datetime(1970, 1, 1)
