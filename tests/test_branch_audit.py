@@ -1,0 +1,65 @@
+"""Pytest twin of tools/branch_audit.py (rules + allowlist shared via
+wikidata2pg_spark/branch_audit.py): every registered key's categorical
+output columns must show >= 2 states at the driver's sf0.01 — or carry
+an allowlist entry naming the crafted-fixture probe that lights the
+dead branch. The r7 audit caught five real gaps this way (empty EXCEPT,
+three never-firing gates, a single-status dedup); this test turns the
+class into a standing build-time check.
+
+Runtime note: one tiny aggregation job per key (~4-5 min total) — the
+same order as the blanket plan sweep. Unit tests of the rule itself are
+at the bottom and run in milliseconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_T2
+from wikidata2pg_spark.branch_audit import (
+    EXPECTED_CONSTANT,
+    EXPECTED_EMPTY,
+    audit_key,
+    run_audit,
+)
+
+
+def test_branch_liveness_blanket_sweep(spark):
+    violations, allowlisted, errors = run_audit(spark, SF_T2)
+    assert not errors, errors
+    assert not violations, (
+        "categorical column stuck at one state at the driver scale with no "
+        "allowlist entry — write a crafted-fixture probe that lights the "
+        "branch (tests/test_boundary_probes*.py pattern), then allowlist "
+        f"with the probe's name: {violations}"
+    )
+    # the allowlist must not rot: every entry still corresponds to a live
+    # flag (a key whose column became two-state should be de-listed)
+    seen = set(allowlisted)
+    stale_const = [kc for kc in EXPECTED_CONSTANT if kc not in seen]
+    stale_empty = [k for k in EXPECTED_EMPTY if (k, "__EMPTY__") not in seen]
+    assert not stale_const and not stale_empty, (stale_const, stale_empty)
+
+
+# ---- rule unit tests (no fixture scan) -----------------------------------
+
+
+def test_audit_rule_flags_constant_and_empty(spark):
+    const = spark.createDataFrame([(1, "x"), (2, "x")], "id long, lab string")
+    assert audit_key(spark, "k", lambda s, d: const, "unused") == ["lab"]
+    empty = const.filter("id > 99")
+    assert audit_key(spark, "k", lambda s, d: empty, "unused") == ["__EMPTY__"]
+
+
+def test_audit_rule_counts_null_as_a_state(spark):
+    mixed = spark.createDataFrame([(1, "x"), (2, None)], "id long, lab string")
+    assert audit_key(spark, "k", lambda s, d: mixed, "unused") == []
+    all_null = spark.createDataFrame([(1, None), (2, None)], "id long, lab string")
+    assert audit_key(spark, "k", lambda s, d: all_null, "unused") == ["lab"]
+
+
+def test_audit_rule_skips_single_row_and_nonstring(spark):
+    one = spark.createDataFrame([(1, "x")], "id long, lab string")
+    assert audit_key(spark, "k", lambda s, d: one, "unused") == []
+    nums = spark.createDataFrame([(1, 5), (2, 5)], "id long, v long")
+    assert audit_key(spark, "k", lambda s, d: nums, "unused") == []
