@@ -57,15 +57,20 @@ def tie_dir(tmp_path_factory):
     return str(root)
 
 
+# ONE expectation shared by both engine tests — the file's claim is that
+# both engines agree at the boundary, so the expectation must be single
+EXPECTED = {
+    102: T0,                              # same-us purchase IS matched (>=)
+    201: None,                            # 1 us later is not
+    302: T0 - dt.timedelta(minutes=5),    # latest at-or-before, not after
+    403: T0,                              # double tie still matches T0
+}
+
+
 def test_asof_tie_semantics_on_crafted_fixture(spark, tie_dir):
     out = {r.event_id: r.last_purchase_ts
            for r in all_queries()["q_join_asof"](spark, tie_dir).collect()}
-    assert out == {
-        102: T0,                              # same-us purchase IS matched (>=)
-        201: None,                            # 1 us later is not
-        302: T0 - dt.timedelta(minutes=5),    # latest at-or-before, not after
-        403: T0,                              # double tie still matches T0
-    }
+    assert out == EXPECTED
 
 
 def test_duckdb_asof_oracle_agrees_at_the_boundary(tie_dir):
@@ -77,9 +82,4 @@ def test_duckdb_asof_oracle_agrees_at_the_boundary(tie_dir):
                         WHERE event_type = 'purchase') p
           ON e.user_id = p.user_id AND e.ts >= p.ts
     """).fetchall())
-    assert got == {
-        102: T0,
-        201: None,
-        302: T0 - dt.timedelta(minutes=5),
-        403: T0,
-    }
+    assert got == EXPECTED

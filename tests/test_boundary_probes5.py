@@ -22,31 +22,28 @@ def _words(n, distinct=True):
 
 
 def test_quality_gate_fail_branches_and_exact_thresholds(spark, tmp_path_factory):
-    texts = {
-        1: _words(9),                                   # too short (<10) -> fail
-        2: _words(10),                                  # exactly 10 -> length ok
-        3: _words(1000),                                # exactly 1000 -> length ok
-        4: _words(1001),                                # too long -> fail
-        5: _words(2) + " " + _words(8, distinct=False), # ttr 3/10 = 0.3 -> pass
-        6: "a b " + " ".join("c" for _ in range(8)),    # ttr 3/10 = 0.3 pass twin
-        7: " ".join("x" for _ in range(10)),            # ttr 0.1 -> fail
-        8: _words(2) + " " + " ".join("y" for _ in range(7)),  # ttr 3/10... see below
-    }
-    # doc 8: tokens w0 w1 y*7 -> 10 tokens? (2 distinct + 7 same + ...) =
-    # 9 tokens, ttr 3/9 = 0.333 — make the EXACT 0.2 case explicitly:
-    texts[8] = "a b " + " ".join("z" for _ in range(8))  # 10 toks, ttr 3/10 = 0.3
-    texts[9] = "a " + " ".join("z" for _ in range(9))    # 10 toks, ttr 2/10 = 0.2 EXACT -> fail (strict >)
-    ids = sorted(texts)
-    root = _docs_dir(tmp_path_factory, "quality_edges", [texts[i] for i in ids])
+    texts = [
+        _words(9),                                   # 1: too short (<10) -> fail
+        _words(10),                                  # 2: exactly 10 -> length ok
+        _words(1000),                                # 3: exactly 1000 -> length ok
+        _words(1001),                                # 4: too long -> fail
+        _words(2) + " " + _words(8, distinct=False), # 5: ttr 3/10 = 0.3 -> pass
+        "a b " + " ".join("c" for _ in range(8)),    # 6: ttr 3/10 pass twin
+        " ".join("x" for _ in range(10)),            # 7: ttr 0.1 -> fail
+        "a b " + " ".join("z" for _ in range(8)),    # 8: ttr 3/10 = 0.3 -> pass
+        "a " + " ".join("z" for _ in range(9)),      # 9: ttr 2/10 = 0.2 EXACT -> fail (strict >)
+    ]
+    root = _docs_dir(tmp_path_factory, "quality_edges", texts)
     got = {r.doc_id: r for r in all_queries()["q_text_quality"](spark, root).collect()}
-    by_text_id = {i: got[pos + 1] for pos, i in enumerate(ids)}
-    assert by_text_id[1].passes_quality is False   # 9 tokens
-    assert by_text_id[2].passes_quality is True    # 10 tokens inclusive
-    assert by_text_id[3].passes_quality is True    # 1000 tokens inclusive
-    assert by_text_id[4].passes_quality is False   # 1001 tokens
-    assert by_text_id[7].passes_quality is False   # ttr 0.1
-    assert by_text_id[8].passes_quality is True    # ttr 0.3
-    assert by_text_id[9].passes_quality is False   # ttr EXACTLY 0.2, strict >
+    assert got[1].passes_quality is False   # 9 tokens
+    assert got[2].passes_quality is True    # 10 tokens inclusive
+    assert got[3].passes_quality is True    # 1000 tokens inclusive
+    assert got[4].passes_quality is False   # 1001 tokens
+    assert got[5].passes_quality is True    # ttr 0.3 via _words mix
+    assert got[6].passes_quality is True    # ttr 0.3 via literal repeats
+    assert got[7].passes_quality is False   # ttr 0.1
+    assert got[8].passes_quality is True    # ttr 0.3
+    assert got[9].passes_quality is False   # ttr EXACTLY 0.2, strict >
 
 
 @pytest.fixture(scope="module")

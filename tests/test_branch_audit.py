@@ -46,20 +46,31 @@ def test_branch_liveness_blanket_sweep(spark):
 
 def test_audit_rule_flags_constant_and_empty(spark):
     const = spark.createDataFrame([(1, "x"), (2, "x")], "id long, lab string")
-    assert audit_key(spark, "k", lambda s, d: const, "unused") == ["lab"]
+    assert audit_key(spark, lambda s, d: const, "unused") == ["lab"]
     empty = const.filter("id > 99")
-    assert audit_key(spark, "k", lambda s, d: empty, "unused") == ["__EMPTY__"]
+    assert audit_key(spark, lambda s, d: empty, "unused") == ["__EMPTY__"]
 
 
 def test_audit_rule_counts_null_as_a_state(spark):
     mixed = spark.createDataFrame([(1, "x"), (2, None)], "id long, lab string")
-    assert audit_key(spark, "k", lambda s, d: mixed, "unused") == []
+    assert audit_key(spark, lambda s, d: mixed, "unused") == []
     all_null = spark.createDataFrame([(1, None), (2, None)], "id long, lab string")
-    assert audit_key(spark, "k", lambda s, d: all_null, "unused") == ["lab"]
+    assert audit_key(spark, lambda s, d: all_null, "unused") == ["lab"]
 
 
-def test_audit_rule_skips_single_row_and_nonstring(spark):
+def test_audit_rule_skips_single_row_but_flags_empty_numeric(spark):
     one = spark.createDataFrame([(1, "x")], "id long, lab string")
-    assert audit_key(spark, "k", lambda s, d: one, "unused") == []
+    assert audit_key(spark, lambda s, d: one, "unused") == []
     nums = spark.createDataFrame([(1, 5), (2, 5)], "id long, v long")
-    assert audit_key(spark, "k", lambda s, d: nums, "unused") == []
+    assert audit_key(spark, lambda s, d: nums, "unused") == []
+    # a numeric-only key returning zero rows is still the q_except class
+    empty_nums = nums.filter("id > 99")
+    assert audit_key(spark, lambda s, d: empty_nums, "unused") == ["__EMPTY__"]
+
+
+def test_run_audit_reports_unknown_key_as_error(spark):
+    from wikidata2pg_spark.branch_audit import run_audit
+
+    violations, allowlisted, errors = run_audit(spark, "unused", ["q_no_such_key"])
+    assert errors == [("q_no_such_key", "unknown key")]
+    assert not violations and not allowlisted

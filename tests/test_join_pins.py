@@ -51,9 +51,6 @@ def test_interval_overlap_membership_matches_python(spark):
     for i, (n, s) in want.items():
         assert rows[i].n_events == n
         assert abs(rows[i].sum_value - s) < 0.006, i
-    # 3-day windows sliding by 1 day: interior events appear in exactly 3
-    in_range = sum(1 for e in ev if base <= e.ts < base + dt.timedelta(days=33))
-    assert sum(n for n, _ in want.values()) <= 3 * in_range
 
 
 def test_semi_union_anti_partitions_left_table(spark):

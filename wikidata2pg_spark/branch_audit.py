@@ -63,13 +63,15 @@ EXPECTED_EMPTY: dict[str, str] = {
 }
 
 
-def audit_key(spark, key: str, fn, sf_dir: str):
+def audit_key(spark, fn, sf_dir: str):
     """Return a list of flags for one key: ('__EMPTY__',) or (column,)
     entries. Raises whatever the key itself raises."""
     df = fn(spark, sf_dir)
     cols = [f.name for f in df.schema.fields if isinstance(f.dataType, (StringType, BooleanType))]
     if not cols:
-        return []
+        # numeric-only keys still get the empty-result check — the
+        # q_except class does not require a categorical column
+        return ["__EMPTY__"] if df.limit(1).count() == 0 else []
     aggs = [F.countDistinct(c).alias(f"d_{c}") for c in cols]
     aggs += [F.max(F.col(c).isNull().cast("int")).alias(f"n_{c}") for c in cols]
     aggs.append(F.count(F.lit(1)).alias("__n"))
@@ -89,12 +91,14 @@ def run_audit(spark, sf_dir: str, keys=None):
     from wikidata2pg_spark.registry import all_queries
 
     qs = all_queries()
-    if keys:
-        qs = {k: qs[k] for k in keys}
     violations, allowlisted, errors = [], [], []
+    if keys:
+        unknown = [k for k in keys if k not in qs]
+        errors.extend((k, "unknown key") for k in unknown)
+        qs = {k: qs[k] for k in keys if k in qs}
     for k, fn in qs.items():
         try:
-            for flag in audit_key(spark, k, fn, sf_dir):
+            for flag in audit_key(spark, fn, sf_dir):
                 if flag == "__EMPTY__":
                     (allowlisted if k in EXPECTED_EMPTY else violations).append((k, flag))
                 elif (k, flag) in EXPECTED_CONSTANT:
