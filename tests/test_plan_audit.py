@@ -172,6 +172,9 @@ def test_no_driver_collect_outside_documented_sites():
         ("oracle.py", ".collect("),  # the DuckDB comparator
         ("sources/scans.py", ".collect("),  # 25-row fixture assembly
         ("streaming/harness.py", ".toPandas("),  # test-harness drain
+        # the liveness auditor collects ONE aggregated row per key — an
+        # analysis gate like the oracle comparator, not an operator
+        ("branch_audit.py", ".collect("),
     }
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
