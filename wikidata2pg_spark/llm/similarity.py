@@ -382,7 +382,11 @@ FROM n
 """,
 )
 def q_vec_normalize(spark, sf_dir):
-    """L10: L2 normalization (the fixture vectors are NOT normalized);
+    """L10: L2 normalization. NOTE: the driver fixture's embeddings are
+    generated ~unit-norm already (float32 noise at the 1e-8 digit), so
+    the rounded ``norm`` column is constant 1.0 on fixture data;
+    tests/test_llm_pins2.py proves it equals the true numpy norm, and
+    the normalization itself still moves values in the 8th digit.
     unit_len==1.0 doubles as the invariant check. u1/u2 carry the `+ 0.0`
     sign guard on both sides: a unit-vector component is tiny-negative
     whenever the raw component is, and round(,6) of such a value splits
