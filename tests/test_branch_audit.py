@@ -35,10 +35,15 @@ def test_branch_liveness_blanket_sweep(spark):
     )
     # the allowlist must not rot: every entry still corresponds to a live
     # flag (a key whose column became two-state should be de-listed)
+    from wikidata2pg_spark.branch_audit import EXPECTED_CONSTANT_NUM
+
     seen = set(allowlisted)
     stale_const = [kc for kc in EXPECTED_CONSTANT if kc not in seen]
+    stale_num = [(k, c) for (k, c) in EXPECTED_CONSTANT_NUM if (k, f"num:{c}") not in seen]
     stale_empty = [k for k in EXPECTED_EMPTY if (k, "__EMPTY__") not in seen]
-    assert not stale_const and not stale_empty, (stale_const, stale_empty)
+    assert not stale_const and not stale_num and not stale_empty, (
+        stale_const, stale_num, stale_empty
+    )
 
 
 # ---- rule unit tests (no fixture scan) -----------------------------------
@@ -58,11 +63,18 @@ def test_audit_rule_counts_null_as_a_state(spark):
     assert audit_key(spark, lambda s, d: all_null, "unused") == ["lab"]
 
 
-def test_audit_rule_skips_single_row_but_flags_empty_numeric(spark):
+def test_audit_rule_numeric_min_max_and_null_state(spark):
     one = spark.createDataFrame([(1, "x")], "id long, lab string")
     assert audit_key(spark, lambda s, d: one, "unused") == []
+    # a numeric stuck at one value flags as num:<col>; the varying id
+    # column does not
     nums = spark.createDataFrame([(1, 5), (2, 5)], "id long, v long")
-    assert audit_key(spark, lambda s, d: nums, "unused") == []
+    assert audit_key(spark, lambda s, d: nums, "unused") == ["num:v"]
+    # a NULL among constant values is a second state (outer-join shape)
+    withnull = spark.createDataFrame([(1, 5), (2, None)], "id long, v long")
+    assert audit_key(spark, lambda s, d: withnull, "unused") == []
+    varying = spark.createDataFrame([(1, 5), (2, 6)], "id long, v long")
+    assert audit_key(spark, lambda s, d: varying, "unused") == []
     # a numeric-only key returning zero rows is still the q_except class
     empty_nums = nums.filter("id > 99")
     assert audit_key(spark, lambda s, d: empty_nums, "unused") == ["__EMPTY__"]
