@@ -1428,9 +1428,16 @@ def q_text_burstiness(spark, sf_dir):
     )
     j = top.crossJoin(F.broadcast(nd))
     ndd = F.col("n").cast("double")
-    var = (
-        ndd * F.col("sq") - F.col("total").cast("double") * F.col("total")
-    ) / (ndd * (ndd - 1))
+    # try_divide (r7 degenerate-division class): a SINGLE-document
+    # corpus zeroes the n*(n-1) variance denominator with an exactly
+    # zero numerator — DuckDB nulls the 0/0 double division while ANSI
+    # Spark would throw; the NULL variance propagates to a NULL vmr on
+    # both sides (total >= 1 keeps the vmr division itself safe). No
+    # sqrt involved, so a rounding-negative numerator needs no clamp.
+    var = F.try_divide(
+        ndd * F.col("sq") - F.col("total").cast("double") * F.col("total"),
+        ndd * (ndd - 1),
+    )
     return j.select(
         "tok",
         "total",

@@ -655,12 +655,20 @@ def q_agg_corr_matrix(spark, sf_dir):
         (n * F.col("syz") - F.col("sy") * F.col("sz")).cast("double").alias("dyz"),
     )
     fl = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    # try_divide on each correlation: a CONSTANT column within a group
+    # zeroes its variance term, so the divisor sqrt(da*db) is 0.0 —
+    # DuckDB's double division yields NULL there while ANSI Spark would
+    # THROW (the q_agg_anova_eta degenerate-division class, r7). The
+    # variances are exact-integer differences so sqrt's argument is
+    # never negative, and on nonzero divisors try_divide is
+    # bit-identical to /. Probe: tests/test_degenerate_division_probes.py.
+    dv = F.try_divide
     return d.select(
         "l_returnflag",
         "n",
-        fl(F.col("dxy") / F.sqrt(F.col("dx") * F.col("dy"))).alias("corr_qty_price"),
-        fl(F.col("dxz") / F.sqrt(F.col("dx") * F.col("dz"))).alias("corr_qty_disc"),
-        fl(F.col("dyz") / F.sqrt(F.col("dy") * F.col("dz"))).alias("corr_price_disc"),
+        fl(dv(F.col("dxy"), F.sqrt(F.col("dx") * F.col("dy")))).alias("corr_qty_price"),
+        fl(dv(F.col("dxz"), F.sqrt(F.col("dx") * F.col("dz")))).alias("corr_qty_disc"),
+        fl(dv(F.col("dyz"), F.sqrt(F.col("dy") * F.col("dz")))).alias("corr_price_disc"),
     )
 
 
@@ -1402,8 +1410,9 @@ WITH x AS (
 )
 SELECT flag, n,
        floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             / sqrt(greatest((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                             0.0))
              * 1000000 + 0.5) / 1000000 AS rho
 FROM m
 """,
@@ -1455,11 +1464,22 @@ def q_agg_spearman(spark, sf_dir):
         F.sum(F.col("r_q") * F.col("r_c")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    rho_raw = (
-        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
-    ) / F.sqrt(
-        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    # Degenerate guards (r7 class, tests/test_degenerate_division_probes
+    # .py), identical on both sides and no-ops on non-degenerate input:
+    # a CONSTANT column within a flag ties every rank, zeroing its
+    # variance term (DuckDB nulls the 0-division, ANSI Spark would
+    # throw — try_divide), and the variance product is a FLOAT tree
+    # over moment casts that can round past 2^53, so a true zero can
+    # land tiny-negative where DuckDB's sqrt throws (greatest-clamp).
+    rho_raw = F.try_divide(
+        nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"),
+        F.sqrt(
+            F.greatest(
+                (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")),
+                F.lit(0.0),
+            )
+        ),
     )
     return m.select(
         "flag",
@@ -1587,9 +1607,9 @@ WITH u AS (
   FROM m
 ), s AS (
   SELECT arm, n, r,
-         sqrt(((sxxd - 2 * r * sxyd + r * r * syyd)
-               - nd * (sxd / nd - r * (syd / nd))
-                    * (sxd / nd - r * (syd / nd)))
+         sqrt(greatest((sxxd - 2 * r * sxyd + r * r * syyd)
+                       - nd * (sxd / nd - r * (syd / nd))
+                            * (sxd / nd - r * (syd / nd)), 0.0)
               / (nd - 1) / nd) / (syd / nd) AS se
   FROM d
 )
@@ -1641,14 +1661,20 @@ def q_ab_delta_method(spark, sf_dir):
     sxyd = F.col("sxy").cast("double")
     r = sxd / F.col("sy")
     mean_dev = sxd / nd - r * (syd / nd)
-    se = (
-        F.sqrt(
-            ((sxxd - 2 * r * sxyd + r * r * syyd) - nd * mean_dev * mean_dev)
-            / (nd - 1)
-            / nd
-        )
-        / (syd / nd)
+    # Two degenerate guards (r7 probe file
+    # tests/test_degenerate_division_probes.py), both IDENTICAL on both
+    # engines and no-ops on non-degenerate input:
+    #   * greatest(.., 0.0): the variance numerator is mathematically
+    #     >= 0 but is a FLOAT tree — an arm whose users have exactly
+    #     proportional (x, y) lands ~-4e-12, where DuckDB's sqrt THROWS
+    #     while Spark yields NaN. Clamping to 0.0 makes se exactly 0.
+    #   * try_divide(.., n-1): a single-user arm divides by zero —
+    #     DuckDB nulls the double division, ANSI Spark would throw.
+    var_num = F.greatest(
+        (sxxd - 2 * r * sxyd + r * r * syyd) - nd * mean_dev * mean_dev,
+        F.lit(0.0),
     )
+    se = F.sqrt(F.try_divide(var_num, nd - 1) / nd) / (syd / nd)
     f6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return m.select(
         F.col("arm").cast("long").alias("arm"),
@@ -2001,10 +2027,15 @@ def q_agg_mannwhitney(spark, sf_dir):
         u1_x2.alias("u1_x2"),
         u2_x2.alias("u2_x2"),
         (
+            # try_divide (r7 degenerate-division class): a one-sided
+            # input (no purchases OR no views) makes n1*n2 = 0 — DuckDB
+            # nulls the division, ANSI Spark would throw; bit-identical
+            # to / on nonzero divisors.
             F.floor(
-                u1_x2.cast("double")
-                * 1000000
-                / (2 * F.col("n1") * F.col("n2"))
+                F.try_divide(
+                    u1_x2.cast("double") * 1000000,
+                    2 * F.col("n1") * F.col("n2"),
+                )
                 + F.lit(0.5)
             )
             / 1000000
@@ -2839,19 +2870,28 @@ def q_agg_runs_test(spark, sf_dir):
         F.sum("brk").alias("runs"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
+    # try_divide twice (r7 degenerate-division class): a single-day
+    # series makes sig's denominator (n1+n2-1 term) zero with a zero
+    # numerator, and an all-above/all-below-median series (n1 or n2 =
+    # 0 — e.g. CONSTANT daily revenue, where cents > median never
+    # holds) makes sig itself exactly 0.0 under z — DuckDB nulls both
+    # double divisions while ANSI Spark would throw. The sig numerator
+    # 2*n1*n2*(2*n1*n2-n1-n2) is nonnegative for all integer n1,n2>=0
+    # (AM-GM: 2*n1*n2 >= n1+n2 whenever both are >=1, and the factor
+    # is 0 otherwise), so no sqrt clamp is needed. mu's denominator
+    # n1+n2 counts the days and cannot vanish on a produced row.
     mu = 2.0 * n1 * n2 / (n1 + n2) + 1
     sig = F.sqrt(
-        2.0
-        * n1
-        * n2
-        * (2.0 * n1 * n2 - n1 - n2)
-        / (((n1 + n2).cast("double") * (n1 + n2)) * (n1 + n2 - 1))
+        F.try_divide(
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2),
+            ((n1 + n2).cast("double") * (n1 + n2)) * (n1 + n2 - 1),
+        )
     )
     return agg.select(
         "n1",
         "n2",
         "runs",
-        F.round((F.col("runs") - mu) / sig, 4).alias("z"),
+        F.round(F.try_divide(F.col("runs") - mu, sig), 4).alias("z"),
     )
 
 
@@ -3010,8 +3050,14 @@ def q_agg_ols2(spark, sf_dir):
     b2 = nd * F.col("s2y").cast("double") - F.col("s2").cast("double") * syd
     byy = nd * F.col("syy").cast("double") - syd * syd
     det = a11 * a22 - a12 * a12
-    beta1 = (b1 * a22 - b2 * a12) / det
-    beta2 = (b2 * a11 - b1 * a12) / det
+    # try_divide (r7 degenerate-division class): COLLINEAR or constant
+    # features (e.g. every order has the same line count) zero the
+    # Cramer determinant exactly, and a constant response zeroes byy —
+    # DuckDB nulls the double divisions while ANSI Spark would throw;
+    # the NULL betas propagate through beta0/r2 identically on both
+    # sides. Bit-identical to / on nonzero divisors.
+    beta1 = F.try_divide(b1 * a22 - b2 * a12, det)
+    beta2 = F.try_divide(b2 * a11 - b1 * a12, det)
     return m.select(
         "n",
         F.round(beta1, 6).alias("beta1"),
@@ -3019,7 +3065,7 @@ def q_agg_ols2(spark, sf_dir):
         F.round(
             (syd - beta1 * F.col("s1") - beta2 * F.col("s2")) / F.col("n"), 2
         ).alias("beta0_cents"),
-        F.round((beta1 * b1 + beta2 * b2) / byy, 6).alias("r2"),
+        F.round(F.try_divide(beta1 * b1 + beta2 * b2, byy), 6).alias("r2"),
     )
 
 
@@ -3045,8 +3091,9 @@ WITH d AS (
 )
 SELECT day, cents,
        floor(CAST(s AS DOUBLE) * 100 / n + 0.5) / 100 AS mean_cents,
-       round(sqrt((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
-                   - CAST(s AS DOUBLE) * s) / (CAST(n AS DOUBLE) * (n - 1))),
+       round(sqrt(greatest(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s, 0.0)
+                  / (CAST(n AS DOUBLE) * (n - 1))),
              2) AS std_cents
 FROM w WHERE n = {_VOL_WIN}
 """,
@@ -3095,8 +3142,19 @@ def q_time_volatility(spark, sf_dir):
             / 100
         ).alias("mean_cents"),
         F.round(
+            # greatest-clamp (r7 degenerate class, sqrt-of-tiny-negative
+            # side): the variance numerator is a FLOAT tree over cents
+            # sums whose squares pass 2^53, so a CONSTANT 7-day window
+            # with large daily totals can land a true zero tiny-negative
+            # — DuckDB's sqrt throws there while Spark yields NaN. The
+            # window always holds exactly _VOL_WIN rows, so the n*(n-1)
+            # denominator never vanishes.
             F.sqrt(
-                (nd * F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s"))
+                F.greatest(
+                    nd * F.col("sq").cast("double")
+                    - F.col("s").cast("double") * F.col("s"),
+                    F.lit(0.0),
+                )
                 / (nd * (F.col("n") - 1))
             ),
             2,
@@ -3646,10 +3704,11 @@ WITH d AS (
 SELECT lag, n,
        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                * sqrt(greatest(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0))),
+             6)
          AS xcorr
 FROM m
 """,
@@ -3709,17 +3768,31 @@ def q_time_lag_corr(spark, sf_dir):
         F.sum(dec("y") * F.col("y")).alias("syy"),
     )
     nd = F.col("n").cast("double")
+    # Degenerate guards (r7 class): a CONSTANT daily series zeroes a
+    # variance term (DuckDB nulls the 0-division, ANSI Spark would
+    # throw — try_divide), and the variance terms are float trees over
+    # HUGEINT casts that can round past 2^53, so a true zero can land
+    # tiny-negative where DuckDB's sqrt throws (greatest-clamp). Both
+    # guards are identical on both sides and no-ops otherwise.
     num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
         "double"
     ) * F.col("sy").cast("double")
     den = F.sqrt(
-        nd * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+        F.greatest(
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            F.lit(0.0),
+        )
     ) * F.sqrt(
-        nd * F.col("syy").cast("double")
-        - F.col("sy").cast("double") * F.col("sy").cast("double")
+        F.greatest(
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double"),
+            F.lit(0.0),
+        )
     )
-    return m.select("lag", "n", F.round(num / den, 6).alias("xcorr"))
+    return m.select(
+        "lag", "n", F.round(F.try_divide(num, den), 6).alias("xcorr")
+    )
 
 
 _PSI_BUCKETS = 10  # fixed $33 value buckets (0..9, top open-ended)
@@ -4121,25 +4194,36 @@ def welch_from_moments(m):
     """(n1,s1,ss1,n2,s2,ss2) single-row frame -> (n1, n2, t_stat, df).
     Shared by q_agg_welch_ttest and the worked-example test, so the
     test exercises THE production expression tree, not a re-derivation."""
-    m1 = F.col("s1").cast("double") / F.col("n1")
-    m2 = F.col("s2").cast("double") / F.col("n2")
-    v1 = (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast(
-        "double"
-    ) / (F.col("n1") * (F.col("n1") - 1)).cast("double")
-    v2 = (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast(
-        "double"
-    ) / (F.col("n2") * (F.col("n2") - 1)).cast("double")
+    # try_divide on every zeroable divisor (r7 degenerate-division
+    # class): an EMPTY or SINGLE-row group zeroes n and n*(n-1), and
+    # two CONSTANT groups zero se2 under t and the df denominator —
+    # DuckDB nulls each double division while ANSI Spark would throw;
+    # the NULLs then propagate identically on both sides. The variance
+    # numerators are exact decimal differences cast to double, so
+    # sqrt(se2) never sees a negative. Bit-identical to / on nonzero
+    # divisors. Probes: tests/test_degenerate_division_probes.py.
+    m1 = F.try_divide(F.col("s1").cast("double"), F.col("n1"))
+    m2 = F.try_divide(F.col("s2").cast("double"), F.col("n2"))
+    v1 = F.try_divide(
+        (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double"),
+        (F.col("n1") * (F.col("n1") - 1)).cast("double"),
+    )
+    v2 = F.try_divide(
+        (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast("double"),
+        (F.col("n2") * (F.col("n2") - 1)).cast("double"),
+    )
     x = m.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         m1.alias("m1"), m2.alias("m2"), v1.alias("v1"), v2.alias("v2"),
     ).withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
-    t = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("se2"))
-    df = (F.col("se2") * F.col("se2")) / (
+    t = F.try_divide(F.col("m1") - F.col("m2"), F.sqrt(F.col("se2")))
+    df = F.try_divide(
+        F.col("se2") * F.col("se2"),
         (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1"))
         / (F.col("n1") - 1)
         + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2"))
-        / (F.col("n2") - 1)
+        / (F.col("n2") - 1),
     )
     return x.select(
         "n1",
@@ -4219,7 +4303,11 @@ def cramers_v_frame(x):
         F.col("nc")
     )
     chi2 = F.col("chi2_raw")
-    v = F.sqrt(chi2 / (F.col("n").cast("double") * (k - 1)))
+    # try_divide (r7 degenerate-division class): a 1xC or Rx1 table
+    # makes min(r,c)-1 = 0 — DuckDB nulls the double division while
+    # ANSI Spark would throw; chi2 is a sum of nonnegative terms so
+    # sqrt needs no clamp. Bit-identical to / on nonzero divisors.
+    v = F.sqrt(F.try_divide(chi2, F.col("n").cast("double") * (k - 1)))
     return arr.select(
         (F.floor(chi2 * 10000 + F.lit(0.5)) / 10000).alias("chi2"),
         (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("cramers_v"),
@@ -5725,9 +5813,18 @@ def q_time_extreme_value(spark, sf_dir):
     gamma = F.lit(float(_EULER_GAMMA))
     pi = F.lit(float(_PI))
     mean = F.col("s").cast("double") / F.col("n")
+    # try_divide: a SINGLE block (all orders in one month) makes the
+    # sample-sd denominator n*(n-1) zero with an exactly-zero numerator
+    # (the moments are exact decimals) — DuckDB nulls the 0/0 double
+    # division while ANSI Spark would throw; scale/loc/return level all
+    # degrade to NULL on both sides and block_mean stays real. No sqrt
+    # clamp needed: n*ss - s*s is an exact nonnegative decimal before
+    # the cast. Probe: tests/test_degenerate_division_probes.py.
     sd = F.sqrt(
-        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-        / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
+        F.try_divide(
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double"),
+            F.col("n").cast("double") * (F.col("n") - F.lit(1)),
+        )
     )
     scale = sd * F.sqrt(F.lit(6.0)) / pi
     loc = mean - gamma * scale

@@ -883,8 +883,10 @@ pairs AS (
 )
 SELECT CAST(m // 2 AS BIGINT) AS n_edges,
        round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             / (sqrt(greatest(CAST(m AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx, 0.0))
+                * sqrt(greatest(CAST(m AS DOUBLE) * syy
+                                - CAST(sy AS DOUBLE) * sy, 0.0))),
              6) AS assortativity
 FROM mom
 """,
@@ -920,11 +922,26 @@ def q_graph_assortativity(spark, sf_dir):
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     md = F.col("m").cast("double")
+    # Degenerate guards (r7, tests/test_degenerate_division_probes.py),
+    # identical on both sides, no-ops on non-degenerate input: a REGULAR
+    # graph (all degrees equal — e.g. a cycle) zeroes both variance terms,
+    # so den is 0.0 (DuckDB nulls the division, ANSI Spark would throw —
+    # try_divide); and the variance terms are float trees over moment
+    # casts that can round past 2^53 at scale, so a true zero can land
+    # tiny-negative where DuckDB's sqrt THROWS (greatest-clamp).
     num = md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     den = F.sqrt(
-        md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    ) * F.sqrt(md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        F.greatest(
+            md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+            F.lit(0.0),
+        )
+    ) * F.sqrt(
+        F.greatest(
+            md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"),
+            F.lit(0.0),
+        )
+    )
     return mom.select(
         (F.col("m") / 2).cast("long").alias("n_edges"),
-        F.round(num / den, 6).alias("assortativity"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
     )

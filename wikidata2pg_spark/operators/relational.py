@@ -905,11 +905,24 @@ def q_agg_stats(spark, sf_dir):
     )
     floor2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
     nd = F.col("nd")
+    # try_divide on the variance-denominator ratios (the r7
+    # degenerate-division class, q_agg_anova_eta precedent): a group with
+    # a CONSTANT column has dx (or dy) = 0 so the corr divisor is 0.0,
+    # and a SINGLE-row group zeroes sd's n*(n-1) — DuckDB's double
+    # division yields NULL there while ANSI Spark would THROW. The
+    # moment differences are exact decimals cast to double, so sqrt's
+    # argument is never negative and no clamp is needed; on nonzero
+    # divisors try_divide is bit-identical to /. covar/var divide by
+    # n*n >= 1, which cannot vanish on a produced group.
     return d.select(
         "l_returnflag",
-        floor2(F.col("dxy") / F.sqrt(F.col("dx") * F.col("dy"))).alias("corr_qty_price"),
+        floor2(
+            F.try_divide(F.col("dxy"), F.sqrt(F.col("dx") * F.col("dy")))
+        ).alias("corr_qty_price"),
         floor2(F.col("dxy") / (nd * nd) / F.lit(100.0)).alias("covar_qp"),
-        floor2(F.sqrt(F.col("dx") / (nd * (nd - F.lit(1.0))))).alias("sd_qty"),
+        floor2(
+            F.sqrt(F.try_divide(F.col("dx"), nd * (nd - F.lit(1.0))))
+        ).alias("sd_qty"),
         floor2(F.col("dy") / (nd * nd) / F.lit(10000.0)).alias("var_price"),
     )
 
