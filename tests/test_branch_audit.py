@@ -80,6 +80,24 @@ def test_audit_rule_numeric_min_max_and_null_state(spark):
     assert audit_key(spark, lambda s, d: empty_nums, "unused") == ["__EMPTY__"]
 
 
+def test_audit_rule_flags_all_null_and_all_nan_numerics(spark):
+    # ALL-NULL numeric: one state, must flag (r7 review catch #1 — the
+    # try_divide guards could silently null a column on every row)
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    assert audit_key(spark, lambda s, d: all_null, "unused") == ["num:v"]
+    # ALL-NaN numeric: nan != nan must not slip the min==max test
+    # (r7 review catch #2)
+    nan = float("nan")
+    all_nan = spark.createDataFrame([(1, nan), (2, nan)], "id long, v double")
+    assert audit_key(spark, lambda s, d: all_nan, "unused") == ["num:v"]
+    # NaN among real values: Spark's max returns NaN (sorts greatest),
+    # min the real value -> two states, no flag
+    mixed_nan = spark.createDataFrame([(1, nan), (2, 5.0)], "id long, v double")
+    assert audit_key(spark, lambda s, d: mixed_nan, "unused") == []
+
+
 def test_run_audit_reports_unknown_key_as_error(spark):
     from wikidata2pg_spark.branch_audit import run_audit
 

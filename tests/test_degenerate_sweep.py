@@ -1,0 +1,46 @@
+"""Pytest twin of tools/degenerate_sweep.py (fixture recipe + runner in
+wikidata2pg_spark/degenerate_audit.py): every registered key must
+survive — on BOTH engines — an all-constant minimal fixture where every
+variance is zero, every determinant singular, every rank tied, the
+co-purchase graph regular, the EVT block count one, and the embeddings
+identical. The r7 grep-driven audit found 14 degenerate-division keys;
+this sweep's first run found FIVE more crashes the grep missed
+(pq_adc's KC-stride overrun, pca power/project's zero-norm
+renormalization, degree_powerlaw's empty tail, strength's constant
+series) plus two oracle-boundary divergences (stream frontier with an
+empty side, hill_tail's fabricated row below k+1 documents) — all fixed
+and held at zero by this gate.
+
+Runtime note: one spark+duck run per key over tiny tables (~3-4 min) —
+the same order as the liveness and plan sweeps. Engine errors FAIL;
+value mismatches also fail here (the steady state is exact parity on
+the degenerate fixture — weaker than the driver gate, but drift-free).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wikidata2pg_spark.degenerate_audit import build_degenerate_dir, run_sweep
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    return build_degenerate_dir(str(tmp_path_factory.mktemp("degen")))
+
+
+def test_degenerate_input_sweep(spark, degenerate_dir):
+    spark_errors, duck_errors, mismatches = run_sweep(spark, degenerate_dir)
+    assert not spark_errors, (
+        "key RAISES on degenerate input (ANSI divide-by-zero / index "
+        "overrun class) — guard with try_divide / greatest-clamp / "
+        f"try_element_at on BOTH sides: {spark_errors}"
+    )
+    assert not duck_errors, (
+        "oracle RAISES on degenerate input (DuckDB sqrt-of-negative "
+        f"class) — greatest-clamp the sqrt argument on BOTH sides: {duck_errors}"
+    )
+    assert not mismatches, (
+        "engines degrade DIFFERENTLY on degenerate input — align the "
+        f"NULL/zero conventions on both sides: {mismatches}"
+    )

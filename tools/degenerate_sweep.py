@@ -1,0 +1,61 @@
+"""Degenerate-input sweep over every registered key (fixture recipe +
+runner in wikidata2pg_spark/degenerate_audit.py): run each Spark query
+AND its DuckDB oracle on an all-constant minimal fixture — zero
+variances, singular determinants, tied ranks, single categories, one
+EVT block, a regular graph, identical embeddings — and fail on any
+ENGINE EXCEPTION on either side. This is the dynamic form of the r7
+degenerate-division audit: ANSI Spark throws on x/0.0 where DuckDB
+yields NULL, and DuckDB's sqrt aborts on the tiny-negative double a
+float variance tree produces at a true zero, so any unguarded
+variance-shaped divisor in ANY key surfaces here as a crash instead of
+waiting for real degenerate data.
+
+Usage:
+    python tools/degenerate_sweep.py [--dir /tmp/w2pg_degenerate] [keys...]
+
+Exit 0 when no key raises on either engine; mismatches (value
+divergence without a crash) are printed for triage but do not fail the
+sweep — the driver only hashes fixture data, and NULL-degradation
+parity is what the errors gate already proves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/w2pg_degenerate")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    from wikidata2pg_spark.degenerate_audit import build_degenerate_dir, run_sweep
+    from wikidata2pg_spark.session import get_session
+
+    sf_dir = build_degenerate_dir(args.dir)
+    spark = get_session()
+    t0 = time.time()
+    spark_errors, duck_errors, mismatches = run_sweep(
+        spark, sf_dir, args.keys or None
+    )
+    for k, m in spark_errors:
+        print(f"SPARK-ERROR {k} | {m}")
+    for k, m in duck_errors:
+        print(f"DUCK-ERROR {k} | {m}")
+    for k, m in mismatches:
+        print(f"mismatch {k} | {m}")
+    n = len(spark_errors) + len(duck_errors)
+    print(f"-- {n} engine errors ({len(spark_errors)} spark / "
+          f"{len(duck_errors)} duck), {len(mismatches)} mismatches, "
+          f"{time.time() - t0:.1f}s")
+    return 1 if n else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,12 +7,13 @@ ZERO rows; the decontamination/repetition/quality gates never flagged a
 document; q_dedup_incremental only ever said 'new').
 
 Rule: for every string/bool output column, states = countDistinct +
-(1 if any NULL); for every NUMERIC column, min == max with no NULLs
-(numeric 0/1 columns are booleans in disguise — the stale/top1_match
-catches lived there, invisible to the categorical rule; a NULL among
-constant numerics is a second state, the outer-join shape). A column
-with one state over a multi-row result is flagged, as is an empty
-result. Every steady-state flag must be
+(1 if any NULL); for every NUMERIC column, flagged when ALL-NULL, when
+ALL-NaN (nan != nan would otherwise slip the min==max test — r7 review
+catch), or when min == max with no NULLs (numeric 0/1 columns are
+booleans in disguise — the stale/top1_match catches lived there,
+invisible to the categorical rule; a NULL *among* real values stays a
+second state, the outer-join shape). A column with one state over a
+multi-row result is flagged, as is an empty result. Every steady-state flag must be
 allowlisted here WITH the evidence that covers the dead branch — a
 crafted-fixture probe running the REGISTERED key on data that lights
 it (tests/test_boundary_probes*.py), or a constant-by-construction
@@ -24,6 +25,8 @@ Shared by tools/branch_audit.py and the pytest twin
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, NumericType, StringType
@@ -72,6 +75,8 @@ EXPECTED_EMPTY: dict[str, str] = {
 # covers numerics too — at the price of a larger by-construction list.
 EXPECTED_CONSTANT_NUM: dict[tuple[str, str], str] = {
     # dead branches now lit by crafted probes
+    ("q_fn_try_safe", "bad_cast"): "probe: test_boundary_probes8 lights the cast-SUCCEEDS branch ('42')",
+    ("q_pivot", "status_p"): "probe: test_boundary_probes8 fills the 'P' pivot bucket",
     ("q_dq_freshness", "stale"): "probe: test_boundary_probes6 lights stale=1 and the lag==7 boundary",
     ("q_dedup_semantic_cluster", "cluster_id"): "probe: test_boundary_probes6 pins multi-component + chain",
     ("q_vec_truncation_fidelity", "top1_match"): "probe: test_boundary_probes7 pins both top-1 outcomes",
@@ -135,12 +140,26 @@ def audit_key(spark, fn, sf_dir: str):
     flags += [
         f"num:{c}"
         for c in num
-        # a NULL among the values is a second state (outer-join shape)
-        if r[f"mn_{c}"] is not None
-        and r[f"mn_{c}"] == r[f"mx_{c}"]
-        and not r[f"n_{c}"]
+        # one-state numerics (r7 review catches): ALL-NULL (min is None —
+        # the NULL-only column the try_divide guards could silently
+        # produce), ALL-NaN (min == max fails because nan != nan), or a
+        # constant with no NULLs. A NULL *among* real values stays a
+        # second state (outer-join shape), so constant-with-nulls passes.
+        if r[f"mn_{c}"] is None
+        or (_num_same(r[f"mn_{c}"], r[f"mx_{c}"]) and not r[f"n_{c}"])
     ]
     return flags
+
+
+def _num_same(a, b) -> bool:
+    """min == max with NaN treated as equal to itself (nan != nan would
+    let an all-NaN column — a single-state dead branch — slip the gate)."""
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+    return a == b
 
 
 def run_audit(spark, sf_dir: str, keys=None):

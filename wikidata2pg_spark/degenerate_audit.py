@@ -1,0 +1,204 @@
+"""Degenerate-input sweep: run every registered key — Spark query AND
+DuckDB oracle — on a crafted all-constant minimal fixture and fail on
+any ENGINE EXCEPTION. This is the dynamic generalization of the r7
+degenerate-division audit: the grep-driven pass found 14 keys where a
+variance-shaped divisor vanishes (ANSI Spark throws on x/0.0 where
+DuckDB yields NULL) or a float variance's true zero rounds tiny-negative
+(DuckDB's sqrt aborts where Spark yields NaN). Instead of trusting the
+grep, this sweep CONSTRUCTS the degeneracy everywhere at once:
+
+  * every numeric column is CONSTANT (all variances/covariances zero,
+    every determinant singular, every rank tied);
+  * single region / nation structure, single customer segment (1xC
+    contingency tables), single document text (closed vocabularies,
+    f1/f2 Good-Turing degeneracies), identical embeddings (zero-variance
+    PCA/drift, all-ties rankings);
+  * one order month (single EVT block), flat daily revenue (all-at-
+    median runs test, zero-variance rolling windows);
+  * a regular co-purchase graph — two disjoint edges, every degree
+    equal — (zero degree variance, EMPTY power-law tail).
+
+Gate: NO key may raise on either engine. NULL outputs are legitimate
+degradation (that is what try_divide/the DuckDB division contract
+produce); a mismatch between the engines' values is reported separately
+for triage (rounding-rule divergence on degenerate data is a weaker
+signal than a crash, and the driver only ever hashes fixture data).
+
+Shared by tools/degenerate_sweep.py and the pytest twin
+(tests/test_degenerate_sweep.py) so the fixture recipe and the gate
+cannot drift. The r7 findings this sweep reproduces (and would have
+found unprompted) are pinned value-exactly in
+tests/test_degenerate_division_probes.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+DIM = 64  # fixture embedding dimensionality
+
+
+def build_degenerate_dir(root: str) -> str:
+    """Write the all-constant minimal fixture into ``root`` (idempotent:
+    skips tables that already exist so a shared tmp dir is cheap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+
+    def write(name, table):
+        path = os.path.join(root, f"{name}.parquet")
+        if not os.path.exists(path):
+            pq.write_table(table, path)
+
+    write("region", pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": pa.array(["AMERICA"], pa.string()),
+    }))
+    write("nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["BRAZIL", "CANADA"], pa.string()),
+        "n_regionkey": pa.array([0, 0], pa.int32()),
+    }))
+    write("customer", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, 5)], pa.string()),
+        "c_nationkey": pa.array([0, 0, 1, 1], pa.int32()),
+        "c_acctbal": pa.array([100.0] * 4, pa.float64()),  # constant
+        "c_mktsegment": pa.array(["BUILDING"] * 4, pa.string()),  # 1 segment
+    }))
+    write("supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["Supplier#1", "Supplier#2"], pa.string()),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([50.0, 50.0], pa.float64()),  # constant
+    }))
+    write("part", pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(1, 5)], pa.string()),
+        "p_brand": pa.array(["Brand#1"] * 4, pa.string()),
+        "p_type": pa.array(["STANDARD BRASS"] * 4, pa.string()),
+        "p_size": pa.array([10] * 4, pa.int32()),           # constant
+        "p_retailprice": pa.array([900.0] * 4, pa.float64()),  # constant
+    }))
+    # 6 orders, ALL in one month (single EVT block), constant price
+    d0 = dt.datetime(2024, 1, 5)
+    days = [0, 0, 7, 7, 14, 14]
+    write("orders", pa.table({
+        "o_orderkey": pa.array(list(range(1, 7)), pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 6, pa.string()),
+        "o_totalprice": pa.array([100.0] * 6, pa.float64()),  # constant
+        "o_orderdate": pa.array(
+            [d0 + dt.timedelta(days=d) for d in days], pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "2-HIGH"] * 3, pa.string()),
+    }))
+    # 12 lineitems: every order has EXACTLY 2 lines (constant ols2 x1),
+    # constant qty/price/discount/tax, flags split R/A (both welch arms
+    # constant), parts pair (1,2) in odd orders and (3,4) in even ones —
+    # a REGULAR co-purchase graph (two disjoint edges, all degrees 1)
+    # whose power-law tail (dmin=2) is EMPTY.
+    li_rows = []
+    for o in range(1, 7):
+        parts = (1, 2) if o % 2 else (3, 4)
+        for ln, p in enumerate(parts, start=1):
+            li_rows.append((o, p, 1 + o % 2, ln))
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in li_rows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in li_rows], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in li_rows], pa.int32()),
+        "l_quantity": pa.array([5.0] * 12, pa.float64()),        # constant
+        "l_extendedprice": pa.array([100.0] * 12, pa.float64()),  # constant
+        "l_discount": pa.array([0.05] * 12, pa.float64()),       # constant
+        "l_tax": pa.array([0.02] * 12, pa.float64()),            # constant
+        "l_returnflag": pa.array(
+            ["R" if r[0] % 2 else "A" for r in li_rows], pa.string()),
+        "l_linestatus": pa.array(["O"] * 12, pa.string()),
+        "l_shipdate": pa.array(
+            [d0 + dt.timedelta(days=r[0])for r in li_rows],
+            pa.timestamp("us")),
+    }))
+    # events: 30 flat days x 2 users x 2 types (120 rows — enough for
+    # the late-arrival harness's mid+50 <= n-5 precondition), CONSTANT
+    # value -> constant daily revenue (runs test all-at-median,
+    # zero-variance rolling windows and lag correlations), both hash
+    # arms populated. props mirrors the real fixture's {"k": int} shape
+    # so from_json's declared schema sees its keys.
+    e0 = dt.datetime(2024, 1, 3, 9, 0, 0)
+    ev_rows = []
+    for day in range(30):
+        for uid in (1, 2):
+            for j, etype in enumerate(("view", "purchase")):
+                ev_rows.append(
+                    (e0 + dt.timedelta(days=day, minutes=10 * uid + j),
+                     uid, etype))
+    write("events", pa.table({
+        "event_id": pa.array(range(1, len(ev_rows) + 1), pa.int64()),
+        "ts": pa.array([r[0] for r in ev_rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in ev_rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in ev_rows], pa.string()),
+        "value": pa.array([10.0] * len(ev_rows), pa.float64()),  # constant
+        "props": pa.array(
+            [json.dumps({"k": 7})] * len(ev_rows), pa.string()),
+    }))
+    # documents: 60 IDENTICAL texts — closed vocabulary (every n-gram
+    # count 60: f1 = f2 = 0), one 60-member exact-dup cluster, constant
+    # lengths (the Hill top-k is ALL-EQUAL: fold of ln(1) terms = 0)
+    text = "alpha beta gamma alpha beta gamma delta"
+    write("documents", pa.table({
+        "doc_id": pa.array(list(range(1, 61)), pa.int64()),
+        "text": pa.array([text] * 60, pa.string()),
+        "lang": pa.array(["en"] * 60, pa.string()),
+        "source": pa.array(["web"] * 60, pa.string()),
+        "n_chars": pa.array([len(text)] * 60, pa.int64()),
+    }))
+    # embeddings: 4 IDENTICAL unit vectors — zero-variance PCA/drift,
+    # all-ties similarity rankings, every centroid equal to the points
+    vec = [0.0] * DIM
+    vec[0] = 1.0
+    write("embeddings", pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array([vec] * 4, pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int32()),
+    }))
+    return root
+
+
+def run_sweep(spark, sf_dir: str, keys=None):
+    """Run every registered key's Spark query and DuckDB oracle on
+    ``sf_dir``. Returns (spark_errors, duck_errors, mismatches) — lists
+    of (key, first-line-of-message). The gate is on the error lists;
+    mismatches are triage output (value divergence on degenerate data
+    is a weaker signal than a crash)."""
+    from wikidata2pg_spark.oracle import compare, duck_connection
+    from wikidata2pg_spark.registry import all_oracles, all_queries
+
+    qs = all_queries()
+    oracles = all_oracles()
+    if keys:
+        qs = {k: qs[k] for k in keys if k in qs}
+    con = duck_connection(sf_dir)
+    spark_errors, duck_errors, mismatches = [], [], []
+    for k, fn in qs.items():
+        sql = oracles.get(k)
+        try:
+            df = fn(spark, sf_dir)
+            if sql is None:
+                df.collect()  # rows-only keys: no-throw is the contract
+                continue
+        except Exception as e:  # noqa: BLE001 — surfaced per key
+            spark_errors.append((k, str(e).splitlines()[0][:160]))
+            continue
+        try:
+            issues = compare(k, df, con, sql)
+        except Exception as e:  # noqa: BLE001 — Spark collect or DuckDB
+            msg = str(e).splitlines()[0][:160]
+            side = duck_errors if "duckdb" in type(e).__module__ else spark_errors
+            side.append((k, msg))
+            continue
+        mismatches.extend((k, i) for i in issues)
+    return spark_errors, duck_errors, mismatches

@@ -327,9 +327,15 @@ def _pq_sql() -> str:
         + f" AS d2 FROM qsub a JOIN cents{PQ_ITERS} e ON e.grp = a.grp)",
         "dlist AS (SELECT qid, list(d2 ORDER BY grp, cent_id) AS dl "
         "FROM dtab GROUP BY qid)",
+        # the ADC stride is the ACTUAL per-group codebook size
+        # (len(dl)//M), not the nominal KC: a corpus smaller than KC
+        # seeds fewer centroids and Lloyd drops empty clusters, so a
+        # hardcoded KC stride overruns the table (found by the r7
+        # degenerate-input sweep; identical on real data where every
+        # group trains the full KC codes)
         "adc AS (SELECT d.qid, x.vec_id AS nid, "
         f"list_reduce(list_transform(list_zip(x.codes, range(0, {M})), "
-        f"r -> d.dl[r[2]*{KC} + r[1] + 1]), (a, b) -> a + b) AS dist "
+        f"r -> d.dl[r[2]*(len(d.dl)//{M}) + r[1] + 1]), (a, b) -> a + b) AS dist "
         "FROM dlist d, codes x WHERE x.vec_id != d.qid)",
     ]
     return (
@@ -415,6 +421,15 @@ def q_vec_pq_adc(spark, sf_dir):
             lambda r: r["v"],
         ).alias("dl")
     )
+    # The ADC stride is the ACTUAL per-group codebook size (len(dl)/M),
+    # not the nominal KC: a corpus smaller than KC seeds fewer centroids
+    # and Lloyd drops empty clusters, so a hardcoded KC stride overran
+    # the table (r7 degenerate-input sweep catch — identical on real
+    # data where every group trains the full KC codes). try_element_at
+    # + NULLS LAST keep Spark on DuckDB's out-of-range semantics
+    # (list[i] -> NULL, NULL dists rank after real ones) should group
+    # codebook sizes ever diverge.
+    stride = (F.size(F.col("dl")) / F.lit(M)).cast("int")
     adc = (
         codes.crossJoin(F.broadcast(dlist))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -424,14 +439,18 @@ def q_vec_pq_adc(spark, sf_dir):
             F.aggregate(
                 F.transform(
                     "codes",
-                    lambda c, i: F.element_at(F.col("dl"), (i * KC + c + 1).cast("int")),
+                    lambda c, i: F.try_element_at(
+                        F.col("dl"), (i * stride + c + 1).cast("int")
+                    ),
                 ),
                 F.lit(0.0),
                 lambda a, b: a + b,
             ).alias("dist"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("nid").asc()
+    )
     return (
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_K)

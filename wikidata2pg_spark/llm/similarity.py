@@ -915,10 +915,17 @@ def _pca_component(spark, sf_dir):
         )
         v = w.select(
             F.col("i").alias("j"),
+            # try_divide (r7 degenerate class, degenerate-input sweep):
+            # IDENTICAL embeddings zero the centered scatter, so every
+            # matvec entry — and the max|w| normalizer — is exactly 0;
+            # DuckDB nulls the 0/0 while ANSI Spark would throw. The
+            # NULL loadings then propagate through the remaining
+            # iterations and the projection identically on both sides.
             F.floor(
-                F.col("w").cast("double")
-                * _PCA_SCALE
-                / F.max(F.abs(F.col("w"))).over(wfull).cast("double")
+                F.try_divide(
+                    F.col("w").cast("double") * _PCA_SCALE,
+                    F.max(F.abs(F.col("w"))).over(wfull).cast("double"),
+                )
                 + F.lit(0.5)
             )
             .cast("long")

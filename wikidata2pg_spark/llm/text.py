@@ -1658,11 +1658,18 @@ WITH r AS (
 ), ref AS (
   SELECT n_chars AS x_ref FROM r WHERE rn = {_HILL_K} + 1
 ), terms AS (
-  SELECT r.rn, ln(CAST(r.n_chars AS DOUBLE) / ref.x_ref) AS term
+  SELECT r.rn, ref.x_ref, ln(CAST(r.n_chars AS DOUBLE) / ref.x_ref) AS term
   FROM r CROSS JOIN ref WHERE r.rn <= {_HILL_K}
 )
+-- GROUP BY x_ref (not a bare aggregate): a corpus smaller than k+1
+-- documents has NO reference order statistic, so the estimator is
+-- undefined and BOTH engines must emit zero rows — an ungrouped
+-- aggregate here fabricated a (NULL, 0.0) row where Spark's grouped
+-- fold produced none (r7 degenerate-input sweep catch). The alpha
+-- division k/s is NULL on both sides when every top-k length equals
+-- the reference (all ln terms 0).
 SELECT CAST({_HILL_K} AS BIGINT) AS k,
-       (SELECT CAST(x_ref AS BIGINT) FROM ref) AS x_ref,
+       CAST(x_ref AS BIGINT) AS x_ref,
        floor(list_reduce(list_prepend(0.0, list(term ORDER BY rn)),
                          (a, b) -> a + b) / {_HILL_K} * 1000000 + 0.5)
          / 1000000 AS hill,
@@ -1670,7 +1677,7 @@ SELECT CAST({_HILL_K} AS BIGINT) AS k,
                                                   list(term ORDER BY rn)),
                                      (a, b) -> a + b) * 10000 + 0.5)
          / 10000 AS alpha
-FROM terms
+FROM terms GROUP BY x_ref
 """,
 )
 def q_text_hill_tail(spark, sf_dir):
@@ -1728,9 +1735,15 @@ def q_text_hill_tail(spark, sf_dir):
         (F.floor(F.col("s") / _HILL_K * 1000000 + F.lit(0.5)) / 1000000).alias(
             "hill"
         ),
-        (F.floor(_HILL_K / F.col("s") * 10000 + F.lit(0.5)) / 10000).alias(
-            "alpha"
-        ),
+        # try_divide (r7 degenerate class): a top-k of ALL-EQUAL lengths
+        # makes every ln term — and their fold — exactly 0.0, where
+        # DuckDB nulls k/0.0 and ANSI Spark would throw.
+        (
+            F.floor(
+                F.try_divide(F.lit(_HILL_K), F.col("s")) * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("alpha"),
     )
 
 

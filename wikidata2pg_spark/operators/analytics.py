@@ -5441,10 +5441,16 @@ def strength_from_daily(daily):
     var_tr = F.col("n") * F.col("ss_tr") - F.col("s_tr") * F.col("s_tr")
     var_sr = F.col("n") * F.col("ss_sr") - F.col("s_sr") * F.col("s_sr")
     r6_ = lambda x: F.floor(x * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    # try_divide (r7 degenerate class, found by the degenerate-input
+    # sweep): a CONSTANT daily series zeroes Var(T+R)/Var(S+R) — DuckDB
+    # nulls the 0/0 while ANSI Spark would throw; greatest then SKIPS
+    # the NULL in BOTH engines (Postgres convention, probe-confirmed),
+    # so both strengths degrade to exactly 0.0 — the right answer for a
+    # structureless series. Bit-identical to / on nonzero divisors.
     return folds.select(
         F.col("n").alias("n_days"),
-        r6_(F.greatest(F.lit(0.0), 1 - var_r / var_tr)).alias("f_trend"),
-        r6_(F.greatest(F.lit(0.0), 1 - var_r / var_sr)).alias("f_seasonal"),
+        r6_(F.greatest(F.lit(0.0), 1 - F.try_divide(var_r, var_tr))).alias("f_trend"),
+        r6_(F.greatest(F.lit(0.0), 1 - F.try_divide(var_r, var_sr))).alias("f_seasonal"),
     )
 
 

@@ -857,10 +857,16 @@ def q_graph_degree_powerlaw(spark, sf_dir):
             lambda a, b: a + b,
         ).alias("lsum"),
     )
+    # try_divide (r7 degenerate class, found by the degenerate-input
+    # sweep): a graph with NO node of degree >= dmin has an EMPTY tail —
+    # the fold seed makes lsum exactly 0.0 under n_tail = 0, where
+    # DuckDB nulls the 0/0 double division and ANSI Spark would throw;
+    # alpha degrades to NULL on both sides. Bit-identical to / on any
+    # non-empty tail.
     return folded.select(
         "n_tail",
         "max_degree",
-        F.round(1.0 + F.col("n_tail") / F.col("lsum"), 4).alias("alpha"),
+        F.round(1.0 + F.try_divide(F.col("n_tail"), F.col("lsum")), 4).alias("alpha"),
     )
 
 

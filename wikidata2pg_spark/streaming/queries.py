@@ -707,10 +707,17 @@ WITH e AS (
   -- and left-state eviction is STRICT (err_ts < watermark) — an
   -- unmatched error exactly at the frontier stays withheld. Mirror both,
   -- or a fixture landing an error in the sub-ms sliver at the frontier
-  -- flips the hash (review repro, r6).
-  SELECT least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
-               date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
-         - INTERVAL 2 HOUR AS w
+  -- flips the hash (review repro, r6). The CASE mirrors the EMPTY-side
+  -- convention (r7 degenerate-input sweep): a stream with no rows never
+  -- advances its watermark, so Spark's min-policy global watermark stays
+  -- at the epoch and EVERYTHING is withheld — least() alone would
+  -- silently ignore the NULL max (Postgres convention) and anchor the
+  -- frontier to the populated side.
+  SELECT CASE WHEN (SELECT max(err_ts) FROM e) IS NULL
+              OR (SELECT max(purchase_ts) FROM p) IS NULL THEN NULL
+         ELSE least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
+                    date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+              - INTERVAL 2 HOUR END AS w
 ), matched AS (
   SELECT e.err_id, p.purchase_id, e.user_id, e.err_ts, p.purchase_ts
   FROM e JOIN p ON e.user_id = p.user_id
@@ -789,15 +796,19 @@ WITH e AS (
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
   -- identical watermark arithmetic to q_stream_stream_left (ms-floor,
-  -- strict eviction); the RIGHT side's finality bound is shifted by the
-  -- range width: a purchase at time t can match errors up to t + 1h, so
-  -- "no error matched" is final only when t + 1h < W, i.e. t < W - 1h
-  -- (strict — pinned by the crafted frontier fixture in
+  -- strict eviction, NULL frontier when EITHER side is empty — the
+  -- min-policy watermark never advances off the epoch then, r7
+  -- degenerate-input sweep); the RIGHT side's finality bound is shifted
+  -- by the range width: a purchase at time t can match errors up to
+  -- t + 1h, so "no error matched" is final only when t + 1h < W, i.e.
+  -- t < W - 1h (strict — pinned by the crafted frontier fixture in
   -- tests/test_streaming.py: a probe exactly at W-1h stays withheld,
   -- one 1 ms below emits).
-  SELECT least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
-               date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
-         - INTERVAL 2 HOUR AS w
+  SELECT CASE WHEN (SELECT max(err_ts) FROM e) IS NULL
+              OR (SELECT max(purchase_ts) FROM p) IS NULL THEN NULL
+         ELSE least(date_trunc('milliseconds', (SELECT max(err_ts) FROM e)),
+                    date_trunc('milliseconds', (SELECT max(purchase_ts) FROM p)))
+              - INTERVAL 2 HOUR END AS w
 ), matched AS (
   SELECT e.err_id, p.purchase_id, e.user_id, e.err_ts, p.purchase_ts
   FROM e JOIN p ON e.user_id = p.user_id
