@@ -21,12 +21,23 @@ from __future__ import annotations
 
 import pytest
 
-from wikidata2pg_spark.degenerate_audit import build_degenerate_dir, run_sweep
+from wikidata2pg_spark.degenerate_audit import (
+    EXPECTED_EMPTY_MISMATCH,
+    EXPECTED_RAISE_EMPTY,
+    build_degenerate_dir,
+    build_empty_dir,
+    run_sweep,
+)
 
 
 @pytest.fixture(scope="module")
 def degenerate_dir(tmp_path_factory):
     return build_degenerate_dir(str(tmp_path_factory.mktemp("degen")))
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    return build_empty_dir(str(tmp_path_factory.mktemp("degen_empty")))
 
 
 def test_degenerate_input_sweep(spark, degenerate_dir):
@@ -44,3 +55,20 @@ def test_degenerate_input_sweep(spark, degenerate_dir):
         "engines degrade DIFFERENTLY on degenerate input — align the "
         f"NULL/zero conventions on both sides: {mismatches}"
     )
+
+
+def test_empty_input_sweep(spark, empty_dir):
+    """Zero-row variant: the ungrouped-aggregate row-fabrication class
+    (one side groups, the other aggregates bare — the q_text_hill_tail
+    bug shape) plus empty-partition robustness. Deliberate, loudly
+    raised preconditions and documented engine-semantics divergences
+    (SQL's grand-total row over empty ROLLUP/CUBE input) are
+    allowlisted with reasons in degenerate_audit.py."""
+    spark_errors, duck_errors, mismatches = run_sweep(
+        spark, empty_dir,
+        expected_raise=EXPECTED_RAISE_EMPTY,
+        expected_mismatch=EXPECTED_EMPTY_MISMATCH,
+    )
+    assert not spark_errors, spark_errors
+    assert not duck_errors, duck_errors
+    assert not mismatches, mismatches

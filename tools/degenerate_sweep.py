@@ -32,17 +32,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/w2pg_degenerate")
+    ap.add_argument(
+        "--empty", action="store_true",
+        help="sweep the ZERO-ROW variant (ungrouped-aggregate row "
+             "fabrication / empty-partition robustness) instead of the "
+             "all-constant one",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
-    from wikidata2pg_spark.degenerate_audit import build_degenerate_dir, run_sweep
+    from wikidata2pg_spark.degenerate_audit import (
+        EXPECTED_EMPTY_MISMATCH,
+        EXPECTED_RAISE_EMPTY,
+        build_degenerate_dir,
+        build_empty_dir,
+        run_sweep,
+    )
     from wikidata2pg_spark.session import get_session
 
-    sf_dir = build_degenerate_dir(args.dir)
+    if args.empty:
+        sf_dir = build_empty_dir(args.dir + "_empty")
+        expected_raise, expected_mismatch = EXPECTED_RAISE_EMPTY, EXPECTED_EMPTY_MISMATCH
+    else:
+        sf_dir = build_degenerate_dir(args.dir)
+        expected_raise = expected_mismatch = None
     spark = get_session()
     t0 = time.time()
     spark_errors, duck_errors, mismatches = run_sweep(
-        spark, sf_dir, args.keys or None
+        spark, sf_dir, args.keys or None,
+        expected_raise=expected_raise, expected_mismatch=expected_mismatch,
     )
     for k, m in spark_errors:
         print(f"SPARK-ERROR {k} | {m}")

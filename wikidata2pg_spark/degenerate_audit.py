@@ -168,12 +168,66 @@ def build_degenerate_dir(root: str) -> str:
     return root
 
 
-def run_sweep(spark, sf_dir: str, keys=None):
+def build_empty_dir(root: str) -> str:
+    """Write the same ten tables with ZERO rows (schema only). The
+    empty-input variant targets the ungrouped-aggregate row-fabrication
+    class (the q_text_hill_tail bug shape: one side groups, the other
+    aggregates bare, so one emits a NULL row the other never produces)
+    and the empty-partition robustness a 100 TB job needs after any
+    selective filter."""
+    import pyarrow.parquet as pq
+
+    full = build_degenerate_dir(os.path.join(root, "_schema_src"))
+    os.makedirs(root, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(root, f"{t}.parquet")
+        if not os.path.exists(path):
+            src = pq.read_table(os.path.join(full, f"{t}.parquet"))
+            pq.write_table(src.slice(0, 0), path)
+    return root
+
+
+# Keys ALLOWED to raise on the EMPTY variant: each names a loud,
+# deliberate input-validation raise (a precondition, not a crash). A key
+# raising on empty input WITHOUT an entry here fails the gate.
+EXPECTED_RAISE_EMPTY: dict[str, str] = {
+    "q_stream_watermark_late": (
+        "deliberate precondition: the late-arrival harness needs >= 110 "
+        "events to build disjoint base/advance/late files and raises a "
+        "loud, named assert otherwise (streaming/harness.py)"
+    ),
+}
+
+# Keys whose Spark and DuckDB results legitimately DIFFER on the EMPTY
+# variant: SQL's GROUP BY ROLLUP/CUBE fabricates the grand-total grouping
+# row over zero input rows (the () grouping set behaves like a bare
+# aggregate) while Spark's rollup()/cube() emit nothing — an engine-level
+# semantic difference, not an oracle bug. These three are r6
+# driver-ATTESTED keys, so the divergence is documented here instead of
+# editing their oracles (the driver only ever hashes nonempty fixture
+# data, where both engines agree — proven by the r1-r6 rows). Unattested
+# keys with the same shape (q_agg_grouping_id, q_text_bigram_entropy)
+# were instead aligned in their oracles with a no-op HAVING/WHERE.
+EXPECTED_EMPTY_MISMATCH: dict[str, str] = {
+    "q_agg_rollup": "SQL grand-total row on empty input vs Spark's zero rows",
+    "q_agg_cube": "SQL grand-total row on empty input vs Spark's zero rows",
+    "q_agg_grouping_sets": (
+        "SQL fabricates rows for grouping sets over empty input; "
+        "Spark emits none"
+    ),
+}
+
+
+def run_sweep(spark, sf_dir: str, keys=None, expected_raise=None,
+              expected_mismatch=None):
     """Run every registered key's Spark query and DuckDB oracle on
     ``sf_dir``. Returns (spark_errors, duck_errors, mismatches) — lists
     of (key, first-line-of-message). The gate is on the error lists;
     mismatches are triage output (value divergence on degenerate data
-    is a weaker signal than a crash)."""
+    is a weaker signal than a crash). ``expected_raise`` maps keys to a
+    documented-precondition reason — a raise there is skipped, any
+    other raise is an error."""
     from wikidata2pg_spark.oracle import compare, duck_connection
     from wikidata2pg_spark.registry import all_oracles, all_queries
 
@@ -181,6 +235,8 @@ def run_sweep(spark, sf_dir: str, keys=None):
     oracles = all_oracles()
     if keys:
         qs = {k: qs[k] for k in keys if k in qs}
+    expected_raise = expected_raise or {}
+    expected_mismatch = expected_mismatch or {}
     con = duck_connection(sf_dir)
     spark_errors, duck_errors, mismatches = [], [], []
     for k, fn in qs.items():
@@ -191,7 +247,8 @@ def run_sweep(spark, sf_dir: str, keys=None):
                 df.collect()  # rows-only keys: no-throw is the contract
                 continue
         except Exception as e:  # noqa: BLE001 — surfaced per key
-            spark_errors.append((k, str(e).splitlines()[0][:160]))
+            if k not in expected_raise:
+                spark_errors.append((k, str(e).splitlines()[0][:160]))
             continue
         try:
             issues = compare(k, df, con, sql)
@@ -199,6 +256,8 @@ def run_sweep(spark, sf_dir: str, keys=None):
             msg = str(e).splitlines()[0][:160]
             side = duck_errors if "duckdb" in type(e).__module__ else spark_errors
             side.append((k, msg))
+            continue
+        if issues and k in expected_mismatch:
             continue
         mismatches.extend((k, i) for i in issues)
     return spark_errors, duck_errors, mismatches

@@ -268,6 +268,15 @@ def q_sim_ann_lsh(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     feat = e.select("vec_id", array_to_vector(_vec_double(F.col("embedding"))).alias("features"))
+    # empty-corpus guard (r7 empty-input sweep): MLlib's fit aborts on a
+    # 0-row dataset with an opaque JVM error — an empty corpus has no
+    # candidate pairs, so short-circuit with the empty result frame (the
+    # isEmpty probe is a limit-1 scan, negligible next to the fit's full
+    # pass on any real corpus)
+    if feat.isEmpty():
+        return spark.createDataFrame(
+            [], "vec_a BIGINT, vec_b BIGINT, l2_dist DOUBLE"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="buckets", bucketLength=2.0, numHashTables=4, seed=42
     )
@@ -1421,8 +1430,12 @@ def q_retrieval_mrr(spark, sf_dir):
     ).select(
         "n_queries",
         (
+            # try_divide (r7 empty-input sweep): an EMPTY corpus has no
+            # queries, so the mean divides by zero — DuckDB nulls it,
+            # ANSI Spark would throw; bit-identical to / otherwise.
             F.floor(
-                F.col("_rr") / F.col("n_queries") * 1000000 + F.lit(0.5)
+                F.try_divide(F.col("_rr"), F.col("n_queries")) * 1000000
+                + F.lit(0.5)
             )
             / 1000000
         ).alias("mrr"),

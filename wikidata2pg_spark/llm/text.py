@@ -1784,7 +1784,11 @@ SELECT n_bigram_types, n_bigrams,
        round(h_cond, 6) AS h_cond,
        round(h_w2, 6) AS h_w2,
        round(greatest(0.0, h_w2 - h_cond), 6) AS mutual_info
-FROM folds
+-- WHERE mirrors Spark's grouped fold (r7 empty-input sweep): a corpus
+-- with no bigrams produces ZERO rows there (the groupBy has no groups),
+-- while this bare-aggregate CTE would fabricate one; any real corpus has
+-- n_bigram_types >= 1, so the filter is a no-op
+FROM folds WHERE n_bigram_types > 0
 """,
 )
 def q_text_bigram_entropy(spark, sf_dir):

@@ -1003,7 +1003,9 @@ t AS (
            / CAST(n.n * grid.r * grid.c AS DOUBLE) AS term
   FROM grid CROSS JOIN n
 ), arr AS (
-  SELECT list(term ORDER BY day, et) AS terms,
+  -- list_prepend/coalesce: empty input folds to 0.0 like Spark's seeded
+  -- fold (r7 empty-input sweep); 0.0 + x == x on nonempty input
+  SELECT list_prepend(0.0, coalesce(list(term ORDER BY day, et), [])) AS terms,
          count(*) AS n_cells,
          count(DISTINCT day) AS nd, count(DISTINCT et) AS nt
   FROM t
@@ -2332,7 +2334,12 @@ WITH s AS (
   FROM jnt JOIN mx ON jnt.x = mx.x JOIN my ON jnt.y = my.y CROSS JOIN tot
 ), folded AS (
   SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
-         list_reduce(list(term ORDER BY x, y), (a, b) -> a + b) AS mi
+         -- list_prepend(0.0, coalesce(.., [])) = Spark's seeded fold:
+         -- an EMPTY input folds to 0.0 on both sides instead of DuckDB's
+         -- NULL list (r7 empty-input sweep); 0.0 + x == x keeps nonempty
+         -- values bit-identical
+         list_reduce(list_prepend(0.0, coalesce(list(term ORDER BY x, y), [])),
+                     (a, b) -> a + b) AS mi
   FROM terms
 )
 SELECT n, n_cells, round(mi, 6) AS mi_nats FROM folded
@@ -3818,7 +3825,9 @@ WITH e AS (
 ), t AS (
   SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1,
          CAST(count(*) AS BIGINT) AS nb,
-         list_reduce(list(
+         -- list_prepend/coalesce: empty input folds to 0.0 like Spark's
+         -- seeded fold (r7 empty-input sweep); 0.0 + x == x on nonempty
+         list_reduce(list_prepend(0.0, coalesce(list(
            ((n0 + 1.0) / ((SELECT sum(n0) FROM h) + (SELECT count(*) FROM h))
             - (n1 + 1.0)
               / ((SELECT sum(n1) FROM h) + (SELECT count(*) FROM h)))
@@ -3826,7 +3835,7 @@ WITH e AS (
                  / ((SELECT sum(n0) FROM h) + (SELECT count(*) FROM h)))
                 / ((n1 + 1.0)
                    / ((SELECT sum(n1) FROM h) + (SELECT count(*) FROM h))))
-           ORDER BY bucket), (a, b) -> a + b) AS psi
+           ORDER BY bucket), [])), (a, b) -> a + b) AS psi
   FROM h
 )
 SELECT t0 AS n_first_half, t1 AS n_second_half, nb AS n_buckets,
@@ -3936,8 +3945,10 @@ WITH rev AS (
 )
 SELECT CAST((SELECT ov FROM a WHERE d = {_RBO_D}) AS BIGINT)
          AS overlap_at_{_RBO_D},
-       round(list_reduce(list(
-         [{", ".join(_RBO_W)}][CAST(d AS INT)] * ov / d ORDER BY d),
+       -- list_prepend/coalesce: empty input folds to 0.0 like Spark's
+       -- seeded fold (r7 empty-input sweep); 0.0 + x == x on nonempty
+       round(list_reduce(list_prepend(0.0, coalesce(list(
+         [{", ".join(_RBO_W)}][CAST(d AS INT)] * ov / d ORDER BY d), [])),
          (x, y) -> x + y), 6) AS rbo
 FROM a
 """,
@@ -4255,7 +4266,9 @@ t AS (
            / CAST(n.n * grid.r * grid.c AS DOUBLE) AS term
   FROM grid CROSS JOIN n
 ), arr AS (
-  SELECT list(term ORDER BY seg, pri) AS terms,
+  -- list_prepend/coalesce: empty input folds to 0.0 like Spark's seeded
+  -- fold (r7 empty-input sweep); 0.0 + x == x on nonempty input
+  SELECT list_prepend(0.0, coalesce(list(term ORDER BY seg, pri), [])) AS terms,
          count(DISTINCT seg) AS nr, count(DISTINCT pri) AS nc,
          (SELECT n FROM n) AS n
   FROM t

@@ -684,7 +684,13 @@ def q_survival_km(spark, sf_dir):
         ).alias("a")
     )
     terms = F.transform(F.col("a"), lambda s: s["term"])
-    ks = F.sequence(F.lit(1), F.size("a"))
+    # Guard the index ladder (r7 empty-input sweep): Spark's
+    # sequence(1, 0) DESCENDS to [1, 0] on an empty event table, and
+    # element_at(a, 1) then overruns the 0-element array — an empty
+    # ladder makes the explode produce zero rows like the oracle.
+    ks = F.when(
+        F.size("a") > 0, F.sequence(F.lit(1), F.size("a"))
+    ).otherwise(F.array().cast("array<int>"))
     rows = F.transform(
         ks,
         lambda k: F.struct(

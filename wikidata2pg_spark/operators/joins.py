@@ -710,7 +710,12 @@ def q_join_dpp(spark, sf_dir):
             .partitionBy("om")
             .parquet(loc)
         )
-    fact = spark.read.parquet(loc)
+    # explicit schema on readback (r7 empty-input sweep): a partitioned
+    # write of an EMPTY orders table leaves no part directories, and
+    # schema inference then fails; the writer's schema is the contract
+    fact = spark.read.schema(
+        "o_orderpriority string, cents long, om string"
+    ).parquet(loc)
     dim = (
         load(spark, sf_dir, "orders")
         .select(om.alias("om"))

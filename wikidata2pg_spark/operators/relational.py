@@ -1234,7 +1234,10 @@ def q_agg_hll_mergeable(spark, sf_dir):
     )
     g = shards.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk, false))").alias("est"),
-        F.sum("n_rows").alias("n_rows"),
+        # coalesce (r7 empty-input sweep): the __ALL__ row exists even
+        # over an empty events table, where the shard sum is NULL but
+        # the oracle's bare count(*) is 0
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
     ).select(F.lit("__ALL__").alias("event_type"), "est", "n_rows")
     merged = per.select("event_type", "est", "n_rows").unionByName(g)
     exact_per = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
@@ -1247,7 +1250,21 @@ def q_agg_hll_mergeable(spark, sf_dir):
         "n_rows",
         "exact_users",
         (
-            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= 0.05
+            # Empty-input guard (r7 empty-input sweep): the __ALL__ row
+            # exists even over an empty events table, where the
+            # relative-error division is 0/0 (ANSI Spark throws, and a
+            # NULL flag would mismatch the oracle's invariant TRUE).
+            # exact = 0 only on empty input, where the union of zero
+            # sketches estimates 0 — trivially "within" any tolerance —
+            # so the flag stays a real assertion on every nonempty row.
+            F.when(
+                F.col("exact_users") == 0,
+                F.coalesce(F.col("est"), F.lit(0)) == 0,
+            ).otherwise(
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            )
         ).alias("est_within_5pct"),
     )
 
@@ -1327,6 +1344,11 @@ SELECT o_orderstatus, o_orderpriority,
          AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+-- HAVING mirrors Spark's empty-input cube semantics (r7 empty-input
+-- sweep): SQL fabricates the grand-total grouping row over zero input
+-- rows, Spark emits nothing; every cube row on nonempty input
+-- aggregates >= 1 row, so the filter is a no-op there
+HAVING count(*) > 0
 """,
 )
 def q_agg_grouping_id(spark, sf_dir):

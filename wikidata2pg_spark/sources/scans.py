@@ -162,7 +162,13 @@ def q_sink_parquet_partitioned(spark, sf_dir):
     path = _tmpdir_for(sf_dir, "parquet_part", "lineitem")
     if not _written(path):
         li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "R"))
+    # explicit schema on readback (r7 empty-input sweep): a partitionBy
+    # write of an EMPTY frame produces no part files, and schema
+    # inference then fails — the writer's schema is the contract either
+    # way, and passing it is also one footer read cheaper at scale
+    back = spark.read.schema(li.schema).parquet(path).filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
     return back.groupBy("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -217,12 +223,17 @@ def q_source_jdbc(spark, sf_dir):
     # into the last stripe — the "4 concurrent connections each reading a
     # key range" this key exists to exercise only happens with real bounds.
     lo, hi = c.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    # empty-table default (r7 empty-input sweep): min/max are NULL when
+    # the source has no rows — any [0, 1) stripe reads back the same
+    # zero rows, instead of int(None) crashing the bounds arithmetic
+    lo = 0 if lo is None else int(lo)
+    hi = lo if hi is None else int(hi)
     back = spark.read.jdbc(
         url,
         "customer_src",
         column="c_custkey",
-        lowerBound=int(lo),
-        upperBound=int(hi) + 1,
+        lowerBound=lo,
+        upperBound=hi + 1,
         numPartitions=4,
         properties=props,
     )
@@ -761,7 +772,9 @@ def q_sink_compact(spark, sf_dir):
         n_out = max(1, -(-total // target))
         spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(compacted)
         n_in, n_out_actual = len(in_files), len(_glob.glob(f"{compacted}/*.parquet"))
-        assert n_out_actual < n_in, (n_out_actual, n_in)
+        # strict reduction only when there is fragmentation to fix: an
+        # EMPTY/1-file input (r7 empty-input sweep) compacts to itself
+        assert n_out_actual < n_in or n_in <= 1, (n_out_actual, n_in)
         # row-group sanity: compaction must not have re-sorted or dropped
         assert sum(
             _pq.ParquetFile(f).metadata.num_rows
