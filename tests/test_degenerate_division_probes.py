@@ -451,6 +451,39 @@ def test_cramers_v_single_row_table_null(spark, one_segment_dir):
                    all_oracles()["q_dq_cramers_v"]) == []
 
 
+# --- hill tail: EMPTY document as the k+1-th order statistic ---
+
+
+@pytest.fixture(scope="module")
+def zero_ref_docs_dir(tmp_path_factory):
+    # 50 equal-length docs fill the top-k; the 51st (the Hill reference
+    # order statistic) is EMPTY -> x_ref = 0 -> every ln(len/x_ref)
+    # term divides by zero. Empty documents are routine in real crawls.
+    n_docs = 51
+    texts = ["alpha beta gamma"] * 50 + [""]
+    root = tmp_path_factory.mktemp("zero_ref_docs")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n_docs + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n_docs, pa.string()),
+        "source": pa.array(["web"] * n_docs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(root / "documents.parquet"))
+    return str(root)
+
+
+def test_hill_tail_zero_reference_nulls(spark, zero_ref_docs_dir):
+    rows = all_queries()["q_text_hill_tail"](spark, zero_ref_docs_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == 50 and r.x_ref == 0
+    assert r.hill is None and r.alpha is None  # every term NULLs on x/0
+    con = _duck(zero_ref_docs_dir, ["documents"])
+    df = all_queries()["q_text_hill_tail"](spark, zero_ref_docs_dir)
+    assert compare("q_text_hill_tail", df, con,
+                   all_oracles()["q_text_hill_tail"]) == []
+
+
 # --- burstiness: single-document corpus (n-1 = 0) ---
 
 

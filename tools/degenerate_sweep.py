@@ -13,10 +13,12 @@ waiting for real degenerate data.
 Usage:
     python tools/degenerate_sweep.py [--dir /tmp/w2pg_degenerate] [keys...]
 
-Exit 0 when no key raises on either engine; mismatches (value
-divergence without a crash) are printed for triage but do not fail the
-sweep — the driver only hashes fixture data, and NULL-degradation
-parity is what the errors gate already proves.
+Exit 0 only in the exact-parity steady state: engine errors AND value
+mismatches both fail (matching the pytest twin). Documented engine-level
+divergences and loud preconditions are allowlisted with reasons in
+degenerate_audit.py (EXPECTED_EMPTY_MISMATCH / EXPECTED_RAISE_EMPTY);
+the signed-zero hazard class is never allowlistable, and stale allowlist
+entries are themselves reported.
 """
 
 from __future__ import annotations
@@ -68,10 +70,12 @@ def main() -> int:
         print(f"DUCK-ERROR {k} | {m}")
     for k, m in mismatches:
         print(f"mismatch {k} | {m}")
-    n = len(spark_errors) + len(duck_errors)
-    print(f"-- {n} engine errors ({len(spark_errors)} spark / "
-          f"{len(duck_errors)} duck), {len(mismatches)} mismatches, "
-          f"{time.time() - t0:.1f}s")
+    n = len(spark_errors) + len(duck_errors) + len(mismatches)
+    print(f"-- {len(spark_errors) + len(duck_errors)} engine errors "
+          f"({len(spark_errors)} spark / {len(duck_errors)} duck), "
+          f"{len(mismatches)} mismatches, {time.time() - t0:.1f}s")
+    # mismatches fail too: the steady state is exact parity (the pytest
+    # twin already enforces this — tool and twin must agree)
     return 1 if n else 0
 
 

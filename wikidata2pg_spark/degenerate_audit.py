@@ -41,17 +41,17 @@ DIM = 64  # fixture embedding dimensionality
 
 
 def build_degenerate_dir(root: str) -> str:
-    """Write the all-constant minimal fixture into ``root`` (idempotent:
-    skips tables that already exist so a shared tmp dir is cheap)."""
+    """Write the all-constant minimal fixture into ``root``. Tables are
+    ALWAYS rewritten (KB-sized): an existence-skip would silently serve
+    a stale fixture from the tool's persistent default dir after any
+    recipe change (r7 review catch)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(root, exist_ok=True)
 
     def write(name, table):
-        path = os.path.join(root, f"{name}.parquet")
-        if not os.path.exists(path):
-            pq.write_table(table, path)
+        pq.write_table(table, os.path.join(root, f"{name}.parquet"))
 
     write("region", pa.table({
         "r_regionkey": pa.array([0], pa.int32()),
@@ -181,10 +181,8 @@ def build_empty_dir(root: str) -> str:
     os.makedirs(root, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"):
-        path = os.path.join(root, f"{t}.parquet")
-        if not os.path.exists(path):
-            src = pq.read_table(os.path.join(full, f"{t}.parquet"))
-            pq.write_table(src.slice(0, 0), path)
+        src = pq.read_table(os.path.join(full, f"{t}.parquet"))
+        pq.write_table(src.slice(0, 0), os.path.join(root, f"{t}.parquet"))
     return root
 
 
@@ -223,22 +221,31 @@ def run_sweep(spark, sf_dir: str, keys=None, expected_raise=None,
               expected_mismatch=None):
     """Run every registered key's Spark query and DuckDB oracle on
     ``sf_dir``. Returns (spark_errors, duck_errors, mismatches) — lists
-    of (key, first-line-of-message). The gate is on the error lists;
-    mismatches are triage output (value divergence on degenerate data
-    is a weaker signal than a crash). ``expected_raise`` maps keys to a
-    documented-precondition reason — a raise there is skipped, any
-    other raise is an error."""
+    of (key, first-line-of-message). All three lists are gate failures
+    (the steady state is exact parity). ``expected_raise`` maps keys to
+    a documented-precondition reason — a raise there is skipped wherever
+    it surfaces (build time or collect time: Spark plans are lazy).
+    ``expected_mismatch`` documents engine-level semantic divergences;
+    it never covers the signed-zero HAZARD class, and a listed key that
+    no longer diverges is reported as a stale entry when the full key
+    set runs (allowlist-rot rule, as in branch_audit)."""
     from wikidata2pg_spark.oracle import compare, duck_connection
     from wikidata2pg_spark.registry import all_oracles, all_queries
 
     qs = all_queries()
     oracles = all_oracles()
+    spark_errors, duck_errors, mismatches = [], [], []
     if keys:
+        # unknown requested keys are ERRORS, not silent no-ops (a typo
+        # must not produce a false-green sweep — the branch_audit rule)
+        spark_errors.extend(
+            (k, "unknown key") for k in keys if k not in qs
+        )
         qs = {k: qs[k] for k in keys if k in qs}
     expected_raise = expected_raise or {}
     expected_mismatch = expected_mismatch or {}
     con = duck_connection(sf_dir)
-    spark_errors, duck_errors, mismatches = [], [], []
+    diverged: set[str] = set()
     for k, fn in qs.items():
         sql = oracles.get(k)
         try:
@@ -253,11 +260,23 @@ def run_sweep(spark, sf_dir: str, keys=None, expected_raise=None,
         try:
             issues = compare(k, df, con, sql)
         except Exception as e:  # noqa: BLE001 — Spark collect or DuckDB
+            if k in expected_raise:
+                continue  # lazy plans raise here, not at build time
             msg = str(e).splitlines()[0][:160]
             side = duck_errors if "duckdb" in type(e).__module__ else spark_errors
             side.append((k, msg))
             continue
         if issues and k in expected_mismatch:
-            continue
+            diverged.add(k)
+            # the allowlist covers row/value divergence, NEVER the
+            # signed-zero hazard sweep — that class stays a failure
+            issues = [i for i in issues if "HAZARD" in i]
         mismatches.extend((k, i) for i in issues)
+    # allowlist rot: a documented divergence that stopped occurring
+    # means the entry (and its reasoning) is stale — surface it
+    mismatches.extend(
+        (k, "stale expected_mismatch entry: engines now agree")
+        for k in expected_mismatch
+        if k in qs and k not in diverged
+    )
     return spark_errors, duck_errors, mismatches

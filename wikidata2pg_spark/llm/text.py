@@ -1722,9 +1722,14 @@ def q_text_hill_tail(spark, sf_dir):
         .crossJoin(F.broadcast(ref))
         .select(
             "rn",
-            F.log(F.col("n_chars").cast("double") / F.col("x_ref")).alias(
-                "term"
-            ),
+            # try_divide (r7 review catch on the sweep batch): a corpus
+            # where the k+1-th longest document is EMPTY (n_chars = 0 —
+            # routine in real crawls) zeroes the reference divisor; the
+            # NULL ratio nulls ln/term/fold/outputs identically on both
+            # sides (DuckDB's x/0.0 is NULL already).
+            F.log(
+                F.try_divide(F.col("n_chars").cast("double"), F.col("x_ref"))
+            ).alias("term"),
             "x_ref",
         )
     )

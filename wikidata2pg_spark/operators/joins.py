@@ -695,27 +695,23 @@ def q_join_dpp(spark, sf_dir):
 
     om = F.date_format("o_orderdate", "yyyy-MM")
     loc = tmpdir_for(sf_dir, "dpp-orders-by-month", "orders")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        om.alias("om"),
+    )
     if not os.path.exists(os.path.join(loc, "_SUCCESS")):
         shutil.rmtree(loc, ignore_errors=True)
-        (
-            load(spark, sf_dir, "orders")
-            .select(
-                "o_orderpriority",
-                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-                .cast("long")
-                .alias("cents"),
-                om.alias("om"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("om")
-            .parquet(loc)
-        )
+        src.write.mode("overwrite").partitionBy("om").parquet(loc)
     # explicit schema on readback (r7 empty-input sweep): a partitioned
     # write of an EMPTY orders table leaves no part directories, and
-    # schema inference then fails; the writer's schema is the contract
-    fact = spark.read.schema(
-        "o_orderpriority string, cents long, om string"
-    ).parquet(loc)
+    # schema inference then fails; reusing the WRITER frame's schema
+    # (the scans.py pattern) keeps reader and writer mechanically in
+    # sync — a drifting hand-written schema string would silently read
+    # absent columns as NULL instead of erroring.
+    fact = spark.read.schema(src.schema).parquet(loc)
     dim = (
         load(spark, sf_dir, "orders")
         .select(om.alias("om"))
