@@ -40,6 +40,14 @@ def main() -> int:
              "fabrication / empty-partition robustness) instead of the "
              "all-constant one",
     )
+    ap.add_argument(
+        "--nulls", action="store_true",
+        help="EXPLORATORY: NULL-injected measure columns. The crash gate "
+             "applies; value mismatches are the OPEN NULL-ordering class "
+             "(Spark ASC NULLS FIRST vs DuckDB NULLS LAST in rankings "
+             "over nullable measures) catalogued for the r8 window — "
+             "expect nonzero exit until that class closes",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
@@ -55,6 +63,11 @@ def main() -> int:
     if args.empty:
         sf_dir = build_empty_dir(args.dir + "_empty")
         expected_raise, expected_mismatch = EXPECTED_RAISE_EMPTY, EXPECTED_EMPTY_MISMATCH
+    elif args.nulls:
+        from wikidata2pg_spark.degenerate_audit import build_nulls_dir
+
+        sf_dir = build_nulls_dir(args.dir + "_nulls")
+        expected_raise = expected_mismatch = None
     else:
         sf_dir = build_degenerate_dir(args.dir)
         expected_raise = expected_mismatch = None

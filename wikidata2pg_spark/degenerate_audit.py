@@ -186,6 +186,42 @@ def build_empty_dir(root: str) -> str:
     return root
 
 
+def build_nulls_dir(root: str) -> str:
+    """EXPLORATORY variant: the all-constant fixture with NULLs injected
+    into MEASURE columns (never into keys, timestamps, categories, or
+    texts — those are ordering/grouping contracts the fixture pins).
+    Real tables carry NULL measures; this probes NULL propagation
+    through the arithmetic/fold/ranking paths of every key at once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full = build_degenerate_dir(os.path.join(root, "_schema_src"))
+    os.makedirs(root, exist_ok=True)
+    # (table, column) measure targets; every 3rd row becomes NULL
+    targets = {
+        "customer": ["c_acctbal"],
+        "supplier": ["s_acctbal"],
+        "part": ["p_retailprice"],
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "events": ["value"],
+        "documents": ["n_chars"],
+    }
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        src = pq.read_table(os.path.join(full, f"{t}.parquet"))
+        cols = {}
+        for name in src.column_names:
+            col = src[name]
+            if name in targets.get(t, ()):  # every 3rd row NULL
+                vals = col.to_pylist()
+                vals = [None if i % 3 == 0 else v for i, v in enumerate(vals)]
+                col = pa.array(vals, col.type)
+            cols[name] = col
+        pq.write_table(pa.table(cols), os.path.join(root, f"{t}.parquet"))
+    return root
+
+
 # Keys ALLOWED to raise on the EMPTY variant: each names a loud,
 # deliberate input-validation raise (a precondition, not a crash). A key
 # raising on empty input WITHOUT an entry here fails the gate.

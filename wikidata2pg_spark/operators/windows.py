@@ -552,7 +552,15 @@ def q_win_moving_median(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.round((lo + hi) / 2.0, 4).alias("med5"),
+        # n > 0 guard (r7 NULL-measure sweep): collect_list skips NULLs
+        # — exactly the aggregate semantics DuckDB's windowed median has
+        # — so an ALL-NULL frame leaves an empty array whose middle
+        # index is 0 (ANSI element_at throws); the median of no values
+        # is NULL on both sides. CaseWhen evaluates lazily, so the
+        # element_at never runs on the empty branch.
+        F.when(n > 0, F.round((lo + hi) / 2.0, 4))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("med5"),
     )
 
 
@@ -561,12 +569,19 @@ def q_win_moving_median(spark, sf_dir):
     oracle="""
 WITH w AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts, value,
-         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
+         -- list_filter mirrors Spark's collect_list NULL-skipping (r7
+         -- NULL-measure sweep: DuckDB's windowed list() KEEPS NULLs,
+         -- which would poison the fold); an all-NULL frame folds to
+         -- NULL via the len guard (list_reduce aborts on empty input)
+         list_filter(list(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           x -> x IS NOT NULL) AS lv
   FROM events WHERE user_id < 200
 )
 SELECT event_id, user_id, ts, value,
-       list_reduce(lv, (acc, x) -> acc * 0.5 + 0.5 * x) AS ewma
+       CASE WHEN len(lv) = 0 THEN NULL
+            ELSE list_reduce(lv, (acc, x) -> acc * 0.5 + 0.5 * x) END AS ewma
 FROM w
 """,
 )
@@ -592,9 +607,14 @@ def q_time_ewma(spark, sf_dir):
         .rowsBetween(-19, Window.currentRow)
     )
     arr = F.collect_list("value").over(w)
+    # try_element_at seed (r7 NULL-measure sweep): collect_list skips
+    # NULLs, so an ALL-NULL frame leaves an empty array — the seed
+    # lookup must degrade to NULL (the fold over the empty tail then
+    # returns it) instead of ANSI-throwing on index 1. Nonempty frames
+    # are untouched: element 1 exists and the fold is identical.
     ewma = F.aggregate(
         F.slice(arr, 2, 19),
-        F.element_at(arr, 1),
+        F.try_element_at(arr, F.lit(1)),
         lambda acc, x: acc * F.lit(0.5) + F.lit(0.5) * x,
     )
     return e.select("event_id", "user_id", "ts", "value", ewma.alias("ewma"))

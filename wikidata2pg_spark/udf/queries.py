@@ -22,7 +22,8 @@ from wikidata2pg_spark.tables import load
     "q_udf_python",
     oracle="""
 SELECT c_custkey,
-       CASE WHEN c_acctbal < 0 THEN 'debt'
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            WHEN c_acctbal < 0 THEN 'debt'
             WHEN c_acctbal < 5000 THEN 'ok'
             ELSE 'rich' END AS bal_class
 FROM customer
@@ -33,6 +34,11 @@ def q_udf_python(spark, sf_dir):
 
     @udf("string")
     def bal_class(b: float) -> str:
+        # NULL balance classifies as NULL on both sides (r7 NULL-measure
+        # sweep: `None < 0` raised a TypeError in the worker, while the
+        # oracle's CASE would have silently fallen through to 'rich')
+        if b is None:
+            return None
         if b < 0:
             return "debt"
         if b < 5000:
