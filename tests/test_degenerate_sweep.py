@@ -11,10 +11,12 @@ series) plus two oracle-boundary divergences (stream frontier with an
 empty side, hill_tail's fabricated row below k+1 documents) — all fixed
 and held at zero by this gate.
 
-Runtime note: one spark+duck run per key over tiny tables (~3-4 min) —
-the same order as the liveness and plan sweeps. Engine errors FAIL;
-value mismatches also fail here (the steady state is exact parity on
-the degenerate fixture — weaker than the driver gate, but drift-free).
+Runtime note: one spark+duck run per key over tiny tables per variant
+(~3-4 min each) — the same order as the liveness and plan sweeps.
+Engine errors FAIL; value mismatches also fail here (the steady state
+is exact parity on every variant — weaker than the driver gate, but
+drift-free). Three variants: all-constant, zero-row (row-fabrication
+class), NULL-injected measures (NULL-ordering class).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from wikidata2pg_spark.degenerate_audit import (
     EXPECTED_RAISE_EMPTY,
     build_degenerate_dir,
     build_empty_dir,
+    build_nulls_dir,
     run_sweep,
 )
 
@@ -38,6 +41,11 @@ def degenerate_dir(tmp_path_factory):
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
     return build_empty_dir(str(tmp_path_factory.mktemp("degen_empty")))
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    return build_nulls_dir(str(tmp_path_factory.mktemp("degen_nulls")))
 
 
 def test_degenerate_input_sweep(spark, degenerate_dir):
@@ -69,6 +77,22 @@ def test_empty_input_sweep(spark, empty_dir):
         expected_raise=EXPECTED_RAISE_EMPTY,
         expected_mismatch=EXPECTED_EMPTY_MISMATCH,
     )
+    assert not spark_errors, spark_errors
+    assert not duck_errors, duck_errors
+    assert not mismatches, mismatches
+
+
+def test_null_measure_sweep(spark, nulls_dir):
+    """NULL-injected measure variant (every 3rd measure value NULL):
+    probes NULL propagation through arithmetic, folds, and — the class
+    its first run surfaced — rankings over nullable measures, where
+    Spark's ASC default is NULLS FIRST and DuckDB's NULLS LAST. Closed
+    in r7 by the repo NULL-ordering convention: every ranking over a
+    nullable measure spells NULLS LAST on BOTH sides (asc_nulls_last /
+    explicit SQL; ordered_bucket routes NULLs to the last bucket), and
+    every order statistic (gini, KS, quantile bands, winsorized mean,
+    LTTB downsample, skyline) excludes NULL measures on BOTH sides."""
+    spark_errors, duck_errors, mismatches = run_sweep(spark, nulls_dir)
     assert not spark_errors, spark_errors
     assert not duck_errors, duck_errors
     assert not mismatches, mismatches

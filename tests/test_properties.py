@@ -127,6 +127,27 @@ def test_global_rank_matches_sorted_position(spark, vals, nparts, nbuckets):
     assert got_b == want_b
 
 
+def test_global_rank_null_keys_rank_last_not_dropped(spark):
+    """NULL order values through _global_rank: ranked AFTER every real
+    value (the repo's NULLS LAST ranking convention) and — the r7
+    NULL-measure sweep catch — NOT silently dropped. Before the fix a
+    NULL value propagated a NULL ordered_bucket pid and the inner join
+    on pid ate the row whenever the bucket span was nonzero (i.e. on
+    any non-constant data), so the regression fixture must have a real
+    value spread."""
+    from wikidata2pg_spark.operators.windows import _global_rank
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, None), (3, 10), (4, None), (5, 90)], "id long, k long"
+    )
+    rows = _global_rank(df, "k", "id", nparts=3).collect()
+    assert len(rows) == 5  # nothing dropped
+    assert {r.n_total for r in rows} == {5}
+    got = {r.id: r.global_rank for r in rows}
+    # reals by value (10, 50, 90), then NULLs last, tie-broken by id
+    assert got == {3: 1, 1: 2, 5: 3, 2: 4, 4: 5}
+
+
 @given(
     pts=st.lists(
         st.tuples(

@@ -42,11 +42,12 @@ def main() -> int:
     )
     ap.add_argument(
         "--nulls", action="store_true",
-        help="EXPLORATORY: NULL-injected measure columns. The crash gate "
-             "applies; value mismatches are the OPEN NULL-ordering class "
-             "(Spark ASC NULLS FIRST vs DuckDB NULLS LAST in rankings "
-             "over nullable measures) catalogued for the r8 window — "
-             "expect nonzero exit until that class closes",
+        help="sweep the NULL-injected-measure variant (every 3rd measure "
+             "value NULL): crash gate plus exact parity, like the other "
+             "variants. The NULL-ordering class this surfaced (Spark ASC "
+             "NULLS FIRST vs DuckDB NULLS LAST in rankings over nullable "
+             "measures) was closed in r7 — rankings spell NULLS LAST on "
+             "both sides, statistics exclude NULL measures on both sides",
     )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()

@@ -533,7 +533,8 @@ c AS (
 SELECT o_custkey, r_days, f, m_cents,
        CAST(ntile(5) OVER (ORDER BY r_days DESC, o_custkey) AS INT) AS r_score,
        CAST(ntile(5) OVER (ORDER BY f ASC, o_custkey) AS INT) AS f_score,
-       CAST(ntile(5) OVER (ORDER BY m_cents ASC, o_custkey) AS INT) AS m_score
+       CAST(ntile(5) OVER (ORDER BY m_cents ASC NULLS LAST, o_custkey) AS INT)
+         AS m_score
 FROM c
 """,
 )
@@ -1054,7 +1055,7 @@ def q_dq_chi2(spark, sf_dir):
 WITH x AS (
   SELECT l_returnflag AS flag,
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), g AS (
   SELECT flag, cents, CAST(count(*) AS BIGINT) AS cnt
   FROM x GROUP BY flag, cents
@@ -1093,12 +1094,19 @@ def q_agg_winsorized_mean(spark, sf_dir):
     cumulative window runs over the HISTOGRAM not the raw rows — the
     distributed exact-percentile shape that survives 100 TB (no
     full-table sort; the flag-partitioned window sorts only distinct
-    values). Cut points broadcast back; clamp + integer dot product."""
-    x = load(spark, sf_dir, "lineitem").select(
-        F.col("l_returnflag").alias("flag"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+    values). Cut points broadcast back; clamp + integer dot product.
+    NULL prices are excluded on BOTH sides (the aggregate-ignores-NULL
+    convention — a NULL would otherwise shift the cumulative ranks,
+    r7 NULL-measure sweep catch)."""
+    x = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
     )
     g = x.groupBy("flag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
     wf = Window.partitionBy("flag")
@@ -1146,7 +1154,7 @@ WITH x AS (
   SELECT user_id, event_id,
          CAST(floor(epoch_us(ts::TIMESTAMP) / 1000000) AS BIGINT) AS t_sec,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), p AS (
   SELECT *, t_sec - min(t_sec) OVER (PARTITION BY user_id) AS tr,
          row_number() OVER (PARTITION BY user_id
@@ -1205,11 +1213,20 @@ def q_time_downsample(spark, sf_dir):
     ~B rows/user, and a co-partitioned join back — the standard
     dashboard-rendering reduction (n points -> B) at any scale."""
     B = _DS_B
-    x = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.floor(F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("t_sec"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    # NULL-valued points are excluded on BOTH sides: a point with no
+    # value has no triangle area and cannot be plotted (r7 NULL-measure
+    # sweep catch).
+    x = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.unix_micros("ts") / F.lit(1000000))
+            .cast("long")
+            .alias("t_sec"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
     )
     wu = Window.partitionBy("user_id")
     wo = Window.partitionBy("user_id").orderBy("t_sec", "event_id")
@@ -1782,6 +1799,7 @@ WITH s AS (
   SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is1,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
   FROM events WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL
 ), g AS (
   SELECT v, CAST(sum(is1) AS BIGINT) AS d1,
          CAST(sum(1 - is1) AS BIGINT) AS d2
@@ -1820,9 +1838,12 @@ def q_agg_ks_test(spark, sf_dir):
     tie-breaks to the smallest value via max(struct(diff, -v)).
     Plan: one groupBy on cents collapses the scan to |distinct values|
     rows, the ECDF window runs on that tiny set, and totals broadcast —
-    at 100 TB the statistic costs one map-side-combinable aggregation."""
+    at 100 TB the statistic costs one map-side-combinable aggregation.
+    NULL values are excluded on BOTH sides: an ECDF is defined over
+    observed values only (r7 NULL-measure sweep catch)."""
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
     )
     s = e.select(
         F.when(F.col("event_type") == "purchase", F.lit(1))
@@ -2258,7 +2279,7 @@ _QBANDS = (10, 25, 50, 75, 90)  # nearest-rank percentiles reported
     oracle=f"""
 WITH x AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), l AS (
   SELECT event_type, list(v ORDER BY v) AS vs,
          CAST(count(*) AS BIGINT) AS n
@@ -2285,10 +2306,15 @@ def q_agg_quantile_bands(spark, sf_dir):
     the oracle indexes an ordered list (same multiset, same order
     statistic, method-independent). At 100 TB this is the exact-
     percentile plan you run when approx_percentile's error bound is
-    not acceptable."""
-    x = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    not acceptable. NULL values are excluded on BOTH sides (percentiles
+    range over observed values — r7 NULL-measure sweep catch)."""
+    x = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        )
     )
     wn = Window.partitionBy("event_type").orderBy("v")
     n = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -4027,8 +4053,8 @@ WITH c AS (
               AS BIGINT) AS cents
   FROM orders GROUP BY o_custkey
 ), d AS (
-  SELECT CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT)
-           AS decile,
+  SELECT CAST(ntile(10) OVER (ORDER BY cents DESC NULLS LAST, o_custkey)
+              AS BIGINT) AS decile,
          cents
   FROM c
 ), g AS (
@@ -4970,7 +4996,7 @@ WITH x AS (
   SELECT p_partkey,
          CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
          CAST(p_size AS BIGINT) AS size
-  FROM part
+  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
 ), m AS (
   SELECT p_partkey, price_c, size,
          max(size) OVER (ORDER BY price_c
@@ -5010,7 +5036,12 @@ def q_win_skyline(spark, sf_dir):
     definition in pytest."""
     from wikidata2pg_spark.operators.windows import ordered_bucket
 
-    p = load(spark, sf_dir, "part")
+    # Points with a NULL price or size are excluded on BOTH sides: a
+    # partially-unknown point has no dominance relation (r7 NULL-measure
+    # sweep catch).
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     x = p.select(
         "p_partkey",
         F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))

@@ -1636,7 +1636,7 @@ WITH c AS (
            PARTITION BY l_returnflag
            ORDER BY floor(l_extendedprice * 100 + 0.5), l_orderkey, l_linenumber
          ) AS i
-  FROM lineitem
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
 ), s AS (
   SELECT l_returnflag, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS t,
@@ -1661,8 +1661,12 @@ def q_agg_gini(spark, sf_dir):
     floor-rounded (int-ratio class). Plan: one per-group sort window +
     one partial-aggregable groupBy on the same key — for groups too fat
     for one task's sort, the two-pass ordered_bucket global-rank pattern
-    (q_win_ntile_distributed) is the drop-in scale path."""
-    li = load(spark, sf_dir, "lineitem")
+    (q_win_ntile_distributed) is the drop-in scale path. NULL prices are
+    excluded on BOTH sides: a NULL would otherwise shift the rank
+    weights of every real value (r7 NULL-measure sweep catch)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     from pyspark.sql import Window as W
 
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")

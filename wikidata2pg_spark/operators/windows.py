@@ -60,7 +60,8 @@ def q_win_rank_dense(spark, sf_dir):
     "q_win_ntile",
     oracle="""
 SELECT o_orderkey,
-       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+       CAST(ntile(4) OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey) AS BIGINT)
+         AS quartile
 FROM orders
 WHERE o_orderkey < 16000
 """,
@@ -70,8 +71,10 @@ def q_win_ntile(spark, sf_dir):
     # any size, so the input is filter-bounded. This key proves the ntile
     # API surface; q_win_ntile_distributed below is the scale form — the
     # same answer from a two-pass rank+count with no full-input funnel.
+    # NULL prices rank LAST, explicit on BOTH sides (Spark's ASC default
+    # is NULLS FIRST, DuckDB's NULLS LAST — r7 NULL-measure sweep catch).
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
     return o.select("o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile"))
 
 
@@ -79,7 +82,8 @@ def q_win_ntile(spark, sf_dir):
     "q_win_ntile_distributed",
     oracle="""
 SELECT o_orderkey,
-       CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+       CAST(ntile(4) OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey) AS BIGINT)
+         AS quartile
 FROM orders
 """,
 )
@@ -143,14 +147,23 @@ def ordered_bucket(df, order_col: str, nparts: int):
     any reuse decision. Equal-width is fine for roughly uniform keys; for
     heavily clustered keys substitute equi-depth cutpoints from
     percentile_approx (q_agg_bucketize_equidepth's shape) — also a pure
-    function of the data."""
+    function of the data.
+
+    NULL order values go to the LAST bucket (the repo's NULLS LAST
+    ranking convention — DuckDB's ASC default and both engines' DESC
+    default): without the explicit branch a NULL value propagates a
+    NULL pid, and the downstream inner join on pid silently DROPS the
+    row (r7 NULL-measure sweep catch). Within-bucket ordering must
+    pair this with asc_nulls_last so NULLs also sort after the
+    largest real values sharing that bucket (_global_rank does)."""
     lo, hi = f"_blo_{order_col}", f"_bhi_{order_col}"
     rng = df.agg(F.min(order_col).alias(lo), F.max(order_col).alias(hi))
     b = df.crossJoin(F.broadcast(rng))
     span = (F.col(hi) - F.col(lo)).cast("double")
     pos = (F.col(order_col) - F.col(lo)).cast("double")
     pid = (
-        F.when(span <= 0, F.lit(0))
+        F.when(F.col(order_col).isNull(), F.lit(nparts - 1))
+        .when(span <= 0, F.lit(0))
         .otherwise(
             F.least(
                 F.lit(nparts - 1).cast("long"),
@@ -169,9 +182,14 @@ def _global_rank(df, *order_cols: str, nparts: int = 8):
     prefix offsets. Output = input columns plus ``global_rank`` (1-based)
     and ``n_total``. The only single-partition stage is the P-row offsets
     window. Bucket ids are a pure function of the row (ordered_bucket) —
-    see its docstring for why physical partition ids are unsafe here."""
+    see its docstring for why physical partition ids are unsafe here.
+    NULL order values rank LAST (asc_nulls_last within the bucket +
+    ordered_bucket's last-bucket assignment — the repo convention every
+    ranking oracle spells as NULLS LAST)."""
     parts = ordered_bucket(df, order_cols[0], nparts)
-    within = Window.partitionBy("pid").orderBy(*order_cols)
+    within = Window.partitionBy("pid").orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     ranked = parts.withColumn("local_rank", F.row_number().over(within))
     counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -235,7 +253,7 @@ SELECT o_orderkey,
        floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
        floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
 FROM orders
-WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (ORDER BY o_totalprice NULLS LAST, o_orderkey)
 """,
 )
 def q_win_percent_rank_distributed(spark, sf_dir):
@@ -326,17 +344,20 @@ def q_win_moving_rows(spark, sf_dir):
 SELECT o_orderpriority, o_orderkey,
        round(sum(o_totalprice) OVER (
            PARTITION BY o_orderpriority
-           ORDER BY o_totalprice
+           ORDER BY o_totalprice NULLS LAST
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
 FROM orders
 WHERE o_orderkey < 16000
 """,
 )
 def q_win_range_frame(spark, sf_dir):
+    # NULLS LAST explicit on both sides: a NULL price's RANGE frame is
+    # then the whole partition (sum skips the NULL inputs), identical in
+    # both engines (r7 NULL-measure sweep catch).
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
+        .orderBy(F.col("o_totalprice").asc_nulls_last())
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -409,7 +430,7 @@ SELECT o_orderkey,
        floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
 FROM orders
 WHERE o_orderkey < 16000
-WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+WINDOW w AS (ORDER BY o_totalprice NULLS LAST, o_orderkey)
 """,
 )
 def q_win_percent_rank(spark, sf_dir):
@@ -426,7 +447,7 @@ def q_win_percent_rank(spark, sf_dir):
     engines compute the identical IEEE double, so the same side of every
     boundary (the q_vec_quantize rule, FIXTURES.md)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 16000)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w = Window.orderBy(F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
     return o.select(
         "o_orderkey",
         floor_round6(F.percent_rank().over(w)).alias("pr"),
@@ -812,9 +833,9 @@ def q_time_holt(spark, sf_dir):
     oracle="""
 SELECT o_custkey, o_orderkey,
        cume_dist() OVER (PARTITION BY o_custkey
-                         ORDER BY o_totalprice, o_orderkey) AS cd,
+                         ORDER BY o_totalprice NULLS LAST, o_orderkey) AS cd,
        nth_value(o_orderkey, 3) OVER (
-         PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+         PARTITION BY o_custkey ORDER BY o_totalprice NULLS LAST, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS third_order
 FROM orders
@@ -832,7 +853,9 @@ def q_win_cume_dist_nth(spark, sf_dir):
     with fewer than 3 orders. Same single custkey exchange as the rest
     of the window family."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
-    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey",
