@@ -41,15 +41,18 @@ def _packed_offsets(df, order_col: str, nparts: int):
     plus a broadcast P-row prefix of bucket subtotals. Adds ``start_off``.
     ONE implementation shared by q_pack_sequences and
     q_pipeline_pretraining so the packing math cannot drift between the
-    standalone key and the pipeline that claims to compose it."""
+    standalone key and the pipeline that claims to compose it.
+    asc_nulls_last pairs with ordered_bucket's NULL-to-last-bucket
+    routing (callers order by non-null doc ids today; enforced anyway
+    per the helper contract — r7 /code-review catch)."""
     from pyspark.sql import Window
 
     from wikidata2pg_spark.operators.windows import ordered_bucket
 
     parts = ordered_bucket(df, order_col, nparts)
-    within = Window.partitionBy("pid").orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    within = Window.partitionBy("pid").orderBy(
+        F.col(order_col).asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     psums = parts.groupBy("pid").agg(F.sum("n_toks").alias("psum"))
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = psums.select(

@@ -413,7 +413,7 @@ WITH r AS (
   FROM lineitem GROUP BY l_partkey
 ), c AS (
   SELECT l_partkey, CAST(cents AS BIGINT) AS cents,
-         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+         CAST(sum(cents) OVER (ORDER BY cents DESC NULLS LAST, l_partkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            AS cum,
          CAST(sum(cents) OVER () AS BIGINT) AS total
@@ -458,9 +458,14 @@ def q_pareto_abc(spark, sf_dir):
         .localCheckpoint()
     )
     parts = ordered_bucket(r, "neg", 8)
+    # asc_nulls_last pairs with ordered_bucket's NULL-to-last-bucket
+    # routing (its docstring contract): an all-NULL-revenue part ranks
+    # LAST — its frame then spans every real value, so cum = total,
+    # cum_share = 1.0, class C, matching the oracle's DESC NULLS LAST
+    # (r7 /code-review catch; probe-pinned in test_boundary_probes9).
     win = (
         Window.partitionBy("pid")
-        .orderBy("neg", "l_partkey")
+        .orderBy(F.col("neg").asc_nulls_last(), "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = parts.withColumn("cum_in", F.sum("cents").over(win))

@@ -219,11 +219,13 @@ def global_cumsum(df, order_cols: tuple, cols: dict, nparts: int = 16):
     order-invariant); the only single-partition stage carries the
     P-row totals (the _global_rank shape — r7, closing the
     q_win_concurrency / q_text_vocab_growth hits of the blanket
-    SinglePartition sweep in tools/plan_sweep.py)."""
+    SinglePartition sweep in tools/plan_sweep.py). NULL order values
+    rank LAST (asc_nulls_last, pairing with ordered_bucket's
+    last-bucket routing — enforced here, not left to callers)."""
     parts = ordered_bucket(df, order_cols[0], nparts)
     wloc = (
         Window.partitionBy("pid")
-        .orderBy(*order_cols)
+        .orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     loc = parts.select(
