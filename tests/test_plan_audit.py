@@ -175,6 +175,9 @@ def test_no_driver_collect_outside_documented_sites():
         # the liveness auditor collects ONE aggregated row per key — an
         # analysis gate like the oracle comparator, not an operator
         ("branch_audit.py", ".collect("),
+        # the degenerate-input sweep collects rows-only keys' results to
+        # assert they don't crash — an analysis gate, same class
+        ("degenerate_audit.py", ".collect("),
     }
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -158,9 +158,10 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tok,
-         sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_tok
+         CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+              AS BIGINT) AS cum_tok
   FROM t
 )
 SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < 3000

@@ -1327,8 +1327,8 @@ WITH toks AS (
   GROUP BY doc_id
 )
 SELECT t.doc_id,
-       sum(t.n_toks) OVER w AS tokens_cum,
-       sum(coalesce(f.nv, 0)) OVER w AS vocab_cum
+       CAST(sum(t.n_toks) OVER w AS BIGINT) AS tokens_cum,
+       CAST(sum(coalesce(f.nv, 0)) OVER w AS BIGINT) AS vocab_cum
 FROM toks t LEFT JOIN firsts f ON f.doc_id = t.doc_id
 WINDOW w AS (ORDER BY t.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
              AND CURRENT ROW)

@@ -479,8 +479,14 @@ def q_pareto_abc(spark, sf_dir):
         F.coalesce(F.sum("bucket_cents").over(woff), F.lit(0)).alias("poff"),
         F.sum("bucket_cents").over(wtot).alias("total"),
     )
+    # cum_in is NULL when every frame row in the bucket has NULL cents
+    # (an all-NULL-revenue part landing alone in the last bucket): the
+    # oracle's DESC NULLS LAST running sum carries the real total through
+    # that row, so coalesce to 0 and let poff supply it. When the INPUT
+    # is all-NULL, total is NULL and cum_share stays NULL on both sides
+    # (ADVICE r7; probe in test_boundary_probes9).
     c = ranked.join(F.broadcast(offs), "pid").withColumn(
-        "cum", F.col("poff") + F.col("cum_in")
+        "cum", F.col("poff") + F.coalesce(F.col("cum_in"), F.lit(0))
     )
     share = (
         F.floor(
@@ -2950,8 +2956,8 @@ WITH pts AS (
            AS conc
   FROM pts
 )
-SELECT max(conc) AS peak_concurrency,
-       -(max(row(conc, -t)))[2] AS peak_at_us,
+SELECT CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(-(max(row(conc, -t)))[2] AS BIGINT) AS peak_at_us,
        CAST(count(*) AS BIGINT) AS n_points
 FROM c
 """,
@@ -5055,7 +5061,11 @@ def q_win_skyline(spark, sf_dir):
         F.col("p_size").cast("long").alias("size"),
     )
     parts = ordered_bucket(x, "price_c", 16)
-    wloc = Window.partitionBy("pid").orderBy("price_c")
+    # asc_nulls_last honors the ordered_bucket contract (NULLs route to
+    # the last bucket AND sort last within it) independently of the
+    # isNotNull filter above — if that filter is ever relaxed, the
+    # within-bucket order still agrees with the oracle (ADVICE r7).
+    wloc = Window.partitionBy("pid").orderBy(F.col("price_c").asc_nulls_last())
     m = parts.select(
         "pid",
         "p_partkey",
