@@ -191,3 +191,28 @@ def test_no_driver_collect_outside_documented_sites():
                 if pat in line and (rel, pat) not in allowed:
                     bad.append(f"{rel}:{i}: {line.strip()[:100]}")
     assert not bad, bad
+
+
+def test_oracle_duck_types_driver_safe():
+    """Static driver-hash type gate over EVERY registered oracle (the r7
+    enabling fix): DuckDB binds each oracle against the sf0.01 views
+    without executing it, and no result column may carry a type the
+    driver's value hash renders unlike the Spark twin while fetchall()
+    coerces them equal — HUGEINT (the proven-red r7 windowed-sum
+    promotion), DECIMAL, FLOAT. INTEGER-vs-BIGINT width and UBIGINT are
+    proven safe by attested rows (q_win_ntile r6; q_wd_parse_entity /
+    q_wd_sitelinks r3). Needs no Spark session, so it runs everywhere
+    the unit suite runs; tools/hash_type_sweep.py is the CLI twin, and
+    oracle.compare enforces the same gate dynamically on every mirror /
+    driver_sim run."""
+    from wikidata2pg_spark.oracle import duck_connection, duck_type_hazards
+    from wikidata2pg_spark.registry import all_oracles
+
+    con = duck_connection("/root/testdata/sf0.01")
+    bad = {}
+    for k, sql in all_oracles().items():
+        rel = con.sql(sql)
+        hits = duck_type_hazards(list(rel.columns), list(rel.types))
+        if hits:
+            bad[k] = hits
+    assert not bad, f"driver-divergent oracle result types: {bad}"

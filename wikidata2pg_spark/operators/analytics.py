@@ -1072,7 +1072,7 @@ WITH x AS (
   FROM x GROUP BY flag, cents
 ), w AS (
   SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
-            sum(cnt) OVER (PARTITION BY flag) AS tot
+            CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS tot
   FROM g
 ), b AS (
   SELECT flag, any_value(tot) AS tot,
@@ -1726,7 +1726,7 @@ WITH x AS (
               ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
   FROM events WHERE event_type IN ('purchase', 'error')
 ), c0 AS (
-  SELECT *, sum(v) OVER w AS cum
+  SELECT *, CAST(sum(v) OVER w AS BIGINT) AS cum
   FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), c AS (
@@ -2095,8 +2095,9 @@ WITH d AS (
 )
 SELECT act.day, act.n_active,
        coalesce(new_.n_new, 0) AS n_new,
-       sum(coalesce(new_.n_new, 0)) OVER (ORDER BY act.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users,
+       CAST(sum(coalesce(new_.n_new, 0)) OVER (ORDER BY act.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users,
        floor(CAST(coalesce(new_.n_new, 0) AS DOUBLE) * 10000
              / act.n_active + 0.5) / 10000 AS pct_new
 FROM act LEFT JOIN new_ ON act.day = new_.day
@@ -5265,7 +5266,8 @@ def mann_kendall_frame(m):
 WITH d AS (
   SELECT CAST(floor(epoch_us(o_orderdate::TIMESTAMP) / 86400000000)
               AS BIGINT) AS day,
-         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
   FROM orders GROUP BY 1
 ), l AS (
   SELECT day, v, lag(v) OVER (ORDER BY day) AS prev FROM d

@@ -107,6 +107,41 @@ def _count_negzero(canon_rows: list[tuple]) -> int:
     return n
 
 
+# DuckDB result types the driver's value hash renders UNLIKE the Spark
+# column they mirror, while fetchall() coerces them to the same Python
+# value the Spark side produces — i.e. the classes this mirror is
+# structurally blind to without a type gate (r7: three oracles left a
+# windowed sum(BIGINT) uncast, DuckDB promoted to HUGEINT, the mirror
+# passed on coerced ints, the driver hashed red). Width-only differences
+# (INTEGER vs BIGINT) are proven safe by attested rows (q_win_ntile r6);
+# these are not — with one more proven-safe class: UBIGINT hash-passed
+# the r3 driver (q_wd_parse_entity / q_wd_sitelinks carried
+# json_array_length's UBIGINT in their attested results), so only
+#   HUGEINT/UHUGEINT (sum promotion — the proven-red r7 class),
+#   DECIMAL (Python Decimal), FLOAT (float32 repr drift)
+# remain flagged.
+_DUCK_TYPE_HAZARDS = ("HUGEINT", "DECIMAL", "FLOAT")
+
+
+def duck_type_hazards(cols: list, types: list) -> list[str]:
+    """Columns whose DuckDB type (recursively, via the type string — LIST/
+    STRUCT elements included) contains a driver-hash hazard class."""
+    out = []
+    for c, t in zip(cols, types):
+        ts = str(t).upper()
+        hits = [h for h in _DUCK_TYPE_HAZARDS if h in ts]
+        if hits:
+            out.append(f"{c}: {ts}")
+    return out
+
+
+def spark_type_hazards(spark_df) -> list[str]:
+    """Spark output columns whose type the driver renders unlike the
+    plain int/float the oracle side produces (DecimalType is the only
+    reachable class — no key should emit it)."""
+    return [f"{c}: {t}" for c, t in spark_df.dtypes if "decimal" in t.lower()]
+
+
 def compare(name: str, spark_df, con, sql: str, max_diff_show: int = 5) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
@@ -146,6 +181,23 @@ def compare(name: str, spark_df, con, sql: str, max_diff_show: int = 5) -> list[
         errors.append(
             f"{name}: HAZARD signed zero emitted (spark={nz_s} duck={nz_d} cells); "
             "use the floor2 pattern or a +0.0 guard on the producing expression"
+        )
+    # Driver-hash type gate (permanent, VERDICT r7 task 2): fetchall()
+    # coerces HUGEINT→int / DECIMAL→Decimal, so value equality above says
+    # nothing about the driver's TYPE-sensitive hash for those classes.
+    # Cast the oracle column (usually `CAST(sum(...) AS BIGINT)`) rather
+    # than loosening this gate.
+    dt_bad = duck_type_hazards(d_cols, list(d_rel.types))
+    if dt_bad:
+        errors.append(
+            f"{name}: HAZARD driver-divergent DuckDB result type(s) {dt_bad}; "
+            "cast in the oracle SQL (the r7 uncast-windowed-sum class)"
+        )
+    st_bad = spark_type_hazards(spark_df)
+    if st_bad:
+        errors.append(
+            f"{name}: HAZARD Spark decimal output column(s) {st_bad}; "
+            "cast to bigint/double before returning"
         )
     return errors
 
