@@ -151,6 +151,29 @@ def materialize_with_deadline(spark, df, group: str, remaining_s: float) -> None
         timer.cancel()
 
 
+def stage_job_counts(spark, names, tag: str, rep: int = 0) -> dict[str, dict]:
+    """Per-query job/stage counts, read back from the status tracker for
+    the job group a TIMED rep already ran under (no extra execution).
+    Stage ids include skipped (reused) stages, so this is an upper bound
+    on scheduled stages — the honest direction for a fixed-cost estimate.
+    Used by the scaled block's cost decomposition (VERDICT r7 task 6):
+    fixed_ms ~= stages x the co-measured empty-job floor."""
+    tracker = spark.sparkContext.statusTracker()
+    out: dict[str, dict] = {}
+    for name in names:
+        for group in (f"{tag}-{name}-{rep}", f"{tag}-{name}-warm"):
+            jids = tracker.getJobIdsForGroup(group)
+            if jids:
+                stages: set[int] = set()
+                for j in jids:
+                    info = tracker.getJobInfo(j)
+                    if info:
+                        stages.update(info.stageIds)
+                out[name] = {"jobs": len(jids), "stages": len(stages)}
+                break
+    return out
+
+
 def bench_queries():
     """name -> callable(spark, sf_dir) -> DataFrame, one per BASELINE.md
     row: the two multi-operator headline plans, the batch tumbling/JSON
@@ -482,6 +505,7 @@ def main() -> None:
                 "total_s": round(sum(s_timings.values()), 4),
                 "lineitem_scan_tasks": scan_tasks,
                 "excluded": _SCALED_EXCLUDED,
+                "sched": stage_job_counts(spark, list(s_timings), "scaled"),
             }
             if s_errors:
                 block["errors"] = s_errors
@@ -551,7 +575,79 @@ def main() -> None:
         pass
     if errors:
         result["errors"] = errors
-    print(json.dumps(result), flush=True)
+    # Scaled-row fixed-cost decomposition (VERDICT r7 task 6): every Spark
+    # stage pays ~the co-measured empty-job floor in pure scheduling that
+    # embedded DuckDB never pays; fixed_ms_est = stages x floor, and
+    # ratio_adj_4t is the per-row ratio with that estimate subtracted —
+    # published NEXT TO the raw ratio, never instead of it.
+    sc_block = result.get("scaled")
+    ej = (result.get("calibration") or {}).get("spark_empty_job_ms")
+    if sc_block and ej and sc_block.get("sched") and sc_block.get("duckdb_ms_4threads"):
+        fixed, adj = {}, {}
+        for n, counts in sc_block["sched"].items():
+            fixed[n] = round(counts["stages"] * ej, 1)
+            d = sc_block["duckdb_ms_4threads"].get(n)
+            s_ms = sc_block["queries"].get(n)
+            if d and s_ms is not None:
+                adj[n] = round(max(s_ms * 1000 - fixed[n], 0.0) / d, 2)
+        sc_block["fixed_ms_est"] = fixed
+        sc_block["ratio_adj_4t"] = adj
+    # The driver records only the LAST 2000 chars of stdout (BENCH_r07
+    # lesson: the full line outgrew the capture and parsed as null). Full
+    # result -> sidecar file; stdout gets ONE compact line.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except Exception:
+        pass  # the stdout line is the contract; the sidecar is best-effort
+    print(json.dumps(compact_result(result), separators=(",", ":")), flush=True)
+
+
+# Driver stdout-tail capture size; the compact line must fit WITH margin.
+DRIVER_TAIL_CHARS = 2000
+COMPACT_BUDGET = 1900
+
+
+def compact_result(result: dict) -> dict:
+    """Shrink the full bench result to a stdout line that fits the
+    driver's 2000-char tail capture: primary per-query medians + total
+    stay verbatim (the headline record), everything else collapses to
+    totals/ratios, and the full structure lives in BENCH_DETAIL.json.
+    Degrades by dropping the least-essential blocks if somehow still
+    over budget (pinned in tests/test_bench_unit.py)."""
+    out = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf") if k in result}
+    mf = result.get("multifile")
+    if mf:
+        out["multifile"] = {
+            "total_s": mf.get("total_s"),
+            "lineitem_scan_tasks": mf.get("lineitem_scan_tasks"),
+        }
+    sc_block = result.get("scaled")
+    if sc_block:
+        out["scaled"] = {
+            k: sc_block[k]
+            for k in ("factor", "total_s", "lineitem_scan_tasks",
+                      "ratio_vs_duckdb_4t", "ratio_adj_4t")
+            if k in sc_block
+        }
+    cal = result.get("calibration") or {}
+    out["calibration"] = {
+        k: cal[k] for k in ("duckdb_q1_ms", "spark_empty_job_ms") if k in cal
+    }
+    for k in ("errors", "multifile_error", "scaled_error"):
+        if k in result:
+            out[k] = str(result[k])[:150]
+    out["detail"] = "BENCH_DETAIL.json"
+    # Last-resort shrink ladder — never emit an unparseable over-long line.
+    for drop in ("ratio_adj_4t", "ratio_vs_duckdb_4t"):
+        if len(json.dumps(out, separators=(",", ":"))) <= COMPACT_BUDGET:
+            break
+        out.get("scaled", {}).pop(drop, None)
+    if len(json.dumps(out, separators=(",", ":"))) > COMPACT_BUDGET:
+        out.pop("scaled", None)
+        out.pop("multifile", None)
+    return out
 
 
 if __name__ == "__main__":

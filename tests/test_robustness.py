@@ -4,6 +4,7 @@ and the size-derived similarity block formulas (VERDICT r3 items 1/4/7)."""
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import time
@@ -693,3 +694,66 @@ def test_scale_fixture_tables_disjoint_keys_and_row_groups(tmp_path):
     assert set(pc.unique(o.column("o_custkey")).to_pylist()) <= cks
     # multiple row groups per output file
     assert pq.ParquetFile(f"{tmp_path}/lineitem.parquet").metadata.num_row_groups >= 3
+
+
+def test_bench_compact_line_fits_driver_tail_capture():
+    """BENCH_r07 regression: the driver records only the last 2000 chars
+    of bench stdout, and r7's full-result line outgrew it (parsed: null —
+    the round's primary numbers were lost). The compact line must carry
+    the primary medians verbatim, the scaled/multifile summaries, and fit
+    with margin; the full structure goes to BENCH_DETAIL.json."""
+    qnames = [
+        "q1_pricing", "join3_top10", "topk_per_group", "rollup",
+        "asof_join", "tumbling_1h", "json_events_agg", "tfidf",
+        "cosine_topk",
+    ]
+    queries = {n: 0.1234 for n in qnames}
+    scaled_q = {n: 1.2345 for n in qnames if n != "cosine_topk"}
+    full = {
+        "metric": "bench_total_median_s",
+        "value": 2.9876,
+        "unit": "sec",
+        "queries": queries,
+        "sf": "/root/testdata/sf0.1",
+        "multifile": {
+            "queries": queries,
+            "total_s": 2.5,
+            "lineitem_scan_tasks": 8,
+            "n_files_per_table": 8,
+        },
+        "scaled": {
+            "factor": 10,
+            "rows": {"lineitem": 6001215},
+            "queries": scaled_q,
+            "total_s": 5.12,
+            "lineitem_scan_tasks": 54,
+            "excluded": {"cosine_topk": "x" * 300},
+            "sched": {n: {"jobs": 3, "stages": 7} for n in scaled_q},
+            "duckdb_ms_4threads": {n: 123.45 for n in scaled_q},
+            "duckdb_ms_equal_cores": {n: 61.7 for n in scaled_q},
+            "ratio_vs_duckdb_4t": {n: 12.34 for n in scaled_q},
+            "ratio_adj_4t": {n: 11.22 for n in scaled_q},
+            "fixed_ms_est": {n: 133.0 for n in scaled_q},
+            "note": "y" * 500,
+        },
+        "calibration": {f"duckdb_{n}_ms": 99.9 for n in qnames}
+        | {"duckdb_q1_ms": 44.8, "spark_empty_job_ms": 19.0},
+        "errors": {"tfidf": "z" * 400},
+    }
+    compact = bench_mod.compact_result(full)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= bench_mod.COMPACT_BUDGET, len(line)
+    assert compact["queries"] == queries  # primary medians verbatim
+    assert compact["value"] == 2.9876
+    assert compact["scaled"]["ratio_vs_duckdb_4t"]
+    assert compact["scaled"]["ratio_adj_4t"]
+    assert compact["calibration"] == {
+        "duckdb_q1_ms": 44.8, "spark_empty_job_ms": 19.0,
+    }
+    assert compact["detail"] == "BENCH_DETAIL.json"
+    # pathological inflation still degrades to a parseable under-budget line
+    full["scaled"]["ratio_vs_duckdb_4t"] = {f"q{i}": 1.0 for i in range(400)}
+    full["scaled"]["ratio_adj_4t"] = {f"q{i}": 1.0 for i in range(400)}
+    compact2 = bench_mod.compact_result(full)
+    assert len(json.dumps(compact2, separators=(",", ":"))) <= bench_mod.COMPACT_BUDGET
+    assert compact2["queries"] == queries
