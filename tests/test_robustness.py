@@ -370,20 +370,20 @@ def test_pipeline_multimodal_dedup_and_gate(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND7_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND8_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND7_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND8_PRIORITY
 
     qs = list(M.queries())
-    pinned = [k for k in _ROUND7_PRIORITY if k in qs]
+    pinned = [k for k in _ROUND8_PRIORITY if k in qs]
     assert len(pinned) == 50  # window exactly full — no wasted slot
     assert qs[: len(pinned)] == pinned
     # the 50-key window must contain EVERY key that had no driver row in
-    # rounds 1-6 (the rest of the never-tested backlog stays on the
-    # deferral list below and fills the r8/r9/r10 rotations)
+    # rounds 1-7 (the rest of the never-tested backlog stays on the
+    # deferral list below and fills the r9/r10 rotations)
     import glob
     import json
     import os
@@ -391,24 +391,17 @@ def test_driver_window_ordering_is_pinned():
     window = set(qs[:50])
     tested: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-6].json")):
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-7].json")):
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
-    # never-tested key accidentally missing from _ROUND7_PRIORITY would
+    # never-tested key accidentally missing from _ROUND8_PRIORITY would
     # pass silently). Every such key must be in the window or on the
     # explicit post-freeze deferral list that leads r7's rotation.
-    # Never-driver-tested backlog after packing the r7 window (113 keys,
-    # down from 163 after r6 — key additions are FROZEN per VERDICT r6
-    # task 2; these fill r8 (50) + r9 (50) + r10 (13), subtle-machinery
-    # and oldest first)
+    # Never-driver-tested backlog after packing the r8 window (77 keys,
+    # down from 113 after r7 — key additions are FROZEN per VERDICT r7
+    # task 5; these fill r9 (50) + r10 (27), oldest first)
     post_freeze_deferred: set[str] = {
-        "q_funnel_time_to_convert",
-        "q_except_all",
-        "q_intersect_all",
-        "q_fn_date2",
-        "q_agg_bitmap_distinct",
-        "q_time_ohlc",
         "q_sample_balanced",
         "q_win_ratio_to_report",
         "q_agg_iqr_outliers",
@@ -422,44 +415,32 @@ def test_driver_window_ordering_is_pinned():
         "q_time_twa",
         "q_dq_benford",
         "q_dq_referential",
-        "q_pareto_abc",
-        "q_orders_rfm",
-        "q_agg_corr_matrix",
         "q_join_asof_forward",
         "q_text_lexical_diversity",
-        "q_text_zipf",
         "q_agg_log_histogram",
         "q_time_anomaly",
         "q_attribution_last_touch",
         "q_retrieval_mmr",
         "q_time_cusum",
         "q_dq_chi2",
-        "q_agg_winsorized_mean",
         "q_mix_temperature",
         "q_orders_basket_rules",
         "q_text_collocations",
         "q_time_holt",
-        "q_time_downsample",
         "q_graph_kcore",
         "q_time_acf",
         "q_cohort_ltv",
-        "q_agg_spearman",
         "q_agg_theilsen",
         "q_dedup_cdc_chunks",
-        "q_ab_delta_method",
         "q_join_dpp",
         "q_survival_km",
         "q_graph_link_predict",
-        "q_time_drawdown",
         "q_vec_binary_hamming",
-        "q_agg_ks_test",
         "q_orders_reorder_interval",
         "q_seq_topk_paths",
         "q_text_ngram_novelty",
-        "q_agg_mannwhitney",
         "q_graph_bfs",
         "q_retrieval_recall_eval",
-        "q_agg_growth_curve",
         "q_time_seasonal_naive",
         "q_graph_random_walk",
         "q_dq_duplicate_keys",
@@ -467,33 +448,19 @@ def test_driver_window_ordering_is_pinned():
         "q_graph_modularity",
         "q_graph_clustering_coeff",
         "q_sample_time_split",
-        "q_agg_quantile_bands",
         "q_join_fanout_audit",
         "q_feature_point_in_time",
         "q_dedup_minhash_fidelity",
-        "q_graph_degree_powerlaw",
         "q_orders_abc_migration",
-        "q_graph_assortativity",
         "q_agg_hhi",
         "q_orders_fulfillment_latency",
-        "q_agg_weighted_median",
         "q_sample_negatives",
-        "q_agg_runs_test",
-        "q_time_mom_growth",
-        "q_agg_ols2",
-        "q_text_burstiness",
         "q_join_asof_nearest",
-        "q_time_volatility",
         "q_agg_smoothed_rate",
-        "q_time_lag_corr",
         "q_win_rbo",
-        "q_agg_gains_table",
-        "q_agg_welch_ttest",
-        "q_dq_cramers_v",
         "q_time_decompose",
         "q_retrieval_ndcg",
         "q_agg_bootstrap_ci",
-        "q_win_cume_dist_nth",
         "q_fn_struct",
         "q_dq_srm",
         "q_vec_truncation_fidelity",
@@ -505,16 +472,12 @@ def test_driver_window_ordering_is_pinned():
         "q_agg_trimmed_mean",
         "q_time_forecast_accuracy",
         "q_time_mann_kendall",
-        "q_time_control_chart",
         "q_win_rolling_corr",
         "q_text_vocab_richness",
-        "q_retrieval_mrr",
         "q_multimodal_image_tiles",
-        "q_time_strength",
         "q_agg_hodges_lehmann",
         "q_dq_freshness",
         "q_time_ljung_box",
-        "q_text_hill_tail",
         "q_text_bigram_entropy",
     }
     never = [k for k in qs if k not in tested]

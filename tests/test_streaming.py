@@ -126,11 +126,12 @@ def test_transform_with_state_final_equals_batch(spark):
     applyInPandasWithState: typed ValueState/MapState/ListState, timers,
     TTL) — same converged-state contract as q_stream_stateful_final, with
     a MapState tracking per-event-type counts. The Python state-server
-    protocol needs google.protobuf, which this container does not ship
-    (and installs are banned), so the test self-gates: it runs — and the
-    semantics are asserted — wherever protobuf exists; here it documents
-    the exact working shape. applyInPandasWithState (T6, no protobuf
-    dependency) remains the in-contract stateful operator."""
+    protocol needs google.protobuf; conftest._light_protobuf_gate shims
+    the google-cloud-sdk's bundled runtime onto PYTHONPATH (workers
+    import it too), so this runs for real in-container since r8. The
+    importorskip stays for environments with neither protobuf nor the
+    SDK. applyInPandasWithState (T6, no protobuf dependency) remains the
+    in-contract stateful operator."""
     import pytest
 
     pytest.importorskip("google.protobuf")

@@ -48,63 +48,64 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # 8 post-r5-edit keys, and 34 stale r1 rows — all 50 hash-green in
 # CORRECTNESS_r06.json, bringing the cumulative driver ledger to 196/359.
 
-# Round-7 window (VERDICT r6 tasks 1/6 + ADVICE r6). After r6, 163
-# registered keys had NO driver row (the post_freeze_deferred list in
-# tests/test_robustness.py); the r7-r9 rotation drains that backlog at 50
-# keys/round with key additions FROZEN (VERDICT r6 task 2). Five tiers,
-# exactly 50 keys, all never-driver-tested:
-#   A (4)  — keys MODIFIED this round, so driver evidence lands on the
-#            new code (mirror-green != driver-green, r3/r5 lesson):
-#            q_win_skyline (distributed two-pass rewrite),
-#            q_time_extreme_value (sample-sd fit, ADVICE r6), and the
-#            two further full-table global windows the new blanket
-#            SinglePartition sweep caught and global_cumsum rewrote —
-#            q_win_concurrency, q_text_vocab_growth (review catch:
-#            the tier-A principle applies to them identically).
-#   B (16) — the full TPC-H suite (operators/tpch.py): headline parity
-#            claims resting entirely on the local mirror until now.
-#   C (13) — subtle-determinism machinery, where a driver row is worth
-#            the most: the ordered float folds (mutual_info, kl_drift,
-#            peak_hours, anova_eta, psi, jsd_sources), the fixed-point
-#            iterative family (cluster_kmeans, vec_pq_adc,
-#            vec_pca_power/project, vec_drift), and the
-#            watermark-frontier stream-stream outer joins.
-#   D (2)  — the composed pipelines (q_pipeline_neardup,
-#            q_pipeline_multimodal): each certifies a whole family
-#            end-to-end (VERDICT r6 task 6).
-#   E (15) — the OLDEST post-freeze additions (r6 mid-round batch, in
-#            registration order; the last two rotate to r8 to make room
-#            for tier A's review-catch additions).
-# The remaining 113 never-tested keys stay on post_freeze_deferred
-# (tests/test_robustness.py) and fill r8 (50) + r9 (50) + r10 (13).
-_ROUND7_PRIORITY = (
-    # --- tier A: modified this round (4) ---
-    "q_win_skyline", "q_time_extreme_value",
-    "q_win_concurrency", "q_text_vocab_growth",
-    # --- tier B: TPC-H suite (16) ---
-    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q4", "q_sql_tpch_q5",
-    "q_sql_tpch_q6", "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q10",
-    "q_sql_tpch_q13", "q_sql_tpch_q14", "q_sql_tpch_q15", "q_sql_tpch_q16",
-    "q_sql_tpch_q17", "q_sql_tpch_q18", "q_sql_tpch_q19", "q_sql_tpch_q22",
-    # --- tier C: ordered folds, fixed-point, watermark-frontier (13) ---
-    "q_agg_mutual_info", "q_dq_kl_drift", "q_time_peak_hours",
-    "q_agg_anova_eta", "q_dq_psi", "q_text_jsd_sources",
-    "q_cluster_kmeans", "q_vec_pq_adc", "q_vec_pca_power",
-    "q_vec_pca_project", "q_vec_drift",
-    "q_stream_stream_left", "q_stream_full_outer",
-    # --- tier D: composed pipelines (2) ---
-    "q_pipeline_neardup", "q_pipeline_multimodal",
-    # --- tier E: oldest post-freeze additions (15) ---
-    "q_text_bm25", "q_sample_token_budget", "q_agg_grouping_id",
-    "q_agg_regression", "q_retrieval_hybrid_rrf", "q_agg_skewkurt",
-    "q_funnel_conversion", "q_cohort_retention", "q_join_bloom_prefilter",
-    "q_agg_mad", "q_wd_dump_diff", "q_agg_gini", "q_time_ewma",
-    "q_text_dupspans", "q_agg_entropy",
+# Round-8 window (VERDICT r7 tasks 1/4 + the r7 close's re-prove
+# addendum in .claude/skills/verify/SKILL.md). After r7's 50/50-rows
+# window the cumulative ledger stands at 246/359 attested; the r8-r10
+# rotation keeps draining the never-tested backlog at 50 keys/round with
+# key additions still FROZEN (VERDICT r7 task 5). Three tiers, exactly
+# 50 keys:
+#   A (14) — RE-PROVES: attested keys whose code or oracle changed after
+#            their latest driver row (mirror-green != driver-green,
+#            r3/r5 lesson). The three r7 hash-FAILs with the HUGEINT
+#            oracle casts fixed this round (q_win_concurrency,
+#            q_text_vocab_growth, q_sample_token_budget); the nine keys
+#            the r7 close modified after their rows landed (q_agg_stats
+#            division guards, q_udf_python oracle NULL edit, the seven
+#            NULL-ordering-close window/pack keys); q_win_skyline
+#            (asc_nulls_last contract fix this round, ADVICE r7) and
+#            q_win_moving_median (r5 row, NULLS-sweep guard in late r7).
+#   B (28) — never-tested keys whose code/oracle was MODIFIED since the
+#            backlog pre-proof, so driver evidence lands on current
+#            code: the 12 degenerate-division-audit keys, the 4
+#            degenerate-sweep crash fixes (degree_powerlaw, strength,
+#            hill_tail, mrr), the 9 NULL-ordering-close deferred keys
+#            (cume_dist_nth, orders_rfm, gains_table, ks_test,
+#            quantile_bands, winsorized_mean, downsample, zipf,
+#            pareto_abc — the last also re-modified this round per
+#            ADVICE r7), and the 3 further uncast-HUGEINT oracles this
+#            round's type sweep caught (growth_curve, control_chart,
+#            drawdown).
+#   C (8)  — the OLDEST never-tested backlog: the two that rotated out
+#            of r7 tier E plus the head of the deferral list.
+# The remaining 77 never-tested keys stay on post_freeze_deferred
+# (tests/test_robustness.py) and fill r9 (50) + r10 (27).
+_ROUND8_PRIORITY = (
+    # --- tier A: re-proves on changed code/oracles (14) ---
+    "q_win_concurrency", "q_text_vocab_growth", "q_sample_token_budget",
+    "q_agg_stats", "q_udf_python", "q_win_ntile", "q_win_ntile_distributed",
+    "q_win_percent_rank", "q_win_percent_rank_distributed",
+    "q_win_range_frame", "q_pack_sequences", "q_pipeline_pretraining",
+    "q_win_skyline", "q_win_moving_median",
+    # --- tier B: never-tested, modified since pre-proof (28) ---
+    "q_agg_corr_matrix", "q_graph_assortativity", "q_ab_delta_method",
+    "q_agg_spearman", "q_agg_mannwhitney", "q_agg_runs_test", "q_agg_ols2",
+    "q_time_volatility", "q_time_lag_corr", "q_agg_welch_ttest",
+    "q_dq_cramers_v", "q_text_burstiness",
+    "q_graph_degree_powerlaw", "q_time_strength", "q_text_hill_tail",
+    "q_retrieval_mrr",
+    "q_win_cume_dist_nth", "q_orders_rfm", "q_agg_gains_table",
+    "q_agg_ks_test", "q_agg_quantile_bands", "q_agg_winsorized_mean",
+    "q_time_downsample", "q_text_zipf", "q_pareto_abc",
+    "q_agg_growth_curve", "q_time_control_chart", "q_time_drawdown",
+    # --- tier C: oldest never-tested backlog (8) ---
+    "q_time_mom_growth", "q_agg_weighted_median", "q_funnel_time_to_convert",
+    "q_except_all", "q_intersect_all", "q_fn_date2", "q_agg_bitmap_distinct",
+    "q_time_ohlc",
 )
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND7_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND8_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
