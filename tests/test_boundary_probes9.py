@@ -76,3 +76,56 @@ def test_pareto_abc_all_null_revenue_part_oracle_corun(
         all_oracles()["q_pareto_abc"],
     )
     assert not errors, errors
+
+
+@pytest.fixture(scope="module")
+def constant_revenue_null_part_dir(tmp_path_factory):
+    # ADVICE r7 corner: every REAL part has EQUAL revenue, so
+    # ordered_bucket's span is <= 0 and all real parts land in bucket 0 —
+    # the all-NULL part then sits ALONE in the last bucket and its
+    # within-bucket running sum is NULL (no real cents in its frame). In
+    # the probe above the NULL part shares its bucket with the smallest
+    # real part, so that frame sum stays non-NULL and the pre-fix code
+    # passed; THIS fixture reaches the uncovered branch where cum must be
+    # poff + coalesce(cum_in, 0) to report cum = total / share 1.0.
+    rows = [(1, 100.00), (2, 100.00), (3, 100.00), (4, None), (4, None)]
+    root = tmp_path_factory.mktemp("const_rev_null_part")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+    }), str(root / "lineitem.parquet"))
+    return str(root)
+
+
+def test_pareto_abc_constant_revenue_with_all_null_part(
+    spark, constant_revenue_null_part_dir
+):
+    got = {r.l_partkey: r for r in
+           all_queries()["q_pareto_abc"](spark, constant_revenue_null_part_dir)
+           .collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # equal revenues tie-break on partkey: 10000 / 20000 / 30000 of 30000
+    assert got[1].cum_share == 0.333333 and got[1].abc_class == "A"
+    assert got[2].cum_share == 0.666667 and got[2].abc_class == "A"
+    assert got[3].cum_share == 1.0 and got[3].abc_class == "C"
+    # the all-NULL part alone in the last bucket: cum = poff + 0 = total
+    assert got[4].revenue_cents is None
+    assert got[4].cum_share == 1.0 and got[4].abc_class == "C"
+
+
+def test_pareto_abc_constant_revenue_null_part_oracle_corun(
+    spark, constant_revenue_null_part_dir
+):
+    con = duckdb.connect()
+    con.sql("SET TimeZone = 'UTC'")
+    con.sql(
+        "CREATE OR REPLACE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{constant_revenue_null_part_dir}/lineitem.parquet')"
+    )
+    errors = compare(
+        "q_pareto_abc",
+        all_queries()["q_pareto_abc"](spark, constant_revenue_null_part_dir),
+        con,
+        all_oracles()["q_pareto_abc"],
+    )
+    assert not errors, errors
