@@ -615,7 +615,8 @@ def compact_result(result: dict) -> dict:
     stay verbatim (the headline record), everything else collapses to
     totals/ratios, and the full structure lives in BENCH_DETAIL.json.
     Degrades by dropping the least-essential blocks if somehow still
-    over budget (pinned in tests/test_bench_unit.py)."""
+    over budget (pinned in tests/test_robustness.py::
+    test_bench_compact_line_fits_driver_tail_capture)."""
     out = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf") if k in result}
     mf = result.get("multifile")
     if mf:

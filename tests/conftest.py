@@ -41,16 +41,24 @@ def _light_protobuf_gate() -> None:
     if not os.path.isdir(src):
         return
     import shutil
+    import tempfile
 
     shim = "/tmp/wikidata2pg_spark/pbshim"
-    pkg = os.path.join(shim, "google")
-    marker = os.path.join(shim, "_COMPLETE")
-    if not os.path.exists(marker):
-        shutil.rmtree(shim, ignore_errors=True)
+    if not os.path.exists(os.path.join(shim, "_COMPLETE")):
+        # Build into a private tmp dir, then one atomic rename: concurrent
+        # pytest sessions must never observe (or race) a half-built shim.
+        os.makedirs(os.path.dirname(shim), exist_ok=True)
+        build = tempfile.mkdtemp(dir=os.path.dirname(shim))
+        pkg = os.path.join(build, "google")
         os.makedirs(pkg)
         shutil.copytree(src, os.path.join(pkg, "protobuf"))
         with open(os.path.join(pkg, "__init__.py"), "w") as fh:
-            fh.write("# shim package: exposes ONLY google.protobuf\n")
+            # pkgutil-style namespace extension: a future real google.*
+            # distribution on sys.path stays importable next to the shim
+            fh.write(
+                "__path__ = __import__('pkgutil').extend_path("
+                "__path__, __name__)\n"
+            )
         rv = os.path.join(pkg, "protobuf", "runtime_version.py")
         with open(rv) as fh:
             body = fh.read()
@@ -58,8 +66,12 @@ def _light_protobuf_gate() -> None:
         body = body.replace("OSS_SUFFIX = '-dev'", "OSS_SUFFIX = ''")
         with open(rv, "w") as fh:
             fh.write(body)
-        with open(marker, "w") as fh:
+        with open(os.path.join(build, "_COMPLETE"), "w") as fh:
             fh.write("ok")
+        try:
+            os.rename(build, shim)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race: theirs won
     sys.path.append(shim)
     existing = os.environ.get("PYTHONPATH", "")
     if shim not in existing.split(os.pathsep):
@@ -68,7 +80,13 @@ def _light_protobuf_gate() -> None:
         )
 
 
-_light_protobuf_gate()
+try:
+    _light_protobuf_gate()
+except Exception:
+    # The shim is an enabler for ONE importorskip-gated test; any failure
+    # here (read-only /tmp, SDK layout change) must degrade to that test
+    # skipping, never abort collection of the whole session.
+    pass
 
 
 @pytest.fixture(scope="session")

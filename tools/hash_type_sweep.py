@@ -7,11 +7,14 @@ value hash, which renders a HUGEINT cell unlike Spark's int64 even when
 values are identical (r7: q_win_concurrency, q_text_vocab_growth,
 q_sample_token_budget all mirror-green / driver-red). Empirically proven
 SAFE width classes (attested green driver rows): INTEGER vs BIGINT
-(q_win_ntile r6), so only the types ``fetchall`` renders blind AND the
-driver renders differently are hazards:
+(q_win_ntile r6) and UBIGINT (q_wd_parse_entity / q_wd_sitelinks r3
+carried json_array_length's UBIGINT in hash-green results), so only the
+types ``fetchall`` renders blind AND the driver has no proven-safe
+precedent for are hazards (the authoritative list is
+oracle._DUCK_TYPE_HAZARDS):
 
-  * HUGEINT / UHUGEINT — DuckDB's silent promotion of sum(BIGINT);
-  * UBIGINT — exceeds int64, Arrow uint64;
+  * HUGEINT / UHUGEINT — DuckDB's silent promotion of sum(BIGINT),
+    the proven-red r7 class;
   * DECIMAL(p,s) — Python Decimal under Arrow, float-or-Decimal drift;
   * FLOAT — float32 repr drift vs Spark DoubleType.
 

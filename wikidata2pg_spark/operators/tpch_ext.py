@@ -10,7 +10,10 @@ exist, with pure-integer formulas that are bit-identical across engines:
 
 * ``partsupp`` — the dbgen shape: each part gets exactly 4 suppliers at
   ``(p_partkey + j*((S//4)+1)) % S`` for j in 0..3 (S = |supplier|; the
-  stride keeps the 4 keys distinct for any S >= 4), with availability
+  4 keys are distinct whenever no j in 1..3 has j*((S//4)+1) divisible
+  by S — true at every fixture scale (S = 10/100/1000) and pinned by
+  test_partsupp_shape's n_pairs check, which is the gate to extend if a
+  fixture ever ships a pathological S like 4 or 12), with availability
   and cost cents as mod-arithmetic functions of (partkey, suppkey).
   Everything is BIGINT arithmetic — no hash function whose seed could
   differ between engines, no float.
@@ -47,24 +50,27 @@ from wikidata2pg_spark.tables import load
 
 # Shared SQL for the derived partsupp (DuckDB side). range(4) t(j) is the
 # DuckDB lateral; Spark uses explode(sequence(0,3)).
-PARTSUPP_CTE = """
-scnt AS (SELECT CAST(count(*) AS BIGINT) AS s_n FROM supplier),
-partsupp AS (
-  SELECT p_partkey AS ps_partkey,
-         (p_partkey + j * ((s_n // 4) + 1)) % s_n AS ps_suppkey,
-         (p_partkey * 37
-          + ((p_partkey + j * ((s_n // 4) + 1)) % s_n) * 101) % 9999 + 1
-           AS ps_availqty,
-         (p_partkey * 53
-          + ((p_partkey + j * ((s_n // 4) + 1)) % s_n) * 211) % 99901 + 100
-           AS ps_supplycost_cents
-  FROM part, scnt, range(4) t(j)
-)"""
-
 # Cost formula as an inline SQL expression over arbitrary (partkey,
-# suppkey) columns — Q9's adaptation prices lineitems directly with it.
+# suppkey) columns — partsupp derives from it AND Q9's adaptation prices
+# lineitems directly with it, so the constants live in exactly one place
+# per language (_cost_cents is the Spark twin).
 def _cost_cents_sql(pk: str, sk: str) -> str:
     return f"({pk} * 53 + {sk} * 211) % 99901 + 100"
+
+
+PARTSUPP_CTE = f"""
+scnt AS (SELECT CAST(count(*) AS BIGINT) AS s_n FROM supplier),
+pskeys AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + j * ((s_n // 4) + 1)) % s_n AS ps_suppkey
+  FROM part, scnt, range(4) t(j)
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 37 + ps_suppkey * 101) % 9999 + 1 AS ps_availqty,
+         {_cost_cents_sql("ps_partkey", "ps_suppkey")} AS ps_supplycost_cents
+  FROM pskeys
+)"""
 
 
 def _cost_cents(pk, sk):
