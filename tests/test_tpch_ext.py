@@ -113,3 +113,38 @@ def test_tpch_ext_plan_gates(spark, key):
     assert single_partition_violations(plan) == [], plan
     assert cartesian_violations(plan) == [], plan
     assert python_udf_violations(plan) == [], plan
+
+
+@pytest.mark.parametrize("variant", ["degenerate", "empty", "nulls"])
+def test_tpch_ext_degenerate_sweep(spark, variant, tmp_path_factory):
+    """The staged keys get the standing gate-#4 treatment BEFORE r9
+    registration: on the all-constant, the zero-row, and the
+    NULL-injected fixtures, no engine may raise and values must match
+    exactly. Stride collisions on the 2-supplier degenerate fixture are
+    engine-symmetric (both sides derive partsupp from the same formula),
+    so parity — the gate — is unaffected."""
+    from wikidata2pg_spark.degenerate_audit import (
+        build_degenerate_dir,
+        build_empty_dir,
+        build_nulls_dir,
+    )
+    from wikidata2pg_spark.oracle import duck_connection
+
+    build = {
+        "degenerate": build_degenerate_dir,
+        "empty": build_empty_dir,
+        "nulls": build_nulls_dir,
+    }[variant]
+    d = str(tmp_path_factory.mktemp(f"tpch_ext_{variant}"))
+    build(d)
+    con = duck_connection(d)
+    problems = []
+    for key in sorted(TPCH_EXT_QUERIES):
+        try:
+            errs = compare(key, TPCH_EXT_QUERIES[key](spark, d), con,
+                           TPCH_EXT_ORACLES[key])
+        except Exception as e:  # noqa: BLE001
+            problems.append((key, f"RAISE {type(e).__name__}: {e}"))
+            continue
+        problems.extend((key, e) for e in errs)
+    assert not problems, problems
