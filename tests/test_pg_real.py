@@ -209,3 +209,32 @@ def test_wikidata_tables_copy_load_counts(spark, pg_dsn, tmp_path):
         for r in all_queries()["q_wd_load_postgres"](spark, SF_SMOKE).collect()
     }
     assert loaded == want
+
+
+def test_upsert_copy_on_conflict(spark, pg_dsn, tmp_path):
+    """The ON CONFLICT upsert path on real Postgres: first load inserts
+    everything; a second run with half the rows changed updates exactly
+    those and inserts the new key; re-running the same frame is
+    state-idempotent (values unchanged) — the q_stream_jdbc_upsert
+    contract spoken in Postgres's own dialect."""
+    from wikidata2pg_spark.sources.pg_copy import upsert_postgres_copy
+
+    ddl = "k bigint, name text, total double precision"
+    first = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, total double"
+    )
+    ins, upd = upsert_postgres_copy(first, pg_dsn, "ups_pg", ddl, ["k"], str(tmp_path))
+    assert (ins, upd) == (3, 0)
+    second = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)], "k long, name string, total double"
+    )
+    ins, upd = upsert_postgres_copy(second, pg_dsn, "ups_pg", ddl, ["k"], str(tmp_path))
+    assert (ins, upd) == (1, 2)
+    state = _q(pg_dsn, "SELECT k || ':' || total FROM ups_pg ORDER BY k")
+    assert state.splitlines() == ["1:10", "2:25", "3:30", "4:40"]
+    # idempotence: same frame again -> all updates, values unchanged
+    ins, upd = upsert_postgres_copy(second, pg_dsn, "ups_pg", ddl, ["k"], str(tmp_path))
+    assert (ins, upd) == (0, 3)
+    assert _q(pg_dsn, "SELECT k || ':' || total FROM ups_pg ORDER BY k").splitlines() == [
+        "1:10", "2:25", "3:30", "4:40",
+    ]

@@ -78,3 +78,43 @@ def load_postgres_copy(df, dsn: str, table: str, ddl: str, work_dir: str) -> int
                 check=True,
             )
     return int(_psql(dsn, f"SELECT count(*) FROM {table}"))
+
+
+def upsert_postgres_copy(
+    df, dsn: str, table: str, ddl: str, key_cols: list[str], work_dir: str
+) -> tuple[int, int]:
+    """COPY-powered idempotent upsert — the ON CONFLICT path the Derby
+    substitute can't speak (README caveat). The frame COPYs into a
+    staging table, then one set-based ``INSERT ... ON CONFLICT (keys)
+    DO UPDATE`` merges it; re-running the same frame is a no-op
+    state-wise, exactly like the engine's q_stream_jdbc_upsert ledger
+    contract. Returns (inserted, updated), read from xmax = 0
+    discrimination on the RETURNING set. ``ddl`` lists COLUMNS ONLY —
+    the primary key over ``key_cols`` is added here, so staging and
+    target can't drift."""
+    staging = f"{table}__staging"
+    n_staged = load_postgres_copy(df, dsn, staging, ddl, work_dir)
+    _psql(
+        dsn,
+        f"CREATE TABLE IF NOT EXISTS {table} "
+        f"({ddl}, PRIMARY KEY ({', '.join(key_cols)}))",
+    )
+    cols = [c for c, _ in df.dtypes]
+    collist = ", ".join(cols)
+    updates = ", ".join(
+        f"{c} = EXCLUDED.{c}" for c in cols if c not in key_cols
+    )
+    keylist = ", ".join(key_cols)
+    counts = _psql(
+        dsn,
+        f"WITH m AS (INSERT INTO {table} ({collist}) "
+        f"SELECT {collist} FROM {staging} "
+        f"ON CONFLICT ({keylist}) DO UPDATE SET {updates} "
+        f"RETURNING xmax = 0 AS inserted) "
+        f"SELECT count(*) FILTER (WHERE inserted) || '|' || "
+        f"count(*) FILTER (WHERE NOT inserted) FROM m",
+    )
+    _psql(dsn, f"DROP TABLE {staging}")
+    ins, upd = (int(x) for x in counts.split("|"))
+    assert ins + upd == n_staged
+    return ins, upd
