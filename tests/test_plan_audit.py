@@ -216,3 +216,33 @@ def test_oracle_duck_types_driver_safe():
         if hits:
             bad[k] = hits
     assert not bad, f"driver-divergent oracle result types: {bad}"
+
+
+def test_type_gate_flags_a_hugeint_oracle(spark):
+    """Gate LIVENESS (not just steady-state zero): compare() must FLAG a
+    value-identical oracle whose result column is HUGEINT — exactly the
+    r7 failure the gate exists for. A passing sweep proves nothing if
+    the gate can't fire."""
+    from wikidata2pg_spark.oracle import compare, duck_connection
+
+    con = duck_connection("/root/testdata/sf0.01")
+    df = spark.createDataFrame([(3,)], "s long")
+    # windowed sum over BIGINT -> HUGEINT in DuckDB; value identical (3)
+    errs = compare(
+        "hugeint_probe",
+        df,
+        con,
+        "SELECT sum(x) OVER () AS s FROM (SELECT CAST(3 AS BIGINT) AS x)",
+    )
+    assert any("HUGEINT" in e for e in errs), errs
+    # the cast form passes clean
+    assert (
+        compare(
+            "bigint_probe",
+            df,
+            con,
+            "SELECT CAST(sum(x) OVER () AS BIGINT) AS s "
+            "FROM (SELECT CAST(3 AS BIGINT) AS x)",
+        )
+        == []
+    )

@@ -148,3 +148,22 @@ def test_tpch_ext_degenerate_sweep(spark, variant, tmp_path_factory):
             continue
         problems.extend((key, e) for e in errs)
     assert not problems, problems
+
+
+def test_tpch_ext_partition_invariance(spark, tmp_path_factory):
+    """The staged queries inherit the partition-invariance gate too:
+    identical oracle-compared results when every fixture table arrives
+    split across 7 files (the derived partsupp stride and the per-order
+    census must not depend on input split boundaries)."""
+    from wikidata2pg_spark.oracle import duck_connection
+    from wikidata2pg_spark.util import split_fixture_tables
+
+    root = tmp_path_factory.mktemp("tpch_ext_multifile")
+    split_fixture_tables("/root/testdata/sf0.001", str(root), 7)
+    con = duck_connection(str(root))
+    problems = []
+    for key in sorted(TPCH_EXT_QUERIES):
+        errs = compare(key, TPCH_EXT_QUERIES[key](spark, str(root)), con,
+                       TPCH_EXT_ORACLES[key])
+        problems.extend((key, e) for e in errs)
+    assert not problems, problems
