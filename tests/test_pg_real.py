@@ -238,3 +238,49 @@ def test_upsert_copy_on_conflict(spark, pg_dsn, tmp_path):
     assert _q(pg_dsn, "SELECT k || ':' || total FROM ups_pg ORDER BY k").splitlines() == [
         "1:10", "2:25", "3:30", "4:40",
     ]
+
+
+def test_upsert_hardening(spark, pg_dsn, tmp_path):
+    """The r8 review findings, each pinned: duplicate-key input collapses
+    to one deterministic winner instead of aborting the merge; a
+    key-only table takes the DO NOTHING path with (inserted, updated)
+    still summing to the deduped count; a ddl/frame name mismatch and a
+    pre-existing PK-less target fail FAST with clear errors."""
+    from wikidata2pg_spark.sources.pg_copy import (
+        load_postgres_copy,
+        upsert_postgres_copy,
+    )
+
+    ddl = "k bigint, v double precision"
+    # duplicate keys in ONE input frame: deterministic winner (max by the
+    # full-column DISTINCT ON order -> lowest v wins after ORDER BY k, v)
+    dup = spark.createDataFrame([(1, 9.0), (1, 2.0), (2, 5.0)], "k long, v double")
+    ins, upd = upsert_postgres_copy(dup, pg_dsn, "ups_dup", ddl, ["k"], str(tmp_path))
+    assert (ins, upd) == (2, 0)
+    assert _q(pg_dsn, "SELECT v FROM ups_dup WHERE k = 1") == "2"
+    # key-only table: DO NOTHING path, re-run counts as updates
+    link = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    ins, upd = upsert_postgres_copy(
+        link, pg_dsn, "ups_link", "a bigint, b bigint", ["a", "b"], str(tmp_path)
+    )
+    assert (ins, upd) == (2, 0)
+    ins, upd = upsert_postgres_copy(
+        link, pg_dsn, "ups_link", "a bigint, b bigint", ["a", "b"], str(tmp_path)
+    )
+    assert (ins, upd) == (0, 2)
+    assert _q(pg_dsn, "SELECT count(*) FROM ups_link") == "2"
+    # ddl / frame name mismatch fails before touching the database
+    with pytest.raises(ValueError, match="frame columns"):
+        upsert_postgres_copy(
+            dup, pg_dsn, "ups_bad", "uid bigint, v double precision", ["uid"],
+            str(tmp_path),
+        )
+    # pre-existing PK-less target is rejected with a clear error
+    load_postgres_copy(dup, pg_dsn, "ups_nopk", ddl, str(tmp_path))
+    with pytest.raises(RuntimeError, match="unique constraint"):
+        upsert_postgres_copy(dup, pg_dsn, "ups_nopk", ddl, ["k"], str(tmp_path))
+    # no staging tables leaked by any of the above
+    assert _q(
+        pg_dsn,
+        "SELECT count(*) FROM pg_tables WHERE tablename LIKE '%__staging%'",
+    ) == "0"

@@ -205,17 +205,21 @@ def test_oracle_duck_types_driver_safe():
     the unit suite runs; tools/hash_type_sweep.py is the CLI twin, and
     oracle.compare enforces the same gate dynamically on every mirror /
     driver_sim run."""
+    from tests.conftest import SF_T2
     from wikidata2pg_spark.oracle import duck_connection, duck_type_hazards
     from wikidata2pg_spark.registry import all_oracles
 
-    con = duck_connection("/root/testdata/sf0.01")
-    bad = {}
-    for k, sql in all_oracles().items():
-        rel = con.sql(sql)
-        hits = duck_type_hazards(list(rel.columns), list(rel.types))
-        if hits:
-            bad[k] = hits
-    assert not bad, f"driver-divergent oracle result types: {bad}"
+    con = duck_connection(SF_T2)
+    try:
+        bad = {}
+        for k, sql in all_oracles().items():
+            rel = con.sql(sql)
+            hits = duck_type_hazards(list(rel.columns), list(rel.types))
+            if hits:
+                bad[k] = hits
+        assert not bad, f"driver-divergent oracle result types: {bad}"
+    finally:
+        con.close()
 
 
 def test_type_gate_flags_a_hugeint_oracle(spark):
@@ -223,9 +227,10 @@ def test_type_gate_flags_a_hugeint_oracle(spark):
     value-identical oracle whose result column is HUGEINT — exactly the
     r7 failure the gate exists for. A passing sweep proves nothing if
     the gate can't fire."""
+    from tests.conftest import SF_T2
     from wikidata2pg_spark.oracle import compare, duck_connection
 
-    con = duck_connection("/root/testdata/sf0.01")
+    con = duck_connection(SF_T2)
     df = spark.createDataFrame([(3,)], "s long")
     # windowed sum over BIGINT -> HUGEINT in DuckDB; value identical (3)
     errs = compare(

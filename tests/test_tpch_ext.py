@@ -158,12 +158,17 @@ def test_tpch_ext_partition_invariance(spark, tmp_path_factory):
     from wikidata2pg_spark.oracle import duck_connection
     from wikidata2pg_spark.util import split_fixture_tables
 
+    from tests.conftest import SF_SMOKE
+
     root = tmp_path_factory.mktemp("tpch_ext_multifile")
-    split_fixture_tables("/root/testdata/sf0.001", str(root), 7)
+    split_fixture_tables(SF_SMOKE, str(root), 7)
     con = duck_connection(str(root))
-    problems = []
-    for key in sorted(TPCH_EXT_QUERIES):
-        errs = compare(key, TPCH_EXT_QUERIES[key](spark, str(root)), con,
-                       TPCH_EXT_ORACLES[key])
-        problems.extend((key, e) for e in errs)
-    assert not problems, problems
+    try:
+        problems = []
+        for key in sorted(TPCH_EXT_QUERIES):
+            errs = compare(key, TPCH_EXT_QUERIES[key](spark, str(root)), con,
+                           TPCH_EXT_ORACLES[key])
+            problems.extend((key, e) for e in errs)
+        assert not problems, problems
+    finally:
+        con.close()

@@ -87,34 +87,79 @@ def upsert_postgres_copy(
     substitute can't speak (README caveat). The frame COPYs into a
     staging table, then one set-based ``INSERT ... ON CONFLICT (keys)
     DO UPDATE`` merges it; re-running the same frame is a no-op
-    state-wise, exactly like the engine's q_stream_jdbc_upsert ledger
-    contract. Returns (inserted, updated), read from xmax = 0
-    discrimination on the RETURNING set. ``ddl`` lists COLUMNS ONLY —
-    the primary key over ``key_cols`` is added here, so staging and
-    target can't drift."""
-    staging = f"{table}__staging"
-    n_staged = load_postgres_copy(df, dsn, staging, ddl, work_dir)
-    _psql(
-        dsn,
-        f"CREATE TABLE IF NOT EXISTS {table} "
-        f"({ddl}, PRIMARY KEY ({', '.join(key_cols)}))",
-    )
+    state-wise. Returns (inserted, updated) via xmax = 0 discrimination
+    on the RETURNING set. ``ddl`` lists COLUMNS ONLY, with names
+    matching ``df.columns`` (the merge SELECTs by name — validated
+    upfront; plain COPY alone is positional); the primary key over
+    ``key_cols`` is added here. Duplicate-key rows in the INPUT are
+    collapsed to one deterministic winner per key (DISTINCT ON over a
+    full-column order) before the merge — ON CONFLICT DO UPDATE aborts
+    if one statement touches a key twice. A pre-existing target must
+    already carry a unique constraint on exactly ``key_cols``
+    (validated against the catalog — CREATE IF NOT EXISTS would
+    otherwise silently skip the PK and fail at merge time)."""
     cols = [c for c, _ in df.dtypes]
-    collist = ", ".join(cols)
-    updates = ", ".join(
-        f"{c} = EXCLUDED.{c}" for c in cols if c not in key_cols
-    )
-    keylist = ", ".join(key_cols)
-    counts = _psql(
-        dsn,
-        f"WITH m AS (INSERT INTO {table} ({collist}) "
-        f"SELECT {collist} FROM {staging} "
-        f"ON CONFLICT ({keylist}) DO UPDATE SET {updates} "
-        f"RETURNING xmax = 0 AS inserted) "
-        f"SELECT count(*) FILTER (WHERE inserted) || '|' || "
-        f"count(*) FILTER (WHERE NOT inserted) FROM m",
-    )
-    _psql(dsn, f"DROP TABLE {staging}")
-    ins, upd = (int(x) for x in counts.split("|"))
-    assert ins + upd == n_staged
-    return ins, upd
+    ddl_names = [part.strip().split()[0] for part in ddl.split(",")]
+    if ddl_names != cols:
+        raise ValueError(f"ddl columns {ddl_names} != frame columns {cols}")
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(f"key_cols not in frame: {missing}")
+    non_keys = [c for c in cols if c not in key_cols]
+
+    staging = f"{table}__staging_{os.getpid()}"
+    n_staged = load_postgres_copy(df, dsn, staging, ddl, work_dir)
+    try:
+        keylist = ", ".join(key_cols)
+        _psql(
+            dsn,
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            f"({ddl}, PRIMARY KEY ({keylist}))",
+        )
+        has_key = _psql(
+            dsn,
+            "SELECT count(*) FROM pg_constraint "
+            f"WHERE conrelid = '{table}'::regclass AND contype IN ('p', 'u') "
+            "AND (SELECT array_agg(a.attname ORDER BY a.attname) "
+            "     FROM unnest(conkey) k JOIN pg_attribute a "
+            "     ON a.attrelid = conrelid AND a.attnum = k) = "
+            f"ARRAY[{', '.join(repr(k) for k in sorted(key_cols))}]::name[]",
+        )
+        if int(has_key) == 0:
+            raise RuntimeError(
+                f"{table} exists without a unique constraint on {key_cols}"
+            )
+        collist = ", ".join(cols)
+        order = ", ".join(cols)
+        src = (
+            f"SELECT DISTINCT ON ({keylist}) {collist} FROM {staging} "
+            f"ORDER BY {order}"
+        )
+        if non_keys:
+            updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in non_keys)
+            action = f"DO UPDATE SET {updates}"
+        else:
+            # key-only table: nothing to update — conflicting rows are
+            # no-ops and RETURNING omits them (updated := dedup - inserted)
+            action = "DO NOTHING"
+        counts = _psql(
+            dsn,
+            f"WITH d AS ({src}), "
+            f"m AS (INSERT INTO {table} ({collist}) SELECT {collist} FROM d "
+            f"ON CONFLICT ({keylist}) {action} "
+            f"RETURNING xmax = 0 AS inserted) "
+            f"SELECT (SELECT count(*) FROM d) || '|' || "
+            f"count(*) FILTER (WHERE inserted) || '|' || "
+            f"count(*) FILTER (WHERE NOT inserted) FROM m",
+        )
+        n_dedup, ins, upd = (int(x) for x in counts.split("|"))
+        if not non_keys:
+            upd = n_dedup - ins
+        if ins + upd != n_dedup or n_dedup > n_staged:
+            raise RuntimeError(
+                f"merge accounting broke: staged={n_staged} dedup={n_dedup} "
+                f"inserted={ins} updated={upd}"
+            )
+        return ins, upd
+    finally:
+        _psql(dsn, f"DROP TABLE IF EXISTS {staging}")
