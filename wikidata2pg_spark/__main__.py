@@ -11,12 +11,15 @@ Dump formats: plain ``.json``, ``.json.gz``, ``.json.bz2`` — Spark's text
 reader picks the codec from the extension, and all three are splittable
 or stream-decoded the same way the published dumps are consumed.
 
-Database: any JDBC URL. The driver class is inferred for Postgres and
-Derby URLs (override with --driver). In this sandbox there is no Postgres
-server, so tests run against embedded Derby; against Postgres the
-recommended extras are ``--jdbc-option reWriteBatchedInserts=true`` (turns
-executeBatch into multi-row INSERTs server-side) — behavior that Derby
-cannot exercise, documented as a divergence in README.md.
+Database: any JDBC URL (driver class inferred for Postgres and Derby
+URLs; override with --driver), and/or ``--pg-dsn`` for real PostgreSQL
+over COPY — the bulk path that needs no JDBC driver jar at all
+(sources/pg_copy.py; this sandbox has a PostgreSQL 15 server but no
+PostgreSQL JDBC jar, so the JDBC tests run against embedded Derby while
+test_pg_real.py drives the COPY path against real Postgres). Against
+Postgres over JDBC the recommended extras are ``--jdbc-option
+reWriteBatchedInserts=true`` (turns executeBatch into multi-row INSERTs
+server-side).
 
 Scale posture: the parse is one pass over the text scan (no shuffle until
 latest_revisions' per-id window); each table write repartitions to
@@ -72,6 +75,7 @@ def run_import(
     truthy_only: bool = False,
     jdbc_options: dict[str, str] | None = None,
     parquet_dir: str | None = None,
+    pg_dsn: str | None = None,
 ) -> dict[str, int]:
     """Import a dump file into the database and/or a parquet directory;
     returns {table: rows_loaded}.
@@ -80,14 +84,17 @@ def run_import(
     sink); ``parquet_dir`` writes each table as parquet under
     ``<dir>/<table>/`` instead — the lakehouse export path, where the
     same normalized tables become inputs for every other operator in
-    this engine (and for any parquet consumer). Both sinks may be given
-    at once; at least one is required.
+    this engine (and for any parquet consumer); ``pg_dsn`` bulk-loads
+    each table into real PostgreSQL over COPY (sources/pg_copy.py) — the
+    path to use when no PostgreSQL JDBC driver jar is on the classpath,
+    and the faster path even when one is. Sinks compose; at least one is
+    required.
 
     Idempotent: mode=overwrite per table, and latest_revisions collapses
     duplicate entity lines (re-running on an extended dump converges to
     the newest revision of each id — the reference's re-import story)."""
-    if jdbc_url is None and parquet_dir is None:
-        raise ValueError("run_import needs jdbc_url and/or parquet_dir")
+    if jdbc_url is None and parquet_dir is None and pg_dsn is None:
+        raise ValueError("run_import needs jdbc_url, parquet_dir and/or pg_dsn")
     raw = spark.read.text(dump_path).withColumnRenamed("value", "line")
     parsed = flatten.latest_revisions(
         flatten.parse_entities(flatten.clean_dump_lines(raw))
@@ -134,11 +141,28 @@ def run_import(
                 )
             if jdbc_url is not None:
                 out.write.jdbc(jdbc_url, name, mode="overwrite", properties=props)
+            pg_count = None
+            if pg_dsn is not None:
+                import tempfile
+
+                from wikidata2pg_spark.sources.pg_copy import (
+                    ddl_for,
+                    load_postgres_copy,
+                )
+
+                with tempfile.TemporaryDirectory(
+                    prefix=f"w2pg_copy_{name}_"
+                ) as wd:
+                    pg_count = load_postgres_copy(
+                        out, pg_dsn, name, ddl_for(out), wd
+                    )
             # count from the sink actually written (read-back, not the plan)
             if jdbc_url is not None:
                 counts[name] = spark.read.jdbc(
                     jdbc_url, name, properties=props
                 ).count()
+            elif pg_count is not None:
+                counts[name] = pg_count
             else:
                 counts[name] = spark.read.parquet(f"{parquet_dir}/{name}").count()
     finally:
@@ -154,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dump", required=True, help="dump file (.json/.json.gz/.json.bz2)")
     ap.add_argument("--jdbc-url", default=None, help="JDBC URL, e.g. jdbc:postgresql://host/db?user=u&password=p")
     ap.add_argument("--parquet-dir", default=None, help="write normalized tables as parquet under this directory instead of (or besides) JDBC")
+    ap.add_argument("--pg-dsn", default=None, help="bulk-load into real PostgreSQL via COPY (libpq DSN/URI, e.g. postgresql://user@/db?host=/run/pg&port=5432) — no JDBC driver jar needed")
     ap.add_argument("--driver", default=None, help="JDBC driver class (inferred for postgresql/derby URLs)")
     ap.add_argument("--tables", default=DEFAULT_TABLES, help=f"comma list from {sorted(TABLE_BUILDERS)}")
     ap.add_argument("--batchsize", type=int, default=5000, help="JDBC batch size per executor connection")
@@ -161,8 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--truthy-only", action="store_true", help="load truthy-filtered claims into wd_claims")
     ap.add_argument("--jdbc-option", action="append", default=[], metavar="K=V", help="extra JDBC option (repeatable), e.g. reWriteBatchedInserts=true")
     args = ap.parse_args(argv)
-    if args.jdbc_url is None and args.parquet_dir is None:
-        raise SystemExit("one of --jdbc-url or --parquet-dir is required")
+    if args.jdbc_url is None and args.parquet_dir is None and args.pg_dsn is None:
+        raise SystemExit("one of --jdbc-url, --parquet-dir or --pg-dsn is required")
 
     extra = {}
     for kv in args.jdbc_option:
@@ -185,6 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         truthy_only=args.truthy_only,
         jdbc_options=extra,
         parquet_dir=args.parquet_dir,
+        pg_dsn=args.pg_dsn,
     )
     for name in counts:
         print(f"{name}\t{counts[name]}")

@@ -163,3 +163,33 @@ def upsert_postgres_copy(
         return ins, upd
     finally:
         _psql(dsn, f"DROP TABLE IF EXISTS {staging}")
+
+
+# Spark dtype -> Postgres column type, for DDL derived from a DataFrame.
+_PG_TYPES = {
+    "string": "text",
+    "bigint": "bigint",
+    "int": "integer",
+    "smallint": "smallint",
+    "tinyint": "smallint",
+    "double": "double precision",
+    "float": "real",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "date": "date",
+    "binary": "bytea",
+}
+
+
+def ddl_for(df) -> str:
+    """Columns-only Postgres DDL derived from a DataFrame's schema.
+    Scalar types only — a caller holding arrays/maps/structs projects
+    them to scalars (or JSON text) first; failing loudly here beats a
+    COPY parse error three stages later."""
+    parts = []
+    for c, t in df.dtypes:
+        if t not in _PG_TYPES:
+            raise ValueError(f"no Postgres mapping for column {c}: {t}")
+        parts.append(f"{c} {_PG_TYPES[t]}")
+    return ", ".join(parts)
