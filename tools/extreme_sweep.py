@@ -1,0 +1,86 @@
+"""EXPLORATORY extreme-magnitude sweep (round 8) — NOT a gate.
+
+Scales every measure column of the all-constant degenerate fixture by
+9e11 (constant 100.0 -> 9e13), chosen so the derived integer cents
+(~9e15) stay under 2^53 — double-exact and engine-identical — while any
+UNWIDENED product of two cents-scale integers overflows int64. This
+probes the decimal(38,0)/HUGEINT widening discipline across all 359
+keys at once.
+
+First run (r8 close, all-constant base): 0 value mismatches; 13 keys
+CRASH — per-row squared-cents moment trees that overflow int64 when a
+single value reaches ~3e9 cents ($30M):
+  Spark [ARITHMETIC_OVERFLOW]: q_agg_stats, q_agg_corr_matrix,
+    q_ab_delta_method, q_agg_welch_ttest, q_agg_argminmax,
+    q_agg_regression, q_agg_skewkurt, q_time_twa, q_time_anomaly
+  DuckDB INT64 overflow: q_agg_ols2, q_time_volatility, q_agg_hhi,
+    q_agg_anova_eta
+This is NOT the corpus-size overflow class (already closed with
+decimal38/HUGEINT sums — counts grow with data, per-row values don't):
+fixture and TPC-H value ranges are orders of magnitude below the
+boundary, so no driver row is at risk. Catalogued for the window
+rotations: when each key rotates in (or is otherwise modified), widen
+the per-row squares to decimal(38,0) on the Spark side and HUGEINT in
+the oracle — both exact-integer, so hashes on real data are unchanged —
+rather than try_multiply (silent NULLs hide real corruption).
+
+Usage:
+    python tools/extreme_sweep.py        # prints the catalog, exit 0
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALE = 9e11
+TARGETS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice"],
+    "events": ["value"],
+}
+
+
+def build_extreme_dir(root: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikidata2pg_spark.degenerate_audit import build_degenerate_dir
+
+    full = build_degenerate_dir(os.path.join(root, "_schema_src"))
+    os.makedirs(root, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        src = pq.read_table(os.path.join(full, f"{t}.parquet"))
+        cols = {}
+        for name in src.column_names:
+            col = src[name]
+            if name in TARGETS.get(t, ()):
+                vals = [None if v is None else v * SCALE for v in col.to_pylist()]
+                col = pa.array(vals, col.type)
+            cols[name] = col
+        pq.write_table(pa.table(cols), os.path.join(root, f"{t}.parquet"))
+    return root
+
+
+def main() -> int:
+    from wikidata2pg_spark.degenerate_audit import run_sweep
+    from wikidata2pg_spark.session import get_session
+
+    root = build_extreme_dir("/tmp/wikidata2pg_spark/extreme_fixture")
+    spark = get_session("extreme-sweep")
+    se, de, mm = run_sweep(spark, root)
+    for label, items in (("spark-crash", se), ("duck-crash", de), ("mismatch", mm)):
+        for k, msg in items:
+            print(f"{label} {k}: {msg[:160]}")
+    print(f"-- exploratory: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
+    return 0  # exploratory: the catalog above is the output, not a gate
+
+
+if __name__ == "__main__":
+    sys.exit(main())
