@@ -398,10 +398,13 @@ def test_driver_window_ordering_is_pinned():
     # never-tested key accidentally missing from _ROUND8_PRIORITY would
     # pass silently). Every such key must be in the window or on the
     # explicit post-freeze deferral list that leads r7's rotation.
-    # Never-driver-tested backlog after packing the r8 window (77 keys,
+    # Never-driver-tested backlog after packing the r8 window (78 keys,
     # down from 113 after r7 — key additions are FROZEN per VERDICT r7
-    # task 5; these fill r9 (50) + r10 (27), oldest first)
+    # task 5; these fill r9 (50) + r10 (28), oldest first; q_time_ohlc
+    # rotated back out of the window to make room for the
+    # q_agg_regression re-prove)
     post_freeze_deferred: set[str] = {
+        "q_time_ohlc",
         "q_sample_balanced",
         "q_win_ratio_to_report",
         "q_agg_iqr_outliers",

@@ -8,21 +8,31 @@ probes the decimal(38,0)/HUGEINT widening discipline across all 359
 keys at once.
 
 First run (r8 close, all-constant base): 0 value mismatches; 13 keys
-CRASH — per-row squared-cents moment trees that overflow int64 when a
-single value reaches ~3e9 cents ($30M):
-  Spark [ARITHMETIC_OVERFLOW]: q_agg_stats, q_agg_corr_matrix,
-    q_ab_delta_method, q_agg_welch_ttest, q_agg_argminmax,
-    q_agg_regression, q_agg_skewkurt, q_time_twa, q_time_anomaly
-  DuckDB INT64 overflow: q_agg_ols2, q_time_volatility, q_agg_hhi,
-    q_agg_anova_eta
+CRASHED — per-row squared-cents moment trees that overflow int64 when a
+single value reaches ~3e9 cents ($30M). SEVEN were widened the same
+session (all either in the r8 window or swapped in, so their driver
+rows land on the hardened code): q_agg_stats, q_agg_regression (shared
+moment block), q_agg_corr_matrix, q_ab_delta_method, q_agg_welch_ttest,
+q_agg_ols2, q_time_volatility — fix shape: multiply wide
+(decimal(38,0) Spark-side, one operand CAST AS HUGEINT in the oracle)
+instead of long, exact integers so hashes on real data are unchanged
+(proven: mirror both SFs, division probes, worked examples, all three
+degenerate sweep variants, driver_sim window — all green post-patch).
+REMAINING catalog for the window rotations (do NOT fix outside a
+window; same recipe, never try_multiply — silent NULLs hide real
+corruption):
+  Spark [ARITHMETIC_OVERFLOW]: q_agg_argminmax, q_agg_skewkurt,
+    q_time_twa, q_time_anomaly
+  DuckDB INT64 overflow: q_agg_hhi, q_agg_anova_eta
+  plus q_ab_delta_method's RESIDUAL display-level mismatch: its 6dp
+  floor(x*1e6+0.5) display clamps at |x| >= ~9.2e12 (the r6 LONG-floor
+  class — Spark floor saturates to long max while DuckDB's stays
+  DOUBLE); aggregation is hardened, only the displayed rounding clamps,
+  and real ratio ranges sit ~6 orders below the boundary.
 This is NOT the corpus-size overflow class (already closed with
 decimal38/HUGEINT sums — counts grow with data, per-row values don't):
 fixture and TPC-H value ranges are orders of magnitude below the
-boundary, so no driver row is at risk. Catalogued for the window
-rotations: when each key rotates in (or is otherwise modified), widen
-the per-row squares to decimal(38,0) on the Spark side and HUGEINT in
-the oracle — both exact-integer, so hashes on real data are unchanged —
-rather than try_multiply (silent NULLs hide real corruption).
+boundary, so no driver row is at risk.
 
 Usage:
     python tools/extreme_sweep.py        # prints the catalog, exit 0

@@ -600,12 +600,12 @@ WITH b AS (
   SELECT l_returnflag, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
          sum(CAST(z AS HUGEINT)) AS sz,
-         sum(CAST(x * x AS HUGEINT)) AS sxx,
-         sum(CAST(y * y AS HUGEINT)) AS syy,
-         sum(CAST(z * z AS HUGEINT)) AS szz,
-         sum(CAST(x * y AS HUGEINT)) AS sxy,
-         sum(CAST(x * z AS HUGEINT)) AS sxz,
-         sum(CAST(y * z AS HUGEINT)) AS syz
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(z AS HUGEINT) * z) AS szz,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * z) AS sxz,
+         sum(CAST(y AS HUGEINT) * z) AS syz
   FROM b GROUP BY l_returnflag
 ), d AS (
   SELECT l_returnflag, CAST(n AS BIGINT) AS n,
@@ -629,8 +629,9 @@ def q_agg_corr_matrix(spark, sf_dir):
     return flag) — the q_agg_stats/q_agg_regression exact-moment recipe
     extended to every off-diagonal pair: all inputs become exact
     integers (quantity integral, price cents, discount basis points),
-    the ten moment sums accumulate in decimal(38,0) / HUGEINT (sum(y^2)
-    passes 2^63 at sf0.1 while each ROW product stays in int64), and
+    the ten moment sums accumulate in decimal(38,0) / HUGEINT and each
+    ROW product multiplies wide too (r8 extreme sweep: ~3e9+ cents
+    squared overflows int64), and
     each correlation is ONE shared floating tree dab/sqrt(da*db) over
     one correctly-rounded cast per sum — sqrt is IEEE-exact, so both
     engines produce bit-identical doubles before the floor rounding,
@@ -648,12 +649,14 @@ def q_agg_corr_matrix(spark, sf_dir):
         F.sum(dec(F.col("x"))).alias("sx"),
         F.sum(dec(F.col("y"))).alias("sy"),
         F.sum(dec(F.col("z"))).alias("sz"),
-        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
-        F.sum(dec(F.col("z") * F.col("z"))).alias("szz"),
-        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
-        F.sum(dec(F.col("x") * F.col("z"))).alias("sxz"),
-        F.sum(dec(F.col("y") * F.col("z"))).alias("syz"),
+        # wide-before-multiply (r8 extreme sweep): squaring ~3e9+ in
+        # long overflows; decimal products keep the identical integers
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("z"))).alias("sxz"),
+        F.sum(dec(F.col("y")) * dec(F.col("z"))).alias("syz"),
     )
     n = dec(F.col("n"))
     d = s.select(
@@ -1624,10 +1627,10 @@ WITH u AS (
   FROM events GROUP BY user_id
 ), m AS (
   SELECT arm, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy,
-         CAST(sum(x * y) AS BIGINT) AS sxy
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy
   FROM u GROUP BY arm
 ), d AS (
   SELECT arm, n, CAST(sx AS DOUBLE) / sy AS r,
@@ -1677,13 +1680,17 @@ def q_ab_delta_method(spark, sf_dir):
         ).alias("x"),
         F.count(F.lit(1)).alias("y"),
     ).withColumn("arm", F.col("user_id") % 2)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # wide-before-multiply + decimal sums (r8 extreme sweep): a per-user
+    # cents total past ~3e9 squares over int64, and arm-level sums are
+    # corpus-sized; identical exact integers at any magnitude
     m = u.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -3016,9 +3023,9 @@ WITH per AS (
          CAST(sum(x1 * x1) AS BIGINT) AS s11,
          CAST(sum(x1 * x2) AS BIGINT) AS s12,
          CAST(sum(x2 * x2) AS BIGINT) AS s22,
-         CAST(sum(x1 * y) AS HUGEINT) AS s1y,
-         CAST(sum(x2 * y) AS HUGEINT) AS s2y,
-         CAST(sum(y * y) AS HUGEINT) AS syy
+         sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+         sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM per
 ), c AS (
   SELECT n,
@@ -3130,7 +3137,7 @@ WITH d AS (
   SELECT day, cents,
          CAST(count(*) OVER win AS BIGINT) AS n,
          CAST(sum(cents) OVER win AS BIGINT) AS s,
-         CAST(sum(cents * cents) OVER win AS HUGEINT) AS sq
+         sum(CAST(cents AS HUGEINT) * cents) OVER win AS sq
   FROM d WINDOW win AS (ORDER BY day RANGE BETWEEN {_VOL_WIN - 1} PRECEDING
                         AND CURRENT ROW)
 )
@@ -4175,10 +4182,12 @@ WITH x AS (
   SELECT
     sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS n1,
     sum(CASE WHEN g = 'R' THEN cents ELSE 0 END) AS s1,
-    sum(CASE WHEN g = 'R' THEN cents * cents ELSE 0 END) AS ss1,
+    sum(CASE WHEN g = 'R' THEN CAST(cents AS HUGEINT) * cents
+        ELSE 0 END) AS ss1,
     sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n2,
     sum(CASE WHEN g = 'A' THEN cents ELSE 0 END) AS s2,
-    sum(CASE WHEN g = 'A' THEN cents * cents ELSE 0 END) AS ss2
+    sum(CASE WHEN g = 'A' THEN CAST(cents AS HUGEINT) * cents
+        ELSE 0 END) AS ss2
   FROM x
 ), v AS (
   SELECT n1, n2,
@@ -4227,13 +4236,13 @@ def q_agg_welch_ttest(spark, sf_dir):
         F.sum(F.when(F.col("is1"), dec(F.col("cents"))).otherwise(
             F.lit(0).cast("decimal(38,0)"))).alias("s1"),
         F.sum(F.when(F.col("is1"),
-                     dec(F.col("cents") * F.col("cents"))).otherwise(
+                     dec(F.col("cents")) * dec(F.col("cents"))).otherwise(
             F.lit(0).cast("decimal(38,0)"))).alias("ss1"),
         F.sum(F.when(~F.col("is1"), 1).otherwise(0)).alias("n2"),
         F.sum(F.when(~F.col("is1"), dec(F.col("cents"))).otherwise(
             F.lit(0).cast("decimal(38,0)"))).alias("s2"),
         F.sum(F.when(~F.col("is1"),
-                     dec(F.col("cents") * F.col("cents"))).otherwise(
+                     dec(F.col("cents")) * dec(F.col("cents"))).otherwise(
             F.lit(0).cast("decimal(38,0)"))).alias("ss2"),
     )
     return welch_from_moments(m)

@@ -828,11 +828,11 @@ WITH s AS (
   SELECT l_returnflag,
          count(*) AS n,
          sum(CAST(l_quantity AS BIGINT)) AS sx,
-         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
-         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
              * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
-         sum(CAST(l_quantity AS BIGINT)
+         sum(CAST(l_quantity AS HUGEINT)
              * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
   FROM lineitem GROUP BY l_returnflag
 ), d AS (
@@ -868,11 +868,13 @@ def q_agg_stats(spark, sf_dir):
     half-rule-free AND sign-safe (floor output is integral, so the final
     division can never emit -0.0 — the r5 failure mode).
 
-    Scale posture: one partial-aggregable groupBy; per-row products fit in
-    long (cents^2 <= ~1.1e14) and the running sums are decimal(38,0) on the
-    Spark side (sum-of-long would silently wrap at ~sf0.1: sum(cents^2) at
-    600k rows is ~6.6e19 > 2^63). DuckDB's sum(BIGINT) is HUGEINT, so the
-    oracle is exact the same way. Correlation is scale-invariant, so
+    Scale posture: one partial-aggregable groupBy; per-row products
+    multiply in decimal(38,0) (r8 extreme sweep: squaring ~3e9+ cents in
+    long overflows — wide-before-multiply keeps the identical exact
+    integers at any magnitude) and the running sums stay decimal(38,0)
+    (sum-of-long would silently wrap at ~sf0.1: sum(cents^2) at 600k
+    rows is ~6.6e19 > 2^63). The oracle widens one product operand to
+    HUGEINT, so it is exact the same way. Correlation is scale-invariant, so
     corr(qty, cents) == corr(qty, dollars); covar/var divide the cents
     moments by 100/10^4 at the end."""
     li = load(spark, sf_dir, "lineitem")
@@ -889,10 +891,13 @@ def q_agg_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec(F.col("x"))).alias("sx"),
-            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            # multiply in DECIMAL, not long: a single ~3e9-cent value
+            # squares past int64 (r8 extreme-magnitude sweep catch; the
+            # oracle widens one operand to HUGEINT the same way)
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
             F.sum(dec(F.col("y"))).alias("sy"),
-            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
-            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+            F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
         )
     )
     n = dec(F.col("n"))
@@ -1382,11 +1387,11 @@ WITH s AS (
   SELECT l_returnflag,
          count(*) AS n,
          sum(CAST(l_quantity AS BIGINT)) AS sx,
-         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS BIGINT)) AS sxx,
          sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
-         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
              * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
-         sum(CAST(l_quantity AS BIGINT)
+         sum(CAST(l_quantity AS HUGEINT)
              * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
   FROM lineitem GROUP BY l_returnflag
 ), d AS (
@@ -1430,10 +1435,13 @@ def q_agg_regression(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(dec(F.col("x"))).alias("sx"),
-            F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+            # multiply in DECIMAL, not long: a single ~3e9-cent value
+            # squares past int64 (r8 extreme-magnitude sweep catch; the
+            # oracle widens one operand to HUGEINT the same way)
+            F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
             F.sum(dec(F.col("y"))).alias("sy"),
-            F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
-            F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+            F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+            F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
         )
     )
     n = dec(F.col("n"))

@@ -75,10 +75,12 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #            ADVICE r7), and the 3 further uncast-HUGEINT oracles this
 #            round's type sweep caught (growth_curve, control_chart,
 #            drawdown).
-#   C (8)  — the OLDEST never-tested backlog: the two that rotated out
-#            of r7 tier E plus the head of the deferral list.
-# The remaining 77 never-tested keys stay on post_freeze_deferred
-# (tests/test_robustness.py) and fill r9 (50) + r10 (27).
+#   C (7+1) — the OLDEST never-tested backlog (the two that rotated out
+#            of r7 tier E plus the head of the deferral list), and one
+#            late tier-A-style re-prove: q_agg_regression, whose moment
+#            block the r8 extreme-magnitude widening also touched.
+# The remaining 78 never-tested keys stay on post_freeze_deferred
+# (tests/test_robustness.py) and fill r9 (50) + r10 (28).
 _ROUND8_PRIORITY = (
     # --- tier A: re-proves on changed code/oracles (14) ---
     "q_win_concurrency", "q_text_vocab_growth", "q_sample_token_budget",
@@ -97,10 +99,14 @@ _ROUND8_PRIORITY = (
     "q_agg_ks_test", "q_agg_quantile_bands", "q_agg_winsorized_mean",
     "q_time_downsample", "q_text_zipf", "q_pareto_abc",
     "q_agg_growth_curve", "q_time_control_chart", "q_time_drawdown",
-    # --- tier C: oldest never-tested backlog (8) ---
+    # --- tier C: oldest never-tested backlog (7) + one late re-prove ---
     "q_time_mom_growth", "q_agg_weighted_median", "q_funnel_time_to_convert",
     "q_except_all", "q_intersect_all", "q_fn_date2", "q_agg_bitmap_distinct",
-    "q_time_ohlc",
+    # q_agg_regression (r7-attested) re-proves here: the r8 extreme-sweep
+    # widening patched its moment block (shared shape with q_agg_stats),
+    # so its driver row must land on the new code; q_time_ohlc rotated
+    # back to the deferral head to make room.
+    "q_agg_regression",
 )
 
 
