@@ -370,20 +370,20 @@ def test_pipeline_multimodal_dedup_and_gate(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND8_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND9_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND8_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND9_PRIORITY
 
     qs = list(M.queries())
-    pinned = [k for k in _ROUND8_PRIORITY if k in qs]
+    pinned = [k for k in _ROUND9_PRIORITY if k in qs]
     assert len(pinned) == 50  # window exactly full — no wasted slot
     assert qs[: len(pinned)] == pinned
     # the 50-key window must contain EVERY key that had no driver row in
-    # rounds 1-7 (the rest of the never-tested backlog stays on the
-    # deferral list below and fills the r9/r10 rotations)
+    # rounds 1-8 (the rest of the never-tested backlog stays on the
+    # deferral list below and fills the r10 rotation)
     import glob
     import json
     import os
@@ -391,98 +391,56 @@ def test_driver_window_ordering_is_pinned():
     window = set(qs[:50])
     tested: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-7].json")):
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-8].json")):
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
-    # never-tested key accidentally missing from _ROUND8_PRIORITY would
+    # never-tested key accidentally missing from _ROUND9_PRIORITY would
     # pass silently). Every such key must be in the window or on the
-    # explicit post-freeze deferral list that leads r7's rotation.
-    # Never-driver-tested backlog after packing the r8 window (78 keys,
-    # down from 113 after r7 — key additions are FROZEN per VERDICT r7
-    # task 5; these fill r9 (50) + r10 (28), oldest first; q_time_ohlc
-    # rotated back out of the window to make room for the
-    # q_agg_regression re-prove)
+    # explicit post-freeze deferral list. The six r9-registered TPC-H
+    # completion keys are window tier B, so they never touch this list.
+    # Never-driver-tested backlog after packing the r9 window (37 keys,
+    # down from 78 after r8): these fill r10 alongside its re-proves.
     post_freeze_deferred: set[str] = {
         "q_time_ohlc",
         "q_sample_balanced",
         "q_win_ratio_to_report",
         "q_agg_iqr_outliers",
-        "q_time_streaks",
-        "q_agg_churn",
         "q_subquery_exists_flag",
         "q_text_lm_score",
         "q_join_asof_tolerance",
-        "q_time_interval_union",
-        "q_seq_transitions",
-        "q_time_twa",
-        "q_dq_benford",
-        "q_dq_referential",
         "q_join_asof_forward",
         "q_text_lexical_diversity",
-        "q_agg_log_histogram",
-        "q_time_anomaly",
-        "q_attribution_last_touch",
         "q_retrieval_mmr",
-        "q_time_cusum",
-        "q_dq_chi2",
         "q_mix_temperature",
         "q_orders_basket_rules",
         "q_text_collocations",
         "q_time_holt",
-        "q_graph_kcore",
-        "q_time_acf",
         "q_cohort_ltv",
-        "q_agg_theilsen",
         "q_dedup_cdc_chunks",
         "q_join_dpp",
         "q_survival_km",
         "q_graph_link_predict",
-        "q_vec_binary_hamming",
-        "q_orders_reorder_interval",
         "q_seq_topk_paths",
         "q_text_ngram_novelty",
-        "q_graph_bfs",
-        "q_retrieval_recall_eval",
-        "q_time_seasonal_naive",
         "q_graph_random_walk",
-        "q_dq_duplicate_keys",
         "q_cohort_stickiness",
         "q_graph_modularity",
         "q_graph_clustering_coeff",
         "q_sample_time_split",
-        "q_join_fanout_audit",
         "q_feature_point_in_time",
-        "q_dedup_minhash_fidelity",
-        "q_orders_abc_migration",
-        "q_agg_hhi",
-        "q_orders_fulfillment_latency",
         "q_sample_negatives",
         "q_join_asof_nearest",
-        "q_agg_smoothed_rate",
-        "q_win_rbo",
-        "q_time_decompose",
-        "q_retrieval_ndcg",
-        "q_agg_bootstrap_ci",
         "q_fn_struct",
-        "q_dq_srm",
-        "q_vec_truncation_fidelity",
-        "q_time_changepoint",
         "q_join_null_safe",
         "q_stream_windowed_topk",
         "q_agg_bool",
-        "q_time_hampel",
-        "q_agg_trimmed_mean",
-        "q_time_forecast_accuracy",
-        "q_time_mann_kendall",
         "q_win_rolling_corr",
         "q_text_vocab_richness",
         "q_multimodal_image_tiles",
-        "q_agg_hodges_lehmann",
-        "q_dq_freshness",
-        "q_time_ljung_box",
         "q_text_bigram_entropy",
     }
+    assert len(post_freeze_deferred) == 37
     never = [k for k in qs if k not in tested]
     for k in never:
         assert k in window or k in post_freeze_deferred, (

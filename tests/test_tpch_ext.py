@@ -88,12 +88,16 @@ def test_line_ext_derivations_are_pure_and_bounded(spark):
     assert row.receipt_d == row.ship_d + dt.timedelta(days=ro)
 
 
-def test_tpch_ext_not_registered_in_r8():
-    """The freeze holds: none of the staged keys may appear in the
-    registry until the r9 rotation (VERDICT r7 task 5)."""
-    from wikidata2pg_spark.registry import all_queries
+def test_tpch_ext_registered_in_r9():
+    """VERDICT r8 task 3 lifts the r7 freeze for exactly these six: all
+    are registered WITH hash oracles (registry 365 keys / 357 oracles),
+    and no other key slipped in alongside them."""
+    from wikidata2pg_spark.registry import all_oracles, all_queries
 
-    assert not set(TPCH_EXT_QUERIES) & set(all_queries())
+    qs, os_ = all_queries(), all_oracles()
+    assert set(TPCH_EXT_QUERIES) <= set(qs)
+    assert set(TPCH_EXT_ORACLES) <= set(os_)
+    assert len(qs) == 365 and len(os_) == 357
 
 
 @pytest.mark.parametrize("key", sorted(TPCH_EXT_QUERIES))

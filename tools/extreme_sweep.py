@@ -4,7 +4,7 @@ Scales every measure column of the all-constant degenerate fixture by
 9e11 (constant 100.0 -> 9e13), chosen so the derived integer cents
 (~9e15) stay under 2^53 — double-exact and engine-identical — while any
 UNWIDENED product of two cents-scale integers overflows int64. This
-probes the decimal(38,0)/HUGEINT widening discipline across all 359
+probes the decimal(38,0)/HUGEINT widening discipline across all 365
 keys at once.
 
 First run (r8 close, all-constant base): 0 value mismatches; 13 keys
@@ -18,13 +18,15 @@ q_agg_ols2, q_time_volatility — fix shape: multiply wide
 instead of long, exact integers so hashes on real data are unchanged
 (proven: mirror both SFs, division probes, worked examples, all three
 degenerate sweep variants, driver_sim window — all green post-patch).
-REMAINING catalog for the window rotations (do NOT fix outside a
-window; same recipe, never try_multiply — silent NULLs hide real
-corruption):
-  Spark [ARITHMETIC_OVERFLOW]: q_agg_argminmax, q_agg_skewkurt,
-    q_time_twa, q_time_anomaly
-  DuckDB INT64 overflow: q_agg_hhi, q_agg_anova_eta
-  plus q_ab_delta_method's RESIDUAL display-level mismatch: its 6dp
+The remaining SIX were widened in the r9 window (q_time_twa,
+q_time_anomaly, q_agg_hhi, q_agg_anova_eta, q_agg_argminmax with the
+same recipe; q_agg_skewkurt needed more — its raw 3rd/4th-power sums
+overflow even decimal(38,0)/HUGEINT past ~1.8e9 cents, so its moments
+are now taken about the per-group MIN, translation-invariant and
+bounded by the value RANGE instead of magnitude). CATALOG NOW EMPTY
+except the one documented residual (never try_multiply when fixing
+future finds — silent NULLs hide real corruption):
+  q_ab_delta_method's RESIDUAL display-level mismatch: its 6dp
   floor(x*1e6+0.5) display clamps at |x| >= ~9.2e12 (the r6 LONG-floor
   class — Spark floor saturates to long max while DuckDB's stays
   DOUBLE); aggregation is hardened, only the displayed rounding clamps,

@@ -19,7 +19,7 @@ oracle._DUCK_TYPE_HAZARDS):
   * FLOAT — float32 repr drift vs Spark DoubleType.
 
 This sweep needs NO Spark: ``con.sql(sql).types`` binds the query against
-the sf0.01 views without executing it, so all 351 oracles check in
+the sf0.01 views without executing it, so all 357 oracles check in
 seconds. The dynamic twin lives in oracle.compare (always-on hazard gate
 on both the mirror and driver_sim paths); the pytest twin is
 tests/test_plan_audit.py::test_oracle_duck_types_driver_safe.

@@ -227,7 +227,7 @@ WITH x AS (
 ), w AS (
   SELECT user_id, v_cents, t_next - t AS dt FROM g WHERE t_next IS NOT NULL
 ), s AS (
-  SELECT user_id, sum(v_cents * dt) AS sw, sum(dt) AS sd,
+  SELECT user_id, sum(CAST(v_cents AS HUGEINT) * dt) AS sw, sum(dt) AS sd,
          count(*) AS n
   FROM w GROUP BY user_id
 )
@@ -243,9 +243,10 @@ def q_time_twa(spark, sf_dir):
     so TWA = sum(value * gap) / sum(gap) per user — the honest average
     of an irregularly-sampled series, where the plain avg() over-weights
     bursts. Values become exact integer cents and gaps exact integer
-    microseconds, so every product is an exact int64 (<= 5e4 cents *
-    2.6e12 us ~ 1.3e17 < 2^63); the per-user SUMS accumulate in
-    decimal(38,0) (Spark) / HUGEINT (DuckDB) since they can pass 2^63 —
+    microseconds; the per-row value*gap product is multiplied WIDE
+    (decimal(38,0) Spark-side / one HUGEINT operand oracle-side — the
+    r8 extreme-magnitude recipe: cents at ~1e15 x gaps at ~1e12 pass
+    int64) and the per-user SUMS stay in the same wide type —
     both exact, one cast each to double, one shared floating tree with
     the single-division floor pattern. One shuffle on user_id (lead
     window + rollup co-partitioned); partial-aggregable at any scale."""
@@ -261,9 +262,11 @@ def q_time_twa(spark, sf_dir):
     )
     dt = F.col("t_next") - F.col("t")
     s = g.select(
-        "user_id", (F.col("v_cents") * dt).alias("vdt"), dt.alias("dt")
+        "user_id",
+        (F.col("v_cents").cast("decimal(38,0)") * dt).alias("vdt"),
+        dt.alias("dt"),
     ).groupBy("user_id").agg(
-        F.sum(F.col("vdt").cast("decimal(38,0)")).alias("sw"),
+        F.sum(F.col("vdt")).alias("sw"),
         F.sum(F.col("dt").cast("decimal(38,0)")).alias("sd"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -745,14 +748,13 @@ WITH x AS (
   SELECT *,
          count(v) OVER fr AS n,
          sum(v) OVER fr AS s,
-         sum(v * v) OVER fr AS s2
+         sum(CAST(v AS HUGEINT) * v) OVER fr AS s2
   FROM x
   WINDOW fr AS (PARTITION BY user_id ORDER BY t, event_id
                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
 ), f AS (
   SELECT user_id, event_id, t, v,
-         CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
-         CAST(s2 AS BIGINT) AS s2
+         CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s, s2
   FROM w WHERE n >= 5
 )
 SELECT user_id, event_id, v AS v_cents,
@@ -761,8 +763,9 @@ SELECT user_id, event_id, v AS v_cents,
                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
              * 10000 + 0.5) / 10000 AS z
 FROM f
-WHERE (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)
-  AND n * s2 - s * s > 0
+WHERE CAST(n * v - s AS HUGEINT) * (n * v - s)
+      > 9 * (n * s2 - CAST(s AS HUGEINT) * s)
+  AND n * s2 - CAST(s AS HUGEINT) * s > 0
 """,
 )
 def q_time_anomaly(spark, sf_dir):
@@ -771,8 +774,11 @@ def q_time_anomaly(spark, sf_dir):
     baseline (frame EXCLUDES the current row), and flagged when
     |v - mean| > 3*sigma. The flag never touches a double: the
     inequality is algebraically cleared of divisions and square roots —
-    (n*v - s)^2 > 9*(n*s2 - s^2) over exact integer cents (every term
-    bounded far below 2^63 by the 21-row frame) — so both engines make
+    (n*v - s)^2 > 9*(n*s2 - s^2) over exact integer cents, every square
+    multiplied WIDE (decimal(38,0) Spark-side / one HUGEINT operand
+    oracle-side, the r8 extreme-magnitude recipe; the 20-row frame
+    bounds each factor at ~20x max-cents so the wide squares hold to
+    ~1e18 cents per value) — so both engines make
     the IDENTICAL keep/drop decision on every row; the threshold
     boundary that plagues float z-scores cannot flip. The displayed z
     itself is one shared floating tree over the same exact integers,
@@ -793,11 +799,17 @@ def q_time_anomaly(spark, sf_dir):
     w = (
         e.withColumn("n", F.count("v").over(fr))
         .withColumn("s", F.sum("v").over(fr))
-        .withColumn("s2", F.sum(F.col("v") * F.col("v")).over(fr))
+        .withColumn(
+            "s2",
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).over(fr),
+        )
         .filter(F.col("n") >= 5)
     )
-    nv_s = F.col("n") * F.col("v") - F.col("s")
-    var_n2 = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    nv_s = (F.col("n") * F.col("v") - F.col("s")).cast("decimal(38,0)")
+    var_n2 = (
+        F.col("n") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
     nd = F.col("n").cast("double")
     z = (
         (nd * F.col("v") - F.col("s").cast("double"))
@@ -2611,7 +2623,7 @@ WITH r AS (
 ), t AS (
   SELECT CAST(sum(cents) AS BIGINT) AS total,
          CAST(count(*) AS BIGINT) AS n_cust,
-         CAST(sum(cents * cents) AS HUGEINT) AS sq
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq
   FROM r
 ), topk AS (
   SELECT CAST(sum(cents) AS BIGINT) AS top10_cents
@@ -2634,7 +2646,9 @@ def q_agg_hhi(spark, sf_dir):
     number of customers'). HHI = sum(c_i^2) / total^2 keeps everything
     integer until ONE final division: squared cents sums exceed int64
     range at warehouse scale, so the accumulator is Spark DECIMAL(38)
-    against DuckDB HUGEINT — both exact. The top-10 slice is a
+    against DuckDB HUGEINT — both exact — and the per-row square itself
+    is multiplied WIDE on both sides (r8 extreme-magnitude recipe: a
+    single customer past ~3e9 cents overflows an int64 square). The top-10 slice is a
     (cents DESC, custkey) TakeOrdered, never a full sort. Plan: one
     per-customer combine, a 10-row limit, two broadcast scalars — one
     orders pass at any scale."""
@@ -3643,7 +3657,7 @@ def q_sql_tpch_q18(spark, sf_dir):
 WITH g AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sg,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)
                   * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
            AS qg
   FROM events GROUP BY event_type
@@ -3672,7 +3686,9 @@ def q_agg_anova_eta(spark, sf_dir):
     grouping) — the does-the-segment-matter test that complements
     q_agg_mutual_info's nonparametric view with the classical
     variance decomposition. All moments (group counts, sums, squared
-    sums) are exact integers; SSB's per-group S_g^2/n_g terms are one
+    sums) are exact integers, the per-row square multiplied WIDE on
+    both sides (decimal(38,0) / one HUGEINT operand — the r8
+    extreme-magnitude recipe); SSB's per-group S_g^2/n_g terms are one
     shared-shape division each, summed by an event_type-ORDERED fold
     (never an unordered float SUM); SST and the final ratios are the
     same exact-moment forms as q_agg_ols2. Plan: one

@@ -1076,9 +1076,9 @@ def q_agg_bucketize_equidepth(spark, sf_dir):
     "q_agg_argminmax",
     oracle="""
 SELECT o_orderpriority,
-       arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey)
+       arg_max(o_orderkey, CAST(round(o_totalprice * 100, 0) AS HUGEINT) * 100000000 + o_orderkey)
            AS key_of_max,
-       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 + o_orderkey)
+       arg_min(o_orderkey, CAST(round(o_totalprice * 100, 0) AS HUGEINT) * 100000000 + o_orderkey)
            AS key_of_min,
        round(max(o_totalprice), 2) AS max_total,
        round(min(o_totalprice), 2) AS min_total
@@ -1091,14 +1091,18 @@ def q_agg_argminmax(spark, sf_dir):
     arg_min): 'which order carries the extreme value per group' — the
     lookup-free alternative to a window + filter. Ordering value is a
     composite integer key (price-in-cents x 1e8 + orderkey): prices have
-    exactly 2 decimals and keys are bounded, so the composite is exact in
-    BIGINT and STRICTLY unique — without the tiebreak, equal extreme
+    exactly 2 decimals and keys are bounded, so the composite is exact
+    and STRICTLY unique — without the tiebreak, equal extreme
     prices would make the arg nondeterministic and the hash unstable
-    (FIXTURES.md rule 2 applied to aggregates). Single partial+final
-    hash-agg, same scale shape as min/max."""
+    (FIXTURES.md rule 2 applied to aggregates). The composite is built
+    WIDE (decimal(38,0) Spark / HUGEINT oracle — r8 extreme-magnitude
+    recipe: cents x 1e8 passes int64 once a value reaches ~$900M) and
+    never displayed, so output types are unchanged. Single
+    partial+final hash-agg, same scale shape as min/max."""
     o = load(spark, sf_dir, "orders")
     ordkey = (
-        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 100000000
+        F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+        * 100000000
         + F.col("o_orderkey")
     )
     return o.groupBy("o_orderpriority").agg(
@@ -1476,20 +1480,24 @@ def q_agg_regression(spark, sf_dir):
 @query(
     "q_agg_skewkurt",
     oracle="""
-WITH s AS (
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), anchor AS (
+  SELECT l_returnflag, min(y) AS a FROM c GROUP BY l_returnflag
+), t AS (
+  SELECT c.l_returnflag, c.y - anchor.a AS d,
+         CAST(c.y - anchor.a AS HUGEINT) * (c.y - anchor.a) AS d2
+  FROM c JOIN anchor USING (l_returnflag)
+), s AS (
   SELECT l_returnflag,
          count(*) AS n,
-         sum(CAST(y AS HUGEINT)) AS s1,
-         sum(CAST(y2 AS HUGEINT)) AS s2,
-         sum(CAST(y2 AS HUGEINT) * y) AS s3,
-         sum(CAST(y2 AS HUGEINT) * y2) AS s4
-  FROM (
-    SELECT l_returnflag,
-           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
-           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y2
-    FROM lineitem
-  ) t GROUP BY l_returnflag
+         sum(CAST(d AS HUGEINT)) AS s1,
+         sum(d2) AS s2,
+         sum(d2 * d) AS s3,
+         sum(d2 * d2) AS s4
+  FROM t GROUP BY l_returnflag
 ), d AS (
   SELECT l_returnflag, CAST(n AS BIGINT) AS n,
          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
@@ -1515,27 +1523,40 @@ def q_agg_skewkurt(spark, sf_dir):
     standardized moments (distribution-shape monitoring: drift detection
     flags a feature whose skew/kurtosis moves even when mean/variance
     hold). Same determinism recipe as q_agg_stats/q_agg_regression taken
-    one moment higher: price becomes exact cents, y^2 stays in long,
-    y^3/y^4 accumulate in decimal(38,0) (Spark) / HUGEINT (DuckDB) —
-    sum(y^4) reaches ~1e34 at sf0.1, far beyond int64 but exact in both
-    — then ONE cast of each exact integer sum to double (IEEE
-    correctly-rounded, identical in both engines even above 2^53) feeds
-    one shared floating tree. Standardized moments are scale-invariant,
-    so the cents scaling cancels without a rescale; m2^1.5 is written
-    m2*sqrt(m2) (pow() implementations differ); the floor rounding is
-    half-rule-free and sign-safe. Still one partial-aggregable groupBy."""
+    one moment higher, ANCHORED (r9 extreme-magnitude hardening): raw
+    3rd/4th-power sums overflow even decimal(38,0)/HUGEINT once a single
+    value passes ~1.8e9 cents, so the moments are taken about the
+    per-group MIN (a 3-row broadcast join back onto the scan) —
+    standardized moments are translation-invariant, so the answer is
+    algebraically unchanged while the power sums are bounded by the
+    value RANGE (range^4 x n <= 1e38 holds to ~petabyte row counts at
+    real price spreads), and the shift also removes the classic
+    raw-moment cancellation. Deviations d stay exact integers; d^2 is
+    multiplied WIDE (decimal(38,0) Spark / one HUGEINT operand oracle),
+    d^3/d^4 accumulate in the same wide type — then ONE cast of each
+    exact integer sum to double (IEEE correctly-rounded, identical in
+    both engines even above 2^53) feeds one shared floating tree.
+    Standardized moments are scale-invariant, so the cents scaling
+    cancels without a rescale; m2^1.5 is written m2*sqrt(m2) (pow()
+    implementations differ); the floor rounding is half-rule-free and
+    sign-safe. Two passes over lineitem (min combine, then the moment
+    combine) — both partial-aggregable, join side is |groups| rows."""
     li = load(spark, sf_dir, "lineitem")
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    t = li.select(
-        "l_returnflag", y.alias("y"), (y * y).alias("y2")
+    c = li.select("l_returnflag", y.alias("y"))
+    anchor = c.groupBy("l_returnflag").agg(F.min("y").alias("a"))
+    t = c.join(F.broadcast(anchor), "l_returnflag").select(
+        "l_returnflag",
+        (F.col("y") - F.col("a")).alias("d"),
+        (dec(F.col("y") - F.col("a")) * (F.col("y") - F.col("a"))).alias("d2"),
     )
     s = t.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(F.col("y"))).alias("s1"),
-        F.sum(dec(F.col("y2"))).alias("s2"),
-        F.sum(dec(F.col("y2")) * dec(F.col("y"))).alias("s3"),
-        F.sum(dec(F.col("y2")) * dec(F.col("y2"))).alias("s4"),
+        F.sum(dec(F.col("d"))).alias("s1"),
+        F.sum(F.col("d2")).alias("s2"),
+        F.sum(F.col("d2") * dec(F.col("d"))).alias("s3"),
+        F.sum(F.col("d2") * F.col("d2")).alias("s4"),
     )
     nd = F.col("n").cast("double")
     d = s.select(

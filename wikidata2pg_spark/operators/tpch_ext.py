@@ -1,7 +1,7 @@
 """TPC-H completion queries (Q2, Q9, Q11, Q12, Q20, Q21) on DERIVED
-fixture extensions — staged for round 9, NOT registered this round
-(VERDICT r7 task 5 freezes the registry at 359 keys through r8; task 8
-asks for exactly this groundwork).
+fixture extensions — staged in round 8 under the r7 key freeze,
+REGISTERED in round 9 (VERDICT r8 task 3 lifts the freeze for exactly
+these six; registry now 365 keys / 357 hash oracles).
 
 The fixture lacks ``partsupp`` and lineitem commit/receipt/shipmode
 (operators/tpch.py module docstring). Regenerating /root/testdata is
@@ -33,15 +33,16 @@ Exactness follows operators/tpch.py: money in integer cents, one final
 cast-to-double division per displayed column, LIMIT always backed by a
 unique ORDER BY tiebreak. Scale notes per query docstring.
 
-Registration plan (r9): move each entry of TPCH_EXT_QUERIES/_ORACLES to
-an ``@query`` decoration once the attestation backlog fits the remaining
-windows. tests/test_tpch_ext.py mirror-verifies all six today.
+Registration happens at the bottom of this module straight from
+TPCH_EXT_QUERIES/_ORACLES (single source of truth with the tests);
+tests/test_tpch_ext.py mirror-verifies all six.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -575,3 +576,12 @@ TPCH_EXT_ORACLES = {
     "q_sql_tpch_q20": _Q20_SQL,
     "q_sql_tpch_q21": _Q21_SQL,
 }
+
+# r9 registration (VERDICT r8 task 3 lifts the freeze for exactly these
+# six): the staged dicts ARE the registration source, so the keys cannot
+# drift from what tests/test_tpch_ext.py mirror-verifies. All six are
+# slotted in _ROUND9_PRIORITY (registration is a change — their first
+# driver rows must land this round).
+for _k in TPCH_EXT_QUERIES:
+    query(_k, oracle=TPCH_EXT_ORACLES[_k])(TPCH_EXT_QUERIES[_k])
+del _k

@@ -48,70 +48,67 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # 8 post-r5-edit keys, and 34 stale r1 rows — all 50 hash-green in
 # CORRECTNESS_r06.json, bringing the cumulative driver ledger to 196/359.
 
-# Round-8 window (VERDICT r7 tasks 1/4 + the r7 close's re-prove
-# addendum in .claude/skills/verify/SKILL.md). After r7's 50/50-rows
-# window the cumulative ledger stands at 246/359 attested; the r8-r10
-# rotation keeps draining the never-tested backlog at 50 keys/round with
-# key additions still FROZEN (VERDICT r7 task 5). Three tiers, exactly
-# 50 keys:
-#   A (14) — RE-PROVES: attested keys whose code or oracle changed after
-#            their latest driver row (mirror-green != driver-green,
-#            r3/r5 lesson). The three r7 hash-FAILs with the HUGEINT
-#            oracle casts fixed this round (q_win_concurrency,
-#            q_text_vocab_growth, q_sample_token_budget); the nine keys
-#            the r7 close modified after their rows landed (q_agg_stats
-#            division guards, q_udf_python oracle NULL edit, the seven
-#            NULL-ordering-close window/pack keys); q_win_skyline
-#            (asc_nulls_last contract fix this round, ADVICE r7) and
-#            q_win_moving_median (r5 row, NULLS-sweep guard in late r7).
-#   B (28) — never-tested keys whose code/oracle was MODIFIED since the
-#            backlog pre-proof, so driver evidence lands on current
-#            code: the 12 degenerate-division-audit keys, the 4
-#            degenerate-sweep crash fixes (degree_powerlaw, strength,
-#            hill_tail, mrr), the 9 NULL-ordering-close deferred keys
-#            (cume_dist_nth, orders_rfm, gains_table, ks_test,
-#            quantile_bands, winsorized_mean, downsample, zipf,
-#            pareto_abc — the last also re-modified this round per
-#            ADVICE r7), and the 3 further uncast-HUGEINT oracles this
-#            round's type sweep caught (growth_curve, control_chart,
-#            drawdown).
-#   C (7+1) — the OLDEST never-tested backlog (the two that rotated out
-#            of r7 tier E plus the head of the deferral list), and one
-#            late tier-A-style re-prove: q_agg_regression, whose moment
-#            block the r8 extreme-magnitude widening also touched.
-# The remaining 78 never-tested keys stay on post_freeze_deferred
-# (tests/test_robustness.py) and fill r9 (50) + r10 (28).
-_ROUND8_PRIORITY = (
-    # --- tier A: re-proves on changed code/oracles (14) ---
-    "q_win_concurrency", "q_text_vocab_growth", "q_sample_token_budget",
-    "q_agg_stats", "q_udf_python", "q_win_ntile", "q_win_ntile_distributed",
-    "q_win_percent_rank", "q_win_percent_rank_distributed",
-    "q_win_range_frame", "q_pack_sequences", "q_pipeline_pretraining",
-    "q_win_skyline", "q_win_moving_median",
-    # --- tier B: never-tested, modified since pre-proof (28) ---
-    "q_agg_corr_matrix", "q_graph_assortativity", "q_ab_delta_method",
-    "q_agg_spearman", "q_agg_mannwhitney", "q_agg_runs_test", "q_agg_ols2",
-    "q_time_volatility", "q_time_lag_corr", "q_agg_welch_ttest",
-    "q_dq_cramers_v", "q_text_burstiness",
-    "q_graph_degree_powerlaw", "q_time_strength", "q_text_hill_tail",
-    "q_retrieval_mrr",
-    "q_win_cume_dist_nth", "q_orders_rfm", "q_agg_gains_table",
-    "q_agg_ks_test", "q_agg_quantile_bands", "q_agg_winsorized_mean",
-    "q_time_downsample", "q_text_zipf", "q_pareto_abc",
-    "q_agg_growth_curve", "q_time_control_chart", "q_time_drawdown",
-    # --- tier C: oldest never-tested backlog (7) + one late re-prove ---
-    "q_time_mom_growth", "q_agg_weighted_median", "q_funnel_time_to_convert",
-    "q_except_all", "q_intersect_all", "q_fn_date2", "q_agg_bitmap_distinct",
-    # q_agg_regression (r7-attested) re-proves here: the r8 extreme-sweep
-    # widening patched its moment block (shared shape with q_agg_stats),
-    # so its driver row must land on the new code; q_time_ohlc rotated
-    # back to the deferral head to make room.
-    "q_agg_regression",
+# Round-9 window (VERDICT r8 tasks 1/2/3/7). After r8's 50/50-hash
+# window the cumulative ledger stands at 281/359 attested; r8's frozen
+# registry grows to 365 THIS round only for the six staged TPC-H
+# completion keys (task 3 lifts the freeze for exactly those). Five
+# tiers, exactly 50 keys:
+#   A (3)  — RE-PROVES: attested keys widened by the r9
+#            extreme-magnitude fix (tools/extreme_sweep.py catalog):
+#            q_agg_argminmax + q_agg_anova_eta (wide composite/square,
+#            recipe unchanged), q_agg_skewkurt (anchored-deviation
+#            restructure — moments about the per-group min).
+#   B (6)  — the newly REGISTERED TPC-H completion keys
+#            (operators/tpch_ext.py — registration is a change, so
+#            their first driver rows land this round).
+#   C (3)  — never-tested keys widened by the same r9 fix, slotted so
+#            their FIRST driver row lands on widened code: q_time_twa,
+#            q_time_anomaly, q_agg_hhi.
+#   D (29) — the rest of operators/analytics.py's never-tested block
+#            (the largest uncertified module, VERDICT task 1), oldest
+#            first in deferral-list order.
+#   E (9)  — the ANN/dedup metrology keys that certify the rows-only
+#            family's accuracy claims (task 7: minhash_fidelity,
+#            binary_hamming, recall_eval, ndcg, truncation_fidelity)
+#            plus the graph/behavioral deferral heads (kcore, bfs,
+#            streaks, churn).
+# The remaining 37 never-tested keys stay on post_freeze_deferred
+# (tests/test_robustness.py) and fill r10 (37 + re-prove slots).
+_ROUND9_PRIORITY = (
+    # --- tier A: re-proves on r9-widened attested keys (3) ---
+    "q_agg_argminmax", "q_agg_skewkurt", "q_agg_anova_eta",
+    # --- tier B: newly registered TPC-H completion (6) ---
+    "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
+    "q_sql_tpch_q12", "q_sql_tpch_q20", "q_sql_tpch_q21",
+    # --- tier C: never-tested, widened this round (3) ---
+    "q_time_twa", "q_time_anomaly", "q_agg_hhi",
+    # --- tier D: analytics.py never-tested backlog (29) ---
+    "q_time_interval_union", "q_seq_transitions", "q_dq_benford",
+    "q_dq_referential", "q_agg_log_histogram", "q_attribution_last_touch",
+    "q_time_cusum", "q_dq_chi2", "q_time_acf", "q_agg_theilsen",
+    "q_orders_reorder_interval", "q_time_seasonal_naive",
+    "q_dq_duplicate_keys", "q_join_fanout_audit", "q_orders_abc_migration",
+    "q_orders_fulfillment_latency", "q_agg_smoothed_rate", "q_win_rbo",
+    "q_time_decompose", "q_agg_bootstrap_ci", "q_dq_srm",
+    "q_time_changepoint", "q_time_hampel", "q_agg_trimmed_mean",
+    "q_time_forecast_accuracy", "q_time_mann_kendall",
+    "q_agg_hodges_lehmann", "q_dq_freshness", "q_time_ljung_box",
+    # --- tier E: ANN metrology + graph/behavioral heads (9) ---
+    "q_dedup_minhash_fidelity", "q_vec_binary_hamming",
+    "q_retrieval_recall_eval", "q_retrieval_ndcg",
+    "q_vec_truncation_fidelity",
+    "q_graph_kcore", "q_graph_bfs", "q_time_streaks", "q_agg_churn",
 )
+
+# _ROUND8_PRIORITY (git history, commit 5574f6a is the last HEAD
+# carrying it): 14 tier-A re-proves (the 3 r7 HUGEINT hash-fails, the 9
+# r7-close-modified attested keys, skyline + moving_median) + 28
+# modified never-tested + 8 oldest backlog — all 50 hash-green in
+# CORRECTNESS_r08.json (the first 0-red round), ledger 281/359.
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND8_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND9_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
@@ -139,6 +136,7 @@ def _load_modules() -> None:
     import wikidata2pg_spark.operators.analytics  # noqa: F401
     import wikidata2pg_spark.operators.subqueries  # noqa: F401
     import wikidata2pg_spark.operators.tpch  # noqa: F401
+    import wikidata2pg_spark.operators.tpch_ext  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
