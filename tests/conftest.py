@@ -40,10 +40,25 @@ def _light_protobuf_gate() -> None:
     src = "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
     if not os.path.isdir(src):
         return
+    import hashlib
     import shutil
     import tempfile
 
-    shim = "/tmp/wikidata2pg_spark/pbshim"
+    # The version bump below is a targeted string patch; assert the
+    # source still IS the version the patch was written for, else skip
+    # the shim entirely (the test degrades to importorskip instead of a
+    # silently-unpatched shim turning the skip into a hard VersionError).
+    try:
+        with open(os.path.join(src, "runtime_version.py")) as fh:
+            src_rv = fh.read()
+    except OSError:
+        return
+    if "OSS_MINOR = 32" not in src_rv or "OSS_SUFFIX = '-dev'" not in src_rv:
+        return
+    # Key the shim dir on the source version file so an SDK upgrade
+    # rebuilds instead of serving a stale cached copy forever.
+    stamp = hashlib.sha256(src_rv.encode()).hexdigest()[:12]
+    shim = f"/tmp/wikidata2pg_spark/pbshim_{stamp}"
     if not os.path.exists(os.path.join(shim, "_COMPLETE")):
         # Build into a private tmp dir, then one atomic rename: concurrent
         # pytest sessions must never observe (or race) a half-built shim.

@@ -286,6 +286,37 @@ def test_upsert_hardening(spark, pg_dsn, tmp_path):
     ) == "0"
 
 
+def test_upsert_key_not_leading_and_comma_types(spark, pg_dsn, tmp_path):
+    """The r8 ADVICE findings, each pinned: (1) the dedup's DISTINCT ON
+    must work when key_cols are NOT a leading prefix of df.columns
+    (Postgres requires the DISTINCT ON exprs to lead the ORDER BY — the
+    old ORDER BY in frame order raised a psql error at merge time);
+    (2) hand-written DDL types containing commas (numeric(10,2)) must
+    survive the column-name validation's splitter; (3) a psql failure
+    surfaces Postgres's stderr, not the DSN-bearing command line."""
+    from wikidata2pg_spark.sources.pg_copy import upsert_postgres_copy
+
+    # key column LAST in the frame, duplicate keys to force the dedup
+    df = spark.createDataFrame(
+        [(9.25, 1), (2.50, 1), (5.00, 2)], "v double, k long"
+    )
+    ddl = "v numeric(10,2), k bigint"
+    ins, upd = upsert_postgres_copy(
+        df, pg_dsn, "ups_tailkey", ddl, ["k"], str(tmp_path)
+    )
+    assert (ins, upd) == (2, 0)
+    # deterministic winner: ORDER BY k, v -> lowest v per key
+    assert _q(pg_dsn, "SELECT v FROM ups_tailkey WHERE k = 1") == "2.50"
+    assert _q(pg_dsn, "SELECT v FROM ups_tailkey WHERE k = 2") == "5.00"
+    # psql errors carry Postgres's stderr and never the DSN
+    from wikidata2pg_spark.sources.pg_copy import _psql
+
+    with pytest.raises(RuntimeError) as ei:
+        _psql(pg_dsn, "SELECT * FROM table_that_does_not_exist_xyz")
+    assert "table_that_does_not_exist_xyz" in str(ei.value)
+    assert pg_dsn not in str(ei.value)
+
+
 def test_cli_import_into_real_postgres(spark, pg_dsn, tmp_path):
     """The CLI front door against REAL PostgreSQL: run_import with
     pg_dsn bulk-loads the flattened tables over COPY, counts match the

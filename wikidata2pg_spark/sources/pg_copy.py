@@ -46,15 +46,46 @@ def export_csv(df, out_dir: str) -> None:
     )
 
 
+def _run_psql(dsn: str, argv_tail: list[str], stdin) -> "subprocess.CompletedProcess":
+    """Run psql with the DSN, surfacing Postgres's stderr on failure and
+    keeping the DSN (which may embed a password) OUT of the raised
+    message — CalledProcessError would otherwise carry the full command
+    line while hiding the captured stderr, the one part that says what
+    actually went wrong."""
+    argv = ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", *argv_tail]
+    try:
+        return subprocess.run(
+            argv, stdin=stdin, capture_output=True, check=True
+        )
+    except subprocess.CalledProcessError as e:
+        stderr = e.stderr.decode("utf-8", "replace") if e.stderr else ""
+        raise RuntimeError(
+            f"psql {' '.join(argv_tail)} failed (rc={e.returncode}; DSN "
+            f"redacted): {stderr.strip()}"
+        ) from None
+
+
 def _psql(dsn: str, sql: str) -> str:
-    out = subprocess.run(
-        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-A", "-t", "-c", sql],
-        stdin=subprocess.DEVNULL,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    return out.stdout.strip()
+    out = _run_psql(dsn, ["-A", "-t", "-c", sql], subprocess.DEVNULL)
+    return out.stdout.decode("utf-8").strip()
+
+
+def _split_top_level(ddl: str) -> list[str]:
+    """Split a columns-only DDL on TOP-LEVEL commas so hand-written
+    types like ``numeric(10,2)`` parse as one column — a bare
+    ``split(',')`` would shear them and fail the name check with a
+    confusing error."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    return parts
 
 
 def load_postgres_copy(df, dsn: str, table: str, ddl: str, work_dir: str) -> int:
@@ -71,12 +102,7 @@ def load_postgres_copy(df, dsn: str, table: str, ddl: str, work_dir: str) -> int
     )
     for part in sorted(glob.glob(os.path.join(csv_dir, "part-*.csv"))):
         with open(part, "rb") as fh:
-            subprocess.run(
-                ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", copy_sql],
-                stdin=fh,
-                capture_output=True,
-                check=True,
-            )
+            _run_psql(dsn, ["-c", copy_sql], fh)
     return int(_psql(dsn, f"SELECT count(*) FROM {table}"))
 
 
@@ -99,7 +125,7 @@ def upsert_postgres_copy(
     (validated against the catalog — CREATE IF NOT EXISTS would
     otherwise silently skip the PK and fail at merge time)."""
     cols = [c for c, _ in df.dtypes]
-    ddl_names = [part.strip().split()[0] for part in ddl.split(",")]
+    ddl_names = [part.strip().split()[0] for part in _split_top_level(ddl)]
     if ddl_names != cols:
         raise ValueError(f"ddl columns {ddl_names} != frame columns {cols}")
     missing = [k for k in key_cols if k not in cols]
@@ -130,7 +156,12 @@ def upsert_postgres_copy(
                 f"{table} exists without a unique constraint on {key_cols}"
             )
         collist = ", ".join(cols)
-        order = ", ".join(cols)
+        # Postgres requires DISTINCT ON expressions to be a leading
+        # prefix of the ORDER BY, so the order is keys FIRST then the
+        # non-keys (a deterministic winner per key) — joining df.columns
+        # directly would break for any caller whose keys aren't already
+        # the frame's leading columns.
+        order = ", ".join(list(key_cols) + non_keys)
         src = (
             f"SELECT DISTINCT ON ({keylist}) {collist} FROM {staging} "
             f"ORDER BY {order}"
