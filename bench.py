@@ -544,8 +544,10 @@ def main() -> None:
                     "themselves are shuffle-minimal (join3 keeps the "
                     "map-side pre-aggregation that wins at real scale "
                     "even though skipping it is ~20% faster at 6M rows; "
-                    "json is parse-bound with all four extraction "
-                    "strategies within noise of each other)"
+                    "json uses get_json_object, the fastest honest "
+                    "strategy measured in PLANS.md r9, and the residual "
+                    "is the measured 160-vs-21 ns/row parse constant "
+                    "plus a 325-vs-17 ns/row pipeline-shape constant)"
                 ),
             })
         except Exception:
@@ -570,6 +572,16 @@ def main() -> None:
             fs.append(time.perf_counter() - t0)
         result.setdefault("calibration", {})["spark_empty_job_ms"] = round(
             statistics.median(fs) * 1000, 2
+        )
+    except Exception:
+        pass
+    try:
+        # Host load at measurement time (VERDICT r8 task 8): with the two
+        # anchors this makes a loaded window visible IN the artifact —
+        # clean-window references are q1 ~33 ms / empty-job ~22 ms at
+        # loadavg <1; anchors inflate roughly in step with load.
+        result.setdefault("calibration", {})["loadavg_1m"] = round(
+            os.getloadavg()[0], 2
         )
     except Exception:
         pass
@@ -634,7 +646,9 @@ def compact_result(result: dict) -> dict:
         }
     cal = result.get("calibration") or {}
     out["calibration"] = {
-        k: cal[k] for k in ("duckdb_q1_ms", "spark_empty_job_ms") if k in cal
+        k: cal[k]
+        for k in ("duckdb_q1_ms", "spark_empty_job_ms", "loadavg_1m")
+        if k in cal
     }
     for k in ("errors", "multifile_error", "scaled_error"):
         if k in result:

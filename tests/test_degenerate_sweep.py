@@ -96,3 +96,37 @@ def test_null_measure_sweep(spark, nulls_dir):
     assert not spark_errors, spark_errors
     assert not duck_errors, duck_errors
     assert not mismatches, mismatches
+
+
+def test_extreme_magnitude_sweep(spark, tmp_path_factory):
+    """Fourth variant, PROMOTED from exploratory to standing gate in r9
+    once its catalog emptied (tools/extreme_sweep.py documents the
+    history): every measure scaled by 9e11 so the derived cents reach
+    ~9e15 — still under 2^53 (double-exact, engine-identical) but far
+    past the int64 square boundary. Holds the wide-multiply discipline
+    (decimal(38,0) Spark-side / one HUGEINT operand oracle-side; never
+    try_multiply) at zero crashes. The ONE allowed mismatch is
+    q_ab_delta_method's documented display-level clamp: its 6dp
+    floor(x*1e6+0.5) saturates Spark's LONG floor at |x| >= ~9.2e12
+    while DuckDB's floor stays DOUBLE — aggregation is hardened, only
+    the displayed rounding clamps, ~6 orders above real ratio ranges."""
+    import os
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    tools = os.path.join(REPO_ROOT, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from extreme_sweep import build_extreme_dir
+
+    xdir = build_extreme_dir(str(tmp_path_factory.mktemp("extreme")))
+    spark_errors, duck_errors, mismatches = run_sweep(spark, xdir)
+    assert not spark_errors, (
+        "key OVERFLOWS at extreme magnitudes (per-row squared-cents "
+        f"class) — widen the multiply on BOTH sides: {spark_errors}"
+    )
+    assert not duck_errors, duck_errors
+    assert [k for k, _ in mismatches] == ["q_ab_delta_method"], (
+        f"unexpected extreme-magnitude divergence: {mismatches}"
+    )

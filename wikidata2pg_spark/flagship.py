@@ -57,7 +57,13 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JSON extract + agg over events.props" row. The registry's q_fn_json
     deliberately parses the same column four ways (coverage, not speed);
     benching that against a single-extraction baseline compared 4 parses to
-    1 (VERDICT r1). One variant_get is the engine's fastest JSON path."""
+    1 (VERDICT r1). Strategy re-measured at 10x/1M rows (r9, PLANS.md):
+    get_json_object's single-path extraction beats parse_json+
+    try_variant_get 485 vs 557 ms (parse-only 160 vs 232 ns/row — variant
+    builds the full variant value; the path extractor stops at one key)
+    and from_json-with-1-field-schema (541 ms); regexp would be faster
+    still (363 ms) but is not a JSON parser, so it stays out of an
+    honest "JSON extract" row."""
     from wikidata2pg_spark.tables import load
 
     from wikidata2pg_spark.tables import spread_if_few_splits
@@ -71,7 +77,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow = spread_if_few_splits(
         e.select("event_type", "props"), sf_dir, "events"
     )
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
         narrow.select("event_type", k.alias("k"))
         .groupBy("event_type")
