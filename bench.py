@@ -416,6 +416,14 @@ def multifile_dir() -> str:
 def main() -> None:
     from wikidata2pg_spark.session import get_session
 
+    # Ambient load BEFORE any measurement (review catch: sampled at the
+    # end it reads back the bench's OWN multi-core work and every run
+    # looks contended) — this is the window-contention signal the two
+    # anchors are read against.
+    try:
+        ambient_load = round(os.getloadavg()[0], 2)
+    except OSError:
+        ambient_load = None
     spark = get_session("bench")
     # Primary pass: AQE off — at ms scale its per-stage re-planning jobs
     # dominate (see module docstring); correctness sessions keep it on.
@@ -575,16 +583,12 @@ def main() -> None:
         )
     except Exception:
         pass
-    try:
-        # Host load at measurement time (VERDICT r8 task 8): with the two
-        # anchors this makes a loaded window visible IN the artifact —
-        # clean-window references are q1 ~33 ms / empty-job ~22 ms at
+    if ambient_load is not None:
+        # Ambient host load at bench START (VERDICT r8 task 8): with the
+        # two anchors this makes a loaded window visible IN the artifact
+        # — clean-window references are q1 ~33 ms / empty-job ~22 ms at
         # loadavg <1; anchors inflate roughly in step with load.
-        result.setdefault("calibration", {})["loadavg_1m"] = round(
-            os.getloadavg()[0], 2
-        )
-    except Exception:
-        pass
+        result.setdefault("calibration", {})["loadavg_1m"] = ambient_load
     if errors:
         result["errors"] = errors
     # Scaled-row fixed-cost decomposition (VERDICT r7 task 6): every Spark
@@ -607,7 +611,12 @@ def main() -> None:
     # The driver records only the LAST 2000 chars of stdout (BENCH_r07
     # lesson: the full line outgrew the capture and parsed as null). Full
     # result -> sidecar file; stdout gets ONE compact line.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL_PATH lets off-profile runs (the 30x point) keep
+    # their own sidecar instead of clobbering the committed 10x detail
+    # that BENCH_r* compact lines point at (review catch).
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(result, fh, indent=1)

@@ -1,4 +1,8 @@
-"""EXPLORATORY extreme-magnitude sweep (round 8) — NOT a gate.
+"""Extreme-magnitude sweep — born exploratory in round 8, PROMOTED to
+the fourth standing degenerate-sweep gate in round 9 once its overflow
+catalog emptied (pytest twin: tests/test_degenerate_sweep.py::
+test_extreme_magnitude_sweep, which imports build_extreme_dir from
+here; this CLI remains a convenience runner and always exits 0).
 
 Scales every measure column of the all-constant degenerate fixture by
 9e11 (constant 100.0 -> 9e13), chosen so the derived integer cents
@@ -90,8 +94,8 @@ def main() -> int:
     for label, items in (("spark-crash", se), ("duck-crash", de), ("mismatch", mm)):
         for k, msg in items:
             print(f"{label} {k}: {msg[:160]}")
-    print(f"-- exploratory: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
-    return 0  # exploratory: the catalog above is the output, not a gate
+    print(f"-- extreme sweep: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
+    return 0  # convenience CLI always exits 0; the pytest twin is the gate
 
 
 if __name__ == "__main__":

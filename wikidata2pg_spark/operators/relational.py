@@ -1485,11 +1485,11 @@ WITH c AS (
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
   FROM lineitem
 ), anchor AS (
-  SELECT l_returnflag, min(y) AS a FROM c GROUP BY l_returnflag
+  SELECT l_returnflag AS flag_a, min(y) AS a FROM c GROUP BY l_returnflag
 ), t AS (
   SELECT c.l_returnflag, c.y - anchor.a AS d,
          CAST(c.y - anchor.a AS HUGEINT) * (c.y - anchor.a) AS d2
-  FROM c JOIN anchor USING (l_returnflag)
+  FROM c JOIN anchor ON c.l_returnflag IS NOT DISTINCT FROM anchor.flag_a
 ), s AS (
   SELECT l_returnflag,
          count(*) AS n,
@@ -1545,8 +1545,17 @@ def q_agg_skewkurt(spark, sf_dir):
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     c = li.select("l_returnflag", y.alias("y"))
-    anchor = c.groupBy("l_returnflag").agg(F.min("y").alias("a"))
-    t = c.join(F.broadcast(anchor), "l_returnflag").select(
+    # NULL-SAFE anchor join: a plain equi-join would silently DROP a
+    # NULL-key group that the pre-r9 direct groupBy reported (both
+    # engines agree on the drop, so the mirror could never catch it) —
+    # eqNullSafe / IS NOT DISTINCT FROM keeps the NULL segment.
+    anchor = c.groupBy(
+        F.col("l_returnflag").alias("flag_a")
+    ).agg(F.min("y").alias("a"))
+    t = c.join(
+        F.broadcast(anchor),
+        F.col("l_returnflag").eqNullSafe(F.col("flag_a")),
+    ).select(
         "l_returnflag",
         (F.col("y") - F.col("a")).alias("d"),
         (dec(F.col("y") - F.col("a")) * (F.col("y") - F.col("a"))).alias("d2"),
