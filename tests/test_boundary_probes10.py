@@ -88,3 +88,66 @@ def test_skewkurt_null_flag_group_oracle_corun(spark, null_flag_lineitem_dir):
         all_oracles()["q_agg_skewkurt"],
     )
     assert not errors, errors
+
+
+# --- r9 negative-measures sweep catches (tools/negative_sweep.py) ---
+
+
+@pytest.fixture(scope="module")
+def negative_money_dir(tmp_path_factory):
+    """Refund-shaped rows: negative and zero money values next to
+    positive ones, for the two keys fixed by the r9 negative sweep."""
+    root = tmp_path_factory.mktemp("neg_money")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        # cents: 31400, -27100 (abs digit 2), 90, -5 (abs digit 5... -0.05)
+        "o_totalprice": pa.array([314.00, -271.00, 0.90, -0.05], pa.float64()),
+    }), str(root / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "A"], pa.string()),
+        # cents: 500 (bucket 8), -500 (bucket -1), 0 (bucket -1), 1 (bucket 0)
+        "l_extendedprice": pa.array([5.00, -5.00, 0.00, 0.01], pa.float64()),
+    }), str(root / "lineitem.parquet"))
+    return str(root)
+
+
+def test_benford_negative_totals_use_magnitude_digit(
+    spark, negative_money_dir
+):
+    rows = {r.digit: r.n for r in
+            all_queries()["q_dq_benford"](spark, negative_money_dir).collect()}
+    # |31400| -> 3, |-27100| -> 2, |90| -> 9, |-5| -> 5 (one order each)
+    assert rows == {3: 1, 2: 1, 9: 1, 5: 1}
+
+
+def test_log_histogram_nonpositive_bucket(spark, negative_money_dir):
+    rows = {r.bucket: r for r in
+            all_queries()["q_agg_log_histogram"](
+                spark, negative_money_dir).collect()}
+    # 500 cents -> bit length 9 -> bucket 8, bounds [256, 511]
+    assert rows[8].n == 1
+    assert rows[8].lo_cents == 256 and rows[8].hi_cents == 511
+    # 1 cent -> bucket 0, bounds [1, 1]
+    assert rows[0].n == 1
+    assert rows[0].lo_cents == 1 and rows[0].hi_cents == 1
+    # -500 and 0 cents -> the DDSketch non-positive bucket, NULL bounds
+    assert rows[-1].n == 2
+    assert rows[-1].lo_cents is None and rows[-1].hi_cents is None
+
+
+@pytest.mark.parametrize("key", ["q_dq_benford", "q_agg_log_histogram"])
+def test_negative_money_oracle_corun(spark, negative_money_dir, key):
+    con = duckdb.connect()
+    con.sql("SET TimeZone = 'UTC'")
+    for t in ("orders", "lineitem"):
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{negative_money_dir}/{t}.parquet')"
+        )
+    errors = compare(
+        key,
+        all_queries()[key](spark, negative_money_dir),
+        con,
+        all_oracles()[key],
+    )
+    assert not errors, errors

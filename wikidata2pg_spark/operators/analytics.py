@@ -296,7 +296,7 @@ _BENFORD = {
     "q_dq_benford",
     oracle="""
 WITH c AS (
-  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+  SELECT CAST(substr(CAST(abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                           AS VARCHAR), 1, 1) AS INT) AS digit
   FROM orders
 ), d AS (
@@ -317,15 +317,18 @@ def q_dq_benford(spark, sf_dir):
     """Benford first-digit audit over order totals — the classic
     fraud/synthetic-data screen: the observed share of each leading
     significant digit vs the Benford expectation log10(1+1/d). The
-    leading digit is read from the DIGITS of the exact integer cents
-    (string head), never via log10 of a double — scaling by 100 cannot
-    change a leading significant digit, and the string route keeps both
-    engines in exact-integer land. The rollup collapses to 9 rows before
+    leading digit is read from the DIGITS of the exact integer
+    ABSOLUTE cents (string head), never via log10 of a double —
+    scaling by 100 cannot change a leading significant digit, the
+    string route keeps both engines in exact-integer land, and abs()
+    makes refund-shaped negative totals contribute their magnitude's
+    digit instead of crashing the '-' cast (r9 negative-measures
+    sweep catch). The rollup collapses to 9 rows before
     the share window, so the global window is free; expectations are
     pinned 4-decimal literals (see _BENFORD). Output: digit, count,
     observed share (floor-pattern 6dp), expected share."""
     o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents = F.abs(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     d = o.select(digit.alias("digit")).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
@@ -695,30 +698,47 @@ def q_agg_corr_matrix(spark, sf_dir):
     oracle="""
 WITH c AS (
   SELECT l_returnflag,
-         length(printf('%b', CAST(floor(l_extendedprice * 100 + 0.5)
-                                  AS BIGINT))) - 1 AS bucket
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
   FROM lineitem
+), b AS (
+  SELECT l_returnflag,
+         CASE WHEN cents > 0 THEN length(printf('%b', cents)) - 1
+              ELSE -1 END AS bucket
+  FROM c
 )
 SELECT l_returnflag, CAST(bucket AS INT) AS bucket,
-       CAST((1::BIGINT << bucket) AS BIGINT) AS lo_cents,
-       CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi_cents,
+       CASE WHEN bucket >= 0
+            THEN CAST((1::BIGINT << bucket) AS BIGINT) END AS lo_cents,
+       CASE WHEN bucket >= 0
+            THEN CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT)
+       END AS hi_cents,
        count(*) AS n
-FROM c GROUP BY l_returnflag, bucket
+FROM b GROUP BY l_returnflag, bucket
 """,
 )
 def q_agg_log_histogram(spark, sf_dir):
     """Log2-bucketed histogram (the HdrHistogram / DDSketch bucket
-    family with gamma=2): each price lands in bucket floor(log2(cents)),
-    computed as the bit LENGTH of the exact integer cents minus one —
-    pure integer arithmetic, no transcendental anywhere, so the bucket
-    id can never disagree between engines. Log buckets give constant
-    RELATIVE error at any magnitude, which is why latency/money
-    distributions standardize on them over linear bins (q_agg_histogram
-    is the linear counterpart). One partial-aggregable groupBy; bucket
-    bounds are exact shifted integers."""
+    family with gamma=2): each POSITIVE price lands in bucket
+    floor(log2(cents)), computed as the bit LENGTH of the exact integer
+    cents minus one — pure integer arithmetic, no transcendental
+    anywhere, so the bucket id can never disagree between engines.
+    Non-positive values (refunds, zero) take the DDSketch convention of
+    a dedicated bucket -1 with NULL bounds — before the r9
+    negative-measures sweep, Spark's two's-complement bin() silently
+    bucketed them at 63 while DuckDB's signed '%b' crashed the shift.
+    Log buckets give constant RELATIVE error at any magnitude, which is
+    why latency/money distributions standardize on them over linear
+    bins (q_agg_histogram is the linear counterpart). One
+    partial-aggregable groupBy; bucket bounds are exact shifted
+    integers."""
     li = load(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-    bucket = (F.length(F.bin(cents)) - 1).cast("int")
+    bucket = (
+        F.when(cents > 0, F.length(F.bin(cents)) - 1)
+        .otherwise(F.lit(-1))
+        .cast("int")
+    )
+    in_range = F.col("bucket") >= 0
     return (
         li.select("l_returnflag", bucket.alias("bucket"))
         .groupBy("l_returnflag", "bucket")
@@ -728,10 +748,13 @@ def q_agg_log_histogram(spark, sf_dir):
             "bucket",
             # pyspark's shiftleft() helper only takes a literal shift; the
             # SQL form accepts the bucket column
-            F.expr("shiftleft(CAST(1 AS BIGINT), bucket)").alias("lo_cents"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1").alias(
-                "hi_cents"
-            ),
+            F.when(
+                in_range, F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+            ).alias("lo_cents"),
+            F.when(
+                in_range,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1"),
+            ).alias("hi_cents"),
             "n",
         )
     )
