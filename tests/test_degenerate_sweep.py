@@ -130,3 +130,74 @@ def test_extreme_magnitude_sweep(spark, tmp_path_factory):
     assert [k for k, _ in mismatches] == ["q_ab_delta_method"], (
         f"unexpected extreme-magnitude divergence: {mismatches}"
     )
+
+
+def test_negative_measure_sweep(spark, tmp_path_factory):
+    """Fifth variant, PROMOTED from exploratory to standing gate in r10
+    once its catalog emptied (tools/negative_sweep.py documents the
+    history): every money/value measure of the real sf0.001 fixture
+    NEGATED — refund-shaped rows a 100 TB corpus will contain. Its
+    first run found three sign-assumption crashes (q_dq_benford's
+    leading-digit substr hitting '-', q_agg_log_histogram's
+    two's-complement bin() vs DuckDB's signed '%b' shift crash,
+    q_fn_math's ln/log10 of a negative where DuckDB throws and ANSI
+    Spark NULLs) — all fixed with magnitude/positive-domain guards on
+    BOTH sides, held at zero here."""
+    import os
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    tools = os.path.join(REPO_ROOT, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from negative_sweep import build_negated_dir
+
+    ndir = build_negated_dir(str(tmp_path_factory.mktemp("negated")))
+    spark_errors, duck_errors, mismatches = run_sweep(spark, ndir)
+    assert not spark_errors, (
+        "key RAISES on negative measures (sign-assumption class) — "
+        f"guard the domain on BOTH sides, never abs(): {spark_errors}"
+    )
+    assert not duck_errors, (
+        "oracle RAISES on negative measures (DuckDB ln/sqrt-of-negative "
+        f"class) — positive-domain CASE on BOTH sides: {duck_errors}"
+    )
+    assert not mismatches, mismatches
+
+
+def test_unicode_text_sweep(spark, tmp_path_factory):
+    """Sixth variant, PROMOTED from exploratory to standing gate in r10
+    once its catalog emptied (tools/unicode_sweep.py documents the
+    history): multilingual tokens (NFC + genuinely-NFD accents, CJK,
+    astral emoji, Turkish U+0130, full-width forms, sharp s, Greek,
+    RTL Hebrew) injected into documents.text — the driver fixture is
+    100% ASCII, so this is the only coverage the text/dedup families
+    get on real multilingual bytes. Its first run found the repo's one
+    wrong-answer class (q_dedup_exact's lower() canonical key diverging
+    on U+0130 between Java FULL and utf8proc SIMPLE case mappings —
+    fixed by the engine-portable ASCII-only fold, README §canonical)
+    plus two oracle text::BLOB casts that reject non-ASCII (now
+    encode()). Held at zero here."""
+    import os
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    tools = os.path.join(REPO_ROOT, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from unicode_sweep import build_unicode_dir
+
+    udir = build_unicode_dir(str(tmp_path_factory.mktemp("unicode")))
+    spark_errors, duck_errors, mismatches = run_sweep(spark, udir)
+    assert not spark_errors, spark_errors
+    assert not duck_errors, (
+        "oracle RAISES on non-ASCII text (DuckDB STRING->BLOB cast "
+        f"class) — use encode() in the oracle: {duck_errors}"
+    )
+    assert not mismatches, (
+        "engines diverge on multilingual bytes (full-vs-simple case "
+        "mapping class) — canonicalize with the engine-portable "
+        f"ASCII-only fold on BOTH sides: {mismatches}"
+    )

@@ -370,20 +370,22 @@ def test_pipeline_multimodal_dedup_and_gate(spark, tmp_path):
 
 
 def test_driver_window_ordering_is_pinned():
-    """queries()/oracle_sql() must lead with _ROUND9_PRIORITY in order:
+    """queries()/oracle_sql() must lead with _ROUND10_PRIORITY in order:
     the driver checks EXACTLY the first 50 keys per round, so accidental
     reordering (a new module import, a dict rebuild) would silently swap
     which keys get correctness rows."""
     import __spark_entry__ as M
-    from wikidata2pg_spark.registry import _ROUND9_PRIORITY
+    from wikidata2pg_spark.registry import _ROUND10_PRIORITY
 
     qs = list(M.queries())
-    pinned = [k for k in _ROUND9_PRIORITY if k in qs]
+    pinned = [k for k in _ROUND10_PRIORITY if k in qs]
     assert len(pinned) == 50  # window exactly full — no wasted slot
     assert qs[: len(pinned)] == pinned
-    # the 50-key window must contain EVERY key that had no driver row in
-    # rounds 1-8 (the rest of the never-tested backlog stays on the
-    # deferral list below and fills the r10 rotation)
+    # The r10 window drains the ENTIRE never-tested backlog: every key
+    # that had no driver row in rounds 1-9 must sit in the first 50, and
+    # the post-freeze deferral list that carried the backlog since r6 is
+    # now EMPTY — after the r10 driver pass the cumulative ledger reads
+    # 365/365 and nothing registered is un-attested.
     import glob
     import json
     import os
@@ -391,61 +393,18 @@ def test_driver_window_ordering_is_pinned():
     window = set(qs[:50])
     tested: set[str] = set()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-8].json")):
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r0[1-9].json")):
         tested |= set(json.load(open(f)))
     # Derive "never driver-tested" from the REGISTERED key set, not from
     # the priority tuple itself (that would be circular — a registered,
-    # never-tested key accidentally missing from _ROUND9_PRIORITY would
-    # pass silently). Every such key must be in the window or on the
-    # explicit post-freeze deferral list. The six r9-registered TPC-H
-    # completion keys are window tier B, so they never touch this list.
-    # Never-driver-tested backlog after packing the r9 window (37 keys,
-    # down from 78 after r8): these fill r10 alongside its re-proves.
-    post_freeze_deferred: set[str] = {
-        "q_time_ohlc",
-        "q_sample_balanced",
-        "q_win_ratio_to_report",
-        "q_agg_iqr_outliers",
-        "q_subquery_exists_flag",
-        "q_text_lm_score",
-        "q_join_asof_tolerance",
-        "q_join_asof_forward",
-        "q_text_lexical_diversity",
-        "q_retrieval_mmr",
-        "q_mix_temperature",
-        "q_orders_basket_rules",
-        "q_text_collocations",
-        "q_time_holt",
-        "q_cohort_ltv",
-        "q_dedup_cdc_chunks",
-        "q_join_dpp",
-        "q_survival_km",
-        "q_graph_link_predict",
-        "q_seq_topk_paths",
-        "q_text_ngram_novelty",
-        "q_graph_random_walk",
-        "q_cohort_stickiness",
-        "q_graph_modularity",
-        "q_graph_clustering_coeff",
-        "q_sample_time_split",
-        "q_feature_point_in_time",
-        "q_sample_negatives",
-        "q_join_asof_nearest",
-        "q_fn_struct",
-        "q_join_null_safe",
-        "q_stream_windowed_topk",
-        "q_agg_bool",
-        "q_win_rolling_corr",
-        "q_text_vocab_richness",
-        "q_multimodal_image_tiles",
-        "q_text_bigram_entropy",
-    }
-    assert len(post_freeze_deferred) == 37
+    # never-tested key accidentally missing from _ROUND10_PRIORITY would
+    # pass silently).
     never = [k for k in qs if k not in tested]
+    assert len(never) == 37  # the documented final backlog size
     for k in never:
-        assert k in window or k in post_freeze_deferred, (
-            f"{k} is registered, has no driver row, is outside the 50-key "
-            "window, and is not on the documented post-freeze deferral list"
+        assert k in window, (
+            f"{k} is registered, has no driver row, and is outside the "
+            "50-key r10 window — the r10 contract is a FULL drain"
         )
 
 

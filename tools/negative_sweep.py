@@ -1,4 +1,6 @@
-"""EXPLORATORY negative-measures sweep (round 9) — NOT yet a gate.
+"""Negative-measures sweep — STANDING GATE since r10 (pytest twin:
+tests/test_degenerate_sweep.py::test_negative_measure_sweep; this CLI
+is the convenience runner).
 
 Negates every measure column of the REAL sf0.001 fixture (refund-shaped
 values — negative money/value rows a real 100 TB corpus will contain)
@@ -6,29 +8,25 @@ and runs the full engine-vs-oracle sweep over all registered keys. The
 extreme-magnitude sweep's sibling: that one probes magnitude overflow,
 this one probes sign assumptions.
 
-First run (r9 close): 3 crashes / 0 value mismatches. TWO were r9-window
-keys and were fixed the same session (their first driver rows land on
-the fixed code):
+Catalog: EMPTY (steady state 0 crashes / 0 mismatches). History — the
+first run (r9 close) found 3 crashes / 0 value mismatches, all fixed:
   * q_dq_benford — leading-digit substr hit the '-' sign; digits now
     read from abs(cents) on both sides (Benford is defined over the
-    magnitude's leading significant digit).
+    magnitude's leading significant digit). Fixed in-window r9.
   * q_agg_log_histogram — Spark's two's-complement bin() bucketed
     negatives at 63 while DuckDB's signed printf('%b') crashed the
     1<<63 shift; non-positive values now take the DDSketch convention
-    of a dedicated bucket -1 with NULL bounds on both sides.
-REMAINING catalog (fix only in-window — r10; same discipline as the
-extreme catalog):
+    of a dedicated bucket -1 with NULL bounds on both sides. Fixed
+    in-window r9.
   * q_fn_math (DuckDB crash: "cannot take logarithm of a negative
-    number") — the F4 contract key's ln/log10/sqrt columns assume a
-    positive measure; ANSI Spark NULLs where DuckDB throws. Fix shape
-    when it rotates: guard the transcendental columns with
-    CASE WHEN x > 0 on BOTH sides (NULL for non-positive input), never
-    abs() — a silently-rewritten magnitude hides the sign error the
-    audit exists to surface. q_fn_math is r6-ATTESTED: slot it tier-A
-    in _ROUND10_PRIORITY when fixing.
+    number") — the F4 contract key's sqrt/ln/log10 columns assumed a
+    positive measure; ANSI Spark NULLs where DuckDB throws. Fixed
+    tier-A in r10: positive-domain CASE guards on BOTH sides (NULL for
+    non-positive input), never abs() — a silently-rewritten magnitude
+    hides the sign error the audit exists to surface.
 
 Usage:
-    python tools/negative_sweep.py        # prints the catalog, exit 0
+    python tools/negative_sweep.py        # full sweep, exit 0
 """
 
 from __future__ import annotations

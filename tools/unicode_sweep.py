@@ -1,52 +1,53 @@
-"""EXPLORATORY unicode sweep (round 9) — NOT yet a gate.
+"""Unicode text sweep — STANDING GATE since r10 (pytest twin:
+tests/test_degenerate_sweep.py::test_unicode_text_sweep; this CLI is
+the convenience runner).
 
 Injects non-ASCII content into the REAL sf0.001 documents.text
-(precomposed + combining accents, CJK, astral-plane emoji, Turkish
-dotted capital I, full-width forms, sharp s, Greek, RTL Hebrew) and
-runs the full engine-vs-oracle sweep. The negative/extreme sweeps'
-text sibling: the driver fixture's documents are 100% ASCII, so the
-text/dedup families' behavior on real multilingual bytes was never
-exercised. Probes the classic cross-engine hazard pair: Spark's Java
-string tables (FULL case mappings, 1->2 codepoints) vs DuckDB's
-utf8proc (SIMPLE 1->1 mappings) and Java regex vs RE2.
+(precomposed + GENUINELY-decomposed combining accents, CJK,
+astral-plane emoji, Turkish dotted capital I, full-width forms, sharp
+s, Greek, RTL Hebrew) and runs the full engine-vs-oracle sweep. The
+negative/extreme sweeps' text sibling: the driver fixture's documents
+are 100% ASCII, so the text/dedup families' behavior on real
+multilingual bytes was never exercised. Probes the classic
+cross-engine hazard pair: Spark's Java string tables (FULL case
+mappings, 1->2 codepoints) vs DuckDB's utf8proc (SIMPLE 1->1 mappings)
+and Java regex vs RE2.
 
-First run (r9 close): 0 Spark crashes / 2 DuckDB crashes / 1 mismatch —
-ALL three on r3-ATTESTED keys, so per the fix-in-window discipline they
-are CATALOGED here for tier-A slots in _ROUND10_PRIORITY (do NOT fix
-outside a window):
+Catalog: EMPTY (steady state 0 crashes / 0 mismatches). History — the
+first run (r9 close) found 0 Spark crashes / 2 DuckDB crashes /
+1 mismatch, all on r3-attested keys, all fixed tier-A in r10:
 
   * q_multimodal_binary + q_multimodal_decode (DuckDB crash:
     "Invalid byte encountered in STRING -> BLOB conversion") — the
-    oracles build payload blobs with text::BLOB, which DuckDB rejects
-    for non-ASCII bytes. Fix shape: encode(text) (DuckDB's
-    STRING->BLOB UTF-8 encoder) in the oracle; Spark-side
-    F.encode(text, 'UTF-8') is already byte-identical. Same family as
-    the r8 pg_copy text::bytea gotcha.
+    oracles built payload blobs with text::BLOB, which DuckDB rejects
+    for non-ASCII bytes. Fixed: encode(text) (DuckDB's STRING->BLOB
+    UTF-8 encoder); Spark-side F.encode(text, 'UTF-8') was already
+    byte-identical. Same family as the r8 pg_copy text::bytea gotcha.
   * q_dedup_exact (100/500 rows hash-mismatch, EXACTLY the rows whose
     injected tokens contain 'İstanbul') — the canonicalization
     lower(trim(text)) diverges on U+0130: Java's FULL mapping gives
     'i' + U+0307 (two codepoints, dot preserved) while utf8proc's
-    SIMPLE mapping gives plain 'i', so the sha256 digests differ and
-    the dedup clusters differently. Verified directly:
-    duckdb lower('İstanbul') = 'istanbul';
-    Python/Java 'İstanbul'.lower() = 'i\\u0307stanbul'.
-    Fix shape: make the canonical key engine-portable — ASCII-only
-    case folding (translate('A'..'Z' -> 'a'..'z') on both sides, which
-    is also what a 100 TB multilingual dedup wants: full Unicode case
-    folding is locale-trapped and version-skewed across engines), and
-    re-prove tier-A. Never "fix" by matching DuckDB's simple mapping
-    Spark-side — Java has no such primitive and a UDF would put a
-    Python hop in the dedup hot path.
+    SIMPLE mapping gives plain 'i', so the sha256 digests differed and
+    the dedup clustered differently. Fixed: the engine-portable
+    canonicalization contract — ASCII-only case folding via
+    translate('A'..'Z' -> 'a'..'z') on BOTH sides (README documents
+    it as a product guarantee). Never "fix" by matching DuckDB's
+    simple mapping Spark-side — Java has no such primitive and a UDF
+    would put a Python hop in the dedup hot path.
 
-Everything else — tokenizers (regexp \\w splits), TF-IDF, n-grams,
-language stats, line dedup, simhash/minhash, Zipf/entropy keys, text
-quality/burstiness, the whole wikidata family — held hash-identical on
-multilingual bytes: Java regex and RE2 agree on the ASCII \\w class,
-and length() counts codepoints identically in both engines (emoji
-included).
+The r9 run's NFD token was byte-identical to the NFC one (editor
+round-trip — ADVICE r9); since the explicit "cafe\\u0301" escape landed
+the decomposed class genuinely runs, and still holds: both engines are
+normalization-PRESERVING (neither NFC-folds), so NFC and NFD rows hash
+apart consistently in both. Everything else — tokenizers (regexp \\w
+splits), TF-IDF, n-grams, language stats, line dedup, simhash/minhash,
+Zipf/entropy keys, text quality/burstiness, the whole wikidata family —
+held hash-identical on multilingual bytes: Java regex and RE2 agree on
+the ASCII \\w class, and length() counts codepoints identically in both
+engines (emoji included).
 
 Usage:
-    python tools/unicode_sweep.py        # prints the catalog, exit 0
+    python tools/unicode_sweep.py        # full sweep, exit 0
 """
 
 from __future__ import annotations
@@ -61,8 +62,13 @@ SRC = "/root/testdata/sf0.001"
 
 # Deterministic per-row injection tokens — each a distinct hazard class.
 TOKENS = [
-    "café",            # precomposed accent (NFC)
-    "café",      # combining accent (NFD) — same glyphs, different bytes
+    "café",            # precomposed accent (NFC, U+00E9)
+    # combining accent (NFD) — same glyphs as the NFC token, different
+    # bytes. MUST be the explicit e + U+0301 escape: a literal pasted
+    # glyph silently round-trips to NFC in most editors (the r9 version
+    # of this line was byte-identical to the NFC token above, so the
+    # NFD hazard class never actually ran — ADVICE r9 finding).
+    "cafe\u0301",
     "naïve",
     "中文分词测试",      # CJK, no word separators
     "😀🚀",            # astral-plane emoji (surrogate pairs in UTF-16)

@@ -77,7 +77,10 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow = spread_if_few_splits(
         e.select("event_type", "props"), sf_dir, "events"
     )
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast, not cast: under ANSI mode a non-integer string at $.k
+    # would make cast throw, where the old try_variant_get form returned
+    # NULL on type mismatch — keep the failure-safe NULL at equal speed.
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         narrow.select("event_type", k.alias("k"))
         .groupBy("event_type")

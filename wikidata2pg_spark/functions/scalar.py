@@ -113,9 +113,11 @@ SELECT l_orderkey, l_linenumber,
        abs(l_discount - 0.05) AS adiff,
        CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ceil_h,
        CAST(floor(l_extendedprice / 100) AS BIGINT) AS floor_h,
-       sqrt(l_quantity) AS sq,
-       round(ln(l_extendedprice), 4) AS lnp,
-       round(log10(l_extendedprice), 4) AS lgp,
+       CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS sq,
+       CASE WHEN l_extendedprice > 0
+            THEN round(ln(l_extendedprice), 4) END AS lnp,
+       CASE WHEN l_extendedprice > 0
+            THEN round(log10(l_extendedprice), 4) END AS lgp,
        round(pow(l_quantity, 2), 4) AS qty_sq,
        l_partkey % 7 AS pk_mod,
        CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn
@@ -124,17 +126,24 @@ WHERE l_orderkey < 4000
 """,
 )
 def q_fn_math(spark, sf_dir):
+    """F4: math scalar functions. The transcendental columns (sqrt/ln/log10)
+    are guarded with an explicit positive-domain CASE on BOTH sides —
+    refund-shaped (negative) measures get NULL, never a silently-abs'd
+    magnitude: DuckDB throws on ln(<0) where ANSI Spark NULLs, so the
+    unguarded forms diverge on real mixed-sign data (r9 negative-measures
+    sweep catalog, tools/negative_sweep.py)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("r1"),
         F.abs(F.col("l_discount") - 0.05).alias("adiff"),
-        F.ceil(F.col("l_extendedprice") / 100).alias("ceil_h"),
-        F.floor(F.col("l_extendedprice") / 100).alias("floor_h"),
-        F.sqrt("l_quantity").alias("sq"),
-        F.round(F.log(F.col("l_extendedprice")), 4).alias("lnp"),
-        F.round(F.log10(F.col("l_extendedprice")), 4).alias("lgp"),
+        F.ceil(price / 100).alias("ceil_h"),
+        F.floor(price / 100).alias("floor_h"),
+        F.when(qty >= 0, F.sqrt("l_quantity")).alias("sq"),
+        F.when(price > 0, F.round(F.log(price), 4)).alias("lnp"),
+        F.when(price > 0, F.round(F.log10(price), 4)).alias("lgp"),
         F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
         (F.col("l_partkey") % 7).alias("pk_mod"),
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("sgn"),

@@ -19,10 +19,15 @@ from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 @query(
     "q_dedup_exact",
-    oracle="""
-SELECT sha256(lower(trim(text))) AS text_sha,
+    oracle=f"""
+SELECT sha256(translate(trim(text),
+              '{_ASCII_UPPER}', '{_ASCII_LOWER}')) AS text_sha,
        min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -31,10 +36,22 @@ GROUP BY 1
 )
 def q_dedup_exact(spark, sf_dir):
     """L1: exact text dedup on a normalized digest. keeper = min(doc_id),
-    so the result is deterministic no matter which physical row wins."""
+    so the result is deterministic no matter which physical row wins.
+
+    Canonicalization contract (engine-portable, r10): the digest key is
+    ``trim`` + ASCII-ONLY case folding via ``translate('A'..'Z' ->
+    'a'..'z')``, NOT full ``lower()``. Full Unicode case mapping is
+    engine-divergent — Java's FULL mapping turns U+0130 'İ' into
+    'i'+U+0307 while DuckDB's utf8proc SIMPLE mapping gives plain 'i',
+    so lower()-keyed digests cluster a multilingual corpus differently
+    per engine (r9 unicode sweep, tools/unicode_sweep.py). ASCII-only
+    folding is also the right 100 TB posture: locale-/version-stable
+    across engines and Unicode releases; non-ASCII bytes participate in
+    the digest verbatim."""
     d = load(spark, sf_dir, "documents")
+    canon = F.translate(F.trim(F.col("text")), _ASCII_UPPER, _ASCII_LOWER)
     return (
-        d.select(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("text_sha"), "doc_id")
+        d.select(F.sha2(canon, 256).alias("text_sha"), "doc_id")
         .groupBy("text_sha")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )

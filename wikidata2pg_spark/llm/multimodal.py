@@ -26,8 +26,8 @@ from wikidata2pg_spark.tables import load
     oracle="""
 SELECT doc_id,
        md5(text) AS content_md5,
-       octet_length(text::BLOB) AS n_bytes,
-       upper(hex(text::BLOB)[1:16]) AS head_hex
+       octet_length(encode(text)) AS n_bytes,
+       upper(hex(encode(text))[1:16]) AS head_hex
 FROM documents
 """,
 )
@@ -136,7 +136,7 @@ SELECT doc_id,
        CASE WHEN octet_length(encode(text)) >= 2
             THEN ('0x' || substring(hex(encode(text)), 3, 2))::INT
             ELSE 0 END AS height,
-       octet_length(text::BLOB) AS n_bytes
+       octet_length(encode(text)) AS n_bytes
 FROM documents
 """,
 )

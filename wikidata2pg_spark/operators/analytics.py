@@ -703,7 +703,7 @@ WITH c AS (
 ), b AS (
   SELECT l_returnflag,
          CASE WHEN cents > 0 THEN length(printf('%b', cents)) - 1
-              ELSE -1 END AS bucket
+              WHEN cents IS NOT NULL THEN -1 END AS bucket
   FROM c
 )
 SELECT l_returnflag, CAST(bucket AS INT) AS bucket,
@@ -726,6 +726,7 @@ def q_agg_log_histogram(spark, sf_dir):
     a dedicated bucket -1 with NULL bounds — before the r9
     negative-measures sweep, Spark's two's-complement bin() silently
     bucketed them at 63 while DuckDB's signed '%b' crashed the shift.
+    NULL measures keep a NULL bucket (missing is not "non-positive").
     Log buckets give constant RELATIVE error at any magnitude, which is
     why latency/money distributions standardize on them over linear
     bins (q_agg_histogram is the linear counterpart). One
@@ -733,9 +734,12 @@ def q_agg_log_histogram(spark, sf_dir):
     integers."""
     li = load(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    # NULL measures stay in a NULL bucket (missing != non-positive): a
+    # bare otherwise(-1) would silently count them as refund/zero rows
+    # (ADVICE r9). The -1 arm is therefore isNotNull-gated on both sides.
     bucket = (
         F.when(cents > 0, F.length(F.bin(cents)) - 1)
-        .otherwise(F.lit(-1))
+        .when(cents.isNotNull(), F.lit(-1))
         .cast("int")
     )
     in_range = F.col("bucket") >= 0

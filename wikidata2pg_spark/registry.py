@@ -48,67 +48,70 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # 8 post-r5-edit keys, and 34 stale r1 rows — all 50 hash-green in
 # CORRECTNESS_r06.json, bringing the cumulative driver ledger to 196/359.
 
-# Round-9 window (VERDICT r8 tasks 1/2/3/7). After r8's 50/50-hash
-# window the cumulative ledger stands at 281/359 attested; r8's frozen
-# registry grows to 365 THIS round only for the six staged TPC-H
-# completion keys (task 3 lifts the freeze for exactly those). Five
-# tiers, exactly 50 keys:
-#   A (3)  — RE-PROVES: attested keys widened by the r9
-#            extreme-magnitude fix (tools/extreme_sweep.py catalog):
-#            q_agg_argminmax + q_agg_anova_eta (wide composite/square,
-#            recipe unchanged), q_agg_skewkurt (anchored-deviation
-#            restructure — moments about the per-group min).
-#   B (6)  — the newly REGISTERED TPC-H completion keys
-#            (operators/tpch_ext.py — registration is a change, so
-#            their first driver rows land this round).
-#   C (3)  — never-tested keys widened by the same r9 fix, slotted so
-#            their FIRST driver row lands on widened code: q_time_twa,
-#            q_time_anomaly, q_agg_hhi.
-#   D (29) — the rest of operators/analytics.py's never-tested block
-#            (the largest uncertified module, VERDICT task 1), oldest
-#            first in deferral-list order.
-#   E (9)  — the ANN/dedup metrology keys that certify the rows-only
-#            family's accuracy claims (task 7: minhash_fidelity,
-#            binary_hamming, recall_eval, ndcg, truncation_fidelity)
-#            plus the graph/behavioral deferral heads (kcore, bfs,
-#            streaks, churn).
-# The remaining 37 never-tested keys stay on post_freeze_deferred
-# (tests/test_robustness.py) and fill r10 (37 + re-prove slots).
-_ROUND9_PRIORITY = (
-    # --- tier A: re-proves on r9-widened attested keys (3) ---
-    "q_agg_argminmax", "q_agg_skewkurt", "q_agg_anova_eta",
-    # --- tier B: newly registered TPC-H completion (6) ---
-    "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
-    "q_sql_tpch_q12", "q_sql_tpch_q20", "q_sql_tpch_q21",
-    # --- tier C: never-tested, widened this round (3) ---
-    "q_time_twa", "q_time_anomaly", "q_agg_hhi",
-    # --- tier D: analytics.py never-tested backlog (29) ---
-    "q_time_interval_union", "q_seq_transitions", "q_dq_benford",
-    "q_dq_referential", "q_agg_log_histogram", "q_attribution_last_touch",
-    "q_time_cusum", "q_dq_chi2", "q_time_acf", "q_agg_theilsen",
-    "q_orders_reorder_interval", "q_time_seasonal_naive",
-    "q_dq_duplicate_keys", "q_join_fanout_audit", "q_orders_abc_migration",
-    "q_orders_fulfillment_latency", "q_agg_smoothed_rate", "q_win_rbo",
-    "q_time_decompose", "q_agg_bootstrap_ci", "q_dq_srm",
-    "q_time_changepoint", "q_time_hampel", "q_agg_trimmed_mean",
-    "q_time_forecast_accuracy", "q_time_mann_kendall",
-    "q_agg_hodges_lehmann", "q_dq_freshness", "q_time_ljung_box",
-    # --- tier E: ANN metrology + graph/behavioral heads (9) ---
-    "q_dedup_minhash_fidelity", "q_vec_binary_hamming",
-    "q_retrieval_recall_eval", "q_retrieval_ndcg",
-    "q_vec_truncation_fidelity",
-    "q_graph_kcore", "q_graph_bfs", "q_time_streaks", "q_agg_churn",
+# Round-10 window (VERDICT r9 tasks 1/2/6): the LAST never-tested keys.
+# After r9's 50/50-hash window the ledger stands at 328/365 attested,
+# 37 never-tested — this window drains them completely, so the driver
+# ledger can read 365/365 for the first time. Three tiers, exactly 50:
+#   A (5)  — RE-PROVES on attested keys whose code/oracle changed this
+#            round (task 2 + ADVICE r9): q_fn_math (positive-domain
+#            CASE guard on sqrt/ln/log10, negative-sweep catalog),
+#            q_dedup_exact (engine-portable ASCII-only case fold,
+#            unicode-sweep catalog), q_multimodal_binary +
+#            q_multimodal_decode (oracle encode() instead of ::BLOB,
+#            unicode-sweep catalog), q_agg_log_histogram (NULL measures
+#            keep a NULL bucket — ADVICE r9).
+#   B (37) — the ENTIRE post-freeze never-tested backlog (task 1), in
+#            deferral-list order (module-grouped): 1 dedup, 6 text,
+#            1 multimodal, 4 sampling, 1 retrieval, 1 streaming,
+#            1 fn_struct, 2 agg, 5 joins, 4 windows/time, rest
+#            analytics/graph/behavioral/subqueries.
+#   C (8)  — staleness re-proves: the oldest surviving hash rows are
+#            r1-era (9 keys); re-prove 8 of them (q_union_all stays the
+#            only r1 row — the driver's per-round window is exactly 50).
+# After this window the deferral list (tests/test_robustness.py) is
+# EMPTY — nothing registered is un-attested.
+_ROUND10_PRIORITY = (
+    # --- tier A: re-proves on keys fixed this round (5) ---
+    "q_fn_math", "q_dedup_exact", "q_multimodal_binary",
+    "q_multimodal_decode", "q_agg_log_histogram",
+    # --- tier B: the final 37 never-tested keys (all of them) ---
+    "q_dedup_cdc_chunks",
+    "q_text_lm_score", "q_text_lexical_diversity", "q_text_collocations",
+    "q_text_ngram_novelty", "q_text_vocab_richness",
+    "q_text_bigram_entropy",
+    "q_multimodal_image_tiles",
+    "q_sample_balanced", "q_mix_temperature", "q_sample_time_split",
+    "q_sample_negatives",
+    "q_retrieval_mmr",
+    "q_stream_windowed_topk",
+    "q_fn_struct",
+    "q_agg_iqr_outliers", "q_agg_bool",
+    "q_join_asof_tolerance", "q_join_asof_forward", "q_join_dpp",
+    "q_join_asof_nearest", "q_join_null_safe",
+    "q_time_ohlc", "q_win_ratio_to_report", "q_time_holt",
+    "q_win_rolling_corr",
+    "q_orders_basket_rules",
+    "q_graph_link_predict", "q_graph_random_walk", "q_graph_modularity",
+    "q_graph_clustering_coeff",
+    "q_cohort_ltv", "q_survival_km", "q_seq_topk_paths",
+    "q_cohort_stickiness", "q_feature_point_in_time",
+    "q_subquery_exists_flag",
+    # --- tier C: oldest (r1) attested rows, staleness re-proves (8) ---
+    "q_project_alias_expr", "q_filter_compound",
+    "q_filter_in_between_like", "q_null_semantics", "q_case_when",
+    "q_distinct", "q_join_cross", "q_limit",
 )
 
-# _ROUND8_PRIORITY (git history, commit 5574f6a is the last HEAD
-# carrying it): 14 tier-A re-proves (the 3 r7 HUGEINT hash-fails, the 9
-# r7-close-modified attested keys, skyline + moving_median) + 28
-# modified never-tested + 8 oldest backlog — all 50 hash-green in
-# CORRECTNESS_r08.json (the first 0-red round), ledger 281/359.
+# _ROUND9_PRIORITY (git history, commit 47c79f7 is the last HEAD
+# carrying it): 3 tier-A extreme-magnitude re-proves + 6 newly
+# registered TPC-H completion keys + 3 widened never-tested + 29
+# analytics backlog + 9 ANN-metrology/graph/behavioral heads — all 50
+# hash-green in CORRECTNESS_r09.json (second 0-red round), ledger
+# 328/365. _ROUND8_PRIORITY: commit 5574f6a, 50/50, ledger 281/359.
 
 
 def _prioritize(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND9_PRIORITY if k in d}
+    head = {k: d[k] for k in _ROUND10_PRIORITY if k in d}
     head.update((k, v) for k, v in d.items() if k not in head)
     return head
 
