@@ -142,3 +142,93 @@ def test_property_stats_match_json_walk(spark):
         assert (r.n_statements, r.n_subjects, r.n_value_types) == (
             st["n"], len(st["subjects"]), len(st["types"])
         ), p
+
+
+def test_multilingual_labels_unicode_parity(spark):
+    """Standing multilingual pin (r10, VERDICT r9 stretch 7): the r9
+    unicode sweep OBSERVED the wikidata family hash-identical on
+    non-ASCII bytes; this locks the property against the SAME machinery
+    the registered keys use (clean_dump_lines -> parse_entities ->
+    labels_table on the Spark side; the fixture's generated VALUES CTE
+    + json walk on the DuckDB side). Hazard classes: CJK, RTL
+    Hebrew/Arabic, an astral-plane codepoint (a SURROGATE PAIR in the
+    \\u-escaped dump encoding — the class ensure_ascii=True makes both
+    JSON parsers reassemble), Turkish U+0130, precomposed (NFC) vs
+    GENUINELY-decomposed (NFD) accents, and full-width forms — each in
+    BOTH dump encodings (\\u-escaped like fixture.py's ensure_ascii
+    lines, and raw UTF-8 like a real latest-all.json). All three
+    implementations (Spark, DuckDB, the Python dict) must agree on
+    exact codepoint sequences, and the escaped/raw encodings of the
+    same entity must decode identically."""
+    import json
+
+    import duckdb
+
+    from wikidata2pg_spark.wikidata import flatten
+    from wikidata2pg_spark.wikidata.fixture import _sql_quote
+
+    labels = {
+        "zh": "中文维基百科",            # CJK
+        "he": "עִבְרִית",                # RTL Hebrew with combining points
+        "ar": "العربية",                # RTL Arabic
+        "tr": "İstanbul",               # U+0130 (the case-fold hazard cp,
+                                        # stored here verbatim — no folding
+                                        # in the termstore path)
+        "fr": "caf\u00e9",            # precomposed NFC (explicit escape)
+        "oc": "cafe\u0301",           # genuinely-decomposed NFD (explicit
+                                        # escape — a pasted glyph can
+                                        # silently round-trip to NFC)
+        "ja": "ＦＵＬＬ幅１２３",        # full-width forms
+        "en": "Douglas \U0001F600 Adams \U00020021",  # astral emoji + CJK-B
+    }
+    ents = [
+        {"id": "Q9001", "type": "item", "lastrevid": 1,
+         "labels": {lg: {"language": lg, "value": v} for lg, v in labels.items()}},
+        {"id": "Q9002", "type": "item", "lastrevid": 1,
+         "labels": {lg: {"language": lg, "value": v} for lg, v in labels.items()}},
+    ]
+    # Q9001 ships \u-escaped (fixture.py's ensure_ascii convention —
+    # astral codepoints become 😀-style SURROGATE PAIRS);
+    # Q9002 ships raw UTF-8 (a real dump's encoding).
+    lines = [
+        json.dumps(ents[0], separators=(",", ":"), ensure_ascii=True),
+        json.dumps(ents[1], separators=(",", ":"), ensure_ascii=False),
+    ]
+    assert "\\ud83d" in lines[0].lower() and "\U0001F600" in lines[1]
+    # full dump shape so clean_dump_lines' bracket/comma path runs too
+    dump = ["["] + [lines[0] + ","] + [lines[1]] + ["]"]
+
+    raw = spark.createDataFrame([(l,) for l in dump], "line string")
+    parsed = flatten.parse_entities(flatten.clean_dump_lines(raw))
+    got_spark = {
+        (r.id, r.lang): r.label
+        for r in flatten.labels_table(parsed).collect()
+    }
+
+    vals = ",\n".join(f"({_sql_quote(l)})" for l in lines)
+    got_duck = {
+        (i, lg): v
+        for i, lg, v in duckdb.sql(
+            f"""
+            WITH raw(line) AS (VALUES {vals})
+            SELECT json_extract_string(line, '$.id'),
+                   u.lang,
+                   json_extract_string(line, '$.labels.' || u.lang || '.value')
+            FROM raw, unnest(json_keys(line, '$.labels')) AS u(lang)
+            """
+        ).fetchall()
+    }
+
+    want = {
+        (e["id"], lg): v["value"] for e in ents for lg, v in e["labels"].items()
+    }
+    assert got_spark == want, "Spark parse diverged from the Python dict"
+    assert got_duck == want, "DuckDB json walk diverged from the Python dict"
+    # encoding invariance: the \u-escaped and raw-UTF-8 entities decoded
+    # to the same label values in both engines
+    for lg in labels:
+        assert got_spark[("Q9001", lg)] == got_spark[("Q9002", lg)] == labels[lg]
+    # the NFC/NFD pair stayed DISTINCT (both engines are
+    # normalization-preserving — nothing silently NFC-folds)
+    assert got_spark[("Q9001", "fr")] != got_spark[("Q9001", "oc")]
+    assert got_duck[("Q9001", "fr")] != got_duck[("Q9001", "oc")]
