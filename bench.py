@@ -279,6 +279,17 @@ def _duck_times(
     return out
 
 
+# The ORIGINAL r4/r5 continuity anchor SQL (baseline 91.7 ms at sf0.1;
+# clean-window reading on this box ~33 ms at 4 threads) — shared by the
+# post-pass calibration and the pre-pass contention gate so the two
+# can't drift.
+_LEGACY_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+           avg(l_quantity), count(*)
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus"""
+
+
 def duckdb_calibration() -> dict[str, float]:
     """Re-measure a DuckDB twin of EVERY bench row in THIS process, right
     now: BASELINE.md numbers were taken on an uncontended box, but this VM
@@ -302,12 +313,7 @@ def duckdb_calibration() -> dict[str, float]:
     # ~25% heavier, so aliasing it would inflate the judge's contention
     # normalization; measure the original anchor SQL separately (through
     # the same _duck_times protocol so the two can't drift).
-    legacy_q1 = """
-        SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
-               avg(l_quantity), count(*)
-        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
-        GROUP BY l_returnflag, l_linestatus"""
-    out["duckdb_q1_ms"] = _duck_times(SF_DIR, {"q1_legacy": legacy_q1})["q1_legacy"]
+    out["duckdb_q1_ms"] = _duck_times(SF_DIR, {"q1_legacy": _LEGACY_Q1_SQL})["q1_legacy"]
     out["duckdb_tumbling_ms"] = out["duckdb_tumbling_1h_ms"]
     return out
 
@@ -427,24 +433,51 @@ def main() -> None:
     # pass, wait once and re-sample; both readings land in the
     # calibration block so a still-loaded window is self-caveating
     # rather than silently noisy.
+    # Two signals, because they fail independently (observed: anchor
+    # 51 ms at loadavg 3.2 — other-tenant steal that 1-minute load never
+    # shows): the 1-minute load average, and a pre-pass measurement of
+    # the SAME DuckDB anchor the calibration block reports (clean-window
+    # reading ~33 ms at sf0.1; >43 ms = the window is inflating
+    # everything ~1.3x+). Either signal past threshold → wait once,
+    # re-sample, and record BOTH readings.
     load_gate_info: dict = {}
+    ambient_load = None
     try:
-        ambient_load = round(os.getloadavg()[0], 2)
-        LOAD_GATE, WAIT_S = 5.0, 90
-        if ambient_load > LOAD_GATE and os.environ.get(
-            "SPARK_GRAFT_LOAD_GATE", "1"
-        ) != "0":
+        LOAD_GATE, ANCHOR_GATE_MS, WAIT_S = 5.0, 43.0, 90
+
+        def _signals() -> tuple[float | None, float | None]:
+            try:
+                load = round(os.getloadavg()[0], 2)
+            except OSError:
+                load = None
+            try:
+                anchor = _duck_times(SF_DIR, {"g": _LEGACY_Q1_SQL})["g"]
+            except Exception:
+                anchor = None
+            return load, anchor
+
+        ambient_load, pre_anchor = _signals()
+        if pre_anchor is not None:
+            load_gate_info["pre_anchor_q1_ms"] = pre_anchor
+        contended = (ambient_load or 0) > LOAD_GATE or (
+            pre_anchor or 0
+        ) > ANCHOR_GATE_MS
+        if contended and os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0":
             load_gate_info["loadavg_first_attempt"] = ambient_load
+            load_gate_info["pre_anchor_first_attempt_ms"] = pre_anchor
             time.sleep(WAIT_S)
-            ambient_load = round(os.getloadavg()[0], 2)
+            ambient_load, pre_anchor = _signals()
             load_gate_info["load_gate_waited_s"] = WAIT_S
-            if ambient_load > LOAD_GATE:
+            if pre_anchor is not None:
+                load_gate_info["pre_anchor_q1_ms"] = pre_anchor
+            if (ambient_load or 0) > LOAD_GATE or (pre_anchor or 0) > ANCHOR_GATE_MS:
                 load_gate_info["load_gate_note"] = (
-                    f"box never quieted (still {ambient_load} after "
-                    f"{WAIT_S}s); timings carry contention"
+                    f"box never quieted (load {ambient_load}, anchor "
+                    f"{pre_anchor} ms after {WAIT_S}s); timings carry "
+                    "contention"
                 )
-    except OSError:
-        ambient_load = None
+    except Exception:
+        pass
     spark = get_session("bench")
     # Primary pass: AQE off — at ms scale its per-stage re-planning jobs
     # dominate (see module docstring); correctness sessions keep it on.
@@ -679,7 +712,14 @@ def compact_result(result: dict) -> dict:
     cal = result.get("calibration") or {}
     out["calibration"] = {
         k: cal[k]
-        for k in ("duckdb_q1_ms", "spark_empty_job_ms", "loadavg_1m")
+        for k in ("duckdb_q1_ms", "spark_empty_job_ms", "loadavg_1m",
+                  # contention-gate trail (r10): pre_anchor_q1_ms is
+                  # always present; the *_first_attempt/_note keys only
+                  # when the gate fired — the driver artifact must
+                  # self-caveat a contended window, not just the sidecar
+                  "pre_anchor_q1_ms", "loadavg_first_attempt",
+                  "pre_anchor_first_attempt_ms", "load_gate_waited_s",
+                  "load_gate_note")
         if k in cal
     }
     for k in ("errors", "multifile_error", "scaled_error"):
