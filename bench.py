@@ -218,8 +218,8 @@ _FLAGSHIP_TWIN_SQL = {
         FROM events GROUP BY 1, 2""",
     "json_events_agg": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+               sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
         FROM events GROUP BY event_type""",
     "join3_top10": """
         WITH per_order AS (
@@ -459,22 +459,32 @@ def main() -> None:
         ambient_load, pre_anchor = _signals()
         if pre_anchor is not None:
             load_gate_info["pre_anchor_q1_ms"] = pre_anchor
-        contended = (ambient_load or 0) > LOAD_GATE or (
-            pre_anchor or 0
-        ) > ANCHOR_GATE_MS
+        # Fire only on POSITIVE evidence of contention (an unreadable
+        # signal must not make every run sleep)…
+        contended = (
+            ambient_load is not None and ambient_load > LOAD_GATE
+        ) or (pre_anchor is not None and pre_anchor > ANCHOR_GATE_MS)
         if contended and os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0":
             load_gate_info["loadavg_first_attempt"] = ambient_load
             load_gate_info["pre_anchor_first_attempt_ms"] = pre_anchor
             time.sleep(WAIT_S)
             ambient_load, pre_anchor = _signals()
             load_gate_info["load_gate_waited_s"] = WAIT_S
+            # …but once it HAS fired, only positive evidence of quiet
+            # clears it: a failed re-sample (None) must not read as calm,
+            # and pre_anchor_q1_ms must never keep the first attempt's
+            # contended value next to a re-sampled loadavg (review catch).
+            load_gate_info.pop("pre_anchor_q1_ms", None)
             if pre_anchor is not None:
                 load_gate_info["pre_anchor_q1_ms"] = pre_anchor
-            if (ambient_load or 0) > LOAD_GATE or (pre_anchor or 0) > ANCHOR_GATE_MS:
+            quiet = (
+                ambient_load is not None and ambient_load <= LOAD_GATE
+            ) and (pre_anchor is not None and pre_anchor <= ANCHOR_GATE_MS)
+            if not quiet:
                 load_gate_info["load_gate_note"] = (
-                    f"box never quieted (load {ambient_load}, anchor "
-                    f"{pre_anchor} ms after {WAIT_S}s); timings carry "
-                    "contention"
+                    f"not confirmed quiet (load {ambient_load}, anchor "
+                    f"{pre_anchor} ms after {WAIT_S}s; None = signal "
+                    "unreadable); timings may carry contention"
                 )
     except Exception:
         pass

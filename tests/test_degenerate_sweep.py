@@ -15,8 +15,11 @@ Runtime note: one spark+duck run per key over tiny tables per variant
 (~3-4 min each) — the same order as the liveness and plan sweeps.
 Engine errors FAIL; value mismatches also fail here (the steady state
 is exact parity on every variant — weaker than the driver gate, but
-drift-free). Three variants: all-constant, zero-row (row-fabrication
-class), NULL-injected measures (NULL-ordering class).
+drift-free). Six variants: all-constant, zero-row (row-fabrication
+class), NULL-injected measures (NULL-ordering class), extreme
+magnitude (int64-square overflow class, r9), negated measures
+(sign-assumption class, r10), unicode text (case-mapping/BLOB-cast
+class, r10).
 """
 
 from __future__ import annotations
@@ -31,6 +34,21 @@ from wikidata2pg_spark.degenerate_audit import (
     build_nulls_dir,
     run_sweep,
 )
+
+
+def _tools_module(name: str):
+    """Import a sweep-builder module from tools/ (shared by the three
+    promoted sweep gates — the CLI files double as fixture builders)."""
+    import importlib
+    import os
+    import sys
+
+    from tests.conftest import REPO_ROOT
+
+    tools = os.path.join(REPO_ROOT, "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    return importlib.import_module(name)
 
 
 @pytest.fixture(scope="module")
@@ -110,15 +128,7 @@ def test_extreme_magnitude_sweep(spark, tmp_path_factory):
     floor(x*1e6+0.5) saturates Spark's LONG floor at |x| >= ~9.2e12
     while DuckDB's floor stays DOUBLE — aggregation is hardened, only
     the displayed rounding clamps, ~6 orders above real ratio ranges."""
-    import os
-    import sys
-
-    from tests.conftest import REPO_ROOT
-
-    tools = os.path.join(REPO_ROOT, "tools")
-    if tools not in sys.path:
-        sys.path.insert(0, tools)
-    from extreme_sweep import build_extreme_dir
+    build_extreme_dir = _tools_module("extreme_sweep").build_extreme_dir
 
     xdir = build_extreme_dir(str(tmp_path_factory.mktemp("extreme")))
     spark_errors, duck_errors, mismatches = run_sweep(spark, xdir)
@@ -143,15 +153,7 @@ def test_negative_measure_sweep(spark, tmp_path_factory):
     q_fn_math's ln/log10 of a negative where DuckDB throws and ANSI
     Spark NULLs) — all fixed with magnitude/positive-domain guards on
     BOTH sides, held at zero here."""
-    import os
-    import sys
-
-    from tests.conftest import REPO_ROOT
-
-    tools = os.path.join(REPO_ROOT, "tools")
-    if tools not in sys.path:
-        sys.path.insert(0, tools)
-    from negative_sweep import build_negated_dir
+    build_negated_dir = _tools_module("negative_sweep").build_negated_dir
 
     ndir = build_negated_dir(str(tmp_path_factory.mktemp("negated")))
     spark_errors, duck_errors, mismatches = run_sweep(spark, ndir)
@@ -179,15 +181,7 @@ def test_unicode_text_sweep(spark, tmp_path_factory):
     fixed by the engine-portable ASCII-only fold, README §canonical)
     plus two oracle text::BLOB casts that reject non-ASCII (now
     encode()). Held at zero here."""
-    import os
-    import sys
-
-    from tests.conftest import REPO_ROOT
-
-    tools = os.path.join(REPO_ROOT, "tools")
-    if tools not in sys.path:
-        sys.path.insert(0, tools)
-    from unicode_sweep import build_unicode_dir
+    build_unicode_dir = _tools_module("unicode_sweep").build_unicode_dir
 
     udir = build_unicode_dir(str(tmp_path_factory.mktemp("unicode")))
     spark_errors, duck_errors, mismatches = run_sweep(spark, udir)

@@ -619,8 +619,24 @@ def test_bench_compact_line_fits_driver_tail_capture():
             "fixed_ms_est": {n: 133.0 for n in scaled_q},
             "note": "y" * 500,
         },
+        # worst case: the r10 contention gate FIRED and the box never
+        # confirmed quiet — all five gate-trail keys present, including
+        # the free-text note (the longest line the code can emit)
         "calibration": {f"duckdb_{n}_ms": 99.9 for n in qnames}
-        | {"duckdb_q1_ms": 44.8, "spark_empty_job_ms": 19.0},
+        | {
+            "duckdb_q1_ms": 44.8,
+            "spark_empty_job_ms": 19.0,
+            "loadavg_1m": 6.89,
+            "pre_anchor_q1_ms": 51.3,
+            "loadavg_first_attempt": 7.12,
+            "pre_anchor_first_attempt_ms": 52.8,
+            "load_gate_waited_s": 90,
+            "load_gate_note": (
+                "not confirmed quiet (load 6.89, anchor 51.3 ms after "
+                "90s; None = signal unreadable); timings may carry "
+                "contention"
+            ),
+        },
         "errors": {"tfidf": "z" * 400},
     }
     compact = bench_mod.compact_result(full)
@@ -630,9 +646,12 @@ def test_bench_compact_line_fits_driver_tail_capture():
     assert compact["value"] == 2.9876
     assert compact["scaled"]["ratio_vs_duckdb_4t"]
     assert compact["scaled"]["ratio_adj_4t"]
-    assert compact["calibration"] == {
-        "duckdb_q1_ms": 44.8, "spark_empty_job_ms": 19.0,
-    }
+    # per-twin calibration rows collapse; anchors + full gate trail pass
+    assert compact["calibration"]["duckdb_q1_ms"] == 44.8
+    assert compact["calibration"]["spark_empty_job_ms"] == 19.0
+    assert compact["calibration"]["load_gate_note"].startswith("not confirmed")
+    assert compact["calibration"]["pre_anchor_first_attempt_ms"] == 52.8
+    assert "duckdb_tfidf_ms" not in compact["calibration"]
     assert compact["detail"] == "BENCH_DETAIL.json"
     # pathological inflation still degrades to a parseable under-budget line
     full["scaled"]["ratio_vs_duckdb_4t"] = {f"q{i}": 1.0 for i in range(400)}

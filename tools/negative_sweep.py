@@ -26,7 +26,7 @@ first run (r9 close) found 3 crashes / 0 value mismatches, all fixed:
     hides the sign error the audit exists to surface.
 
 Usage:
-    python tools/negative_sweep.py        # full sweep, exit 0
+    python tools/negative_sweep.py   # exit 0 clean, 1 on any finding
 """
 
 from __future__ import annotations
@@ -80,7 +80,8 @@ def main() -> int:
         for k, msg in items:
             print(f"{label} {k}: {msg[:200]}")
     print(f"-- negative sweep: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
-    return 0  # exploratory: the catalog above is the output, not a gate
+    # standing gate (r10): a hand-run regression must fail the shell too
+    return 1 if (se or de or mm) else 0
 
 
 if __name__ == "__main__":

@@ -47,7 +47,7 @@ the ASCII \\w class, and length() counts codepoints identically in both
 engines (emoji included).
 
 Usage:
-    python tools/unicode_sweep.py        # full sweep, exit 0
+    python tools/unicode_sweep.py   # exit 0 clean, 1 on any finding
 """
 
 from __future__ import annotations
@@ -120,7 +120,8 @@ def main() -> int:
         for k, msg in items:
             print(f"{label} {k}: {msg[:250]}")
     print(f"-- unicode sweep: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
-    return 0  # exploratory: the catalog above is the output, not a gate
+    # standing gate (r10): a hand-run regression must fail the shell too
+    return 1 if (se or de or mm) else 0
 
 
 if __name__ == "__main__":

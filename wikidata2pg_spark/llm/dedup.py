@@ -23,11 +23,26 @@ _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
 
 
+def canon_text(col):
+    """THE engine-portable text canonicalization (README §Round-10, the
+    dedup family's product contract): ``trim`` + ASCII-only case fold.
+    Every digest/partition key over free text MUST use this (or its SQL
+    twin ``canon_sql``) — never ``lower()``, whose full Unicode case
+    mapping diverges between engines (Java FULL: U+0130 -> 'i'+U+0307;
+    utf8proc SIMPLE: 'i') and across locales/Unicode versions. Pure
+    codegen'd expression — no UDF in any dedup hot path."""
+    return F.translate(F.trim(col), _ASCII_UPPER, _ASCII_LOWER)
+
+
+def canon_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canon_text` — same fold, same order."""
+    return f"translate(trim({expr}), '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+
+
 @query(
     "q_dedup_exact",
     oracle=f"""
-SELECT sha256(translate(trim(text),
-              '{_ASCII_UPPER}', '{_ASCII_LOWER}')) AS text_sha,
+SELECT sha256({canon_sql('text')}) AS text_sha,
        min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents
@@ -49,9 +64,8 @@ def q_dedup_exact(spark, sf_dir):
     across engines and Unicode releases; non-ASCII bytes participate in
     the digest verbatim."""
     d = load(spark, sf_dir, "documents")
-    canon = F.translate(F.trim(F.col("text")), _ASCII_UPPER, _ASCII_LOWER)
     return (
-        d.select(F.sha2(canon, 256).alias("text_sha"), "doc_id")
+        d.select(F.sha2(canon_text(F.col("text")), 256).alias("text_sha"), "doc_id")
         .groupBy("text_sha")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -482,9 +496,9 @@ def q_dedup_url_canonical(spark, sf_dir):
 
 @query(
     "q_dedup_incremental",
-    oracle="""
+    oracle=f"""
 WITH d AS (
-  SELECT doc_id, sha256(lower(trim(text))) AS digest FROM documents
+  SELECT doc_id, sha256({canon_sql('text')}) AS digest FROM documents
 ), corpus AS (
   SELECT DISTINCT digest FROM d WHERE doc_id % 5 != 0
 ), batch AS (
@@ -518,7 +532,7 @@ def q_dedup_incremental(spark, sf_dir):
     is exactly what the first select models. Within-batch keep-min is one
     small hash agg."""
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest")
+        "doc_id", F.sha2(canon_text(F.col("text")), 256).alias("digest")
     )
     corpus = d.filter(F.col("doc_id") % 5 != 0).select("digest")
     batch = d.filter(F.col("doc_id") % 5 == 0)

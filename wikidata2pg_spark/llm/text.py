@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from wikidata2pg_spark.llm.dedup import canon_sql, canon_text
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
 
@@ -318,7 +319,7 @@ def q_text_fingerprint(spark, sf_dir):
 
 @query(
     "q_corpus_clean",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
 ), q AS (
@@ -328,7 +329,7 @@ WITH t AS (
     AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
 ), d AS (
   SELECT doc_id, lang, n_toks,
-         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+         row_number() OVER (PARTITION BY sha256({canon_sql('text')})
                             ORDER BY doc_id) AS rn
   FROM q
 )
@@ -352,7 +353,7 @@ def q_corpus_clean(spark, sf_dir):
     q = d.filter(n.between(10, 1000) & (ttr > 0.2)).select(
         "doc_id", "lang", "text", n.cast("long").alias("n_toks")
     )
-    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy("doc_id")
+    w = Window.partitionBy(F.sha2(canon_text(F.col("text")), 256)).orderBy("doc_id")
     return (
         q.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -620,7 +621,7 @@ def q_pack_sequences(spark, sf_dir):
 
 @query(
     "q_pipeline_pretraining",
-    oracle="""
+    oracle=f"""
 WITH t AS (
   SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
 ), q AS (
@@ -630,7 +631,7 @@ WITH t AS (
     AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.2
 ), s AS (
   SELECT doc_id, lang, toks, n_toks,
-         row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+         row_number() OVER (PARTITION BY sha256({canon_sql('text')})
                             ORDER BY doc_id) AS rn
   FROM q
 ), survivors AS (
@@ -692,7 +693,7 @@ def q_pipeline_pretraining(spark, sf_dir):
     q = d.filter(n.between(10, 1000) & (ttr > 0.2)).select(
         "doc_id", "lang", "text", toks.alias("toks"), n.cast("long").alias("n_toks")
     )
-    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+    w = Window.partitionBy(F.sha2(canon_text(F.col("text")), 256)).orderBy(
         "doc_id"
     )
     survivors = (

@@ -52,28 +52,37 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # After r9's 50/50-hash window the ledger stands at 328/365 attested,
 # 37 never-tested — this window drains them completely, so the driver
 # ledger can read 365/365 for the first time. Three tiers, exactly 50:
-#   A (5)  — RE-PROVES on attested keys whose code/oracle changed this
-#            round (task 2 + ADVICE r9): q_fn_math (positive-domain
-#            CASE guard on sqrt/ln/log10, negative-sweep catalog),
-#            q_dedup_exact (engine-portable ASCII-only case fold,
-#            unicode-sweep catalog), q_multimodal_binary +
-#            q_multimodal_decode (oracle encode() instead of ::BLOB,
-#            unicode-sweep catalog), q_agg_log_histogram (NULL measures
-#            keep a NULL bucket — ADVICE r9).
+#   A (9)  — RE-PROVES on attested keys whose code/oracle changed this
+#            round (task 2 + ADVICE r9 + the r10 /code-review catch):
+#            q_fn_math (positive-domain CASE guard on sqrt/ln/log10,
+#            negative-sweep catalog), q_dedup_exact (engine-portable
+#            ASCII-only case fold, unicode-sweep catalog),
+#            q_multimodal_binary + q_multimodal_decode (oracle encode()
+#            instead of ::BLOB, unicode-sweep catalog),
+#            q_agg_log_histogram (NULL measures keep a NULL bucket —
+#            ADVICE r9), and the four other digest-keyed dedup-family
+#            keys the review found still on lower(trim()):
+#            q_dedup_incremental, q_corpus_clean,
+#            q_pipeline_pretraining, q_stream_corpus_clean — all five
+#            text-canonicalization sites now share canon_text/canon_sql
+#            (llm/dedup.py).
 #   B (37) — the ENTIRE post-freeze never-tested backlog (task 1), in
 #            deferral-list order (module-grouped): 1 dedup, 6 text,
 #            1 multimodal, 4 sampling, 1 retrieval, 1 streaming,
 #            1 fn_struct, 2 agg, 5 joins, 4 windows/time, rest
 #            analytics/graph/behavioral/subqueries.
-#   C (8)  — staleness re-proves: the oldest surviving hash rows are
-#            r1-era (9 keys); re-prove 8 of them (q_union_all stays the
-#            only r1 row — the driver's per-round window is exactly 50).
+#   C (4)  — staleness re-proves: the oldest surviving hash rows are
+#            r1-era (9 keys); re-prove the 4 that fit (the other 5 stay
+#            r1 rows — the driver's per-round window is exactly 50, and
+#            tier-A re-proves on changed keys outrank staleness).
 # After this window the deferral list (tests/test_robustness.py) is
 # EMPTY — nothing registered is un-attested.
 _ROUND10_PRIORITY = (
-    # --- tier A: re-proves on keys fixed this round (5) ---
+    # --- tier A: re-proves on keys fixed this round (9) ---
     "q_fn_math", "q_dedup_exact", "q_multimodal_binary",
     "q_multimodal_decode", "q_agg_log_histogram",
+    "q_dedup_incremental", "q_corpus_clean", "q_pipeline_pretraining",
+    "q_stream_corpus_clean",
     # --- tier B: the final 37 never-tested keys (all of them) ---
     "q_dedup_cdc_chunks",
     "q_text_lm_score", "q_text_lexical_diversity", "q_text_collocations",
@@ -96,10 +105,9 @@ _ROUND10_PRIORITY = (
     "q_cohort_ltv", "q_survival_km", "q_seq_topk_paths",
     "q_cohort_stickiness", "q_feature_point_in_time",
     "q_subquery_exists_flag",
-    # --- tier C: oldest (r1) attested rows, staleness re-proves (8) ---
+    # --- tier C: oldest (r1) attested rows, staleness re-proves (4) ---
     "q_project_alias_expr", "q_filter_compound",
-    "q_filter_in_between_like", "q_null_semantics", "q_case_when",
-    "q_distinct", "q_join_cross", "q_limit",
+    "q_filter_in_between_like", "q_null_semantics",
 )
 
 # _ROUND9_PRIORITY (git history, commit 47c79f7 is the last HEAD

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
+from wikidata2pg_spark.llm.dedup import canon_sql, canon_text
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.streaming.harness import read_events_stream, run_available_now
 from wikidata2pg_spark.tables import load
@@ -512,10 +513,10 @@ def q_time_sessionize_batch(spark, sf_dir):
 
 @query(
     "q_stream_corpus_clean",
-    oracle="""
+    oracle=f"""
 WITH t AS (
-  SELECT doc_id, lower(trim(text)) AS norm,
-         string_split(lower(trim(text)), ' ') AS toks FROM documents
+  SELECT doc_id, {canon_sql('text')} AS norm,
+         string_split({canon_sql('text')}, ' ') AS toks FROM documents
 ), q AS (
   SELECT norm, len(toks) AS n_toks
   FROM t
@@ -549,7 +550,7 @@ def q_stream_corpus_clean(spark, sf_dir):
     # n_toks must be digest-determined, or two same-digest variants
     # (case/whitespace) would carry different n_toks and the surviving
     # row would depend on arrival order — unhashable.
-    norm = F.lower(F.trim(F.col("text")))
+    norm = canon_text(F.col("text"))
     toks = F.split(norm, " ")
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) * 1.0 / n
