@@ -724,9 +724,10 @@ def compact_result(result: dict) -> dict:
         k: cal[k]
         for k in ("duckdb_q1_ms", "spark_empty_job_ms", "loadavg_1m",
                   # contention-gate trail (r10): pre_anchor_q1_ms is
-                  # always present; the *_first_attempt/_note keys only
-                  # when the gate fired — the driver artifact must
-                  # self-caveat a contended window, not just the sidecar
+                  # present whenever the anchor was measurable; the
+                  # *_first_attempt/_note keys only when the gate fired —
+                  # the driver artifact must self-caveat a contended
+                  # window, not just the sidecar
                   "pre_anchor_q1_ms", "loadavg_first_attempt",
                   "pre_anchor_first_attempt_ms", "load_gate_waited_s",
                   "load_gate_note")

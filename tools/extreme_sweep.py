@@ -95,7 +95,11 @@ def main() -> int:
         for k, msg in items:
             print(f"{label} {k}: {msg[:160]}")
     print(f"-- extreme sweep: {len(se)} spark / {len(de)} duck / {len(mm)} mismatch")
-    return 0  # convenience CLI always exits 0; the pytest twin is the gate
+    # standing gate (r10, aligned with the sibling sweep CLIs): exit 1
+    # on any error or any mismatch BEYOND the documented
+    # q_ab_delta_method display-level clamp (the pytest twin's rule)
+    unexpected_mm = [k for k, _ in mm if k != "q_ab_delta_method"]
+    return 1 if (se or de or unexpected_mm) else 0
 
 
 if __name__ == "__main__":
