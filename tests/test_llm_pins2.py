@@ -197,3 +197,55 @@ def test_rank_dense_semantics_match_python(spark):
     assert got == want
     # the fixture has at least one brand where rank != dense_rank
     assert any(g[0] != g[1] for g in got.values())
+
+
+def test_canonicalization_contract_engine_parity(spark):
+    """Direct pin of the r10 text-canonicalization contract (README
+    §Round-10; canon_text/canon_sql in llm/dedup.py): on a crafted set
+    of hazard strings, the Spark fold, the DuckDB fold, and a pure-
+    Python reference must produce identical canonical forms — and the
+    merge/no-merge decisions must match: ASCII case variants MERGE,
+    the precomposed-Istanbul vs 'i'+U+0307 pair does NOT (full lower()
+    merges it in Java but not in utf8proc — the divergence the
+    contract exists to kill; proven live on the sweep fixture:
+    lower()-keyed distinct digests 500 Spark vs 510 DuckDB, contract
+    510 == 510)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from wikidata2pg_spark.llm.dedup import canon_sql, canon_text
+
+    hazard = [
+        "  Hello World  ",          # trim + ASCII fold
+        "hello world",              # must merge with the above
+        "İstanbul FOO",             # U+0130 preserved, FOO folds
+        "i\u0307stanbul foo",  # must NOT merge (explicit escape -- never
+                                    # paste combining marks)
+        "STRASSE", "strasse",       # merge (plain ASCII)
+        "Straße",                   # ß untouched (no full-map SS)
+        "CAFÉ bar",            # É is non-ASCII: preserved
+        "café bar",            # therefore does NOT merge with ^
+        "cafe\u0301 x", "CAFE\u0301 X",  # NFD pair: ASCII parts fold -> merge
+    ]
+    # pure-Python reference: strip ASCII-space trim twin + a-z map only
+    table = {ord(c): ord(c) + 32 for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"}
+    want = [s.strip(" ").translate(table) for s in hazard]
+
+    sdf = spark.createDataFrame([(s,) for s in hazard], "t string")
+    got_spark = [r.c for r in sdf.select(canon_text(F.col("t")).alias("c")).collect()]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {canon_sql('?')}", [s]).fetchone()[0] for s in hazard
+    ]
+    assert got_duck == want
+
+    canon = dict(zip(hazard, want))
+    assert canon["  Hello World  "] == canon["hello world"]
+    assert canon["STRASSE"] == canon["strasse"]
+    assert canon["cafe\u0301 x"] == canon["CAFE\u0301 X"]
+    assert canon["İstanbul FOO"] != canon["i\u0307stanbul foo"]
+    assert canon["CAFÉ bar"] != canon["café bar"]
+    assert canon["Straße"] == "straße"

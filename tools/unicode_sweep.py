@@ -39,7 +39,17 @@ The r9 run's NFD token was byte-identical to the NFC one (editor
 round-trip — ADVICE r9); since the explicit "cafe\\u0301" escape landed
 the decomposed class genuinely runs, and still holds: both engines are
 normalization-PRESERVING (neither NFC-folds), so NFC and NFD rows hash
-apart consistently in both. Everything else — tokenizers (regexp \\w
+apart consistently in both.
+
+Since r10 the fixture also carries case-variant DUPLICATE pairs (see
+build_unicode_dir) so digest-keyed keys where the digest is only a
+partition key exercise real merges. Trap proven live: keying the
+digest on lower(trim(text)) over this fixture yields 500 distinct
+digests in Spark vs 510 in DuckDB (Java's FULL lower() merges the 10
+precomposed-İ/'i'+U+0307 pairs, utf8proc's SIMPLE lower() does not);
+the contract fold agrees 510 == 510, with the 10 ASCII-case pairs
+merging identically in both. Direct pytest pin:
+tests/test_llm_pins2.py::test_canonicalization_contract_engine_parity. Everything else — tokenizers (regexp \\w
 splits), TF-IDF, n-grams, language stats, line dedup, simhash/minhash,
 Zipf/entropy keys, text quality/burstiness, the whole wikidata family —
 held hash-identical on multilingual bytes: Java regex and RE2 agree on
@@ -80,6 +90,13 @@ TOKENS = [
 ]
 
 
+# ASCII-only uppercase map (str.translate twin of the engines' fold —
+# NEVER str.upper(), whose full Unicode mapping turns ß into SS etc.)
+_ASCII_UP = str.maketrans(
+    "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
 def build_unicode_dir(root: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -91,21 +108,44 @@ def build_unicode_dir(root: str) -> str:
               "orders", "lineitem", "events", "embeddings"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{root}/{t}.parquet")
     tb = pq.read_table(f"{SRC}/documents.parquet")
-    cols = {}
-    for name in tb.column_names:
-        col = tb[name]
-        if name == "text":
-            out = []
-            for i, v in enumerate(col.to_pylist()):
-                if v is None:
-                    out.append(v)
-                    continue
-                tok = TOKENS[i % len(TOKENS)]
-                tok2 = TOKENS[(i * 3 + 1) % len(TOKENS)]
-                out.append(f"{tok} {v} {tok2}")
-            col = pa.array(out, pa.string())
-        cols[name] = col
-    pq.write_table(pa.table(cols), f"{root}/documents.parquet")
+    rows = tb.to_pylist()
+    for i, r in enumerate(rows):
+        if r["text"] is None:
+            continue
+        tok = TOKENS[i % len(TOKENS)]
+        tok2 = TOKENS[(i * 3 + 1) % len(TOKENS)]
+        r["text"] = f"{tok} {r['text']} {tok2}"
+    # Case-variant DUPLICATE pairs (r10, /code-review gap): the token
+    # injection above makes every text DISTINCT, so in keys where the
+    # digest is only a partition key (q_corpus_clean,
+    # q_pipeline_pretraining, q_dedup_incremental, the streaming clean)
+    # no pair ever merges and a divergent canonicalization is invisible
+    # to the sweep — exactly how the lower(trim()) residue survived r9.
+    # For each İstanbul-carrying row (i ≡ 5 mod 50) append two variants:
+    #   * an ASCII-case variant — must MERGE with its original under the
+    #     ASCII-fold contract in BOTH engines (positive merge coverage);
+    #   * a precomposed-İ -> 'i'+U+0307 respelling — merges under Java's
+    #     FULL lower() but NOT utf8proc's SIMPLE lower(), so any key
+    #     still digest-keyed on lower() mismatches here; under the
+    #     contract neither engine merges it (non-ASCII bytes verbatim).
+    extra = []
+    next_id = max(r["doc_id"] for r in rows) + 1
+    for i in range(5, len(rows), 50):
+        src_row = rows[i]
+        if src_row["text"] is None or "İstanbul" not in src_row["text"]:
+            continue
+        up = dict(src_row)
+        up["doc_id"], next_id = next_id, next_id + 1
+        up["text"] = src_row["text"].translate(_ASCII_UP)
+        dotted = dict(src_row)
+        dotted["doc_id"], next_id = next_id, next_id + 1
+        dotted["text"] = src_row["text"].replace("İstanbul", "i\u0307stanbul")
+        extra.extend((up, dotted))
+    assert extra, "sweep fixture lost its İstanbul rows — pair coverage dead"
+    pq.write_table(
+        pa.Table.from_pylist(rows + extra, schema=tb.schema),
+        f"{root}/documents.parquet",
+    )
     return root
 
 
