@@ -15,11 +15,12 @@ Runtime note: one spark+duck run per key over tiny tables per variant
 (~3-4 min each) — the same order as the liveness and plan sweeps.
 Engine errors FAIL; value mismatches also fail here (the steady state
 is exact parity on every variant — weaker than the driver gate, but
-drift-free). Six variants: all-constant, zero-row (row-fabrication
+drift-free). Seven variants: all-constant, zero-row (row-fabrication
 class), NULL-injected measures (NULL-ordering class), extreme
 magnitude (int64-square overflow class, r9), negated measures
 (sign-assumption class, r10), unicode text (case-mapping/BLOB-cast
-class, r10).
+class, r10), duplicate mass + hot-key skew (tie-ordering /
+merge-path class, r10).
 """
 
 from __future__ import annotations
@@ -194,4 +195,31 @@ def test_unicode_text_sweep(spark, tmp_path_factory):
         "engines diverge on multilingual bytes (full-vs-simple case "
         "mapping class) — canonicalize with the engine-portable "
         f"ASCII-only fold on BOTH sides: {mismatches}"
+    )
+
+
+def test_duplicate_mass_sweep(spark, tmp_path_factory):
+    """Seventh variant (r10, clean on first run — promoted with an
+    empty catalog): real DUPLICATE MASS and hot-key skew injected into
+    the fixture (tools/duplicate_sweep.py — 3 exact copies + a
+    trim-mergeable + a fold-mergeable + a near-dup variant per sampled
+    document; one user's events amplified 20x at fresh event_ids). The
+    driver fixture has zero exact-duplicate texts and no hot keys, so
+    without this variant the dedup family's merge paths (keeper
+    selection, n_copies > 1, bucket sharing, corpus-vs-batch hits) and
+    tie-heavy ranking paths go unexercised by every other check. Holds
+    the unique-id-tiebreaker and canonicalization conventions at exact
+    cross-engine parity."""
+    build_duplicate_dir = _tools_module("duplicate_sweep").build_duplicate_dir
+
+    ddir = build_duplicate_dir(str(tmp_path_factory.mktemp("dupmass")))
+    spark_errors, duck_errors, mismatches = run_sweep(spark, ddir)
+    assert not spark_errors, (
+        "key RAISES under duplicate mass / hot-key skew: "
+        f"{spark_errors}"
+    )
+    assert not duck_errors, duck_errors
+    assert not mismatches, (
+        "engines diverge under duplicate mass (tie-ordering or "
+        f"canonicalization drift): {mismatches}"
     )
