@@ -153,6 +153,49 @@ def test_minhash_plan_is_pure_jvm(spark):
         assert marker not in plan
 
 
+def test_r10_flagship_rewrites_shapes_and_equivalence(spark):
+    """The three r10 optimization rewrites (OPTIMIZATION_r10.md):
+
+    * q1: total order comes from a 1-task local sort of the aggregated
+      frame — no rangepartitioning exchange (and no sampling job) for
+      single-digit rows;
+    * join3: per_order |><| orders is a ShuffledHashJoin (both sides
+      ~|orders| rows; sort-merge paid two sorts for nothing);
+    * tumbling: group key is date_trunc('hour'), not the 2-timestamp
+      window struct — equivalence with the F.window form is asserted
+      row-for-row here so the rewrite can never drift from the
+      windowed semantics it replaced.
+    """
+    from wikidata2pg_spark.flagship import (
+        batch_tumbling,
+        join3_top10,
+        pricing_summary,
+    )
+
+    q1 = _plan(pricing_summary(spark, SF_T2))
+    assert "rangepartitioning" not in q1
+    assert "Coalesce 1" in q1 or "Coalesce(1)" in q1 or "coalesce" in q1.lower()
+
+    j3 = _plan(join3_top10(spark, SF_T2))
+    assert "ShuffledHashJoin" in j3
+    assert "SortMergeJoin" not in j3
+
+    tb = batch_tumbling(spark, SF_T2)
+    plan = _plan(tb)
+    assert "named_struct" not in plan  # the window struct is gone
+    e = load(spark, SF_T2, "events")
+    windowed = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    assert sorted(map(tuple, tb.collect())) == sorted(map(tuple, windowed.collect()))
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     from wikidata2pg_spark.flagship import pricing_summary
 

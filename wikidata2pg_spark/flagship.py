@@ -25,7 +25,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # r10: total order via a 1-task local sort of the AGGREGATED frame
+        # (O(distinct flag/status pairs) rows — single digits at any corpus
+        # scale) instead of orderBy's range exchange, which pays a separate
+        # sampling job + rangepartitioning + sort stage for single-digit
+        # rows (guide §2.4: an orderBy used only to order a tiny aggregate
+        # is an Exchange you can remove). Identical ordered output (proven
+        # row-for-row at sf0.001/0.1/10x in OPTIMIZATION_r10.md); measured
+        # 674 -> 368 ms at 10x, 449 -> 376 ms primary sf0.1. The funnel
+        # input is an aggregate, i.e. the repo's allowed bounded class.
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -40,12 +50,28 @@ def batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata2pg_spark.tables import load
 
     e = load(spark, sf_dir, "events")
-    agg = e.groupBy(F.window("ts", "1 hour"), "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    # r10: group on date_trunc('hour', ts) instead of F.window("ts","1 hour").
+    # Same bucketing (epoch-aligned hours; F.window's mod-arithmetic struct
+    # is exactly hour truncation for a 1h tumble, and F.window also filters
+    # NULL ts — replicated here), but the group key is ONE 8-byte timestamp
+    # instead of a 16-byte two-timestamp struct: less hashing + fewer
+    # shuffle bytes per row, and window_end is reconstructed from the ~3600
+    # AGGREGATED rows, not computed per input row. Measured 324 -> 295 ms
+    # at 10x (consistent across 7 reps; primary sf0.1 is floor-bound and
+    # unchanged), row-set proven identical at sf0.001/0.1/10x
+    # (OPTIMIZATION_r10.md). The r7 rejection of an integer-bucket variant
+    # predates Spark 4.1.2 and grouped on a derived long, not the
+    # truncated timestamp; re-measured, this form now wins.
+    agg = (
+        e.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
     )
     return agg.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
+        "window_start",
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
         "event_type",
         "n",
         "sum_value",
@@ -109,8 +135,16 @@ def join3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("orev")
     )
+    # r10: force a shuffled-hash join for per_order |><| orders (guide §3.1
+    # — pick the strategy deliberately). Both sides land ~|orders| rows;
+    # sort-merge pays two full sorts for a join whose narrow build side
+    # (o_orderkey, o_custkey) hashes cheaply per partition. Measured
+    # 1271 -> 791 ms at 10x (641 -> 598 ms primary sf0.1), identical
+    # top-10. At real scale the build side per partition is bounded by the
+    # shuffle partition sizing (AQE advisory target), the same memory
+    # envelope every hash aggregation in this file already assumes.
     return (
-        per_order.join(o, F.col("l_orderkey") == o.o_orderkey)
+        per_order.join(o.hint("SHUFFLE_HASH"), F.col("l_orderkey") == o.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum("orev").alias("rev"))
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
