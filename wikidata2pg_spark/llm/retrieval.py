@@ -345,7 +345,16 @@ def q_retrieval_mmr(spark, sf_dir):
             )
             .join(cand.select("qid", "vec_id", "f"), ["qid", "vec_id"])
         )
-        selected = selected.unionByName(pick.select(*selected.columns))
+        # r10: checkpoint the tiny (<= k rows/query) selected set each
+        # greedy round — cand was already materialized, but selected's
+        # lineage re-embedded every previous round's joins/windows, giving
+        # a 480-exchange final plan whose PLANNING dominated execution
+        # (guide §3.3). Identical greedy trace (integer argmax over the
+        # checkpointed candidates); measured build+exec 7.8 -> 4.4 s at
+        # sf0.01, 14.1 -> 1.8 s at sf0.1 (OPTIMIZATION_r10.md).
+        selected = selected.unionByName(
+            pick.select(*selected.columns)
+        ).localCheckpoint()
     return selected.select(
         F.col("qid").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),

@@ -584,6 +584,15 @@ def q_orders_rfm(spark, sf_dir):
             "f",
             "m_cents",
         )
+        # r10: materialize the per-customer aggregate once — it feeds the
+        # three two-pass distributed NTILEs plus the final three joins, and
+        # Catalyst does not dedupe sibling subtrees, so the orders
+        # scan+agg re-executed ~7x (52 scans in the unrolled plan; guide
+        # §5 localCheckpoint note / §3.3). One row per customer, the same
+        # distributed-materialization size every downstream pass already
+        # shuffles. Measured build+exec 3.9 -> 2.4 s at sf0.01,
+        # 5.1 -> 1.7 s at sf0.1; values identical.
+        .localCheckpoint()
     )
     r = _ntile5(c, "r_days", True, "r_score")
     fsc = _ntile5(c, "f", False, "f_score")

@@ -76,6 +76,13 @@ def semi_naive_closure(e, max_depth=4):
     rule). Returns (src, dst, depth) with depth = minimal hop count.
     Shared by q_wd_subclass_closure and the hypothesis BFS-equivalence
     property test."""
+    # r10: checkpoint the static edge list once and each round's frontier
+    # (guide §3.3 — the unrolled 4-round lineage re-embedded e, which for
+    # q_wd_subclass_closure is the whole JSON dump parse, in every round:
+    # 228 exchanges in the final plan). Identical pairs/depths — the
+    # semi-naive recurrence is pure set algebra; property-tested against
+    # naive BFS in tests/test_properties.py.
+    e = e.localCheckpoint()
     reach = e.withColumn("depth", F.lit(1))
     frontier = reach
     for depth in range(2, max_depth + 1):
@@ -89,7 +96,9 @@ def semi_naive_closure(e, max_depth=4):
             )
             .distinct()
         )
-        frontier = nxt.join(reach.select("src", "dst"), ["src", "dst"], "left_anti")
+        frontier = nxt.join(
+            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint()
         reach = reach.unionByName(frontier)
     return reach
 
@@ -216,6 +225,11 @@ def q_graph_pagerank(spark, sf_dir):
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+        # r10: the edge list feeds the node derivation (2 refs) and all 3
+        # rank iterations — Catalyst re-executed the orders|><|lineitem
+        # projection per reference (88 parquet scans in the unrolled plan;
+        # guide §3.3/§5). Materialize once, as the kcore loop already does.
+        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -252,7 +266,9 @@ def q_graph_triangles(spark, sf_dir):
     here because the co-purchase projection itself is basket-bounded
     (see q_graph_copurchase). At real scale the wedge join is salted on
     the few high-degree nodes exactly like any skewed equi-join."""
-    e = copurchase_edges(spark, sf_dir).select("u", "v")
+    # r10: three self-join references re-derived the projection 3x —
+    # materialize once (guide §3.3; the kcore precedent).
+    e = copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
     return (
@@ -458,6 +474,10 @@ def q_graph_link_predict(spark, sf_dir):
     on the pair. At 100 TB you cap hub degrees first (the standard
     mitigation) — the plan shape is unchanged."""
     edges = copurchase_edges(spark, sf_dir)
+    # r10: measured both ways (sf0.01 and sf0.1) — materializing und here
+    # LOSES (~+40% at sf0.1): the symmetrized edge list is large relative
+    # to the wedge join it feeds, and Spark already reuses the shuffle
+    # exchange across the self-join aliases. Left on lineage deliberately.
     und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     e1, e2 = und.alias("e1"), und.alias("e2")
@@ -540,7 +560,17 @@ def q_graph_bfs(spark, sf_dir):
     every few levels and pre-partition edges by u so every super-step
     reuses the same exchange — the loop shape here is exactly that."""
     edges = copurchase_edges(spark, sf_dir)
-    und = undirected_edges(edges)
+    # r10: checkpoint the static edge list once and each level's frontier
+    # (the q_graph_kcore / q_wd_connected_components loop pattern — guide
+    # §3.3: very wide iterative plans make planning itself the bottleneck;
+    # materialize the intermediate to truncate the plan). Unrolled, the
+    # 4-level lineage re-embedded und + the growing visited set in every
+    # level: 1012 exchanges / 872 parquet re-scans in the final plan.
+    # Checkpointed: one edge materialization + four tiny frontier jobs,
+    # constant-size per-level plans; measured build+exec 7.9 -> 3.7 s at
+    # sf0.01, 13.8 -> 2.9 s at sf0.1 (OPTIMIZATION_r10.md). Results
+    # identical (pure set algebra on ids).
+    und = undirected_edges(edges).localCheckpoint()
     frontier = und.agg(F.min("u").alias("node"))
     visited = frontier.withColumn("dist", F.lit(0).cast("long"))
     for d in range(1, _BFS_DEPTH + 1):
@@ -549,6 +579,7 @@ def q_graph_bfs(spark, sf_dir):
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
         )
         visited = visited.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("long"))
@@ -606,7 +637,10 @@ def q_graph_random_walk(spark, sf_dir):
     exchanges, which is why this beats per-node sampling loops at
     100 TB."""
     edges = copurchase_edges(spark, sf_dir)
-    und = undirected_edges(edges)
+    # r10: multiple downstream references re-derived the co-purchase
+    # projection per reference — materialize the symmetrized edge list
+    # once (guide §3.3; the kcore precedent). Values unchanged.
+    und = undirected_edges(edges).localCheckpoint()
     cur = und.select(
         F.col("u").alias("start"),
         F.col("u").alias("node"),
@@ -685,6 +719,9 @@ def q_graph_modularity(spark, sf_dir):
     100 TB the cost is the one edge-list pass (communities arrive as a
     labeling column, never materialized as a partition-wide state)."""
     edges = copurchase_edges(spark, sf_dir)
+    # r10: measured both ways (sf0.01 and sf0.1) — materializing und here
+    # LOSES (~+47%): only two downstream passes touch it and the exchange
+    # is reused; checkpoint write cost exceeds the saved re-derivation.
     und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     brand = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -771,7 +808,9 @@ def q_graph_clustering_coeff(spark, sf_dir):
     per-node rollup is map-side combinable, degrees broadcast-join
     back; at 100 TB the wedge join dominates exactly as in
     q_graph_triangles and the same hub-capping applies."""
-    edges = copurchase_edges(spark, sf_dir).select("u", "v")
+    # r10: edges feeds und (2 refs) + the 3-way wedge-close — 5 full
+    # re-derivations of the projection; materialize once (guide §3.3).
+    edges = copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -839,6 +878,8 @@ def q_graph_degree_powerlaw(spark, sf_dir):
     Plan: one edge pass for degrees, a |tail| fold — the estimator is
     free next to any real graph query."""
     edges = copurchase_edges(spark, sf_dir)
+    # r10: measured both ways (sf0.01 and sf0.1) — materializing und is a
+    # wash here (one aggregation pass consumes it); left on lineage.
     und = undirected_edges(edges)
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     tail = deg.filter(F.col("d") >= _PL_DMIN)
@@ -910,7 +951,10 @@ def q_graph_assortativity(spark, sf_dir):
     moment rollup is one map-side-combinable agg over edges — at
     100 TB the coefficient costs one edge pass."""
     edges = copurchase_edges(spark, sf_dir)
-    und = undirected_edges(edges)
+    # r10: multiple downstream references re-derived the co-purchase
+    # projection per reference — materialize the symmetrized edge list
+    # once (guide §3.3; the kcore precedent). Values unchanged.
+    und = undirected_edges(edges).localCheckpoint()
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u").alias("a"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("b"), F.col("d").alias("y"))
