@@ -125,15 +125,33 @@ def run_available_now(
     output_mode: str = "append",
     timeout_s: int = 120,
 ) -> DataFrame:
+    # r10 (guide §2.1/§5): a stateful micro-batch pays one state-store
+    # open+commit per partition per batch — for a stream-stream join that
+    # is 4 stores x partitions x batches of pure overhead, dominating the
+    # tiny-state fixtures here (measured 16 -> 8 parts: 4.2 -> 3.1 s on
+    # q_stream_stream_join, identical rows). State partitions are fixed
+    # at stream START and sized to expected STATE volume, not input size,
+    # so they are a deliberate, env-parameterized choice; this call
+    # always starts from a fresh temp checkpoint, so the override can
+    # never conflict with a resumed query's recorded partitioning (the
+    # foreachBatch path keeps persistent checkpoints and is NOT touched).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if parts is None:
+        parts = str(min(int(prev), 8))
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_available_now(q, timeout_s, name)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_available_now(q, timeout_s, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
