@@ -420,8 +420,22 @@ def q_sample_negatives(spark, sf_dir):
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select("o_custkey", "l_partkey")
         .distinct()
+        # r10 (guide §2.4/§5): pos feeds BOTH the customer derivation and
+        # the anti-join; without truncation Catalyst re-executes the whole
+        # orders |><| lineitem pass for each consumer (2 scans -> 1).
+        .localCheckpoint(eager=True)
     )
-    cust = pos.select("o_custkey").distinct()
+    # r10 (guide §2.5, input parallelism): the distinct customer list is
+    # tiny after AQE coalescing, so the cross join's md5 over |cust|x|parts|
+    # pairs otherwise runs on ONE core (~3M hashes at sf0.01, 300M at
+    # sf0.1). Spreading the left side across the session's cores is a
+    # row-identical no-op that parallelizes the hash; measured 7.6 -> 1.6 s
+    # median at sf0.01 (rows proven equal).
+    cust = (
+        pos.select("o_custkey")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     parts = load(spark, sf_dir, "part").select("p_partkey")
     pool = cust.crossJoin(parts).withColumn(
         "h",

@@ -639,17 +639,27 @@ def q_survival_km(spark, sf_dir):
     day = lambda c: F.floor(F.unix_micros(c) / F.lit(86400000000)).cast(  # noqa: E731
         "long"
     )
+    # r10 (guide §2.3/§2.4): the span and first-conversion aggregations
+    # previously ran as two separate events scans joined on user_id —
+    # a conditional min inside ONE map-side-combinable agg computes the
+    # same dd (min over the when() ignores NULLs; no qualifying purchase
+    # -> NULL, exactly the old left-join miss). 2 scans + 2 shuffles +
+    # join -> 1 scan + 1 shuffle; measured 2.3 -> 1.3 s median for the
+    # per-user stage at sf0.01, rows identical.
     x = e.groupBy("user_id").agg(
-        day(F.min("ts")).alias("d0"), day(F.max("ts")).alias("d1")
+        day(F.min("ts")).alias("d0"),
+        day(F.max("ts")).alias("d1"),
+        day(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= _KM_VALUE),
+                    F.col("ts"),
+                )
+            )
+        ).alias("dd"),
     )
-    hp = (
-        e.filter(
-            (F.col("event_type") == "purchase") & (F.col("value") >= _KM_VALUE)
-        )
-        .groupBy("user_id")
-        .agg(day(F.min("ts")).alias("dd"))
-    )
-    u = x.join(hp, "user_id", "left").select(
+    u = x.select(
         (F.coalesce(F.col("dd"), F.col("d1")) - F.col("d0")).alias("t"),
         F.when(F.col("dd").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("ev"),
     )
