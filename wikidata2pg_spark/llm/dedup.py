@@ -311,22 +311,24 @@ def q_dedup_semantic_cluster(spark, sf_dir):
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
                 "id",
+                F.col("cluster").alias("old_cluster"),
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
                 ).alias("cluster"),
             )
             # truncate lineage each round: without this, iteration i's count
             # re-executes iterations 1..i-1 (quadratic re-compute); at real
-            # scale this is the checkpoint every iterative algorithm needs
+            # scale this is the checkpoint every iterative algorithm needs.
+            # r10 (guide §2.4): old_cluster rides the checkpoint so the
+            # convergence count is a filter over the materialized round
+            # instead of a re-join of old vs new labels (one fewer shuffle
+            # join per iteration; the q_wd_connected_components rewrite).
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster") != F.col("old_cluster")
+        ).count()
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             converged = True
             break
@@ -573,23 +575,27 @@ def _min_label_components(nodes, sym, what: str, max_rounds: int = 100):
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        # r10 (guide §2.4): carry the previous cluster through the
+        # checkpoint so convergence is a filter+count over the already
+        # materialized round, not a re-join of old vs new labels — one
+        # fewer shuffle join per iteration (the
+        # q_wd_connected_components rewrite, measured there 2.73 ->
+        # 2.39 s at sf0.01, values identical).
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
                 "id",
+                F.col("cluster").alias("old_cluster"),
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
                 ).alias("cluster"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster") != F.col("old_cluster")
+        ).count()
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             return labels
     raise RuntimeError(f"{what}: label propagation did not converge")
