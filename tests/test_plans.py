@@ -161,10 +161,11 @@ def test_r10_flagship_rewrites_shapes_and_equivalence(spark):
       single-digit rows;
     * join3: per_order |><| orders is a ShuffledHashJoin (both sides
       ~|orders| rows; sort-merge paid two sorts for nothing);
-    * tumbling: group key is date_trunc('hour'), not the 2-timestamp
-      window struct — equivalence with the F.window form is asserted
-      row-for-row here so the rewrite can never drift from the
-      windowed semantics it replaced.
+    * tumbling: group key is the epoch-hour truncation of ts (pure
+      unix_micros arithmetic, timezone-independent like F.window
+      itself), not the 2-timestamp window struct — equivalence with
+      the F.window form is asserted row-for-row here so the rewrite
+      can never drift from the windowed semantics it replaced.
     """
     from wikidata2pg_spark.flagship import (
         batch_tumbling,
@@ -174,7 +175,9 @@ def test_r10_flagship_rewrites_shapes_and_equivalence(spark):
 
     q1 = _plan(pricing_summary(spark, SF_T2))
     assert "rangepartitioning" not in q1
-    assert "Coalesce 1" in q1 or "Coalesce(1)" in q1 or "coalesce" in q1.lower()
+    # the exact 1-partition funnel, not any coalesce: a regression to
+    # coalesce(n>1) would lose the total order (r10 review catch)
+    assert "Coalesce 1" in q1
 
     j3 = _plan(join3_top10(spark, SF_T2))
     assert "ShuffledHashJoin" in j3

@@ -27,8 +27,9 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     for name, fn in bench_queries().items():
         df = fn(spark, sf)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        from wikidata2pg_spark.plan_audit import formatted_plan
+
+        plan = formatted_plan(df)
         path = os.path.join(outdir, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(f"-- {name} @ {sf}, AQE off, shuffle.partitions=8 ({tag})\n")

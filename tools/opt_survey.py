@@ -30,13 +30,20 @@ _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
 
 
 def summarize(plan: str) -> dict:
-    n_exchange = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange") - plan.count("BroadcastExchange")
+    # \bExchange\b never matches inside the CamelCase Reused/Broadcast
+    # variants (no word boundary there), so count standalone Exchange
+    # tokens directly — the old subtraction removed counts that were
+    # never included and went negative (r10 review catch).
+    n_exchange = len(re.findall(r"(?<![A-Za-z])Exchange\b", plan))
     n_bcast = plan.count("BroadcastExchange")
     joins = sorted({j for j in _JOIN_NODES if j in plan})
     py = sorted({p for p in _PY_NODES if p in plan})
     n_scan = plan.count("Scan parquet") + plan.count("FileScan parquet")
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-    sorts = len(re.findall(r"\(\d+\) Sort\b", plan)) + len(re.findall(r"^\s*[+:]- \*?\s*Sort\b", plan, re.M))
+    # formatted mode prints every node exactly once as a "(N) Sort"
+    # detail header — counting tree lines too double-counted nested
+    # sorts (r10 review catch)
+    sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
     single = plan.count("Exchange SinglePartition")
     expand = plan.count("Expand")
     window = plan.count("Window")
@@ -69,9 +76,10 @@ def main() -> int:
     t0 = time.time()
     for i, k in enumerate(keys):
         try:
+            from wikidata2pg_spark.plan_audit import formatted_plan
+
             df = qs[k](spark, args.sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            plan = formatted_plan(df)
             with open(os.path.join(args.out, f"{k}.txt"), "w") as fh:
                 fh.write(plan)
             s = summarize(plan)

@@ -50,21 +50,33 @@ def batch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikidata2pg_spark.tables import load
 
     e = load(spark, sf_dir, "events")
-    # r10: group on date_trunc('hour', ts) instead of F.window("ts","1 hour").
-    # Same bucketing (epoch-aligned hours; F.window's mod-arithmetic struct
-    # is exactly hour truncation for a 1h tumble, and F.window also filters
-    # NULL ts — replicated here), but the group key is ONE 8-byte timestamp
-    # instead of a 16-byte two-timestamp struct: less hashing + fewer
-    # shuffle bytes per row, and window_end is reconstructed from the ~3600
-    # AGGREGATED rows, not computed per input row. Measured 324 -> 295 ms
-    # at 10x (consistent across 7 reps; primary sf0.1 is floor-bound and
-    # unchanged), row-set proven identical at sf0.001/0.1/10x
-    # (OPTIMIZATION_r10.md). The r7 rejection of an integer-bucket variant
-    # predates Spark 4.1.2 and grouped on a derived long, not the
-    # truncated timestamp; re-measured, this form now wins.
+    # r10: group on the epoch-hour truncation of ts instead of
+    # F.window("ts","1 hour"). Same bucketing (F.window is epoch-aligned
+    # mod arithmetic on the UTC instant, and it filters NULL ts —
+    # replicated here), but the group key is ONE 8-byte timestamp instead
+    # of a 16-byte two-timestamp struct: less hashing + fewer shuffle
+    # bytes per row, and window_end is reconstructed from the ~3600
+    # AGGREGATED rows, not computed per input row. The truncation is pure
+    # epoch arithmetic (unix_micros % 1h), NOT date_trunc('hour'):
+    # date_trunc truncates the session-timezone wall clock and diverges
+    # from F.window under any non-whole-hour-offset tz (r10 review catch
+    # — the repo pins UTC, but equivalence must not hinge on a conf).
+    # Measured 324 -> 295 ms at 10x (consistent across 7 reps; primary
+    # sf0.1 is floor-bound and unchanged), row-set proven identical at
+    # sf0.001/0.1/10x (OPTIMIZATION_r10.md). The r7 rejection of an
+    # integer-bucket variant predates Spark 4.1.2 and grouped on a
+    # derived long, not a truncated timestamp; re-measured, this form
+    # now wins.
+    hour_us = F.lit(3_600_000_000)
     agg = (
         e.filter(F.col("ts").isNotNull())
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type")
+        .groupBy(
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.col("ts")) % hour_us
+            ).alias("window_start"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
         )

@@ -295,47 +295,16 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     # without this each of the O(diameter) iterations would re-execute the
     # full blocked cosine matmul from lineage (k rounds = k matmuls).
     sym = sym.localCheckpoint()
-    # labels seed from ALL vectors — singletons are their own cluster
-    labels = (
-        load(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").alias("id"), F.col("vec_id").alias("cluster"))
+    # labels seed from ALL vectors — singletons are their own cluster.
+    # r10 review catch: this loop was a near-verbatim copy of
+    # _min_label_components below; both got the convergence rewrite this
+    # round, so they are consolidated onto the shared helper (identical
+    # semantics: min-label propagation, per-round checkpoint,
+    # filter-count convergence, loud non-convergence failure).
+    nodes = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
     )
-    converged = False
-    for _ in range(100):  # label prop needs O(cluster diameter) rounds
-        nbr_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy(F.col("a").alias("id2"))
-            .agg(F.min("cluster").alias("nbr_cluster"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
-            .select(
-                "id",
-                F.col("cluster").alias("old_cluster"),
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            # truncate lineage each round: without this, iteration i's count
-            # re-executes iterations 1..i-1 (quadratic re-compute); at real
-            # scale this is the checkpoint every iterative algorithm needs.
-            # r10 (guide §2.4): old_cluster rides the checkpoint so the
-            # convergence count is a filter over the materialized round
-            # instead of a re-join of old vs new labels (one fewer shuffle
-            # join per iteration; the q_wd_connected_components rewrite).
-            .localCheckpoint()
-        )
-        changed = new_labels.filter(
-            F.col("cluster") != F.col("old_cluster")
-        ).count()
-        labels = new_labels.select("id", "cluster")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # a silent non-converged result would be WRONG data (labels only
-        # propagated N hops); fail loudly instead
-        raise RuntimeError("semantic-cluster label propagation did not converge")
+    labels = _min_label_components(nodes, sym, "q_dedup_semantic_cluster")
     return labels.select(
         F.col("id").alias("vec_id"),
         F.col("cluster").alias("cluster_id"),
@@ -562,9 +531,10 @@ def q_dedup_incremental(spark, sf_dir):
 
 def _min_label_components(nodes, sym, what: str, max_rounds: int = 100):
     """Distributed connected components via min-label propagation over a
-    symmetric, pre-checkpointed edge frame — the q_dedup_semantic_cluster
-    loop factored for reuse (that key keeps its driver-proven inline copy
-    until its next window slot re-proves it on the shared form). Each
+    symmetric, pre-checkpointed edge frame — shared by
+    q_pipeline_neardup and q_dedup_semantic_cluster (the latter's inline
+    copy was folded in here in r10 when both received the same
+    convergence rewrite). Each
     round is one edge->label join + hash agg; only the changed-count
     scalar reaches the driver; lineage is truncated per round. Raises on
     non-convergence — a partial propagation is wrong data, not a result."""

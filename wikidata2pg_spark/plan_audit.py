@@ -151,6 +151,16 @@ ROW_PYTHON_ALLOWLIST = {
 }
 
 
+def formatted_plan(df) -> str:
+    """``explain("formatted")`` as a string. Uses the PythonSQLUtils
+    private API (no public PySpark accessor returns the formatted text);
+    kept in ONE place so a Spark upgrade or Connect migration breaks a
+    single site (r10 review catch — two tools carried private copies)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
 def audit_key(spark, key: str, fn, sf_dir: str) -> dict[str, list[str]]:
     """Build the key's DataFrame and run every static gate over its
     executed plan. Returns {gate_name: violations} with empty lists
