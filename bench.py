@@ -419,6 +419,18 @@ def multifile_dir() -> str:
     return out
 
 
+def _steal_jiffies() -> int | None:
+    """Aggregate steal jiffies from /proc/stat's first line (field 9:
+    cpu user nice system idle iowait irq softirq steal ...), or None
+    where unreadable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        return int(fields[8])
+    except Exception:
+        return None
+
+
 def main() -> None:
     from wikidata2pg_spark.session import get_session
 
@@ -442,6 +454,12 @@ def main() -> None:
     # re-sample, and record BOTH readings.
     load_gate_info: dict = {}
     ambient_load = None
+    # KVM steal sample (r10 lesson): two bench windows were corrupted by
+    # host-level steal at loadavg ~0 — compute ran 2.7x slow while the
+    # empty-job floor stayed clean. /proc/stat's steal column is the one
+    # guest-visible signal for that state; sample it across the whole run
+    # and publish the average stolen-cores figure next to the anchors.
+    steal_start, steal_t0 = _steal_jiffies(), time.monotonic()
     try:
         LOAD_GATE, ANCHOR_GATE_MS, WAIT_S = 5.0, 43.0, 90
 
@@ -655,6 +673,20 @@ def main() -> None:
         result.setdefault("calibration", {})["loadavg_1m"] = ambient_load
     if load_gate_info:
         result.setdefault("calibration", {}).update(load_gate_info)
+    try:
+        # Steal averaged over the WHOLE run (start sample above): stolen
+        # CPU-seconds / wall-seconds = average cores lost to the host.
+        # Clean window ~0; the r10 corrupted windows would have read
+        # >1 here while loadavg said 0.03.
+        steal_end = _steal_jiffies()
+        wall = time.monotonic() - steal_t0
+        if steal_start is not None and steal_end is not None and wall > 0:
+            hz = os.sysconf("SC_CLK_TCK")
+            result.setdefault("calibration", {})["steal_cores_avg"] = round(
+                (steal_end - steal_start) / hz / wall, 2
+            )
+    except Exception:
+        pass
     if errors:
         result["errors"] = errors
     # Scaled-row fixed-cost decomposition (VERDICT r7 task 6): every Spark
@@ -730,7 +762,7 @@ def compact_result(result: dict) -> dict:
                   # window, not just the sidecar
                   "pre_anchor_q1_ms", "loadavg_first_attempt",
                   "pre_anchor_first_attempt_ms", "load_gate_waited_s",
-                  "load_gate_note")
+                  "load_gate_note", "steal_cores_avg")
         if k in cal
     }
     for k in ("errors", "multifile_error", "scaled_error"):

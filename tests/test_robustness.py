@@ -579,6 +579,19 @@ def test_scale_fixture_tables_disjoint_keys_and_row_groups(tmp_path):
     assert pq.ParquetFile(f"{tmp_path}/lineitem.parquet").metadata.num_row_groups >= 3
 
 
+def test_bench_steal_sample_reads_proc_stat():
+    """The r10 steal field: two bench windows were corrupted by host
+    steal at loadavg ~0, so calibration now carries steal_cores_avg.
+    On Linux the sampler must return a non-negative, monotonically
+    non-decreasing counter; elsewhere it degrades to None."""
+    a = bench_mod._steal_jiffies()
+    if a is None:  # non-Linux fallback contract
+        return
+    assert isinstance(a, int) and a >= 0
+    b = bench_mod._steal_jiffies()
+    assert b >= a
+
+
 def test_bench_compact_line_fits_driver_tail_capture():
     """BENCH_r07 regression: the driver records only the last 2000 chars
     of bench stdout, and r7's full-result line outgrew it (parsed: null —
@@ -636,6 +649,7 @@ def test_bench_compact_line_fits_driver_tail_capture():
                 "90s; None = signal unreadable); timings may carry "
                 "contention"
             ),
+            "steal_cores_avg": 1.13,
         },
         "errors": {"tfidf": "z" * 400},
     }
@@ -651,6 +665,7 @@ def test_bench_compact_line_fits_driver_tail_capture():
     assert compact["calibration"]["spark_empty_job_ms"] == 19.0
     assert compact["calibration"]["load_gate_note"].startswith("not confirmed")
     assert compact["calibration"]["pre_anchor_first_attempt_ms"] == 52.8
+    assert compact["calibration"]["steal_cores_avg"] == 1.13
     assert "duckdb_tfidf_ms" not in compact["calibration"]
     assert compact["detail"] == "BENCH_DETAIL.json"
     # pathological inflation still degrades to a parseable under-budget line
