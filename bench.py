@@ -452,6 +452,12 @@ def main() -> None:
     # reading ~33 ms at sf0.1; >43 ms = the window is inflating
     # everything ~1.3x+). Either signal past threshold → wait once,
     # re-sample, and record BOTH readings.
+    # r11 (ADVICE r10): the gate threshold is the documented post-reboot
+    # host floor (~52-55 ms single-thread; external runner gates at 60),
+    # env-overridable so the constant and the acceptance band stay in
+    # step without code edits. The old 43 ms clean-era floor no longer
+    # exists on this host — gating on it made every genuinely-quiet run
+    # sleep 90 s and self-caveat.
     load_gate_info: dict = {}
     ambient_load = None
     # KVM steal sample (r10 lesson): two bench windows were corrupted by
@@ -461,7 +467,10 @@ def main() -> None:
     # and publish the average stolen-cores figure next to the anchors.
     steal_start, steal_t0 = _steal_jiffies(), time.monotonic()
     try:
-        LOAD_GATE, ANCHOR_GATE_MS, WAIT_S = 5.0, 43.0, 90
+        LOAD_GATE, WAIT_S = 5.0, 90
+        ANCHOR_GATE_MS = float(
+            os.environ.get("SPARK_GRAFT_ANCHOR_GATE_MS", "60")
+        )
 
         def _signals() -> tuple[float | None, float | None]:
             try:
@@ -482,6 +491,12 @@ def main() -> None:
         contended = (
             ambient_load is not None and ambient_load > LOAD_GATE
         ) or (pre_anchor is not None and pre_anchor > ANCHOR_GATE_MS)
+        if os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") == "0":
+            # ADVICE r10: a bypassed gate must be visible in the artifact
+            # itself (the external gated runner supplies its own admission
+            # checks; record that provenance rather than silently carrying
+            # no gate trail).
+            load_gate_info["load_gate"] = "bypassed (SPARK_GRAFT_LOAD_GATE=0)"
         if contended and os.environ.get("SPARK_GRAFT_LOAD_GATE", "1") != "0":
             load_gate_info["loadavg_first_attempt"] = ambient_load
             load_gate_info["pre_anchor_first_attempt_ms"] = pre_anchor
@@ -519,7 +534,13 @@ def main() -> None:
     # t2/correctness sessions keep their own sizing (session.py).
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     qs = bench_queries()
+    # ADVICE r10: steal_cores_avg spans the whole run (gate sleep, DuckDB
+    # calibration, fixture builds), diluting a burst that lands inside the
+    # timed Spark section. Sample a second window covering ONLY the
+    # primary timed pass so a concentrated burst is visible on its own.
+    steal_p0, steal_pt0 = _steal_jiffies(), time.monotonic()
     timings, errors = run_pass(spark, qs, SF_DIR, RUNS, "sf")
+    steal_p1, steal_pwall = _steal_jiffies(), time.monotonic() - steal_pt0
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "bench_total_median_s",
@@ -643,6 +664,71 @@ def main() -> None:
         except Exception:
             # staged Spark timings (if any) remain under result["scaled"]
             result["scaled_error"] = traceback.format_exc(limit=1).strip().splitlines()[-1]
+    # r11 registry-top block (VERDICT r10 task 7, additions-only): the
+    # r10/r11 optimization wins live in registry keys the nine primary
+    # rows never time (iterative graph/retrieval/streaming). Time the
+    # five heaviest here so they stop being invisible in PERF_r*. Runs
+    # under the 100 TB posture confs (AQE on — these are multi-stage
+    # iterative plans); each rep REBUILDS the DataFrame because these
+    # keys do eager localCheckpoint passes at build time (the honest
+    # build+exec total, same convention as tools/opt_time_keys.py).
+    # Separate JSON block — the primary "queries"/"value" contract is
+    # untouched, so round-over-round totals stay comparable.
+    if os.environ.get("SPARK_GRAFT_REGISTRY_TOP", "1") != "0":
+        try:
+            from wikidata2pg_spark.registry import all_queries as _all_q
+
+            reg = _all_q()
+            top_keys = [
+                "q_wd_subclass_closure",
+                "q_retrieval_mmr",
+                "q_graph_bfs",
+                "q_orders_rfm",
+                "q_stream_stream_join",
+            ]
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            try:
+                rt_timings: dict[str, float] = {}
+                rt_errors: dict[str, str] = {}
+                for key in top_keys:
+                    if key not in reg:
+                        continue
+                    t_start = time.perf_counter()
+                    try:
+                        reps = []
+                        for rep in range(3):
+                            if time.perf_counter() - t_start > PER_QUERY_BUDGET_S:
+                                break
+                            t0 = time.perf_counter()
+                            df = reg[key](spark, SF_DIR)  # build incl. ckpt jobs
+                            materialize_with_deadline(
+                                spark, df, f"rtop-{key}-{rep}",
+                                PER_QUERY_BUDGET_S - (time.perf_counter() - t_start),
+                            )
+                            reps.append(time.perf_counter() - t0)
+                        if reps:
+                            rt_timings[key] = round(statistics.median(reps), 4)
+                            print(f"[bench:rtop] {key}: {rt_timings[key]}s",
+                                  file=sys.stderr, flush=True)
+                    except Exception:
+                        rt_errors[key] = (
+                            traceback.format_exc(limit=1).strip().splitlines()[-1]
+                        )
+                block = {
+                    "queries": rt_timings,
+                    "total_s": round(sum(rt_timings.values()), 4),
+                }
+                if rt_errors:
+                    block["errors"] = rt_errors
+                result["registry_top"] = block
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+        except Exception:
+            result["registry_top_error"] = (
+                traceback.format_exc(limit=1).strip().splitlines()[-1]
+            )
     try:
         result["calibration"] = duckdb_calibration()
     except Exception:
@@ -684,6 +770,14 @@ def main() -> None:
             hz = os.sysconf("SC_CLK_TCK")
             result.setdefault("calibration", {})["steal_cores_avg"] = round(
                 (steal_end - steal_start) / hz / wall, 2
+            )
+        # Primary-pass-only steal window (ADVICE r10; sampled above,
+        # published here so a burst during the timed section cannot hide
+        # in the whole-run average).
+        if steal_p0 is not None and steal_p1 is not None and steal_pwall > 0:
+            hz = os.sysconf("SC_CLK_TCK")
+            result.setdefault("calibration", {})["steal_cores_primary"] = round(
+                (steal_p1 - steal_p0) / hz / steal_pwall, 2
             )
     except Exception:
         pass
@@ -751,6 +845,12 @@ def compact_result(result: dict) -> dict:
                       "ratio_vs_duckdb_4t", "ratio_adj_4t")
             if k in sc_block
         }
+    rt = result.get("registry_top")
+    if rt:
+        # r11: heavy-registry-key medians, verbatim (5 keys, ~170 chars)
+        out["registry_top"] = {
+            k: rt[k] for k in ("queries", "total_s") if k in rt
+        }
     cal = result.get("calibration") or {}
     out["calibration"] = {
         k: cal[k]
@@ -762,7 +862,8 @@ def compact_result(result: dict) -> dict:
                   # window, not just the sidecar
                   "pre_anchor_q1_ms", "loadavg_first_attempt",
                   "pre_anchor_first_attempt_ms", "load_gate_waited_s",
-                  "load_gate_note", "steal_cores_avg")
+                  "load_gate_note", "load_gate", "steal_cores_avg",
+                  "steal_cores_primary")
         if k in cal
     }
     for k in ("errors", "multifile_error", "scaled_error"):
@@ -774,6 +875,8 @@ def compact_result(result: dict) -> dict:
         if len(json.dumps(out, separators=(",", ":"))) <= COMPACT_BUDGET:
             break
         out.get("scaled", {}).pop(drop, None)
+    if len(json.dumps(out, separators=(",", ":"))) > COMPACT_BUDGET:
+        out.pop("registry_top", None)
     if len(json.dumps(out, separators=(",", ":"))) > COMPACT_BUDGET:
         out.pop("scaled", None)
         out.pop("multifile", None)

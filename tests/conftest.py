@@ -104,6 +104,52 @@ except Exception:
     pass
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full",
+        action="store_true",
+        default=False,
+        help="run the full suite including tests marked 'full' "
+        "(equivalent: SPARK_GRAFT_FULL_TESTS=1)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: exhaustive tier (full 365-key mirrors, sweep batteries, "
+        "long pin files) — deselected by default so the driver's verify "
+        "window finishes; run with --full or SPARK_GRAFT_FULL_TESTS=1. "
+        "The round-close gate MUST still run the full tier "
+        "(VERDICT r10 task 1).",
+    )
+
+
+def full_tier_enabled(config) -> bool:
+    return bool(
+        config.getoption("--full")
+        or os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """r11 (VERDICT r10 task 1): the suite grew to ~3,200 s and outran
+    the driver's verify window (VERIFY_r10 tests_ok=false on a suite
+    with zero failures). Default run = fast tier: plan/kernel/unit pins
+    + a deterministic ~1/7 sample of the oracle mirror, sized ≤ ~5 min.
+    Tests marked 'full' are DESELECTED (not skipped) so the tail count
+    stays honest. Nothing is deleted: `--full` / SPARK_GRAFT_FULL_TESTS=1
+    restores the entire suite, and the round-close gate runs that."""
+    if full_tier_enabled(config):
+        return
+    kept, deselected = [], []
+    for item in items:
+        (deselected if item.get_closest_marker("full") else kept).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = kept
+
+
 @pytest.fixture(scope="session")
 def spark():
     from wikidata2pg_spark.session import get_session

@@ -14,8 +14,24 @@ from wikidata2pg_spark.registry import all_oracles, all_queries
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
+# r11 fast tier (VERDICT r10 task 1): the full 365-key mirror is the
+# single biggest block of the suite; the default run keeps a
+# DETERMINISTIC ~1/7 sample (every 7th key of the sorted registry —
+# stable across runs, spans every operator family alphabetically), and
+# the rest carry the 'full' marker (run by --full / the round-close
+# gate). Sampling is selection-only: every key's test still exists.
+FAST_MIRROR_SAMPLE = frozenset(sorted(QUERIES)[::7])
 
-@pytest.mark.parametrize("key", sorted(QUERIES))
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        pytest.param(
+            k, marks=() if k in FAST_MIRROR_SAMPLE else (pytest.mark.full,)
+        )
+        for k in sorted(QUERIES)
+    ],
+)
 def test_query_matches_oracle(key, spark, duck):
     df = QUERIES[key](spark, SF_T2)
     if key in ORACLES:

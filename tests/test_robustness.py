@@ -650,6 +650,20 @@ def test_bench_compact_line_fits_driver_tail_capture():
                 "contention"
             ),
             "steal_cores_avg": 1.13,
+            # r11 additive calibration fields (ADVICE r10)
+            "steal_cores_primary": 0.07,
+            "load_gate": "bypassed (SPARK_GRAFT_LOAD_GATE=0)",
+        },
+        # r11 heavy-registry block (VERDICT r10 task 7)
+        "registry_top": {
+            "queries": {
+                "q_wd_subclass_closure": 1.7123,
+                "q_retrieval_mmr": 1.8312,
+                "q_graph_bfs": 2.8812,
+                "q_orders_rfm": 1.6912,
+                "q_stream_stream_join": 3.6012,
+            },
+            "total_s": 11.7171,
         },
         "errors": {"tfidf": "z" * 400},
     }
@@ -667,6 +681,10 @@ def test_bench_compact_line_fits_driver_tail_capture():
     assert compact["calibration"]["pre_anchor_first_attempt_ms"] == 52.8
     assert compact["calibration"]["steal_cores_avg"] == 1.13
     assert "duckdb_tfidf_ms" not in compact["calibration"]
+    assert compact["calibration"]["steal_cores_primary"] == 0.07
+    assert compact["calibration"]["load_gate"].startswith("bypassed")
+    assert compact["registry_top"]["queries"]["q_graph_bfs"] == 2.8812
+    assert compact["registry_top"]["total_s"] == 11.7171
     assert compact["detail"] == "BENCH_DETAIL.json"
     # pathological inflation still degrades to a parseable under-budget line
     full["scaled"]["ratio_vs_duckdb_4t"] = {f"q{i}": 1.0 for i in range(400)}

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
+from wikidata2pg_spark.util import truncate_plan
 
 K = 10  # fixture generator uses 10 labeled clusters; K matches it
 ITERS = 3  # fixed unrolled Lloyd rounds — enough to separate the fixture
@@ -185,10 +186,11 @@ def q_cluster_kmeans(spark, sf_dir):
     cents = w_init.select(
         (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cent_id"),
         F.transform("p", lambda v: v.cast("double")).alias("c"),
-    ).localCheckpoint(eager=False)
+    )
+    cents = truncate_plan(cents, eager=False)
     for _ in range(ITERS):
         assigned = _assign(pts, cents)
-        cents = _update(assigned, cents).localCheckpoint(eager=False)
+        cents = truncate_plan(_update(assigned, cents), eager=False)
     return _assign(pts, cents).select("vec_id", "cluster")
 
 
@@ -263,10 +265,10 @@ def grouped_kmeans(pts, init_cents, iters: int):
     """Run `iters` Lloyd rounds per group and return the final centroids;
     pts = (grp, vec_id, p: array<bigint>), init = (grp, cent_id, c:
     array<double>). Checkpoints the tiny centroid frame per round."""
-    cents = init_cents.localCheckpoint(eager=False)
+    cents = truncate_plan(init_cents, eager=False)
     for _ in range(iters):
         assigned = _grouped_assign(pts, cents)
-        cents = _grouped_update(assigned, cents).localCheckpoint(eager=False)
+        cents = truncate_plan(_grouped_update(assigned, cents), eager=False)
     return cents
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
+from wikidata2pg_spark.util import truncate_plan
 
 
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -294,7 +295,7 @@ def q_dedup_semantic_cluster(spark, sf_dir):
     # Materialize the pair set ONCE: every propagation round joins sym, and
     # without this each of the O(diameter) iterations would re-execute the
     # full blocked cosine matmul from lineage (k rounds = k matmuls).
-    sym = sym.localCheckpoint()
+    sym = truncate_plan(sym)
     # labels seed from ALL vectors — singletons are their own cluster.
     # r10 review catch: this loop was a near-verbatim copy of
     # _min_label_components below; both got the convergence rewrite this
@@ -560,8 +561,8 @@ def _min_label_components(nodes, sym, what: str, max_rounds: int = 100):
                     F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint()
         )
+        new_labels = truncate_plan(new_labels)
         changed = new_labels.filter(
             F.col("cluster") != F.col("old_cluster")
         ).count()
@@ -627,11 +628,10 @@ def q_pipeline_neardup(spark, sf_dir):
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     pairs = _jaccard_prefix_pairs(spark, sf_dir, docs, t=0.95).select("doc_a", "doc_b")
-    sym = (
+    sym = truncate_plan(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     nodes = docs.select(F.col("doc_id").alias("id"))
     labels = _min_label_components(nodes, sym, "q_pipeline_neardup")

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
+from wikidata2pg_spark.util import truncate_plan
 
 NQ = 8  # query docs: doc_id < 8 (the q_vec_pq_adc convention)
 TOPN = 10  # per-ranking candidate depth
@@ -306,8 +307,8 @@ def q_retrieval_mmr(spark, sf_dir):
         .select("qid", "vec_id", "f", "rel", "rn")
         # 20 rows/query; materialize once so the 4 greedy iterations do
         # not each re-run the corpus pass (sibling-subtree recompute)
-        .localCheckpoint()
     )
+    cand = truncate_plan(cand)
     sel = cand.filter(F.col("rn") == 1).select(
         "qid",
         "vec_id",
@@ -352,9 +353,9 @@ def q_retrieval_mmr(spark, sf_dir):
         # (guide §3.3). Identical greedy trace (integer argmax over the
         # checkpointed candidates); measured build+exec 7.8 -> 4.4 s at
         # sf0.01, 14.1 -> 1.8 s at sf0.1 (OPTIMIZATION_r10.md).
-        selected = selected.unionByName(
+        selected = truncate_plan(selected.unionByName(
             pick.select(*selected.columns)
-        ).localCheckpoint()
+        ))
     return selected.select(
         F.col("qid").alias("query_id"),
         F.col("rank").cast("int").alias("rank"),

@@ -18,6 +18,7 @@ from pyspark.sql import Window, functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
+from wikidata2pg_spark.util import truncate_plan
 
 
 def hash_u32(col):
@@ -423,8 +424,8 @@ def q_sample_negatives(spark, sf_dir):
         # r10 (guide §2.4/§5): pos feeds BOTH the customer derivation and
         # the anti-join; without truncation Catalyst re-executes the whole
         # orders |><| lineitem pass for each consumer (2 scans -> 1).
-        .localCheckpoint(eager=True)
     )
+    pos = truncate_plan(pos)
     # r10 (guide §2.5, input parallelism): the distinct customer list is
     # tiny after AQE coalescing, so the cross join's md5 over |cust|x|parts|
     # pairs otherwise runs on ONE core (~3M hashes at sf0.01, 300M at

@@ -26,6 +26,13 @@ this module covers the *relational* graph surface]:
   id across iterations and each round is one co-partitioned join — with
   `localCheckpoint` every few rounds to truncate lineage (not needed at
   3 rounds; see q_wd_connected_components for the checkpointed loop).
+
+Checkpoint posture (r11, VERDICT r10 task 6): every truncation point in
+this module goes through ``util.truncate_plan`` — ``localCheckpoint`` by
+default (right for this harness; blocks on executor-local storage, an
+executor loss fails the job instead of recomputing), switchable to the
+fault-tolerant ``DataFrame.checkpoint`` API for cluster deployments via
+``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``.
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ from pyspark.sql import functions as F
 
 from wikidata2pg_spark.registry import query
 from wikidata2pg_spark.tables import load
+from wikidata2pg_spark.util import truncate_plan
 
 _DAMP = 0.85
 _ITERS = 3
@@ -82,7 +90,7 @@ def semi_naive_closure(e, max_depth=4):
     # 228 exchanges in the final plan). Identical pairs/depths — the
     # semi-naive recurrence is pure set algebra; property-tested against
     # naive BFS in tests/test_properties.py.
-    e = e.localCheckpoint()
+    e = truncate_plan(e)
     reach = e.withColumn("depth", F.lit(1))
     frontier = reach
     for depth in range(2, max_depth + 1):
@@ -96,9 +104,9 @@ def semi_naive_closure(e, max_depth=4):
             )
             .distinct()
         )
-        frontier = nxt.join(
+        frontier = truncate_plan(nxt.join(
             reach.select("src", "dst"), ["src", "dst"], "left_anti"
-        ).localCheckpoint()
+        ))
         reach = reach.unionByName(frontier)
     return reach
 
@@ -218,7 +226,7 @@ def q_graph_pagerank(spark, sf_dir):
     """
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
+    e = truncate_plan(
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
@@ -229,7 +237,6 @@ def q_graph_pagerank(spark, sf_dir):
         # rank iterations — Catalyst re-executed the orders|><|lineitem
         # projection per reference (88 parquet scans in the unrolled plan;
         # guide §3.3/§5). Materialize once, as the kcore loop already does.
-        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -268,7 +275,7 @@ def q_graph_triangles(spark, sf_dir):
     the few high-degree nodes exactly like any skewed equi-join."""
     # r10: three self-join references re-derived the projection 3x —
     # materialize once (guide §3.3; the kcore precedent).
-    e = copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
+    e = truncate_plan(copurchase_edges(spark, sf_dir).select("u", "v"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u"))
     return (
@@ -416,7 +423,7 @@ def q_graph_kcore(spark, sf_dir):
     one co-partitioned join pair on the node id, and the node set only
     shrinks. Output: surviving parts with their final in-core degree."""
     edges = copurchase_edges(spark, sf_dir)
-    und = undirected_edges(edges).localCheckpoint()
+    und = truncate_plan(undirected_edges(edges))
     nodes = und.select("u").distinct()
     deg = None
     for i in range(_KCORE_ROUNDS):
@@ -428,7 +435,7 @@ def q_graph_kcore(spark, sf_dir):
         )
         nodes = deg.filter(F.col("d") >= _KCORE_K).select("u")
         if i % 2 == 1:
-            nodes = nodes.localCheckpoint()
+            nodes = truncate_plan(nodes)
     return deg.filter(F.col("d") >= _KCORE_K).select(
         F.col("u").alias("part"), F.col("d").alias("core_degree")
     )
@@ -570,16 +577,15 @@ def q_graph_bfs(spark, sf_dir):
     # constant-size per-level plans; measured build+exec 7.9 -> 3.7 s at
     # sf0.01, 13.8 -> 2.9 s at sf0.1 (OPTIMIZATION_r10.md). Results
     # identical (pure set algebra on ids).
-    und = undirected_edges(edges).localCheckpoint()
+    und = truncate_plan(undirected_edges(edges))
     frontier = und.agg(F.min("u").alias("node"))
     visited = frontier.withColumn("dist", F.lit(0).cast("long"))
     for d in range(1, _BFS_DEPTH + 1):
-        nxt = (
+        nxt = truncate_plan(
             und.join(frontier, und["u"] == frontier["node"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint()
         )
         visited = visited.unionByName(
             nxt.withColumn("dist", F.lit(d).cast("long"))
@@ -640,7 +646,7 @@ def q_graph_random_walk(spark, sf_dir):
     # r10: multiple downstream references re-derived the co-purchase
     # projection per reference — materialize the symmetrized edge list
     # once (guide §3.3; the kcore precedent). Values unchanged.
-    und = undirected_edges(edges).localCheckpoint()
+    und = truncate_plan(undirected_edges(edges))
     cur = und.select(
         F.col("u").alias("start"),
         F.col("u").alias("node"),
@@ -810,7 +816,7 @@ def q_graph_clustering_coeff(spark, sf_dir):
     q_graph_triangles and the same hub-capping applies."""
     # r10: edges feeds und (2 refs) + the 3-way wedge-close — 5 full
     # re-derivations of the projection; materialize once (guide §3.3).
-    edges = copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
+    edges = truncate_plan(copurchase_edges(spark, sf_dir).select("u", "v"))
     und = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -954,7 +960,7 @@ def q_graph_assortativity(spark, sf_dir):
     # r10: multiple downstream references re-derived the co-purchase
     # projection per reference — materialize the symmetrized edge list
     # once (guide §3.3; the kcore precedent). Values unchanged.
-    und = undirected_edges(edges).localCheckpoint()
+    und = truncate_plan(undirected_edges(edges))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u").alias("a"), F.col("d").alias("x"))
     dv = deg.select(F.col("u").alias("b"), F.col("d").alias("y"))

@@ -180,3 +180,30 @@ def split_fixture_tables(
             pq.write_table(
                 tbl.slice(lo, step), os.path.join(tdir, f"part-{i:02d}.parquet")
             )
+
+
+def truncate_plan(df, eager: bool = True):
+    """Plan/lineage truncation for iterative and multi-consumer
+    derivations (guide §3.3/§5): materialize ``df`` and return a frame
+    whose plan no longer embeds the upstream derivation.
+
+    Default: ``localCheckpoint`` — blocks live on executor local
+    disk/memory, which is the cheap, right call in this harness and on
+    healthy clusters, but it SEVERS lineage: an executor loss makes the
+    job fail rather than recompute (guide §5). The 100 TB posture for
+    long iterative jobs is RELIABLE checkpointing: set
+    ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (with a checkpoint dir, either
+    pre-configured via ``spark.checkpoint.dir`` /
+    ``SparkContext.setCheckpointDir`` or defaulting to a local tmp dir
+    here) and every truncation point in the iterative family goes
+    through the fault-tolerant ``DataFrame.checkpoint`` API instead —
+    same plan truncation, recomputable-from-storage blocks. One switch,
+    no per-call-site edits (VERDICT r10 task 6)."""
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT") == "1":
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark_graft_reliable_ckpt_")
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

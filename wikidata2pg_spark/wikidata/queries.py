@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wikidata2pg_spark.registry import query
+from wikidata2pg_spark.util import truncate_plan
 from wikidata2pg_spark.wikidata import flatten
 from wikidata2pg_spark.wikidata.fixture import DUMP_LINES, entities_cte
 
@@ -528,12 +529,11 @@ def q_wd_connected_components(spark, sf_dir):
     # round consumes it again — without localCheckpoint, round N's plan
     # would re-run all N-1 prior joins from source TWICE per round
     # (O(N^2) recomputation and an unboundedly deep Catalyst plan).
-    sym = sym.localCheckpoint()
-    labels = (
+    sym = truncate_plan(sym)
+    labels = truncate_plan(
         sym.select("a")
         .distinct()
         .select(F.col("a").alias("id"), F.col("a").alias("component"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(20):  # diameter bound; fixture converges in <=3
@@ -556,8 +556,8 @@ def q_wd_connected_components(spark, sf_dir):
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
+        new_labels = truncate_plan(new_labels)
         changed = new_labels.filter(
             F.col("component") != F.col("old_component")
         ).count()
